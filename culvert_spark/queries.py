@@ -1,0 +1,1222 @@
+"""Relational operator library (SURVEY.md §2 Tier B).
+
+Every query here is a pure function ``(spark, sf_dir) -> DataFrame`` plus a
+matching DuckDB oracle SQL string, registered in ``QUERIES`` / ``ORACLE``.
+The reference engine (prasanthj/culvert) implements none of these — it is an
+ingest benchmark (SURVEY.md §0) — so this module IS the query surface the
+engine exposes, expressed entirely with declarative DataFrame ops so Catalyst
+gets pushdown / pruning / join selection / AQE for free.
+
+Determinism & oracle-parity rules used throughout (important — the driver
+hash-compares values):
+
+- **Money/measure sums go through DECIMAL.** Per-row arithmetic stays in
+  DOUBLE (bit-identical IEEE ops in both engines), the result is cast to
+  DECIMAL(18,6) per row, summed exactly, and the final sum cast back to
+  DOUBLE. This removes float summation-order nondeterminism entirely (Spark's
+  own partition order varies run-to-run, so raw double sums are not even
+  self-deterministic).
+- **Averages** are exact-decimal sums divided by exact counts in double,
+  rounded to 6 places, and only appear in small outputs.
+- **Every top-k / limit is totally ordered** (explicit tiebreak column).
+- **Aggregate / computed columns are aliased identically** in the DataFrame
+  code and the SQL (driver compares by sorted column name).
+
+Scale notes (100 TB design point): region/nation are fixed-cardinality (5/25
+rows) and explicitly broadcast; all other joins are left to AQE (which will
+pick broadcast at low SF and sort-merge with skew-splitting at high SF).
+Filters are expressed directly on scan columns so they push into the parquet
+reader; no query collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    """Register a query and (optionally) its DuckDB oracle SQL."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table (lazy; Catalyst prunes/pushes into parquet).
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
+    default; read it as long and convert ns→µs with exact integer division
+    (same truncation DuckDB applies when it loads the file).
+
+    The session timezone is pinned to UTC so timestamp values collect
+    identically to DuckDB's naive timestamps regardless of host timezone
+    (the driver calls these functions with its own SparkSession)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def dec(c: Column, scale: int = 6) -> Column:
+    """Round a per-row double to an exact decimal so sums are exact."""
+    return c.cast(T.DecimalType(18, scale))
+
+
+def dsum(c: Column, alias: str, scale: int = 6) -> Column:
+    """Exact decimal sum surfaced as double (deterministic at any
+    parallelism, and bit-identical to the DuckDB oracle)."""
+    return F.sum(dec(c, scale)).cast("double").alias(alias)
+
+
+def davg(c: Column, alias: str, scale: int = 6) -> Column:
+    """avg = exact decimal sum (as double) / exact count, rounded to 6."""
+    return F.round(
+        F.sum(dec(c, scale)).cast("double") / F.count(F.lit(1)), 6
+    ).alias(alias)
+
+
+# SQL fragments for the same patterns (DuckDB side).
+def _sql_dsum(expr: str, alias: str, scale: int = 6) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+
+
+def _sql_davg(expr: str, alias: str, scale: int = 6) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        f" / COUNT(*), 6) AS {alias}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sql_dsum('l_quantity', 'sum_qty')},
+           {_sql_dsum('l_extendedprice', 'sum_base_price')},
+           {_sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {_sql_davg('l_quantity', 'avg_qty')},
+           {_sql_davg('l_extendedprice', 'avg_price')},
+           {_sql_davg('l_discount', 'avg_disc', 6)},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation with map-side partial
+    aggregation. Flagship query. Filter pushes to the parquet scan."""
+    li = t(spark, sf_dir, "lineitem")
+    price, disc, tax, qty = (
+        F.col("l_extendedprice"),
+        F.col("l_discount"),
+        F.col("l_tax"),
+        F.col("l_quantity"),
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(qty, "sum_qty"),
+            dsum(price, "sum_base_price"),
+            dsum(price * (1 - disc), "sum_disc_price"),
+            dsum(price * (1 - disc) * (1 + tax), "sum_charge"),
+            davg(qty, "avg_qty"),
+            davg(price, "avg_price"),
+            davg(disc, "avg_disc", 6),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q06_revenue_forecast",
+    f"""
+    SELECT {_sql_dsum('l_extendedprice * l_discount', 'revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective conjunctive filter + global agg.
+    All four predicates push down to the parquet scan."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q_order_status_dist",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def q_order_status_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key groupBy with count/sum/min/max (min/max are exact on raw
+    doubles, no decimal needed)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_price"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "q_distinct_users_per_type",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct per group (expands to a two-phase partial/final
+    aggregate under AQE; no driver-side work)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("q_approx_distinct")  # no oracle: approximate result (HLL++)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the scale path for distinct
+    counting at 100 TB. No SQL oracle: sketch estimates are engine-specific;
+    driver records a rows-only check."""
+    ev = t(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.approx_count_distinct("event_id", 0.01).alias("approx_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup / cube / grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rollup_orders",
+    f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           o_orderstatus,
+           COUNT(*) AS n_orders,
+           {_sql_dsum('o_totalprice', 'revenue')}
+    FROM orders
+    GROUP BY ROLLUP (CAST(EXTRACT(year FROM o_orderdate) AS INT), o_orderstatus)
+    ORDER BY o_year NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (year → status → grand total)."""
+    o = t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    return (
+        o.rollup("o_year", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .orderBy(
+            F.col("o_year").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "q_cube_lineitem",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           {_sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_quantity"), "sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "q_grouping_sets_events",
+    f"""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n,
+           {_sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(date_trunc('day', ts) AS TIMESTAMP)), ())
+    ORDER BY event_type NULLS FIRST, day NULLS FIRST
+    """,
+)
+def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL over a temp view."""
+    ev = t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, date_trunc('day', ts) AS day,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
+        ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q03_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filtered 3-way join → grouped agg → total-order top-k.
+    Both join keys are equi-joins; AQE picks broadcast vs sort-merge by
+    runtime size. The final limit-10 is a TakeOrdered, not a full sort."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q05_regional_revenue",
+    f"""
+    SELECT n_name,
+           {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. nation/region are fixed-cardinality
+    (25/5 rows at ANY scale factor) and explicitly broadcast; the
+    customer⋈orders⋈lineitem chain shuffles on its keys and AQE handles
+    skew. Local-supplier condition c_nationkey = s_nationkey kept."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "q07_nation_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+           {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY sn.n_name, cn.n_name, CAST(EXTRACT(year FROM l_shipdate) AS INT)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+    The two nation dims broadcast; disjunctive pair filter applied after."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    sn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue. Join + agg + top-20."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_semi_join_urgent",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+              AND o_totalprice > 300000)
+    ORDER BY c_custkey
+    """,
+)
+def q_semi_join_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with at least one big urgent order.
+    Semi joins never duplicate the probe side — no distinct needed."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 300000)
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_anti_join_no_big_order",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+)
+def q_anti_join_no_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers that never placed a 400k+ order."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_outer_join_order_counts",
+    f"""
+    SELECT c_custkey,
+           COUNT(o_orderkey) AS n_orders,
+           {_sql_dsum('o_totalprice', 'total_spend')}
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def q_outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + agg: order count per customer incl. zero-order
+    customers (COUNT over a nullable key counts non-nulls in both engines)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.col("o_orderkey")).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_range_pred_join",
+    f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_fast_items,
+           {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <  o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_range_pred_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join with an additional range predicate (band join): lineitems
+    shipped within 60 days of their order. The equi key carries the shuffle;
+    the range predicate is evaluated post-match (no cross product)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 60 DAYS"))
+    )
+    return (
+        o.join(li, cond)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_fast_items"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q_asof_prior_view",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prior_view_ts
+      FROM events
+    )
+    SELECT event_id, user_id, ts, prior_view_ts
+    FROM seq WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def q_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (latest view at-or-before each purchase, per user),
+    implemented the scale-correct way: a single sort-based window carry
+    instead of a join — O(n log n) with no pair explosion, equivalent to
+    DuckDB's ASOF JOIN. This is the pattern that survives 100 TB; the naive
+    join+row_number explodes on |views|x|purchases| per user."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.withColumn(
+            "prior_view_ts",
+            F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "prior_view_ts")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q_cross_join_region_status",
+    """
+    SELECT r_name, s.o_orderstatus, COALESCE(a.n_orders, 0) AS n_orders
+    FROM region
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    LEFT JOIN (
+      SELECT r2.r_name AS rn, o_orderstatus AS st, COUNT(*) AS n_orders
+      FROM orders, customer, nation, region r2
+      WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+        AND n_regionkey = r2.r_regionkey
+      GROUP BY r2.r_name, o_orderstatus
+    ) a ON a.rn = r_name AND a.st = s.o_orderstatus
+    ORDER BY r_name, s.o_orderstatus
+    """,
+)
+def q_cross_join_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS join of two tiny domains to densify a sparse aggregate (every
+    region x status combination, zero-filled). Cross join is safe here
+    because both sides are provably tiny (5 regions x 3 statuses)."""
+    r = t(spark, sf_dir, "region").select("r_name")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    statuses = o.select("o_orderstatus").distinct()
+    counts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(t(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("rn"), F.col("o_orderstatus").alias("st"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        r.crossJoin(statuses)
+        .join(
+            counts,
+            (F.col("rn") == F.col("r_name")) & (F.col("st") == F.col("o_orderstatus")),
+            "left",
+        )
+        .select(
+            "r_name",
+            "o_orderstatus",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("r_name", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number (the scalable top-k: one shuffle on the
+    partition key, no global sort)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "rn",
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "q_running_customer_total",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROW_NUMBER() OVER w AS order_seq,
+           CAST(lag(o_totalprice) OVER w AS DOUBLE) AS prev_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, order_seq
+    """,
+)
+def q_running_customer_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals + lag + row_number over one totally-ordered window
+    (single shuffle, sort within partition; decimal running sum is exact)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.row_number().over(w).alias("order_seq"),
+            F.lag("o_totalprice").over(w).cast("double").alias("prev_price"),
+            F.sum(dec(F.col("o_totalprice")))
+            .over(w)
+            .cast("double")
+            .alias("running_spend"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+@register(
+    "q_top_customer_per_nation",
+    f"""
+    WITH spend AS (
+      SELECT c_custkey, c_name, n_name,
+             {_sql_dsum('o_totalprice', 'total_spend')}
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name, n_name
+    )
+    SELECT n_name, c_custkey, c_name, total_spend
+    FROM (SELECT *, RANK() OVER (PARTITION BY n_name
+                                 ORDER BY total_spend DESC, c_custkey) AS rk
+          FROM spend)
+    WHERE rk = 1
+    ORDER BY n_name
+    """,
+)
+def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level: join+agg then rank-per-group. Shows agg feeding a window."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    spend = (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("o_totalprice"), "total_spend"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("total_spend").desc(), F.col("c_custkey")
+    )
+    return (
+        spend.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
+        .select("n_name", "c_custkey", "c_name", "total_spend")
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q_latest_event_per_user",
+    """
+    SELECT user_id, event_id, ts, event_type
+    FROM (SELECT user_id, event_id, ts, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'keep latest per key' dedup — row_number, not
+    dropDuplicates, because dropDuplicates keeps an arbitrary row."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_set_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 250000
+    ORDER BY c_custkey
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of two key sets."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = o.filter(F.col("o_totalprice") > 250000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.intersect(b).orderBy("c_custkey")
+
+
+@register(
+    "q_set_except",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ORDER BY c_custkey
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.exceptAll(b.distinct()).distinct().orderBy("c_custkey")
+
+
+@register(
+    "q_union_active_parties",
+    """
+    SELECT k, kind FROM (
+      SELECT DISTINCT c_custkey AS k, 'customer' AS kind
+      FROM customer WHERE c_acctbal > 9000
+      UNION
+      SELECT DISTINCT s_suppkey AS k, 'supplier' AS kind
+      FROM supplier WHERE s_acctbal > 9000
+    )
+    ORDER BY kind, k
+    """,
+)
+def q_union_active_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) across two differently-shaped inputs, unified by
+    projection (unionByName)."""
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    a = (
+        c.filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("k"), F.lit("customer").alias("kind"))
+        .distinct()
+    )
+    b = (
+        s.filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_suppkey").alias("k"), F.lit("supplier").alias("kind"))
+        .distinct()
+    )
+    return a.unionByName(b).distinct().orderBy("kind", "k")
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: strings, dates, JSON
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_string_funcs_parts",
+    """
+    SELECT UPPER(p_type) AS type_u,
+           CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num,
+           COUNT(*) AS n_parts,
+           CAST(MIN(p_retailprice) AS DOUBLE) AS min_price,
+           MIN(p_name) AS first_name
+    FROM part
+    WHERE p_size BETWEEN 5 AND 30 AND p_name LIKE '%o%'
+    GROUP BY UPPER(p_type), CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT)
+    ORDER BY type_u, brand_num
+    """,
+)
+def q_string_funcs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions: upper, LIKE, regexp_extract; grouped over derived
+    keys."""
+    p = t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_size").between(5, 30) & F.col("p_name").like("%o%"))
+        .withColumn("type_u", F.upper("p_type"))
+        .withColumn(
+            "brand_num",
+            F.regexp_extract(F.col("p_brand"), r"([0-9]+)", 1).cast("int"),
+        )
+        .groupBy("type_u", "brand_num")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_retailprice").cast("double").alias("min_price"),
+            F.min("p_name").alias("first_name"),
+        )
+        .orderBy("type_u", "brand_num")
+    )
+
+
+@register(
+    "q_json_props",
+    f"""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           {_sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY CAST(json_extract(props, '$.k') AS BIGINT) % 10
+    ORDER BY k_bucket
+    """,
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props column (get_json_object =
+    DuckDB json_extract), bucketed aggregate."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.withColumn("k_bucket", k % 10)
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "sum_value"))
+        .orderBy("k_bucket")
+    )
+
+
+@register(
+    "q_date_math_shipping",
+    """
+    SELECT o_orderstatus,
+           CAST(MIN(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS min_lag_days,
+           CAST(MAX(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_lag_days,
+           ROUND(CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_lag_days,
+           COUNT(*) AS n
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_date_math_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic (datediff) aggregated — integer-exact everywhere."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    joined = o.join(li, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") >= F.col("o_orderdate")
+    )
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.min(lag_days).cast("bigint").alias("min_lag_days"),
+            F.max(lag_days).cast("bigint").alias("max_lag_days"),
+            F.round(
+                F.sum(lag_days).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_lag_days"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time windows (batch shape of the streaming ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_hourly_event_counts",
+    f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {_sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def q_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate via F.window (same operator the
+    streaming path uses; epoch-aligned so it equals date_trunc('hour'))."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "q_sliding_window_counts",
+    """
+    WITH slid AS (
+      SELECT u.window_start, e.event_type
+      FROM events e,
+           UNNEST([CAST(date_trunc('hour', e.ts) AS TIMESTAMP),
+                   CAST(date_trunc('hour', e.ts) - INTERVAL 1 HOUR AS TIMESTAMP)])
+             AS u(window_start)
+    )
+    SELECT window_start, event_type, COUNT(*) AS n
+    FROM slid
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h length, 1h slide): every event lands in exactly two
+    epoch-aligned windows. Oracle expands the two candidate starts manually."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "q_sessionize_events",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, us,
+             CASE WHEN prev_us IS NULL
+                       OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM seq
+    ),
+    sess AS (
+      SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             MAX(us) - MIN(us) AS dur_us
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(MAX(dur_us) AS BIGINT) AS max_session_us,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events
+    FROM per_session
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap): lag → gap flag →
+    running-sum session ids → two-level aggregate. Timestamps compared in
+    integer microseconds so both engines are exact. This is the batch twin of
+    the streaming session_window operator."""
+    ev = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seq = ev.select("user_id", "ts", "event_id").withColumn("us", us)
+    marked = seq.withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(w_seq).isNull()
+            | ((F.col("us") - F.lag("us").over(w_seq)) > 1_800_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = marked.withColumn("session_id", F.sum("new_s").over(w_run))
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.max("dur_us").cast("bigint").alias("max_session_us"),
+            F.max("n_events").cast("bigint").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q_pivot_user_event_values",
+    f"""
+    SELECT user_id,
+           {', '.join(
+        f"CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = '{et}') AS DOUBLE) AS {et}"
+        for et in _EVENT_TYPES
+    )}
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (explicit values avoid the extra
+    distinct-scan pass — required practice at scale)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(dec(F.col("value"))).cast("double"))
+        .orderBy("user_id")
+    )

@@ -1,0 +1,88 @@
+"""SparkSession factory.
+
+Configs are chosen for the 100 TB design point, not just local tests:
+
+- AQE on (runtime join-strategy switch, skew-join splitting, partition
+  coalescing) so plans self-correct at scale.
+- Arrow on for the few Pandas-UDF code paths (vectorized transfer).
+- ``spark.sql.shuffle.partitions`` defaults to a local-friendly value but
+  AQE coalesces; on a real cluster set it ~2-3x total cores.
+- Broadcast threshold left at default (10 MB) — small dims (region, nation,
+  supplier, part at low SF) broadcast automatically; queries additionally
+  hint ``broadcast()`` where the dim is guaranteed small at any SF.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "culvert_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    On a real cluster, ``master`` comes from the environment and the
+    partition settings below are sized by the resource manager; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Adaptive execution: runtime re-planning, skew handling, coalescing.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for Pandas UDF paths.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Shuffle sizing: local default; AQE coalesces small outputs.
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(DEFAULT_CPUS)),
+        )
+        # Timestamps: keep session in UTC so generated data is stable
+        # regardless of host timezone.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Quieter local runs.
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
+    """Register every testdata parquet under ``sf_dir`` as a temp view and
+    return {name: DataFrame}. Scans are lazy; Catalyst prunes columns and
+    pushes filters into the parquet reader."""
+    names = [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
