@@ -1,0 +1,868 @@
+"""North-star text / dedup / similarity operators over ``documents`` and
+``embeddings`` (SURVEY.md §2 Tier B "build menu"; the reference engine has no
+text surface at all — these are the LLM-data-pipeline operators the engine
+adds on top of reference parity).
+
+Design rules (same as queries.py): everything is a deterministic pure
+function of the input, expressed with JVM-side built-in functions (no Python
+UDFs in any hot path), with a DuckDB oracle that performs the *same*
+computation. Hash functions are md5-based because md5 is bit-identical across
+Spark and DuckDB; float reductions use a fixed left-to-right summation order
+(Spark ``aggregate`` fold == SQL left-associative ``+`` chain) so doubles are
+bit-identical too.
+
+Scale notes (100 TB):
+- MinHash/LSH and SimHash hash a *vocabulary* dimension table (distinct
+  tokens), then broadcast-join it back — token hashing cost is O(|vocab|),
+  not O(corpus).
+- Pairwise ops (jaccard, near-dup) are always bucketed (same (lang, source)
+  bucket / same LSH band / same hyperplane bucket) so the candidate set is
+  bounded; nothing materializes the full n² pair space except the
+  explicitly-labelled brute-force baseline.
+- All shuffles key on doc_id / token / band — no skewed single-key shuffles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from culvert_spark.queries import QUERIES, ORACLE, register, t  # noqa: F401
+
+# ---------------------------------------------------------------------------
+# Shared expression generators (Spark SQL dialect vs DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+# 60-bit integer from the first 15 hex chars of md5(expr) — DuckDB has no
+# conv(), so both sides evaluate the same digit polynomial.
+def _hex60_spark(expr: str) -> str:
+    terms = [
+        f"shiftleft(cast(instr('0123456789abcdef', substring(md5({expr}), {p + 1}, 1)) as bigint) - 1, {4 * p})"
+        for p in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _hex60_duck(expr: str) -> str:
+    terms = [
+        f"((instr('0123456789abcdef', substr(md5({expr}), {p + 1}, 1)) - 1)::BIGINT << {4 * p})"
+        for p in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# Dot product of two 64-dim float vectors in double, fixed left-to-right
+# order. `a`/`b` are table aliases; Spark arrays are 0-based, DuckDB 1-based.
+DIM = 64
+
+
+def _dot_spark(a: str, b: str) -> str:
+    terms = [
+        f"cast({a}[{i}] as double) * cast({b}[{i}] as double)" for i in range(DIM)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _dot_duck(a: str, b: str) -> str:
+    terms = [
+        f"CAST({a}[{i + 1}] AS DOUBLE) * CAST({b}[{i + 1}] AS DOUBLE)"
+        for i in range(DIM)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+TOK_SPARK = r"split(text, '\\s+')"
+TOK_DUCK = r"regexp_split_to_array(text, '\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_text_stats",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+           CAST(SUM(len({TOK_DUCK})) AS BIGINT) AS total_tokens,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language (token counts are whitespace-split,
+    all integer-exact)."""
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), r"\s+"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_chars"),
+            F.sum(n_tokens).alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "t_quality_scores",
+    f"""
+    WITH q AS (
+      SELECT doc_id,
+             length(text) AS len_chars,
+             len({TOK_DUCK}) AS n_tokens,
+             len(filter({TOK_DUCK}, x -> x = 'a' OR x = 'the')) AS n_stop
+      FROM documents)
+    SELECT doc_id, len_chars, n_tokens,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+           ROUND(CAST(len_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+           ROUND(CAST(len_chars - 10 * n_stop AS DOUBLE) / n_tokens, 6) AS quality_score
+    FROM q
+    ORDER BY doc_id
+    """,
+)
+def t_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: length, stopword ratio, avg token
+    length, and a combined score — all rational arithmetic on exact integers
+    (deterministic in double)."""
+    d = t(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        F.expr(r"size(split(text, '\\s+'))").alias("n_tokens"),
+        F.expr(
+            r"size(filter(split(text, '\\s+'), x -> x = 'a' OR x = 'the'))"
+        ).alias("n_stop"),
+    )
+    return q.select(
+        "doc_id",
+        "len_chars",
+        "n_tokens",
+        F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 6).alias(
+            "stop_ratio"
+        ),
+        F.round(
+            F.col("len_chars").cast("double") / F.col("n_tokens"), 6
+        ).alias("avg_token_len"),
+        F.round(
+            (F.col("len_chars") - 10 * F.col("n_stop")).cast("double")
+            / F.col("n_tokens"),
+            6,
+        ).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "t_token_top20",
+    f"""
+    SELECT u.tok AS token, COUNT(*) AS n
+    FROM documents, UNNEST({TOK_DUCK}) AS u(tok)
+    GROUP BY u.tok
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def t_token_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token frequency top-20 (explode → count → total-order top-k).
+    At scale this is the classic word-count: map-side partial aggregation
+    keeps the shuffle at |vocab|, not |corpus|."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "t_bpe_token_estimate",
+    f"""
+    SELECT lang,
+           CAST(SUM(len({TOK_DUCK})) AS BIGINT) AS ws_tokens,
+           CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS bpe_est_tokens,
+           ROUND(CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS DOUBLE)
+                 / SUM(len({TOK_DUCK})), 6) AS bpe_per_word
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def t_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and the chars/4 BPE-ish
+    estimator used for LLM budget planning."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.expr(r"size(split(text, '\\s+'))")
+    bpe = F.ceil(F.length("text") / 4.0).cast("bigint")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(ws).alias("ws_tokens"),
+            F.sum(bpe).alias("bpe_est_tokens"),
+            F.round(
+                F.sum(bpe).cast("double") / F.sum(ws), 6
+            ).alias("bpe_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
+_KW = {
+    "de": ("hash", "row", "batch"),
+    "en": ("table", "order", "group"),
+    "es": ("slow", "merge", "vector"),
+    "fr": ("scan", "data", "small"),
+    "zh": ("join", "window", "line"),
+}
+_LANGS = sorted(_KW)
+
+
+@register(
+    "t_lang_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {', '.join(
+        "len(filter(" + TOK_DUCK + ", x -> x IN ("
+        + ", ".join("'" + w + "'" for w in _KW[lg]) + f"))) AS s_{lg}"
+        for lg in _LANGS
+    )}
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END AS pred_lang,
+           (lang = CASE
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END) AS correct
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-profile language identification: per-language keyword-hit
+    scores, argmax with deterministic tie-break (lexicographic language
+    order). One scan, no shuffle except the final sort."""
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            F.expr(
+                r"size(filter(split(text, '\\s+'), x -> x IN ("
+                + ", ".join(f"'{w}'" for w in _KW[lg])
+                + ")))"
+            ).alias(f"s_{lg}")
+            for lg in _LANGS
+        ],
+    )
+    pred = (
+        F.when(
+            (F.col("s_de") >= F.col("s_en"))
+            & (F.col("s_de") >= F.col("s_es"))
+            & (F.col("s_de") >= F.col("s_fr"))
+            & (F.col("s_de") >= F.col("s_zh")),
+            F.lit("de"),
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_zh")),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("s_es") >= F.col("s_fr")) & (F.col("s_es") >= F.col("s_zh")),
+            F.lit("es"),
+        )
+        .when(F.col("s_fr") >= F.col("s_zh"), F.lit("fr"))
+        .otherwise(F.lit("zh"))
+    )
+    return (
+        scored.withColumn("pred_lang", pred)
+        .withColumn("correct", F.col("lang") == F.col("pred_lang"))
+        .select("doc_id", "lang", "pred_lang", "correct")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting & exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_doc_fingerprint",
+    """
+    SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 8) AS fp8
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 50
+    """,
+)
+def t_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting (md5 of full text) — the primitive under
+    exact dedup at scale (hash once, compare 16 bytes)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.md5(F.col("text").cast("binary")).alias("fp"),
+            F.substring(F.md5(F.col("text").cast("binary")), 1, 8).alias("fp8"),
+        )
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
+@register(
+    "t_exact_dedup_stats",
+    """
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups
+    FROM documents
+    """,
+)
+def t_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate accounting via content hash (the groupBy-hash dedup;
+    distinct on the 16-byte hash, never on the full text — at 100 TB you
+    shuffle hashes, not documents)."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(fp).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.count_distinct(fp)).alias("n_exact_dups"),
+    )
+
+
+@register(
+    "t_exact_dedup_groups",
+    """
+    SELECT lang, n_chars, MIN(doc_id) AS rep_doc_id, COUNT(*) AS group_size
+    FROM documents
+    GROUP BY lang, n_chars
+    HAVING COUNT(*) > 1
+    ORDER BY lang, n_chars
+    """,
+)
+def t_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-based dedup with a deterministic representative (min doc_id per
+    group) — the canonical 'keep one row per key' pattern (dropDuplicates
+    picks an arbitrary row; this doesn't)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "n_chars")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+        .orderBy("lang", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard / MinHash LSH / SimHash near-dup
+# ---------------------------------------------------------------------------
+
+_SHINGLES_DUCK = f"""
+      SELECT doc_id, lang, source, u.sh
+      FROM (SELECT doc_id, lang, source,
+                   list_distinct(CASE WHEN len({TOK_DUCK}) >= 3 THEN
+                     list_transform(generate_series(1, len({TOK_DUCK}) - 2),
+                       i -> {TOK_DUCK}[i] || ' ' || {TOK_DUCK}[i+1] || ' ' || {TOK_DUCK}[i+2])
+                     ELSE [] END) AS shs
+            FROM documents),
+           UNNEST(shs) AS u(sh)
+"""
+
+_SHINGLES_SPARK = r"""
+    array_distinct(
+      CASE WHEN size(split(text, '\\s+')) >= 3 THEN
+        transform(sequence(0, size(split(text, '\\s+')) - 3),
+                  i -> concat_ws(' ', split(text, '\\s+')[i],
+                                      split(text, '\\s+')[i+1],
+                                      split(text, '\\s+')[i+2]))
+      ELSE array() END)
+"""
+
+
+@register(
+    "t_ngram_jaccard_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.sh = b.sh AND a.lang = b.lang AND a.source = b.source
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, n_common,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / (ca.n_sh + cb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def t_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard similarity between documents of the same
+    (lang, source) bucket. The join key is the *shingle* (plus bucket), so
+    candidate pairs are generated only where an actual shingle collision
+    exists — never the full n² pair space."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"),
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a")
+    )
+    cb = counts.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b")
+    )
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_N_HASHES = 12
+_BAND_SIZE = 3  # 4 bands of 3 minhashes
+
+
+@register(
+    "t_minhash_lsh_pairs",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, u.tok
+      FROM documents, UNNEST({TOK_DUCK}) AS u(tok)),
+    hx AS (
+      SELECT doc_id, h.i,
+             MIN(md5(h.i::VARCHAR || '|' || tok)) AS mh
+      FROM toks, (SELECT UNNEST(generate_series(0, {_N_HASHES - 1})) AS i) h
+      GROUP BY doc_id, h.i),
+    bands AS (
+      SELECT doc_id, i // {_BAND_SIZE} AS band,
+             md5(string_agg(mh, ',' ORDER BY i)) AS sig
+      FROM hx GROUP BY doc_id, i // {_BAND_SIZE}),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS shared_bands
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    est AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS n_eq
+      FROM hx a JOIN hx b ON a.i = b.i AND a.doc_id < b.doc_id
+      WHERE (a.doc_id, b.doc_id) IN (SELECT (doc_a, doc_b) FROM cand)
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT c.doc_a, c.doc_b, c.shared_bands,
+           ROUND(CAST(e.n_eq AS DOUBLE) / {_N_HASHES}, 6) AS est_jaccard
+    FROM cand c JOIN est e ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+    ORDER BY c.doc_a, c.doc_b
+    """,
+)
+def t_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate candidates over token sets:
+    12 md5-derived min-hashes per doc, banded 4x3; docs sharing any band
+    signature become candidate pairs; est_jaccard = fraction of equal
+    minhashes.
+
+    Scale path: per-(doc, hash) minhash is one grouped aggregation over the
+    exploded token table; the candidate join keys on (band, signature) —
+    identical signatures bucket together, so join fan-out is bounded by real
+    collisions (this is exactly the shingle→minhash→band→bucket-join
+    pipeline)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).distinct()
+    idx = spark.range(_N_HASHES).select(F.col("id").cast("int").alias("i"))
+    hx = (
+        toks.crossJoin(broadcast(idx))
+        .groupBy("doc_id", "i")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat(
+                        F.col("i").cast("string"), F.lit("|"), F.col("tok")
+                    ).cast("binary")
+                )
+            ).alias("mh")
+        )
+    )
+    bands = (
+        hx.withColumn("band", F.expr(f"i div {_BAND_SIZE}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                        lambda s: s.mh,
+                    ),
+                    ",",
+                ).cast("binary")
+            ).alias("sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+    )
+    ha = hx.select(
+        F.col("doc_id").alias("doc_a"), "i", F.col("mh").alias("mh_a")
+    )
+    hb = hx.select(
+        F.col("doc_id").alias("doc_b"), "i", F.col("mh").alias("mh_b")
+    )
+    est = (
+        cand.join(ha, "doc_a")
+        .join(hb, ["doc_b", "i"])
+        .groupBy("doc_a", "doc_b", "shared_bands")
+        .agg(
+            F.sum(
+                F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)
+            ).alias("n_eq")
+        )
+    )
+    return est.select(
+        "doc_a",
+        "doc_b",
+        "shared_bands",
+        F.round(F.col("n_eq").cast("double") / _N_HASHES, 6).alias(
+            "est_jaccard"
+        ),
+    ).orderBy("doc_a", "doc_b")
+
+
+_SIMHASH_BITS = 60
+
+
+@register(
+    "t_simhash_fingerprint",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, u.tok
+      FROM documents, UNNEST({TOK_DUCK}) AS u(tok)),
+    vocab AS (
+      SELECT tok, {_hex60_duck('tok')} AS h FROM (SELECT DISTINCT tok FROM toks)),
+    bits AS (
+      SELECT t.doc_id, b.j,
+             SUM(CASE WHEN (v.h >> b.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM toks t
+      JOIN vocab v ON v.tok = t.tok,
+           (SELECT UNNEST(generate_series(0, {_SIMHASH_BITS - 1})) AS j) b
+      GROUP BY t.doc_id, b.j)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def t_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (60-bit) document fingerprints, frequency-weighted: each
+    token occurrence votes ±1 per bit of its 60-bit md5-derived hash; the
+    sign vector is the fingerprint. Near-dups are then hamming-close.
+
+    Scale path: token→hash is computed once on the *vocabulary* (distinct
+    tokens) and broadcast-joined back — the expensive hex polynomial runs
+    O(|vocab|) times, not O(corpus x 60)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    )
+    vocab = toks.select("tok").distinct().withColumn(
+        "h", F.expr(_hex60_spark("tok"))
+    )
+    jdx = spark.range(_SIMHASH_BITS).select(F.col("id").cast("int").alias("j"))
+    bits = (
+        toks.join(broadcast(vocab), "tok")
+        .crossJoin(broadcast(jdx))
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> j) & 1 = 1"), 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), j)")
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s_cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    q AS (SELECT vec_id, embedding FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {_dot_duck('q.embedding', 'e.embedding')}
+             / (sqrt({_dot_duck('q.embedding', 'q.embedding')})
+                * sqrt({_dot_duck('e.embedding', 'e.embedding')})) AS cos
+      FROM q JOIN e ON e.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, rank
+    FROM (SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for a query subset (vec_id % 50 = 0)
+    — the exact ANN baseline. The (small) query set is broadcast against the
+    full vector table; the dot product is a fixed-order JVM-side expression
+    chain (no UDF). Output is rank-only so float ulps can't affect the hash.
+
+    At 100 TB the same plan holds: broadcast queries x partitioned vectors,
+    then a per-query top-k via row_number. For large query sets, switch to
+    the LSH-bucketed variant (s_ann_lsh_top1)."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pairs = broadcast(q).join(e, F.col("vec_id") != F.col("query_id"))
+    dot = F.expr(_dot_spark("qv", "embedding"))
+    qq = F.expr(_dot_spark("qv", "qv"))
+    ee = F.expr(_dot_spark("embedding", "embedding"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot / (F.sqrt(qq) * F.sqrt(ee))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "s_embedding_near_dup",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_dot_duck('a.embedding', 'b.embedding')}
+                 / (sqrt({_dot_duck('a.embedding', 'a.embedding')})
+                    * sqrt({_dot_duck('b.embedding', 'b.embedding')})), 4) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_dot_duck('a.embedding', 'b.embedding')}
+          / (sqrt({_dot_duck('a.embedding', 'a.embedding')})
+             * sqrt({_dot_duck('b.embedding', 'b.embedding')})) >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+)
+def s_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4, tuned to the
+    synthetic corpus where max pairwise cos ≈ 0.51). Labelled brute-force
+    baseline: all-pairs with a<b. The scale path for this op is LSH
+    bucketing (see s_ann_lsh_top1) — kept separate so the oracle stays
+    exact."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    dot = F.expr(_dot_spark("va", "vb"))
+    na = F.expr(_dot_spark("va", "va"))
+    nb = F.expr(_dot_spark("vb", "vb"))
+    cos = dot / (F.sqrt(na) * F.sqrt(nb))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from md5 (computed in Python, emitted as
+    literals into both dialects)."""
+    out = []
+    for j in range(n_planes):
+        row = []
+        for d_ in range(dim):
+            h = hashlib.md5(f"{j},{d_}".encode()).digest()[0]
+            row.append(1 if h % 2 == 0 else -1)
+        out.append(row)
+    return out
+
+
+_N_PLANES = 8
+_SIGNS = _hyperplane_signs(_N_PLANES, DIM)
+
+
+def _proj_terms(alias: str, j: int, spark_dialect: bool) -> str:
+    terms = []
+    for d_ in range(DIM):
+        idx = d_ if spark_dialect else d_ + 1
+        cast = "cast" if spark_dialect else "CAST"
+        sgn = "+" if _SIGNS[j][d_] > 0 else "-"
+        terms.append(f"{sgn} {cast}({alias}[{idx}] AS DOUBLE)")
+    return "(" + " ".join(terms) + ")"
+
+
+def _bucket_expr(alias: str, spark_dialect: bool) -> str:
+    shl = (
+        "shiftleft(cast(1 as bigint), {j})"
+        if spark_dialect
+        else "(1::BIGINT << {j})"
+    )
+    parts = [
+        f"(CASE WHEN {_proj_terms(alias, j, spark_dialect)} > 0 THEN {shl.format(j=j)} ELSE 0 END)"
+        for j in range(_N_PLANES)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+@register(
+    "s_ann_lsh_top1",
+    f"""
+    WITH e AS (SELECT vec_id, embedding,
+                      {_bucket_expr('embedding', False)} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id, embedding, bucket FROM e WHERE vec_id % 20 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {_dot_duck('q.embedding', 'e.embedding')}
+             / (sqrt({_dot_duck('q.embedding', 'q.embedding')})
+                * sqrt({_dot_duck('e.embedding', 'e.embedding')})) AS cos
+      FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id
+    FROM (SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn = 1
+    ORDER BY query_id
+    """,
+)
+def s_ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbor via random-hyperplane LSH: 8
+    deterministic ±1 hyperplanes → 8-bit bucket; candidates share the
+    query's bucket; exact cosine re-rank inside the bucket only.
+
+    This is the scale path for similarity search: the candidate join is an
+    equi-join on the bucket id (shuffle on a small int key), so cost is
+    O(n x bucket_occupancy), not O(n x q)."""
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("bucket", F.expr(_bucket_expr("embedding", True)))
+    )
+    q = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = q.join(
+        e,
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    dot = F.expr(_dot_spark("qv", "embedding"))
+    qq = F.expr(_dot_spark("qv", "qv"))
+    ee = F.expr(_dot_spark("embedding", "embedding"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot / (F.sqrt(qq) * F.sqrt(ee))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    )
