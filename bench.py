@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced through the noop sink (full computation, no driver-side
+collect) so timings measure the distributed plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: one per operator family (scan-agg, selective filter, 3-way
+# join + top-k, 6-way join, window top-k, as-of carry, time windows,
+# sessionization, pivot, token count, minhash-LSH dedup, cosine ANN).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q06_revenue_forecast",
+    "q03_shipping_priority",
+    "q05_regional_revenue",
+    "q_top3_orders_per_customer",
+    "q_asof_prior_view",
+    "q_hourly_event_counts",
+    "q_sessionize_events",
+    "q_pivot_user_event_values",
+    "t_token_top20",
+    "t_minhash_lsh_pairs",
+    "s_cosine_topk",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def main() -> None:
+    from culvert_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="culvert_bench", master=f"local[{CPUS}]")
+    registry = entrymod.queries()
+
+    # Warm up JVM codegen and the parquet reader path (footer parse, column
+    # readers) once per table so timings measure steady-state execution.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    from culvert_spark.queries import t as scan
+
+    for tbl in (
+        "lineitem",
+        "orders",
+        "customer",
+        "supplier",
+        "nation",
+        "region",
+        "events",
+        "documents",
+        "embeddings",
+    ):
+        scan(spark, SF_DIR, tbl).count()
+    # One untimed noop write to initialize the writer + codegen paths.
+    registry["q06_revenue_forecast"](spark, SF_DIR).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        start = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -402,15 +402,24 @@ _SHINGLES_DUCK = f"""
            UNNEST(shs) AS u(sh)
 """
 
+# Operates on a precomputed `toks` array column — tokenize ONCE per doc,
+# then O(1) array indexing per shingle (tokenizing inside the lambda would
+# re-split the full text per element: quadratic per document).
 _SHINGLES_SPARK = r"""
     array_distinct(
-      CASE WHEN size(split(text, '\\s+')) >= 3 THEN
-        transform(sequence(0, size(split(text, '\\s+')) - 3),
-                  i -> concat_ws(' ', split(text, '\\s+')[i],
-                                      split(text, '\\s+')[i+1],
-                                      split(text, '\\s+')[i+2]))
+      CASE WHEN size(toks) >= 3 THEN
+        transform(sequence(0, size(toks) - 3),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
       ELSE array() END)
 """
+
+
+def _with_shingles(d: DataFrame, *keep: str) -> DataFrame:
+    """doc_id (+ keep cols) with exploded distinct word-3-gram shingles."""
+    return (
+        d.withColumn("toks", F.split(F.col("text"), r"\s+"))
+        .select("doc_id", *keep, F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
+    )
 
 
 @register(
@@ -439,12 +448,7 @@ def t_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs are generated only where an actual shingle collision
     exists — never the full n² pair space."""
     d = t(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"),
-    )
+    sh = _with_shingles(d, "lang", "source")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -491,79 +495,78 @@ _BAND_SIZE = 3  # 4 bands of 3 minhashes
 @register(
     "t_minhash_lsh_pairs",
     f"""
-    WITH toks AS (
-      SELECT DISTINCT doc_id, u.tok
-      FROM documents, UNNEST({TOK_DUCK}) AS u(tok)),
+    WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES_DUCK})),
     hx AS (
       SELECT doc_id, h.i,
-             MIN(md5(h.i::VARCHAR || '|' || tok)) AS mh
-      FROM toks, (SELECT UNNEST(generate_series(0, {_N_HASHES - 1})) AS i) h
+             MIN(md5(h.i::VARCHAR || '|' || sh)) AS mh
+      FROM sh, (SELECT UNNEST(generate_series(0, {_N_HASHES - 1})) AS i) h
       GROUP BY doc_id, h.i),
+    sig AS (
+      SELECT doc_id, list(mh ORDER BY i) AS mhs FROM hx GROUP BY doc_id),
     bands AS (
       SELECT doc_id, i // {_BAND_SIZE} AS band,
-             md5(string_agg(mh, ',' ORDER BY i)) AS sig
+             md5(string_agg(mh, ',' ORDER BY i)) AS bsig
       FROM hx GROUP BY doc_id, i // {_BAND_SIZE}),
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              COUNT(*) AS shared_bands
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id),
-    est AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS n_eq
-      FROM hx a JOIN hx b ON a.i = b.i AND a.doc_id < b.doc_id
-      WHERE (a.doc_id, b.doc_id) IN (SELECT (doc_a, doc_b) FROM cand)
+        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id)
     SELECT c.doc_a, c.doc_b, c.shared_bands,
-           ROUND(CAST(e.n_eq AS DOUBLE) / {_N_HASHES}, 6) AS est_jaccard
-    FROM cand c JOIN est e ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+           ROUND(CAST(len(list_filter(range({_N_HASHES}),
+                     k -> sa.mhs[k + 1] = sb.mhs[k + 1])) AS DOUBLE)
+                 / {_N_HASHES}, 6) AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
     ORDER BY c.doc_a, c.doc_b
     """,
 )
 def t_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-duplicate candidates over token sets:
+    """MinHash + LSH near-duplicate candidates over word-3-gram shingle sets:
     12 md5-derived min-hashes per doc, banded 4x3; docs sharing any band
     signature become candidate pairs; est_jaccard = fraction of equal
     minhashes.
 
-    Scale path: per-(doc, hash) minhash is one grouped aggregation over the
-    exploded token table; the candidate join keys on (band, signature) —
-    identical signatures bucket together, so join fan-out is bounded by real
-    collisions (this is exactly the shingle→minhash→band→bucket-join
-    pipeline)."""
+    Scale path (shingle → minhash → band → bucket-join):
+    - Shingles (not raw tokens) keep unrelated docs' Jaccard near zero, so
+      band collisions track *real* near-duplicates instead of shared
+      vocabulary — candidate count stays O(dups), never O(n²).
+    - All 12 minhashes come from ONE grouped aggregation over the exploded
+      shingle table (12 min() columns), so the shuffle is |shingles|, not
+      12x|shingles|.
+    - The candidate join keys on (band, signature) — an equi-join on a
+      16-byte key; est_jaccard compares the two 12-slot signature arrays
+      directly (no second explode)."""
     d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
-    ).distinct()
-    idx = spark.range(_N_HASHES).select(F.col("id").cast("int").alias("i"))
-    hx = (
-        toks.crossJoin(broadcast(idx))
-        .groupBy("doc_id", "i")
-        .agg(
-            F.min(
-                F.md5(
-                    F.concat(
-                        F.col("i").cast("string"), F.lit("|"), F.col("tok")
-                    ).cast("binary")
-                )
-            ).alias("mh")
-        )
+    sh = _with_shingles(d)
+    mh_cols = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")).cast("binary"))
+        ).alias(f"mh_{i}")
+        for i in range(_N_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mh_cols).withColumn(
+        "mhs", F.array(*[F.col(f"mh_{i}") for i in range(_N_HASHES)])
     )
-    bands = (
-        hx.withColumn("band", F.expr(f"i div {_BAND_SIZE}"))
-        .groupBy("doc_id", "band")
-        .agg(
+    n_bands = _N_HASHES // _BAND_SIZE
+    band_sigs = F.array(
+        *[
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                        lambda s: s.mh,
-                    ),
+                F.concat_ws(
                     ",",
+                    *[
+                        F.col(f"mh_{j}")
+                        for j in range(i * _BAND_SIZE, (i + 1) * _BAND_SIZE)
+                    ],
                 ).cast("binary")
-            ).alias("sig")
-        )
+            )
+            for i in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_sigs).alias("band", "bsig")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -571,7 +574,7 @@ def t_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -579,30 +582,25 @@ def t_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared_bands"))
     )
-    ha = hx.select(
-        F.col("doc_id").alias("doc_a"), "i", F.col("mh").alias("mh_a")
-    )
-    hb = hx.select(
-        F.col("doc_id").alias("doc_b"), "i", F.col("mh").alias("mh_b")
-    )
-    est = (
-        cand.join(ha, "doc_a")
-        .join(hb, ["doc_b", "i"])
-        .groupBy("doc_a", "doc_b", "shared_bands")
-        .agg(
-            F.sum(
-                F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)
-            ).alias("n_eq")
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("mhs").alias("mhs_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("mhs").alias("mhs_b"))
+    n_eq = F.size(
+        F.filter(
+            F.zip_with(F.col("mhs_a"), F.col("mhs_b"), lambda x, y: x == y),
+            lambda v: v,
         )
     )
-    return est.select(
-        "doc_a",
-        "doc_b",
-        "shared_bands",
-        F.round(F.col("n_eq").cast("double") / _N_HASHES, 6).alias(
-            "est_jaccard"
-        ),
-    ).orderBy("doc_a", "doc_b")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_bands",
+            F.round(n_eq.cast("double") / _N_HASHES, 6).alias("est_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 _SIMHASH_BITS = 60
@@ -703,18 +701,26 @@ def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the same plan holds: broadcast queries x partitioned vectors,
     then a per-query top-k via row_number. For large query sets, switch to
     the LSH-bucketed variant (s_ann_lsh_top1)."""
-    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        # Norm computed ONCE per vector row (not per candidate pair) — at
+        # scale this turns 3 x 64-term chains per pair into 1.
+        .withColumn(
+            "nrm", F.sqrt(F.expr(_dot_spark("embedding", "embedding")))
+        )
+    )
     q = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     pairs = broadcast(q).join(e, F.col("vec_id") != F.col("query_id"))
     dot = F.expr(_dot_spark("qv", "embedding"))
-    qq = F.expr(_dot_spark("qv", "qv"))
-    ee = F.expr(_dot_spark("embedding", "embedding"))
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        (dot / (F.sqrt(qq) * F.sqrt(ee))).alias("cos"),
+        (dot / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -838,11 +844,15 @@ def s_ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .withColumn("bucket", F.expr(_bucket_expr("embedding", True)))
+        .withColumn(
+            "nrm", F.sqrt(F.expr(_dot_spark("embedding", "embedding")))
+        )
     )
     q = e.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("bucket").alias("qbucket"),
+        F.col("nrm").alias("qnrm"),
     )
     cand = q.join(
         e,
@@ -850,12 +860,10 @@ def s_ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("vec_id") != F.col("query_id")),
     )
     dot = F.expr(_dot_spark("qv", "embedding"))
-    qq = F.expr(_dot_spark("qv", "qv"))
-    ee = F.expr(_dot_spark("embedding", "embedding"))
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        (dot / (F.sqrt(qq) * F.sqrt(ee))).alias("cos"),
+        (dot / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
