@@ -1,0 +1,279 @@
+"""Rate-governed, transactional, partitioned ingest (reference parity).
+
+Reproduces the reference engine's core behavior — P parallel streams writing
+rate-governed synthetic rows through transactional batched commits into a
+partitioned, bucketed columnar table, then reporting committed-row
+throughput (Culvert.java:100-171, Stream.java:168-235 in /root/reference) —
+on Spark's execution model:
+
+- one reference Stream thread        → one Structured Streaming query
+- Hive txn (begin/write/commitN)     → one micro-batch epoch (exactly-once
+                                       via checkpoint + sink commit log)
+- commitAfterNRows                   → trigger interval sized so one
+                                       micro-batch ≈ N rows at the given rate
+- per-row sleep throttle             → rate source rowsPerSecond
+  (Stream.java:203-205)                (aggregate eps semantics, SURVEY §7.3)
+- static partition (year, stream_i)  → lit columns + partitionBy
+  (Culvert.java:182,226)
+- dynamic partition (year, month)    → generated columns + partitionBy
+  (Stream.java:77-80)
+- clustered by (user_id) 32 buckets  → batch: bucketBy(32); streaming:
+  (README.md:62-63)                    repartition(32, user_id) (Spark can't
+                                       bucketBy in writeStream; SURVEY §7.1)
+- txn-batch pre-allocation (-b), ORC auto-flush (-f), streaming
+  optimizations (-s) are Hive-library levers with no Spark analog — accepted
+  and recorded as no-ops for CLI parity (SURVEY §2 Tier A dispositions).
+
+The final report mirrors the reference's output contract
+(Culvert.java:165-171):
+
+    Total rows committed: <N>
+    Throughput: <N/timeout_s> rows/second
+
+Concurrency note: the reference runs P independent writer threads against
+one Hive table; Spark's analog is ONE streaming query whose source has P
+partitions (SURVEY §1.1 "Stream" row), NOT P concurrent queries — concurrent
+batch jobs appending to one directory race in FileOutputCommitter's shared
+``_temporary/0`` staging dir (observed: one job's cleanup deletes the
+other's task attempts). Stream i of the reference maps to the rows with
+``row_id % P == i``; per-stream committed counts are reported per
+micro-batch exactly like Stream.java:199-200.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from culvert_spark.generator import (
+    ColumnSpec,
+    default_event_columns,
+    generate,
+    generate_stream,
+)
+
+STATIC_YEAR = 2018  # Culvert.java:182 — static mode writes (year=2018, month=i)
+DEFAULT_BUCKETS = 32  # README.md:62-63 (code comment says 8; README wins)
+
+
+# ---------------------------------------------------------------------------
+# Batch ingest
+# ---------------------------------------------------------------------------
+
+
+def batch_ingest(
+    df: DataFrame,
+    path: str | None = None,
+    table: str | None = None,
+    fmt: str = "orc",
+    partition_by: tuple[str, ...] = (),
+    bucket_by: tuple[int, str] | None = None,
+    mode: str = "append",
+) -> None:
+    """Partitioned (and, for managed tables, bucketed) batch write.
+
+    Spark path-writes cannot carry bucket metadata, so ``bucket_by`` with a
+    ``path`` pre-shuffles into ``n`` files per partition via repartition —
+    the data layout of bucketing without the catalog metadata."""
+    writer = df.write.format(fmt).mode(mode)
+    if bucket_by and table:
+        n, col = bucket_by
+        writer = writer.bucketBy(n, col).sortBy(col)
+    elif bucket_by:
+        n, col = bucket_by
+        df = df.repartition(n, F.col(col))
+        writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if table:
+        writer.saveAsTable(table)
+    else:
+        writer.save(path)
+
+
+def static_partition_ingest(
+    spark: SparkSession,
+    num_rows: int,
+    path: str,
+    stream_id: int = 0,
+    columns: list[ColumnSpec] | None = None,
+    seed: int = 42,
+    fmt: str = "orc",
+) -> None:
+    """Static-partition mode: every row of stream i lands in partition
+    (year=2018, month=i) — 'month' is a stream id, exactly as the reference
+    abuses it (Culvert.java:182)."""
+    df = generate(
+        spark, num_rows, columns or default_event_columns(), seed=seed,
+        start_row=stream_id * num_rows,
+    )
+    df = df.withColumn("year", F.lit(STATIC_YEAR)).withColumn(
+        "month", F.lit(stream_id)
+    )
+    batch_ingest(df, path=path, fmt=fmt, partition_by=("year", "month"))
+
+
+def dynamic_partition_ingest(
+    spark: SparkSession,
+    num_rows: int,
+    path: str,
+    columns: list[ColumnSpec] | None = None,
+    seed: int = 42,
+    fmt: str = "orc",
+) -> None:
+    """Dynamic-partition mode: generated year ∈ [2000,2050), month ∈ [0,12)
+    route each row (Stream.java:77-80, Culvert.java:226)."""
+    df = generate(
+        spark, num_rows, columns or default_event_columns(dynamic_partition=True),
+        seed=seed,
+    )
+    batch_ingest(df, path=path, fmt=fmt, partition_by=("year", "month"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest with throughput report
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class StreamStats:
+    """Per-stream committed counters (Stream.java rowsCommitted /
+    txnBatchesCommitted)."""
+
+    name: str
+    rows_committed: int = 0
+    txns_committed: int = 0
+
+
+@dataclass
+class IngestReport:
+    """Aggregate throughput report (Culvert.java:165-171)."""
+
+    timeout_ms: int
+    streams: list[StreamStats] = field(default_factory=list)
+
+    @property
+    def total_rows_committed(self) -> int:
+        return sum(s.rows_committed for s in self.streams)
+
+    @property
+    def rows_per_second(self) -> int:
+        secs = max(1, self.timeout_ms // 1000)
+        return self.total_rows_committed // secs
+
+    def render(self) -> str:
+        lines = [
+            f"Stream [{s.name}] committed {s.txns_committed} transactions "
+            f"[rows: {s.rows_committed}]"
+            for s in self.streams
+        ]
+        lines.append(f"Total rows committed: {self.total_rows_committed}")
+        lines.append(f"Throughput: {self.rows_per_second} rows/second")
+        return "\n".join(lines)
+
+
+def run_streaming_ingest(
+    spark: SparkSession,
+    output_path: str,
+    checkpoint_root: str,
+    num_streams: int = 1,
+    commit_after_rows: int = 1_000_000,
+    events_per_second: int = 10_000,
+    timeout_ms: int = 60_000,
+    dynamic_partitioning: bool = False,
+    stream_launch_delay_ms: int = 0,
+    transaction_batch_size: int = 1,  # no-op: txn ids have no Spark analog
+    enable_auto_flush: bool = True,  # no-op: Spark manages writer memory
+    streaming_optimizations: bool = True,  # no-op profile toggle
+    columns: list[ColumnSpec] | None = None,
+    seed: int = 42,
+    buckets: int | None = None,
+    fmt: str = "orc",
+    quiet: bool = False,
+) -> IngestReport:
+    """The full reference run loop (Culvert.startCulvert → run → report):
+    launch P rate-governed streaming queries (optionally staggered), each
+    committing a micro-batch ≈ every ``commit_after_rows`` rows, stop them
+    at ``timeout_ms``, and aggregate committed-row throughput.
+
+    Each micro-batch is one transaction: the foreachBatch body performs an
+    atomic partitioned append, and the checkpoint's commit log gives
+    exactly-once across restarts — the Spark equivalent of the Hive streaming
+    txn protocol (SURVEY §7.2).
+    """
+    del enable_auto_flush, streaming_optimizations, transaction_batch_size
+    del stream_launch_delay_ms  # single-query design: nothing to stagger
+    stats = [StreamStats(name=f"stream-{i}") for i in range(num_streams)]
+    # Micro-batch ≈ commit_after_rows PER STREAM: trigger = N / eps seconds
+    # (bounded so tiny test configs still commit several batches).
+    trigger_s = min(10.0, max(0.2, commit_after_rows / max(1, events_per_second)))
+
+    cols = columns or default_event_columns(dynamic_partition=dynamic_partitioning)
+    src = generate_stream(
+        spark,
+        # eps is per stream in the reference (Stream.java:55); the single
+        # source carries the aggregate rate across P partitions.
+        rows_per_second=events_per_second * num_streams,
+        columns=cols,
+        seed=seed,
+        num_partitions=num_streams,
+        keep_row_id=True,
+    )
+    # Reference stream i ↔ rows with row_id % P == i.
+    src = src.withColumn(
+        "stream_id", F.pmod(F.col("row_id"), F.lit(num_streams)).cast("int")
+    ).drop("row_id")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if dynamic_partitioning:
+            out = batch_df.drop("stream_id")
+        else:
+            # Static mode: (year=2018, month=stream_id) — Culvert.java:182.
+            out = batch_df.withColumn("year", F.lit(STATIC_YEAR)).withColumn(
+                "month", F.col("stream_id")
+            ).drop("stream_id")
+        if buckets:
+            out = out.repartition(buckets, F.col("user_id"))
+        (
+            out.write.format(fmt)
+            .mode("append")
+            .partitionBy("year", "month")
+            .save(output_path)
+        )
+        # Per-stream committed counters (Stream.java:199-200) — a tiny
+        # P-row aggregate per micro-batch.
+        counts = (
+            batch_df.groupBy("stream_id").count().collect()
+        )
+        for row in counts:
+            s = stats[row.stream_id]
+            s.rows_committed += row["count"]
+            s.txns_committed += 1
+            if not quiet:
+                print(
+                    f"Stream [{s.name}] committed {s.txns_committed} "
+                    f"transactions [rows: {s.rows_committed}]"
+                )
+
+    q = (
+        src.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(checkpoint_root, "ingest"))
+        .trigger(processingTime=f"{trigger_s} seconds")
+        .start()
+    )
+    # Timeout analog (Stream.java:217-223): wait, then stop.
+    time.sleep(timeout_ms / 1000.0)
+    q.stop()
+    try:
+        q.awaitTermination(60)
+    except Exception:
+        pass
+
+    report = IngestReport(timeout_ms=timeout_ms, streams=stats)
+    if not quiet:
+        print(report.render())
+    return report

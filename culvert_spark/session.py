@@ -51,6 +51,11 @@ def get_spark(
         # Timestamps: keep session in UTC so generated data is stable
         # regardless of host timezone.
         .config("spark.sql.session.timeZone", "UTC")
+        # Deep generated expression trees (generator columns, unrolled dot
+        # products) + streaming's nested analysis can overflow the default
+        # JVM thread stack — give Catalyst room.
+        .config("spark.driver.extraJavaOptions", "-Xss32m")
+        .config("spark.executor.extraJavaOptions", "-Xss32m")
         # Quieter local runs.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

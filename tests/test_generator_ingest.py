@@ -1,0 +1,175 @@
+"""Generator + ingest tests (SURVEY.md §5.2-5.3): distribution parity with
+the reference's column semantics, determinism at any parallelism, partition
+layout, and throughput-report arithmetic."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from culvert_spark import ingest
+from culvert_spark.generator import (
+    AD_TYPES,
+    EVENT_TYPES,
+    ColumnSpec,
+    ColumnType,
+    default_event_columns,
+    generate,
+)
+
+N = 5_000
+
+
+def test_default_schema_and_domains(spark):
+    df = generate(spark, N, seed=7)
+    assert df.columns == [
+        "user_id", "page_id", "ad_id", "ad_type", "event_type",
+        "event_time", "ip_address",
+    ]
+    ad = {r[0] for r in df.select("ad_type").distinct().collect()}
+    ev = {r[0] for r in df.select("event_type").distinct().collect()}
+    assert ad == set(AD_TYPES)
+    assert ev == set(EVENT_TYPES)
+
+
+def test_dict_round_robin(spark):
+    # STRING_DICT is row-index round-robin, not random (Column.java:117).
+    rows = (
+        generate(spark, 10, seed=1, keep_row_id=True)
+        .select("row_id", "ad_type")
+        .orderBy("row_id")
+        .collect()
+    )
+    for r in rows:
+        assert r.ad_type == AD_TYPES[r.row_id % len(AD_TYPES)]
+
+
+def test_typed_ranges(spark):
+    cols = [
+        ColumnSpec("b", ColumnType.BOOLEAN),
+        ColumnSpec("l", ColumnType.LONG),
+        ColumnSpec("d", ColumnType.DOUBLE),
+        ColumnSpec("yr", ColumnType.INT_YEAR),
+        ColumnSpec("mo", ColumnType.INT_MONTH),
+        ColumnSpec("ip", ColumnType.STRING_IP_ADDRESS),
+        ColumnSpec("uid", ColumnType.STRING_UUID_DICT),
+        ColumnSpec("nm", ColumnType.STRING),
+    ]
+    df = generate(spark, N, cols, seed=3)
+    agg = df.agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax"),
+        F.min("yr").alias("ymin"), F.max("yr").alias("ymax"),
+        F.min("mo").alias("mmin"), F.max("mo").alias("mmax"),
+        F.count_distinct("b").alias("nb"),
+    ).collect()[0]
+    assert 0.0 <= agg.dmin and agg.dmax < 1.0
+    assert 2000 <= agg.ymin and agg.ymax < 2050
+    assert 0 <= agg.mmin and agg.mmax < 12
+    assert agg.nb == 2
+    bad_ip = df.filter(
+        ~F.col("ip").rlike(r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$")
+    ).count()
+    assert bad_ip == 0
+    bad_uuid = df.filter(
+        ~F.col("uid").rlike(
+            r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+        )
+    ).count()
+    assert bad_uuid == 0
+    # STRING is "First Last".
+    assert df.filter(~F.col("nm").rlike(r"^\S+ \S+$")).count() == 0
+
+
+def test_determinism_across_parallelism(spark):
+    # Same seed ⇒ identical content at any partitioning (the improvement
+    # over the reference's racy shared Random, SURVEY §1.2).
+    def content_hash(num_partitions):
+        df = generate(spark, N, seed=42, num_partitions=num_partitions)
+        return df.agg(
+            F.expr("bit_xor(xxhash64(" + ", ".join(df.columns) + "))").alias("h")
+        ).collect()[0].h
+
+    assert content_hash(1) == content_hash(7) == content_hash(32)
+
+
+def test_seed_changes_data(spark):
+    def content_hash(seed):
+        df = generate(spark, N, seed=seed)
+        return df.agg(
+            F.expr("bit_xor(xxhash64(" + ", ".join(df.columns) + "))").alias("h")
+        ).collect()[0].h
+
+    assert content_hash(1) != content_hash(2)
+
+
+def test_static_partition_layout(spark, tmp_path):
+    out = str(tmp_path / "static")
+    ingest.static_partition_ingest(spark, 1_000, out, stream_id=3, seed=5)
+    back = spark.read.orc(out)
+    assert back.count() == 1_000
+    parts = back.select("year", "month").distinct().collect()
+    assert len(parts) == 1 and parts[0].year == 2018 and parts[0].month == 3
+    # Partition directories exist on disk.
+    assert os.path.isdir(os.path.join(out, "year=2018", "month=3"))
+
+
+def test_dynamic_partition_layout(spark, tmp_path):
+    out = str(tmp_path / "dynamic")
+    ingest.dynamic_partition_ingest(spark, 2_000, out, seed=5)
+    back = spark.read.orc(out)
+    assert back.count() == 2_000
+    rng = back.agg(
+        F.min("year").alias("ymin"), F.max("year").alias("ymax"),
+        F.min("month").alias("mmin"), F.max("month").alias("mmax"),
+    ).collect()[0]
+    assert 2000 <= rng.ymin and rng.ymax < 2050
+    assert 0 <= rng.mmin and rng.mmax < 12
+
+
+def test_batch_ingest_bucketed_path(spark, tmp_path):
+    out = str(tmp_path / "bucketed")
+    df = generate(spark, 2_000, seed=9)
+    ingest.batch_ingest(
+        df, path=out, fmt="parquet", bucket_by=(8, "user_id")
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 2_000
+
+
+def test_throughput_report_arithmetic():
+    # total/seconds per Culvert.java:169-171.
+    r = ingest.IngestReport(
+        timeout_ms=60_000,
+        streams=[
+            ingest.StreamStats("stream-0", rows_committed=92_100_000,
+                               txns_committed=921),
+        ],
+    )
+    assert r.total_rows_committed == 92_100_000
+    assert r.rows_per_second == 1_535_000
+    text = r.render()
+    assert "Total rows committed: 92100000" in text
+    assert "Throughput: 1535000 rows/second" in text
+    assert "Stream [stream-0] committed 921 transactions" in text
+
+
+def test_streaming_ingest_smoke(spark, tmp_path):
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    report = ingest.run_streaming_ingest(
+        spark,
+        output_path=out,
+        checkpoint_root=ckpt,
+        num_streams=2,
+        commit_after_rows=2_000,
+        events_per_second=10_000,
+        timeout_ms=6_000,
+        quiet=True,
+    )
+    assert report.total_rows_committed > 0
+    assert all(s.txns_committed >= 1 for s in report.streams)
+    back = spark.read.orc(out)
+    assert back.count() >= report.total_rows_committed
+    months = {r.month for r in back.select("month").distinct().collect()}
+    assert months <= {0, 1}  # static mode: month = stream id
