@@ -1,0 +1,200 @@
+"""Structured Streaming operator library (SURVEY.md §2 Tier B "Streaming
+stateful" row; §7.6).
+
+The reference engine's only streaming behavior is ingest (covered by
+ingest.py); this module is the *query* side of the stream: windowed
+aggregation, late-data handling via watermarks, streaming dedup, and
+stream-static / stateful enrichment. Each transformation is a pure function
+``DataFrame -> DataFrame`` that works identically on a streaming or batch
+input (the batch twins in queries.py — q_hourly_event_counts,
+q_sessionize_events — are the oracle-checked shapes of the same operators).
+
+Scale notes (100 TB design point):
+- every stateful op keys its state by (window/user) — state is partitioned
+  by the grouping key across executors, bounded by the watermark horizon
+  (late rows beyond it are dropped and their state evicted);
+- watermark + append mode means downstream sinks only ever see finalized
+  windows — no retraction traffic;
+- stream-static joins broadcast the static dim per micro-batch when small
+  (Catalyst picks broadcast exactly as in batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_event_time_watermark(
+    events: DataFrame, ts_col: str = "ts", delay: str = "30 minutes"
+) -> DataFrame:
+    """Declare event-time + lateness horizon. Rows later than the watermark
+    are dropped by downstream stateful operators (deterministic late-data
+    policy, replacing 'whenever the thread got there' in ad-hoc ingest)."""
+    return events.withWatermark(ts_col, delay)
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Tumbling event-time window counts per event_type (streaming twin of
+    q_hourly_event_counts)."""
+    src = (
+        with_event_time_watermark(events, ts_col, watermark)
+        if watermark
+        else events
+    )
+    return (
+        src.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    ts_col: str = "ts",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Sliding window counts (each event lands in window/slide windows)."""
+    src = (
+        with_event_time_watermark(events, ts_col, watermark)
+        if watermark
+        else events
+    )
+    return (
+        src.groupBy(F.window(ts_col, window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session windows (inactivity gap) per user — the streaming-native form
+    of q_sessionize_events. session_window merges rows closer than ``gap``
+    into one growing window; state is evicted once the watermark passes."""
+    return (
+        with_event_time_watermark(events, ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_exact(events: DataFrame, *keys: str) -> DataFrame:
+    """Exact streaming dedup on key columns. State grows with distinct keys
+    forever — use dedup_within_watermark at scale."""
+    return events.dropDuplicates(list(keys or ("event_id",)))
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    *keys: str,
+    ts_col: str = "ts",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Streaming dedup with bounded state: duplicates of a key arriving
+    within the watermark horizon are dropped; key state is evicted after the
+    horizon passes (the only dedup that survives an unbounded stream)."""
+    return with_event_time_watermark(events, ts_col, delay).dropDuplicatesWithinWatermark(
+        list(keys or ("event_id",))
+    )
+
+
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, on: str, how: str = "inner"
+) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (batch) dim
+    table; Catalyst broadcasts the dim when small, exactly as in batch."""
+    return events.join(dim, on=on, how=how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    ts_left: str = "ts",
+    ts_right: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join; both sides carry watermarks so unmatched
+    state is evicted once the horizon passes."""
+    return left.withWatermark(ts_left, delay).join(
+        right.withWatermark(ts_right, delay), on=on
+    )
+
+
+def running_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a running
+    (count, sum(value)) per user_id maintained across micro-batches —
+    the escape hatch for state machines Spark's built-ins can't express.
+
+    State is one tiny tuple per user key, partitioned by user_id across
+    executors; Arrow moves rows in vectorized batches.
+    """
+    import pandas as pd  # local import: only the stateful path needs it
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id string, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdf_iter, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory_sink(
+    df: DataFrame,
+    sink_name: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    max_files_per_trigger: int | None = None,
+) -> "object":
+    """Test/debug helper: run a streaming DataFrame into an in-memory table
+    with availableNow semantics (process everything queued, then stop)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

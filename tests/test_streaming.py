@@ -1,0 +1,220 @@
+"""Streaming semantics tests (SURVEY.md §5.4): watermark late-data drop,
+streaming dedup, stream-static join, session windows, custom stateful op,
+and exactly-once across a restart.
+
+Batch boundaries are made deterministic by running one availableNow round
+per staged input file against a shared checkpoint: each round processes only
+the newly added file, and the watermark persists in the checkpoint between
+rounds.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from culvert_spark import streaming as st
+
+SCHEMA = (
+    "user_id string, event_id bigint, ts timestamp, "
+    "event_type string, value double"
+)
+
+
+def ts(s: str):
+    return pd.Timestamp(s)
+
+
+def write_batch(src_dir: str, idx: int, rows: list[tuple]) -> None:
+    """Stage one parquet file = one future micro-batch."""
+    os.makedirs(src_dir, exist_ok=True)
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "ts", "event_type", "value"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(src_dir, f"batch_{idx}.parquet"),
+    )
+
+
+def run_round(spark, src_dir, transform, ckpt, out_dir, output_mode="append"):
+    """One availableNow round: process newly staged files, append finalized
+    rows to the parquet sink, stop."""
+    src = spark.readStream.schema(SCHEMA).parquet(src_dir)
+    q = (
+        transform(src)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_sink(spark, out_dir) -> pd.DataFrame:
+    return spark.read.parquet(out_dir).toPandas()
+
+
+def test_tumbling_watermark_drops_late_rows(spark, tmp_path):
+    src, ckpt, out = str(tmp_path / "src"), str(tmp_path / "ck"), str(tmp_path / "out")
+    xform = lambda df: st.tumbling_counts(df, "1 hour", watermark="30 minutes")
+    # Round 1: two rows in the 10:00 window, one at 11:45 → watermark 11:15.
+    write_batch(src, 1, [
+        ("u1", 1, ts("2024-01-01 10:05:00"), "view", 1.0),
+        ("u1", 2, ts("2024-01-01 10:15:00"), "view", 1.0),
+        ("u1", 3, ts("2024-01-01 11:45:00"), "view", 1.0),
+    ])
+    run_round(spark, src, xform, ckpt, out)
+    # Round 2: a LATE row for the (already finalized) 10:00 window — must be
+    # dropped — plus a 14:00 row that advances the watermark to 13:30.
+    write_batch(src, 2, [
+        ("u1", 4, ts("2024-01-01 10:07:00"), "view", 1.0),
+        ("u1", 5, ts("2024-01-01 14:00:00"), "view", 1.0),
+    ])
+    run_round(spark, src, xform, ckpt, out)
+    # Round 3: push the watermark far ahead to flush remaining windows.
+    write_batch(src, 3, [("u2", 6, ts("2024-01-01 20:00:00"), "view", 1.0)])
+    run_round(spark, src, xform, ckpt, out)
+
+    sink = read_sink(spark, out)
+    by_start = {
+        r.window_start.isoformat(): int(r.n) for r in sink.itertuples()
+    }
+    # 10:00 window finalized with 2 rows — the late event_id=4 was dropped.
+    assert by_start["2024-01-01T10:00:00"] == 2
+    assert by_start["2024-01-01T11:00:00"] == 1
+    assert by_start["2024-01-01T14:00:00"] == 1
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    src, ckpt, out = str(tmp_path / "src"), str(tmp_path / "ck"), str(tmp_path / "out")
+    xform = lambda df: st.dedup_within_watermark(
+        df, "event_id", delay="30 minutes"
+    )
+    write_batch(src, 1, [
+        ("u1", 100, ts("2024-01-01 10:00:00"), "view", 1.0),
+        ("u1", 100, ts("2024-01-01 10:05:00"), "view", 1.0),  # dup, same batch
+        ("u2", 200, ts("2024-01-01 10:06:00"), "click", 1.0),
+    ])
+    run_round(spark, src, xform, ckpt, out)
+    write_batch(src, 2, [
+        ("u1", 100, ts("2024-01-01 10:10:00"), "view", 1.0),  # dup, next batch
+        ("u3", 300, ts("2024-01-01 10:20:00"), "view", 1.0),
+    ])
+    run_round(spark, src, xform, ckpt, out)
+
+    sink = read_sink(spark, out)
+    counts = sink.groupby("event_id").size().to_dict()
+    assert counts == {100: 1, 200: 1, 300: 1}
+
+
+def test_stream_static_join(spark, tmp_path):
+    src, ckpt, out = str(tmp_path / "src"), str(tmp_path / "ck"), str(tmp_path / "out")
+    dim = spark.createDataFrame(
+        [("u1", "GOLD"), ("u2", "SILVER")], "user_id string, tier string"
+    )
+    xform = lambda df: st.stream_static_enrich(df, dim, on="user_id")
+    write_batch(src, 1, [
+        ("u1", 1, ts("2024-01-01 10:00:00"), "view", 1.0),
+        ("u2", 2, ts("2024-01-01 10:01:00"), "view", 1.0),
+        ("u9", 3, ts("2024-01-01 10:02:00"), "view", 1.0),  # no dim row
+    ])
+    run_round(spark, src, xform, ckpt, out)
+    sink = read_sink(spark, out)
+    assert len(sink) == 2
+    assert set(sink["tier"]) == {"GOLD", "SILVER"}
+
+
+def test_session_windows(spark, tmp_path):
+    src, ckpt, out = str(tmp_path / "src"), str(tmp_path / "ck"), str(tmp_path / "out")
+    xform = lambda df: st.session_counts(df, gap="30 minutes")
+    # u1: 10:00 + 10:10 merge into one session; 11:30 starts another
+    # (gap from 10:10 is 80 min > 30 min).
+    write_batch(src, 1, [
+        ("u1", 1, ts("2024-01-01 10:00:00"), "view", 1.0),
+        ("u1", 2, ts("2024-01-01 10:10:00"), "view", 1.0),
+        ("u1", 3, ts("2024-01-01 11:30:00"), "view", 1.0),
+    ])
+    run_round(spark, src, xform, ckpt, out)
+    # Advance watermark far past both session ends to flush them.
+    write_batch(src, 2, [("u2", 4, ts("2024-01-01 20:00:00"), "view", 1.0)])
+    run_round(spark, src, xform, ckpt, out)
+
+    sink = read_sink(spark, out)
+    u1 = sink[sink.user_id == "u1"].sort_values("session_start")
+    assert len(u1) == 2
+    first, second = u1.itertuples()
+    assert first.n_events == 2
+    assert first.session_start.isoformat() == "2024-01-01T10:00:00"
+    assert first.session_end.isoformat() == "2024-01-01T10:40:00"  # last+gap
+    assert second.n_events == 1
+    assert second.session_start.isoformat() == "2024-01-01T11:30:00"
+
+
+def test_exactly_once_across_restart(spark, tmp_path):
+    """Restarting from the same checkpoint must not duplicate rows — the
+    Spark analog of the Hive txn guarantee (SURVEY §7.2)."""
+    src, ckpt, out = str(tmp_path / "src"), str(tmp_path / "ck"), str(tmp_path / "out")
+    xform = lambda df: df.select("user_id", "event_id", "ts")
+    write_batch(src, 1, [
+        ("u1", i, ts("2024-01-01 10:00:00"), "view", 1.0) for i in range(10)
+    ])
+    run_round(spark, src, xform, ckpt, out)
+    # "Restart": a second query from the same checkpoint; batch 1 must NOT
+    # be reprocessed, only the new file.
+    write_batch(src, 2, [
+        ("u2", 100 + i, ts("2024-01-01 11:00:00"), "view", 1.0)
+        for i in range(5)
+    ])
+    run_round(spark, src, xform, ckpt, out)
+
+    sink = read_sink(spark, out)
+    assert len(sink) == 15
+    assert sink["event_id"].is_unique
+
+
+def test_running_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState accumulates per-key state across micro-batches
+    within one run (two staged files, maxFilesPerTrigger=1)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    write_batch(src, 1, [
+        ("u1", 1, ts("2024-01-01 10:00:00"), "view", 2.0),
+        ("u1", 2, ts("2024-01-01 10:01:00"), "view", 3.0),
+        ("u2", 3, ts("2024-01-01 10:02:00"), "view", 5.0),
+    ])
+    write_batch(src, 2, [
+        ("u1", 4, ts("2024-01-01 10:10:00"), "view", 10.0),
+    ])
+    src_df = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        st.running_totals_stateful(src_df)
+        .writeStream.format("memory")
+        .queryName("running_totals_sink")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pdf = spark.sql("SELECT * FROM running_totals_sink").toPandas()
+    final = (
+        pdf.sort_values("n_events").groupby("user_id").last().to_dict("index")
+    )
+    assert final["u1"]["n_events"] == 3
+    assert final["u1"]["total_value"] == pytest.approx(15.0)
+    assert final["u2"]["n_events"] == 1
+    assert final["u2"]["total_value"] == pytest.approx(5.0)
