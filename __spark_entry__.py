@@ -26,6 +26,13 @@ try:  # text / dedup / similarity ops (filled in incrementally)
 except ImportError:  # pragma: no cover
     pass
 
+try:  # multimodal (binary payload) ops — rows-only driver checks
+    from culvert_spark import multimodal as _m
+
+    _REGISTRIES.append(_m)
+except ImportError:  # pragma: no cover
+    pass
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 shape) on /root/testdata/sf0.001."""

@@ -1,0 +1,280 @@
+"""Multimodal (image/audio/video) column processing.
+
+Media are opaque ``binary`` payload columns plus typed metadata — the
+standard large-scale layout (payload bytes + struct metadata in parquet,
+processed by Arrow-batched Python UDFs). The container has no codec
+libraries, so the *decode* step is a clearly-marked deterministic stub
+(``_fake_decode_*``), while everything Spark-side is real and tested:
+
+- schema (binary payload + typed metadata struct),
+- partitioning (mapInPandas preserves the input partitioning; no shuffle),
+- UDF signatures (iterator-of-pandas.DataFrame → iterator-of-DataFrame),
+- batch shapes (Arrow batches, vectorized numpy per batch),
+- fan-out semantics (frame sampling yields multiple rows per video).
+
+Swap ``_fake_decode_*`` for PIL/ffmpeg/soundfile calls in a real deployment;
+every signature stays the same. Real decoders would raise on corrupt
+payloads — the stubs mimic that for empty payloads.
+
+Scale notes (100 TB): payloads stream through executors in Arrow batches —
+nothing collects to the driver; per-batch numpy work is O(batch bytes);
+feature extraction is a narrow map (no shuffle), so it pipelines with the
+scan and the downstream write.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Synthetic media table (deterministic payloads derived from `documents`)
+# ---------------------------------------------------------------------------
+
+MEDIA_KINDS = ["image", "audio", "video"]
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+)
+
+
+def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake media over the documents table: payload bytes are
+    md5-chained from the text (binary, opaque), metadata is derived from
+    doc stats. This stands in for a real (payload, metadata) parquet scan."""
+    from culvert_spark.queries import t
+
+    d = t(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in MEDIA_KINDS]),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    # 48 deterministic payload bytes: md5(text) || md5(md5(text)) || md5(doc_id).
+    h1 = F.md5(F.col("text").cast("binary"))
+    h2 = F.md5(h1.cast("binary"))
+    h3 = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    payload = F.to_binary(F.concat(h1, h2, h3), F.lit("hex"))
+    meta = F.struct(
+        (F.pmod(F.col("n_chars"), F.lit(64)) + 16).cast("int").alias("width"),
+        (F.pmod(F.col("n_chars"), F.lit(48)) + 16).cast("int").alias("height"),
+        F.lit(16_000).alias("sample_rate"),
+        (F.pmod(F.col("doc_id"), F.lit(8)) + 2).cast("int").alias("n_frames"),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode stubs (STUB: replace with PIL / soundfile / ffmpeg in deployment)
+# ---------------------------------------------------------------------------
+
+
+def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB decoder: a real implementation would be PIL.Image.open(BytesIO).
+    Deterministically expands payload bytes into a (height, width) luma
+    plane by tiling, so downstream feature math is real array math."""
+    if not payload:
+        raise ValueError("corrupt image payload")  # mirrors real decoder
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    reps = int(np.ceil(width * height / len(buf)))
+    return np.tile(buf, reps)[: width * height].reshape(height, width)
+
+
+def _fake_decode_audio(payload: bytes) -> np.ndarray:
+    """STUB decoder (real: soundfile.read) → int16 PCM-ish samples."""
+    if not payload:
+        raise ValueError("corrupt audio payload")
+    buf = np.frombuffer(payload, dtype=np.uint8).astype(np.int16)
+    return (buf - 128) * 256
+
+
+# ---------------------------------------------------------------------------
+# Operators (real Spark plumbing)
+# ---------------------------------------------------------------------------
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id bigint, width int, height int, "
+    "mean_luma double, max_luma int, phash string"
+)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Per-image features via mapInPandas (Arrow batches, no shuffle).
+    Feature math (mean/max/percentile-hash) is vectorized numpy on the
+    decoded plane; only the decode itself is stubbed."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                w, h = int(meta["width"]), int(meta["height"])
+                plane = _fake_decode_image(bytes(payload), w, h)
+                med = float(np.median(plane))
+                bits = (plane.mean(axis=0)[:16] > med).astype(int)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "mean_luma": float(plane.mean()),
+                        "max_luma": int(plane.max()),
+                        "phash": "".join(map(str, bits)),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "mean_luma", "max_luma", "phash",
+            ])
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload", "meta")
+        .mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
+    )
+
+
+RESIZE_SCHEMA = "media_id bigint, width int, height int, payload binary"
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Resize via decode → nearest-neighbor index → re-encode(bytes).
+    The interpolation grid is real; only decode/encode are stubs."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                w, h = int(meta["width"]), int(meta["height"])
+                plane = _fake_decode_image(bytes(payload), w, h)
+                yi = (np.arange(out_h) * h // out_h)[:, None]
+                xi = (np.arange(out_w) * w // out_w)[None, :]
+                resized = plane[yi, xi]
+                out.append(
+                    {
+                        "media_id": mid,
+                        "width": out_w,
+                        "height": out_h,
+                        "payload": resized.astype(np.uint8).tobytes(),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "payload"]
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload", "meta")
+        .mapInPandas(resize, RESIZE_SCHEMA)
+    )
+
+
+FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_payload binary"
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video → frames fan-out (1 row in, n_frames/every_n rows out), the
+    mapInPandas shape for frame extraction. Frame payloads are deterministic
+    slices of the video payload (STUB for an ffmpeg seek+decode)."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                raw = bytes(payload)
+                n = int(meta["n_frames"])
+                for i in range(0, n, every_n):
+                    lo = (i * len(raw)) // n
+                    hi = ((i + 1) * len(raw)) // n
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": i,
+                            "frame_payload": raw[lo:hi],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_payload"]
+            )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload", "meta")
+        .mapInPandas(frames, FRAME_SCHEMA)
+    )
+
+
+AUDIO_SCHEMA = (
+    "media_id bigint, n_samples int, duration_s double, rms double"
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Audio duration + RMS over decoded samples (decode stubbed)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                samples = _fake_decode_audio(bytes(payload))
+                sr = int(meta["sample_rate"])
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_samples": len(samples),
+                        "duration_s": len(samples) / sr,
+                        "rms": float(
+                            np.sqrt(np.mean(samples.astype(np.float64) ** 2))
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "duration_s", "rms"]
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload", "meta")
+        .mapInPandas(extract, AUDIO_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry entries (rows-only driver checks: pandas-UDF ops aren't
+# SQL-expressible — SURVEY §5.1 weak-check carve-out)
+# ---------------------------------------------------------------------------
+
+from culvert_spark.queries import QUERIES, ORACLE, register  # noqa: E402,F401
+
+
+@register("m_image_features")
+def m_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_features(synthetic_media(spark, sf_dir)).orderBy("media_id")
+
+
+@register("m_frame_sample")
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(synthetic_media(spark, sf_dir), every_n=2).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+@register("m_audio_features")
+def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_features(synthetic_media(spark, sf_dir)).orderBy("media_id")
