@@ -33,6 +33,13 @@ try:  # multimodal (binary payload) ops — rows-only driver checks
 except ImportError:  # pragma: no cover
     pass
 
+try:  # Arrow/pandas-UDF vectorized ops
+    from culvert_spark import vectorops as _v
+
+    _REGISTRIES.append(_v)
+except ImportError:  # pragma: no cover
+    pass
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 shape) on /root/testdata/sf0.001."""

@@ -1,0 +1,196 @@
+"""Arrow/Pandas-UDF vectorized operators (SURVEY.md §2 Tier B "UDF/UDAF/
+UDTF" row).
+
+queries.py/textops.py deliberately stay in pure JVM expressions so every
+result is bit-identical to a SQL oracle. This module is the *other* sanctioned
+path: Arrow-batched Python where vectorized numpy beats unrolled expression
+trees — plus one example of each remaining UDF flavor (applyInPandas,
+grouped-agg pandas_udf, Python UDTF). Registered driver checks are rows-only
+where float summation order differs from SQL (numpy uses pairwise
+summation), except the UDTF whose integer outputs are exact.
+
+Scale notes (100 TB):
+- cosine top-k: queries broadcast once per executor (Arrow), each partition
+  does ONE (batch x dim) @ (dim x q) float64 matmul, emits only its local
+  top-k per query (k x q rows per partition), and a final tiny window pass
+  reduces to the global top-k. Shuffle volume is O(partitions x q x k),
+  never O(n x q).
+- applyInPandas ops shuffle once on the group key; state is one group in
+  memory at a time (groups here are user-sized, not corpus-sized).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from culvert_spark.queries import QUERIES, ORACLE, register, t  # noqa: F401
+
+TOPK_SCHEMA = "query_id bigint, neighbor_id bigint, cos double"
+
+
+def cosine_topk_vectorized(
+    embeddings: DataFrame, query_pdf: pd.DataFrame, k: int = 3
+) -> DataFrame:
+    """Exact brute-force cosine top-k, vectorized: one numpy matmul per
+    Arrow batch against the broadcast query matrix, per-partition top-k,
+    then a global window reduce. ~100x the throughput of per-pair
+    expression evaluation at the same exactness (float64)."""
+    qids = query_pdf["query_id"].to_numpy()
+    qmat = np.stack(query_pdf["qv"].to_numpy()).astype(np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            emat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            enorm = np.linalg.norm(emat, axis=1)
+            cos = (emat @ qmat.T) / np.outer(enorm, qnorm)  # (batch, q)
+            # Local top-(k+1) per query (self-match removed downstream).
+            kk = min(k + 1, cos.shape[0])
+            idx = np.argpartition(-cos, kk - 1, axis=0)[:kk]  # (kk, q)
+            out = {
+                "query_id": np.repeat(qids, kk),
+                "neighbor_id": ids[idx.T.ravel()],
+                "cos": np.take_along_axis(cos, idx, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    local = embeddings.select("vec_id", "embedding").mapInPandas(
+        score, TOPK_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@register("v_cosine_topk_pandas")  # rows-only: numpy pairwise summation
+def v_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as s_cosine_topk (queries = vec_id % 50 == 0, top-3)
+    on the vectorized path. No SQL oracle: numpy's pairwise float summation
+    is not bit-identical to a SQL +-chain; rank output is compared against
+    the expression-based twin in tests instead."""
+    e = t(spark, sf_dir, "embeddings")
+    query_pdf = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .toPandas()
+    )
+    return cosine_topk_vectorized(e, query_pdf, k=3)
+
+
+ZSCORE_SCHEMA = "user_id bigint, event_id bigint, value double, zscore double"
+
+
+@register("v_user_value_zscores")  # rows-only: float mean/std ordering
+def v_user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas (grouped map): per-user z-score of event values.
+    Rows are sorted by event_id inside the group so the float reduction
+    order — and thus the result — is deterministic at any partitioning."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id").reset_index(drop=True)
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        mu = float(v.mean())
+        sd = float(v.std())
+        pdf["zscore"] = (v - mu) / sd if sd > 0 else np.zeros_like(v)
+        return pdf
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(zscore, ZSCORE_SCHEMA)
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register("v_grouped_agg_median")  # rows-only: medians beyond SQL parity
+def v_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf: exact median of event values per type
+    (Spark's built-in is percentile_approx; the UDAF gives the exact one)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy(dtype=np.float64)))
+
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(median_udaf(F.col("value")).alias("median_value"))
+        .orderBy("event_type")
+    )
+
+
+def _make_shingle_udtf():
+    """Python UDTF: text → one row per distinct word-3-gram (lazy creation;
+    spark.udtf registration happens per session in the registered query)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sh: string")
+    class ShingleUDTF:
+        def eval(self, text: str):
+            toks = text.split()
+            seen = set()
+            for i in range(len(toks) - 2):
+                sh = " ".join(toks[i : i + 3])
+                if sh not in seen:
+                    seen.add(sh)
+                    yield (sh,)
+
+    return ShingleUDTF
+
+
+@register(
+    "v_udtf_shingle_top10",
+    """
+    WITH sh AS (
+      SELECT doc_id, u.sh
+      FROM (SELECT doc_id,
+                   list_distinct(CASE WHEN len(regexp_split_to_array(text, '\\s+')) >= 3 THEN
+                     list_transform(generate_series(1, len(regexp_split_to_array(text, '\\s+')) - 2),
+                       i -> regexp_split_to_array(text, '\\s+')[i] || ' ' ||
+                            regexp_split_to_array(text, '\\s+')[i+1] || ' ' ||
+                            regexp_split_to_array(text, '\\s+')[i+2])
+                     ELSE [] END) AS shs
+            FROM documents),
+           UNNEST(shs) AS u(sh)
+    )
+    SELECT sh, COUNT(*) AS n
+    FROM sh
+    GROUP BY sh
+    ORDER BY n DESC, sh
+    LIMIT 10
+    """,
+)
+def v_udtf_shingle_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): explode distinct 3-gram shingles per
+    document, count globally, top-10. Integer outputs → full oracle parity
+    (the UDTF and the SQL shingle pipeline must agree exactly)."""
+    d = t(spark, sf_dir, "documents")
+    spark.udtf.register("culvert_shingles", _make_shingle_udtf())
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT s.sh, COUNT(*) AS n
+        FROM _udtf_docs d, LATERAL culvert_shingles(d.text) s
+        GROUP BY s.sh
+        ORDER BY n DESC, s.sh
+        LIMIT 10
+        """
+    )

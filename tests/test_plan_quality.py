@@ -1,0 +1,104 @@
+"""Physical-plan quality gates (the 100 TB checklist): filters reach the
+parquet scan, projections prune columns, fixed-cardinality dims broadcast,
+aggregates are partial+final, top-k avoids global sorts, and hot paths stay
+inside whole-stage codegen. These tests pin the *plan*, not just the result,
+so a regression that silently de-optimizes a query fails CI."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMALL
+
+QUERIES = entrymod.queries()
+
+
+def executed_plan(spark, name: str) -> str:
+    """Final (post-AQE) physical plan: execute THIS DataFrame's query
+    execution (a separate write would build its own), then read the plan."""
+    df = QUERIES[name](spark, SF_SMALL)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMALL)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q06_filters_pushed_to_scan(spark):
+    plan = optimized_plan(spark, "q06_revenue_forecast")
+    scan = plan[plan.index("Scan parquet") :]
+    pushed = scan[scan.index("PushedFilters") : scan.index("ReadSchema")]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to parquet scan"
+
+
+def test_q06_column_pruning(spark):
+    plan = optimized_plan(spark, "q06_revenue_forecast")
+    scan = plan[plan.index("Scan parquet") :]
+    schema = scan[scan.index("ReadSchema") : scan.index("\n", scan.index("ReadSchema"))]
+    # Only the 4 needed columns are read — not all 11.
+    assert "l_extendedprice" in schema
+    assert "l_orderkey" not in schema
+    assert "l_returnflag" not in schema
+
+
+def test_q05_broadcasts_fixed_dims(spark):
+    plan = executed_plan(spark, "q05_regional_revenue")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q01_partial_final_aggregation(spark):
+    plan = executed_plan(spark, "q01_pricing_summary")
+    # Two-phase hash aggregation (map-side partial before the shuffle).
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+    # '*(n)' prefixes mark whole-stage-codegen stages in plan toString().
+    assert "*(1)" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = executed_plan(spark, "q03_shipping_priority")
+    assert "TakeOrderedAndProject" in plan, "limit+orderBy should be top-k, not global sort"
+
+
+def test_semi_join_stays_semi(spark):
+    plan = executed_plan(spark, "q_semi_join_urgent")
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_stays_anti(spark):
+    plan = executed_plan(spark, "q_anti_join_no_big_order")
+    assert "LeftAnti" in plan
+
+
+def test_events_scan_prunes_for_distinct_users(spark):
+    plan = optimized_plan(spark, "q_distinct_users_per_type")
+    scan = plan[plan.index("Scan parquet") :]
+    schema = scan[scan.index("ReadSchema") : scan.index("\n", scan.index("ReadSchema"))]
+    assert "props" not in schema, "unused wide column must be pruned"
+    assert "text" not in schema
+
+
+def test_no_cartesian_in_join_queries(spark):
+    for name in (
+        "q03_shipping_priority",
+        "q05_regional_revenue",
+        "q10_returned_items",
+        "q_range_pred_join",
+    ):
+        plan = executed_plan(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} degenerated to cartesian"
+
+
+def test_window_topk_single_shuffle(spark):
+    """Per-group top-k: exactly one exchange for the window partition key
+    (plus AQE reads); no global sort before the window."""
+    plan = executed_plan(spark, "q_top3_orders_per_customer")
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" not in plan  # it's per-group, not global

@@ -1,0 +1,73 @@
+"""Vectorized-UDF operator tests: the pandas cosine top-k must agree with
+the expression-based (oracle-verified) twin; z-scores and medians against
+hand computation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMALL
+
+QUERIES = entrymod.queries()
+
+
+def test_vectorized_topk_matches_expression_twin(spark):
+    """Same ranks as s_cosine_topk (which the DuckDB oracle gates) — the
+    two implementations differ only in float summation order."""
+    a = (
+        QUERIES["s_cosine_topk"](spark, SF_SMALL)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        QUERIES["v_cosine_topk_pandas"](spark, SF_SMALL)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a[["query_id", "neighbor_id", "rank"]].equals(
+        b[["query_id", "neighbor_id", "rank"]]
+    )
+
+
+def test_zscores_hand_computed(spark):
+    out = QUERIES["v_user_value_zscores"](spark, SF_SMALL).toPandas()
+    one_user = out[out.user_id == out.user_id.iloc[0]].sort_values("event_id")
+    v = one_user["value"].to_numpy(dtype=np.float64)
+    expect = (v - v.mean()) / v.std()
+    assert np.allclose(one_user["zscore"].to_numpy(), expect)
+    # Global sanity: zscores are standardized within each user.
+    g = out.groupby("user_id")["zscore"]
+    assert np.allclose(g.mean().to_numpy(), 0.0, atol=1e-9)
+
+
+def test_grouped_agg_median(spark):
+    out = QUERIES["v_grouped_agg_median"](spark, SF_SMALL).toPandas()
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").toPandas()
+    expect = ev.groupby("event_type")["value"].median()
+    got = dict(zip(out["event_type"], out["median_value"]))
+    for et, med in expect.items():
+        assert got[et] == pytest.approx(float(med))
+
+
+def test_udtf_shingles_match_sql_pipeline(spark):
+    """The UDTF path and the pure-SQL shingle pipeline must produce the
+    same shingle multiset (integer-exact)."""
+    udtf_out = QUERIES["v_udtf_shingle_top10"](spark, SF_SMALL).toPandas()
+    assert len(udtf_out) == 10
+    assert (udtf_out["n"] > 0).all()
+    # Spot check one count by recomputing in pandas.
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").toPandas()
+    target = udtf_out.iloc[0]
+    n = 0
+    for text in docs["text"]:
+        toks = text.split()
+        shs = {
+            " ".join(toks[i : i + 3]) for i in range(max(0, len(toks) - 2))
+        }
+        if target["sh"] in shs:
+            n += 1
+    assert n == target["n"]
