@@ -1052,6 +1052,72 @@ def q_date_math_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_from_json_struct",
+    f"""
+    SELECT event_type,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with an explicit struct schema (the scale-correct JSON
+    path: parse once into a typed column, not one get_json_object call per
+    field), then map_* access and integer aggregation."""
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "p", F.from_json(F.col("props"), "struct<k: bigint>")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.min(F.col("p.k")).cast("bigint").alias("min_k"),
+            F.max(F.col("p.k")).cast("bigint").alias("max_k"),
+            F.sum(F.col("p.k")).cast("bigint").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_map_functions",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS k_mod,
+           COUNT(*) AS n
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
+    GROUP BY 1
+    ORDER BY k_mod
+    """,
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column functions: JSON → map<string,bigint> via from_json,
+    then map_keys / element_at / map_filter. The oracle checks the final
+    integer aggregate (DuckDB has no Spark map type; the map ops themselves
+    are exercised Spark-side)."""
+    ev = t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string, bigint>")
+    parsed = ev.select(
+        m.alias("pm"),
+    ).select(
+        F.element_at(F.col("pm"), "k").alias("k"),
+        F.size(F.map_keys(F.col("pm"))).alias("n_keys"),
+    )
+    return (
+        parsed.filter(F.col("k").isNotNull() & (F.col("n_keys") >= 1))
+        .withColumn("k_mod", F.col("k") % 5)
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k_mod")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Time windows (batch shape of the streaming ops)
 # ---------------------------------------------------------------------------

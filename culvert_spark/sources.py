@@ -1,0 +1,95 @@
+"""Source/sink surface (SURVEY.md §2 Tier B header row): batch and
+streaming readers/writers for the formats the engine supports, with the
+options that matter at scale spelled out once.
+
+Batch:    parquet / orc / csv / json  (read_table, write_table)
+Streaming: rate (generator.generate_stream), file-directory sources
+           (stream_read_dir), console/memory/file/table sinks
+           (streaming.run_to_memory_sink, ingest.run_streaming_ingest)
+
+Scale notes:
+- CSV/JSON readers always take an explicit schema: schema inference scans
+  the data once BEFORE the real job (a full extra pass at 100 TB) and can
+  silently mistype columns. Parquet/ORC carry their own schema.
+- Writers partition by the query's natural pruning key so downstream scans
+  prune directories; maxRecordsPerFile bounds file sizes for the 100 TB
+  layout (too-large files serialize task recovery, too-small files melt the
+  driver's file index).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+BATCH_FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Batch read. CSV/JSON require an explicit schema (no inference pass);
+    CSV defaults to header=true."""
+    if fmt not in BATCH_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {BATCH_FORMATS}")
+    reader = spark.read.format(fmt)
+    if fmt in ("csv", "json"):
+        if schema is None:
+            raise ValueError(
+                f"{fmt} requires an explicit schema: inference costs a full "
+                "extra scan and mistypes columns at scale"
+            )
+        if fmt == "csv":
+            reader = reader.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "error",
+    partition_by: tuple[str, ...] = (),
+    max_records_per_file: int | None = None,
+    **options: str,
+) -> None:
+    """Batch write with optional directory partitioning and bounded file
+    sizes."""
+    if fmt not in BATCH_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {BATCH_FORMATS}")
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
+def stream_read_dir(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """Streaming file-directory source: new files under ``path`` become
+    micro-batches. Schema is mandatory (streaming cannot infer)."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)

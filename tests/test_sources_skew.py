@@ -1,0 +1,137 @@
+"""Source/sink round-trips, skew utilities, and the stream-stream join."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from culvert_spark import skew, sources
+from culvert_spark import streaming as st
+from culvert_spark.queries import t as scan
+from tests.conftest import SF_SMALL
+from tests.test_streaming import SCHEMA, run_round, ts, write_batch
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+def test_format_round_trip(spark, tmp_path, fmt):
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").limit(500)
+    # CSV has no native timestamp; normalize to string for the comparison.
+    df = src.withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd"))
+    path = str(tmp_path / fmt)
+    sources.write_table(df, path, fmt=fmt, max_records_per_file=200)
+    back = sources.read_table(
+        spark, path, fmt=fmt,
+        schema=df.schema if fmt in ("csv", "json") else None,
+    )
+    assert back.count() == 500
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_csv_requires_schema(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        sources.read_table(spark, str(tmp_path), fmt="csv")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    path = str(tmp_path / "by_status")
+    sources.write_table(df, path, partition_by=("o_orderstatus",))
+    back = sources.read_table(spark, path).filter(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == df.filter(F.col("o_orderstatus") == "F").count()
+    # Partition filter must prune directories, not appear as a data filter.
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_salted_join_equals_plain_join(spark):
+    ev = scan(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    dim = (
+        ev.select("user_id").distinct().withColumn(
+            "tier", F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+        )
+    )
+    plain = ev.join(dim, "user_id").select("event_id", "tier")
+    salted = skew.salted_join(ev, dim, "user_id", salts=8).select(
+        "event_id", "tier"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_join_outer(spark):
+    ev = scan(spark, SF_SMALL, "events").select(
+        "event_id", "user_id"
+    )
+    dim = spark.createDataFrame(
+        [(0, "zero")], "user_id bigint, name string"
+    )
+    plain = ev.join(dim, "user_id", "left").select("event_id", "name")
+    salted = skew.salted_join(ev, dim, "user_id", salts=4, how="left").select(
+        "event_id", "name"
+    )
+    assert sorted(
+        map(tuple, plain.fillna("~").collect())
+    ) == sorted(map(tuple, salted.fillna("~").collect()))
+
+
+def test_salted_count_equals_groupby(spark):
+    ev = scan(spark, SF_SMALL, "events")
+    plain = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        r.event_type: r.n
+        for r in skew.salted_count(ev, "event_type", salts=8).collect()
+    }
+    assert plain == salted
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Views joined to purchases of the same user within the watermark
+    horizon (both sides streaming)."""
+    vsrc, psrc = str(tmp_path / "views"), str(tmp_path / "purch")
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    write_batch(vsrc, 1, [
+        ("u1", 1, ts("2024-01-01 10:00:00"), "view", 1.0),
+        ("u2", 2, ts("2024-01-01 10:05:00"), "view", 1.0),
+    ])
+    write_batch(psrc, 1, [
+        ("u1", 11, ts("2024-01-01 10:30:00"), "purchase", 9.0),
+        ("u3", 12, ts("2024-01-01 10:31:00"), "purchase", 9.0),
+    ])
+    views = sources.stream_read_dir(spark, vsrc, SCHEMA).select(
+        F.col("user_id"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = sources.stream_read_dir(spark, psrc, SCHEMA).select(
+        F.col("user_id"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = st.stream_stream_join(
+        views, purchases, on="user_id",
+        ts_left="view_ts", ts_right="purchase_ts", delay="1 hour",
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.read.parquet(out).toPandas()
+    # Only u1 appears on both sides.
+    assert len(sink) == 1
+    assert sink.iloc[0]["user_id"] == "u1"
+    assert sink.iloc[0]["view_id"] == 1
+    assert sink.iloc[0]["purchase_id"] == 11
