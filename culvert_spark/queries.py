@@ -77,6 +77,20 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Raise parallelism for compute-dense stages (decimal aggregation,
+    per-row hashing, dot products) when the upstream scan yields fewer
+    partitions than cores — single-row-group parquet files are unsplittable,
+    so a tiny file can pin a heavy pipeline to one task. No-op whenever the
+    scan already splits (always true at real scale). Apply AFTER filters so
+    predicate pushdown into the scan is preserved."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dec(c: Column, scale: int = 6) -> Column:
     """Round a per-row double to an exact decimal so sums are exact."""
     return c.cast(T.DecimalType(18, scale))
@@ -141,7 +155,11 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity"),
     )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        spread(
+            li.filter(
+                F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(qty, "sum_qty"),

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from culvert_spark.queries import QUERIES, ORACLE, register, t  # noqa: F401
+from culvert_spark.queries import QUERIES, ORACLE, register, spread, t  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Shared expression generators (Spark SQL dialect vs DuckDB dialect)
@@ -417,7 +417,8 @@ _SHINGLES_SPARK = r"""
 def _with_shingles(d: DataFrame, *keep: str) -> DataFrame:
     """doc_id (+ keep cols) with exploded distinct word-3-gram shingles."""
     return (
-        d.withColumn("toks", F.split(F.col("text"), r"\s+"))
+        spread(d.select("doc_id", *keep, "text"))
+        .withColumn("toks", F.split(F.col("text"), r"\s+"))
         .select("doc_id", *keep, F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
     )
 
@@ -637,7 +638,7 @@ def t_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens) and broadcast-joined back — the expensive hex polynomial runs
     O(|vocab|) times, not O(corpus x 60)."""
     d = t(spark, sf_dir, "documents")
-    toks = d.select(
+    toks = spread(d.select("doc_id", "text")).select(
         "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
     )
     vocab = toks.select("tok").distinct().withColumn(
@@ -702,8 +703,7 @@ def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a per-query top-k via row_number. For large query sets, switch to
     the LSH-bucketed variant (s_ann_lsh_top1)."""
     e = (
-        t(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
+        spread(t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
         # Norm computed ONCE per vector row (not per candidate pair) — at
         # scale this turns 3 x 64-term chains per pair into 1.
         .withColumn(
@@ -754,7 +754,7 @@ def s_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline: all-pairs with a<b. The scale path for this op is LSH
     bucketing (see s_ann_lsh_top1) — kept separate so the oracle stays
     exact."""
-    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = spread(t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
     dot = F.expr(_dot_spark("va", "vb"))
@@ -841,8 +841,7 @@ def s_ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the bucket id (shuffle on a small int key), so cost is
     O(n x bucket_occupancy), not O(n x q)."""
     e = (
-        t(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
+        spread(t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
         .withColumn("bucket", F.expr(_bucket_expr("embedding", True)))
         .withColumn(
             "nrm", F.sqrt(F.expr(_dot_spark("embedding", "embedding")))
