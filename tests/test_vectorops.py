@@ -71,3 +71,17 @@ def test_udtf_shingles_match_sql_pipeline(spark):
         if target["sh"] in shs:
             n += 1
     assert n == target["n"]
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    """IVF probing 8/16 cells must recover most of the true top-3 (the
+    synthetic corpus has weak cluster structure; 8 probes measured 93%
+    recall@3 — gate at 80% for slack under retrained centroids)."""
+    brute = QUERIES["s_cosine_topk"](spark, SF_SMALL).toPandas()
+    ivf = QUERIES["v_ivf_ann_topk"](spark, SF_SMALL).toPandas()
+    btop = brute.groupby("query_id")["neighbor_id"].apply(set)
+    itop = ivf.groupby("query_id")["neighbor_id"].apply(set)
+    assert set(btop.index) == set(itop.index)
+    hits = sum(len(btop[q] & itop[q]) for q in btop.index)
+    total = sum(len(btop[q]) for q in btop.index)
+    assert hits / total >= 0.8, f"recall@3 too low: {hits}/{total}"
