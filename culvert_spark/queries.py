@@ -969,6 +969,104 @@ def q_union_active_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).distinct().orderBy("kind", "k")
 
 
+@register(
+    "q_set_ops_all",
+    """
+    SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 5000
+    INTERSECT ALL
+    SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    ORDER BY k
+    """,
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics — preserves duplicate counts,
+    unlike the distinct set ops in q_set_intersect/q_set_except)."""
+    c = t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_nationkey").alias("k")
+    )
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("k")
+    )
+    return a.intersectAll(b).orderBy("k")
+
+
+@register(
+    "q_except_all",
+    """
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    ORDER BY k
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference)."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    return a.exceptAll(b).orderBy("k")
+
+
+@register(
+    "q_math_funcs",
+    """
+    SELECT l_linenumber,
+           CAST(SUM(CAST(abs(l_extendedprice - 30000.0) AS DECIMAL(18,6))) AS DOUBLE) AS sum_abs_dev,
+           CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_floor_qty,
+           CAST(SUM(CAST(ceil(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_ceil_disc,
+           ROUND(CAST(SUM(CAST(sqrt(l_quantity) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_sqrt_qty,
+           CAST(SUM(CAST(mod(CAST(l_orderkey AS BIGINT), 97) AS BIGINT)) AS BIGINT) AS sum_mod,
+           CAST(MAX(greatest(l_tax, l_discount)) AS DOUBLE) AS max_rate,
+           CAST(MIN(least(l_tax, l_discount)) AS DOUBLE) AS min_rate,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_linenumber
+    ORDER BY l_linenumber
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar functions (abs/floor/ceil/sqrt/mod/greatest/least) inside
+    exact aggregation (decimal casts absorb any libm ulps before summing)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linenumber")
+        .agg(
+            dsum(F.abs(F.col("l_extendedprice") - 30000.0), "sum_abs_dev"),
+            F.sum(F.floor(F.col("l_quantity")).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_floor_qty"),
+            F.sum(F.ceil(F.col("l_discount") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_ceil_disc"),
+            F.round(
+                F.sum(dec(F.sqrt(F.col("l_quantity")))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_sqrt_qty"),
+            F.sum(
+                F.pmod(F.col("l_orderkey").cast("bigint"), F.lit(97)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("sum_mod"),
+            F.max(F.greatest(F.col("l_tax"), F.col("l_discount")))
+            .cast("double")
+            .alias("max_rate"),
+            F.min(F.least(F.col("l_tax"), F.col("l_discount")))
+            .cast("double")
+            .alias("min_rate"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_linenumber")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar functions: strings, dates, JSON
 # ---------------------------------------------------------------------------
