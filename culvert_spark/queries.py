@@ -268,6 +268,60 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_stats_corr",
+    """
+    WITH comp AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * (n - 1)), 6)
+             AS covar_samp,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
+    FROM comp
+    ORDER BY l_returnflag
+    """,
+)
+def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation & sample covariance of (quantity, price) per return flag,
+    computed deterministically from exact-decimal component sums (built-in
+    corr()/covar_samp() stream doubles in partition order and are not
+    reproducible run-to-run — this formulation is, and is what you'd use at
+    100 TB where a second pass is unaffordable)."""
+    li = t(spark, sf_dir, "lineitem")
+    qn, pr = F.col("l_quantity"), F.col("l_extendedprice")
+    d38 = lambda c: c.cast(T.DecimalType(38, 6))
+    comp = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38(qn)).cast("double").alias("sx"),
+        F.sum(d38(pr)).cast("double").alias("sy"),
+        F.sum(d38(qn * qn)).cast("double").alias("sxx"),
+        F.sum(d38(pr * pr)).cast("double").alias("syy"),
+        F.sum(d38(qn * pr)).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n.cast("double") * (n - 1)
+    )
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return comp.select(
+        "l_returnflag",
+        "n",
+        F.round(cov, 6).alias("covar_samp"),
+        F.round(corr, 6).alias("corr"),
+    ).orderBy("l_returnflag")
+
+
 # ---------------------------------------------------------------------------
 # Rollup / cube / grouping sets
 # ---------------------------------------------------------------------------
