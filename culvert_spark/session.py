@@ -15,6 +15,7 @@ Configs are chosen for the 100 TB design point, not just local tests:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -56,6 +57,12 @@ def get_spark(
         # JVM thread stack — give Catalyst room.
         .config("spark.driver.extraJavaOptions", "-Xss32m")
         .config("spark.executor.extraJavaOptions", "-Xss32m")
+        # Managed tables (bucketBy needs saveAsTable) land in a temp
+        # warehouse, not the source tree.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "culvert_warehouse"),
+        )
         # Quieter local runs.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

