@@ -599,6 +599,30 @@ def t_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     - The candidate join keys on (band, signature) — an equi-join on a
       16-byte key; est_jaccard compares the two 12-slot signature arrays
       directly (no second explode)."""
+    sig, cand = _minhash_sigs_and_cands(spark, sf_dir)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("mhs").alias("mhs_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("mhs").alias("mhs_b"))
+    n_eq = F.size(
+        F.filter(
+            F.zip_with(F.col("mhs_a"), F.col("mhs_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_bands",
+            F.round(n_eq.cast("double") / _N_HASHES, 6).alias("est_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_sigs_and_cands(spark: SparkSession, sf_dir: str):
+    """Shared MinHash pipeline: (signatures, LSH candidate pairs)."""
     d = t(spark, sf_dir, "documents")
     sh = _with_shingles(d)
     mh_cols = [
@@ -642,24 +666,118 @@ def t_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared_bands"))
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("mhs").alias("mhs_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("mhs").alias("mhs_b"))
-    n_eq = F.size(
-        F.filter(
-            F.zip_with(F.col("mhs_a"), F.col("mhs_b"), lambda x, y: x == y),
-            lambda v: v,
+    return sig, cand
+
+
+# DuckDB twin of _minhash_sigs_and_cands' candidate pairs. RECURSIVE is
+# declared up front so consumers may append recursive CTEs.
+_CAND_DUCK = f"""
+      WITH RECURSIVE sh AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES_DUCK})),
+      hx AS (
+        SELECT doc_id, h.i,
+               MIN(md5(h.i::VARCHAR || '|' || sh)) AS mh
+        FROM sh, (SELECT UNNEST(generate_series(0, {_N_HASHES - 1})) AS i) h
+        GROUP BY doc_id, h.i),
+      bands AS (
+        SELECT doc_id, i // {_BAND_SIZE} AS band,
+               md5(string_agg(mh, ',' ORDER BY i)) AS bsig
+        FROM hx GROUP BY doc_id, i // {_BAND_SIZE}),
+      cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+"""
+
+
+@register(
+    "t_dedup_clusters",
+    f"""
+    {_CAND_DUCK},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, lbl) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+    comp AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           (c.doc_id = c.cluster_id) AS is_canonical
+    FROM comp c
+    JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM comp GROUP BY cluster_id) s USING (cluster_id)
+    ORDER BY c.cluster_id, c.doc_id
+    """,
+)
+def t_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    candidate graph via iterative min-label propagation, with the smallest
+    doc_id as the canonical representative — the step that turns a pair
+    list into actual keep/drop dedup decisions.
+
+    Iterative (converges in O(component diameter) rounds — near-dup
+    clusters are tiny, so 2-4 rounds; hard cap 15). The oracle is a DuckDB
+    recursive CTE computing min-reachable-label per node, which is the same
+    fixpoint. Each round shuffles only the candidate-graph nodes (O(dups),
+    not O(corpus)); lineage is truncated with localCheckpoint so plans
+    don't grow with iterations."""
+    _, cand = _minhash_sigs_and_cands(spark, sf_dir)
+    edges = (
+        cand.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(15):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    comp = labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        comp.join(sizes, "cluster_id")
         .select(
-            "doc_a",
-            "doc_b",
-            "shared_bands",
-            F.round(n_eq.cast("double") / _N_HASHES, 6).alias("est_jaccard"),
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
         )
-        .orderBy("doc_a", "doc_b")
+        .orderBy("cluster_id", "doc_id")
     )
 
 
