@@ -978,6 +978,94 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_range_frame_window",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_90d,
+           COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+           ) AS n_orders_90d
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): trailing-90-day
+    spend per customer. The frame bound is on epoch seconds, so ties in
+    order-date are handled identically in both engines (RANGE includes all
+    peers, unlike ROWS)."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(dec(F.col("o_totalprice")))
+            .over(w)
+            .cast("double")
+            .alias("spend_90d"),
+            F.count(F.lit(1)).over(w).alias("n_orders_90d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "q_higher_order_array_funcs",
+    """
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(MIN(sqrt(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (a, b) -> a + b))), 6) AS min_norm,
+           ROUND(MAX(sqrt(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (a, b) -> a + b))), 6) AS max_norm,
+           CAST(MAX(len(list_filter(embedding, x -> x > 0))) AS BIGINT)
+             AS max_positive_dims
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_higher_order_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform / aggregate / filter) over
+    the embedding column: L2 norms via a left-fold — Spark's aggregate()
+    and DuckDB's list_reduce fold in the same order, so the doubles are
+    bit-identical before rounding."""
+    e = t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double") * x.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    n_pos = F.size(F.filter(F.col("embedding"), lambda x: x > 0))
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(norm), 6).alias("min_norm"),
+            F.round(F.max(norm), 6).alias("max_norm"),
+            F.max(n_pos).cast("bigint").alias("max_positive_dims"),
+        )
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations
 # ---------------------------------------------------------------------------

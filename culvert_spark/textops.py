@@ -446,6 +446,59 @@ def t_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t_train_test_split",
+    """
+    WITH tagged AS (
+      SELECT lang,
+             CASE
+               WHEN instr('0123456789abcdef',
+                          substr(md5(doc_id::VARCHAR || '|split42'), 1, 1)) - 1 < 13
+                 THEN 'train'
+               WHEN instr('0123456789abcdef',
+                          substr(md5(doc_id::VARCHAR || '|split42'), 1, 1)) - 1 < 14
+                 THEN 'valid'
+               ELSE 'test'
+             END AS split
+      FROM documents)
+    SELECT lang, split, COUNT(*) AS n
+    FROM tagged
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def t_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment (~81/6/13%) from the first
+    hex digit of md5(doc_id || salt) — the split every row lands in is a
+    pure function of its id, so it is stable across runs, engines, and
+    repartitioning (rand()-based sampleBy is none of those). The salt keys
+    the split version."""
+    d = t(spark, sf_dir, "documents")
+    digit = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit("|split42"))
+                    .cast("binary")
+                ),
+                1,
+                1,
+            ),
+        )
+        - 1
+    )
+    split = (
+        F.when(digit < 13, "train").when(digit < 14, "valid").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "split")
+    )
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard / MinHash LSH / SimHash near-dup
 # ---------------------------------------------------------------------------
