@@ -218,3 +218,50 @@ def test_running_totals_stateful(spark, tmp_path):
     assert final["u1"]["total_value"] == pytest.approx(15.0)
     assert final["u2"]["n_events"] == 1
     assert final["u2"]["total_value"] == pytest.approx(5.0)
+
+
+def test_complete_mode_aggregation(spark, tmp_path):
+    """Complete output mode re-emits the full aggregate each micro-batch."""
+    src = str(tmp_path / "src")
+    write_batch(src, 1, [
+        ("u1", 1, ts("2024-01-01 10:00:00"), "view", 1.0),
+        ("u1", 2, ts("2024-01-01 10:01:00"), "view", 1.0),
+        ("u2", 3, ts("2024-01-01 10:02:00"), "click", 1.0),
+    ])
+    agg = (
+        spark.readStream.schema(SCHEMA).parquet(src)
+        .groupBy("event_type")
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("complete_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.event_type: r["count"]
+        for r in spark.sql("SELECT * FROM complete_counts").collect()
+    }
+    assert got == {"view": 2, "click": 1}
+
+
+def test_write_stream_to_table(spark, tmp_path):
+    """writeStream.toTable: streaming append into a catalog table."""
+    src = str(tmp_path / "src")
+    write_batch(src, 1, [
+        ("u1", i, ts("2024-01-01 10:00:00"), "view", 1.0) for i in range(7)
+    ])
+    spark.sql("DROP TABLE IF EXISTS stream_sink_tbl")
+    q = (
+        spark.readStream.schema(SCHEMA).parquet(src)
+        .writeStream.option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .toTable("stream_sink_tbl")
+    )
+    q.awaitTermination()
+    assert spark.table("stream_sink_tbl").count() == 7
+    spark.sql("DROP TABLE stream_sink_tbl")
