@@ -256,6 +256,44 @@ def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("y_ysb_windowed_counts")  # rows-only: runs on GENERATED data
+def y_ysb_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's implied downstream workload (SURVEY §0.5, the Yahoo
+    Streaming Benchmark shape credited at Stream.java:150): filter to view
+    events → project → 10-minute tumbling windows per ad_type → count.
+    Runs on the deterministic generated culvert table (100k rows, seed 42),
+    not the testdata — no SQL oracle (DuckDB has no view of generated
+    data); determinism is guaranteed by the generator contract."""
+    from culvert_spark.generator import generate
+
+    ev = generate(spark, 100_000, seed=42)
+    return (
+        ev.filter(F.col("event_type") == "view")
+        .select("ad_type", "event_time")
+        .groupBy(F.window("event_time", "10 minutes").alias("w"), "ad_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "ad_type", "n")
+        .orderBy("window_start", "ad_type")
+    )
+
+
+@register("q_approx_percentile")  # no oracle: sketch-based estimate
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch) — the 100 TB percentile path
+    (exact percentile holds each group in memory; the sketch is bounded).
+    No oracle: estimates are engine-specific."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 1000)"
+            ).alias("approx_p50_p90_p99")
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 @register("q_approx_distinct")  # no oracle: approximate result (HLL++)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the scale path for distinct

@@ -265,3 +265,32 @@ def test_write_stream_to_table(spark, tmp_path):
     q.awaitTermination()
     assert spark.table("stream_sink_tbl").count() == 7
     spark.sql("DROP TABLE stream_sink_tbl")
+
+
+def test_merge_dedup_sink_idempotent(spark, tmp_path):
+    """Re-delivered keys across batches must not duplicate in the sink
+    (at-least-once upstream → exactly-once sink contents)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    write_batch(src, 1, [
+        ("u1", 1, ts("2024-01-01 10:00:00"), "view", 1.0),
+        ("u1", 2, ts("2024-01-01 10:01:00"), "view", 1.0),
+    ])
+    q = st.merge_dedup_sink(
+        spark.readStream.schema(SCHEMA).parquet(src), out,
+        str(tmp_path / "ck1"),
+    )
+    q.awaitTermination()
+    # Batch 2 re-delivers event 2 (fresh checkpoint = a replaying upstream)
+    # and adds event 3.
+    write_batch(src, 2, [
+        ("u1", 2, ts("2024-01-01 10:01:00"), "view", 1.0),  # duplicate
+        ("u1", 3, ts("2024-01-01 10:02:00"), "view", 1.0),
+    ])
+    q = st.merge_dedup_sink(
+        spark.readStream.schema(SCHEMA).parquet(src), out,
+        str(tmp_path / "ck2"),  # new checkpoint: batch 1 files replay too
+    )
+    q.awaitTermination()
+    sink = read_sink(spark, out)
+    assert sorted(sink["event_id"]) == [1, 2, 3]
