@@ -1615,6 +1615,46 @@ def q_pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_unpivot_rates",
+    """
+    SELECT l_orderkey, l_linenumber, rate_kind,
+           CAST(rate AS DOUBLE) AS rate
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'discount' AS rate_kind,
+             l_discount AS rate
+      FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax' AS rate_kind, l_tax AS rate
+      FROM lineitem WHERE l_orderkey < 100)
+    ORDER BY l_orderkey, l_linenumber, rate_kind
+    """,
+)
+def q_unpivot_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT via stack(): wide (discount, tax) columns to long
+    (rate_kind, rate) rows — the inverse of q_pivot_user_event_values.
+    stack() is a generator expression: no shuffle, row fan-out inline in
+    the scan stage."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(
+                "stack(2, 'discount', l_discount, 'tax', l_tax) "
+                "AS (rate_kind, rate)"
+            ),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "rate_kind",
+            F.col("rate").cast("double").alias("rate"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "rate_kind")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Subquery shapes: correlated, scalar, EXISTS / NOT EXISTS, HAVING
 # ---------------------------------------------------------------------------

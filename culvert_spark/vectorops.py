@@ -278,6 +278,39 @@ def v_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "v_plain_udf_slug",
+    """
+    SELECT lang,
+           lower(regexp_replace(trim(substr(text, 1, 20)), '[^a-zA-Z0-9]+', '-', 'g'))
+             AS slug20,
+           COUNT(*) AS n
+    FROM documents
+    WHERE doc_id < 30
+    GROUP BY 1, 2
+    ORDER BY lang, slug20
+    """,
+)
+def v_plain_udf_slug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time F.udf (deliberately the ONLY one in the engine, on a
+    30-row input): slugify a text prefix. Exists to cover the classic UDF
+    API; every hot path uses built-ins or Arrow-batched pandas UDFs —
+    row-at-a-time Python pays per-row serialization and blocks codegen."""
+    import re
+
+    @F.udf("string")
+    def slug20(text: str) -> str:
+        return re.sub(r"[^a-zA-Z0-9]+", "-", text[:20].strip()).lower()
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    return (
+        d.select("lang", slug20(F.col("text")).alias("slug20"))
+        .groupBy("lang", "slug20")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "slug20")
+    )
+
+
 def _make_shingle_udtf():
     """Python UDTF: text → one row per distinct word-3-gram (lazy creation;
     spark.udtf registration happens per session in the registered query)."""
