@@ -1842,11 +1842,13 @@ def q09_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
              {_sql_dsum('l_extendedprice * (1 - l_discount)', 'supp_rev')}
       FROM lineitem GROUP BY l_suppkey
     ),
-    total AS (SELECT SUM(CAST(supp_rev AS DECIMAL(18,6))) AS total_rev
+    total AS (SELECT CAST(SUM(CAST(supp_rev AS DECIMAL(18,6))) AS DOUBLE)
+                       AS total_rev,
+                     COUNT(*) AS n_supp
               FROM per_supp)
     SELECT l_suppkey, supp_rev
     FROM per_supp, total
-    WHERE supp_rev > 0.012 * CAST(total_rev AS DOUBLE)
+    WHERE supp_rev > 1.05 * total_rev / n_supp
     ORDER BY supp_rev DESC, l_suppkey
     """,
 )
@@ -1858,11 +1860,17 @@ def q11_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_supp = li.groupBy("l_suppkey").agg(dsum(rev, "supp_rev"))
     total = per_supp.agg(
-        F.sum(dec(F.col("supp_rev"))).cast("double").alias("total_rev")
+        F.sum(dec(F.col("supp_rev"))).cast("double").alias("total_rev"),
+        F.count(F.lit(1)).alias("n_supp"),
     )
+    # Threshold is relative to the MEAN supplier share so the query selects
+    # rows at any scale factor (an absolute share cutoff returns nothing
+    # once the supplier count grows).
     return (
         per_supp.crossJoin(broadcast(total))
-        .filter(F.col("supp_rev") > 0.012 * F.col("total_rev"))
+        .filter(
+            F.col("supp_rev") > 1.05 * F.col("total_rev") / F.col("n_supp")
+        )
         .select("l_suppkey", "supp_rev")
         .orderBy(F.col("supp_rev").desc(), F.col("l_suppkey"))
     )
@@ -2263,14 +2271,17 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
     FROM customer, avg_bal
     WHERE c_acctbal > ab
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
     """,
 )
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS (left-anti)
-    — rich customers who never ordered, grouped by segment.
+    — rich customers with no RECENT order (since 2000-06-01), grouped by
+    segment. ("never ordered" selects zero rows on this data — every
+    customer has orders — which would make the oracle check trivial.)
 
     avg threshold note: AVG over doubles is order-dependent in general;
     here it is computed once on a small filtered set and both engines use
@@ -2286,10 +2297,13 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ab")
         )
     )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
+    )
     return (
         c.crossJoin(broadcast(ab))
         .filter(F.col("c_acctbal") > F.col("ab"))
-        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
