@@ -2311,3 +2311,308 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q20_supplier_part_share",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+    ), thresh AS (
+      SELECT CAST(SUM(CAST(qty AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS avg_qty
+      FROM shipped
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM shipped, thresh WHERE qty > 1.1 * avg_qty)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_supplier_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp table in this schema, so lineitem
+    supplies the quantity side): suppliers that shipped more than 1.1x the
+    mean per-supplier quantity of 'red%' parts in 1997. The part filter is
+    broadcast into the lineitem scan; the mean-relative threshold (like
+    q11) keeps the predicate selective at every scale factor; the final
+    membership test is a left-semi join against a tiny aggregate."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    shipped = (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_quantity"), "qty"))
+    )
+    thresh = shipped.agg(
+        (
+            F.sum(dec(F.col("qty"))).cast("double") / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    heavy = (
+        shipped.crossJoin(broadcast(thresh))
+        .filter(F.col("qty") > 1.1 * F.col("avg_qty"))
+        .select("l_suppkey")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q_window_rank_suite",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ntile(4)       OVER w AS bal_quartile,
+           percent_rank() OVER w AS bal_pct_rank,
+           cume_dist()    OVER w AS bal_cume_dist,
+           nth_value(c_name, 3) OVER (
+             PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_mktsegment, bal_pct_rank, c_custkey
+    """,
+)
+def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window coverage: ntile / percent_rank / cume_dist /
+    nth_value in one pass over one shuffle (all four share a window spec,
+    so Spark plans a single Window node after one exchange on the
+    partition key). Ordering includes c_custkey so every rank is
+    deterministic; percent_rank and cume_dist are exact integer ratios,
+    bit-identical across engines."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.ntile(4).over(w).alias("bal_quartile"),
+            F.percent_rank().over(w).alias("bal_pct_rank"),
+            F.cume_dist().over(w).alias("bal_cume_dist"),
+            F.nth_value(F.col("c_name"), 3).over(wfull).alias("third_richest"),
+        )
+        .orderBy("c_mktsegment", "bal_pct_rank", "c_custkey")
+    )
+
+
+@register(
+    "q_agg_funcs_modern",
+    """
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0)      AS all_positive,
+           bool_or(o_orderstatus = 'F')    AS any_finished,
+           max_by(o_totalprice, o_orderkey) AS latest_price,
+           min_by(o_totalprice, o_orderkey) AS earliest_price,
+           ROUND(CAST(median(o_totalprice) AS DOUBLE), 6) AS med_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_agg_funcs_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate coverage: count_if / bool_and / bool_or /
+    max_by / min_by / median in one grouped pass. max_by/min_by use the
+    unique o_orderkey as the ordering key so ties cannot make the result
+    nondeterministic; median interpolates the two middle doubles with the
+    same IEEE arithmetic in both engines."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+            F.max_by(F.col("o_totalprice"), F.col("o_orderkey")).alias(
+                "latest_price"
+            ),
+            F.min_by(F.col("o_totalprice"), F.col("o_orderkey")).alias(
+                "earliest_price"
+            ),
+            F.round(F.median(F.col("o_totalprice")), 6).alias("med_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_collect_set_segments",
+    """
+    SELECT n_name,
+           array_to_string(list_sort(list_distinct(array_agg(c_mktsegment))),
+                           ',') AS segments,
+           COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q_collect_set_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set aggregation surfaced deterministically: the set is
+    sorted then joined to a string (set iteration order is undefined in
+    both engines, so raw arrays would be incomparable). The nation dim is
+    broadcast; collect_set keeps at most 5 segment values per group, so
+    state stays tiny at any scale."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("c_mktsegment")), ","
+            ).alias("segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q_histogram_acctbal",
+    """
+    SELECT CASE WHEN c_acctbal < -1000.0 THEN 0
+                WHEN c_acctbal >= 10000.0 THEN 12
+                ELSE CAST(FLOOR((c_acctbal - (-1000.0))
+                                / ((10000.0 - (-1000.0)) / 11)) AS BIGINT) + 1
+           END AS bucket,
+           COUNT(*) AS n_cust,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS lo,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS hi
+    FROM customer
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q_histogram_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (DuckDB lacks the function,
+    so the oracle spells out the identical floor arithmetic). One grouped
+    pass; bucket count is fixed (13) regardless of scale."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.select(
+            F.width_bucket(
+                F.col("c_acctbal"), F.lit(-1000.0), F.lit(10000.0), F.lit(11)
+            ).alias("bucket"),
+            "c_acctbal",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.min("c_acctbal").cast("double").alias("lo"),
+            F.max("c_acctbal").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q_sequence_active_months",
+    """
+    WITH spans AS (
+      SELECT o_orderkey,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m0,
+             GREATEST(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP),
+                      CAST(date_trunc('month', MAX(l_shipdate)) AS TIMESTAMP))
+               AS m1
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY o_orderkey, o_orderdate
+    )
+    SELECT active_month, COUNT(*) AS n_active
+    FROM (
+      SELECT unnest(generate_series(m0, m1, INTERVAL 1 MONTH))
+               AS active_month
+      FROM spans
+    )
+    GROUP BY active_month
+    ORDER BY active_month
+    """,
+)
+def q_sequence_active_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-sequence generation + explode: each Q1-1997 order is active
+    from its order month through its last ship month; count active orders
+    per month. sequence()/explode() is the Spark idiom for row-generating
+    table functions (DuckDB: generate_series + unnest). The per-order
+    span is bounded (months, not rows), so explode fan-out is constant."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.date_trunc("month", F.col("o_orderdate")).alias("m0"),
+            # This synthetic data does not enforce ship-after-order, so
+            # clamp the span end to keep sequence() boundaries valid.
+            F.greatest(
+                F.date_trunc("month", F.col("o_orderdate")),
+                F.date_trunc("month", F.col("last_ship")),
+            ).alias("m1"),
+        )
+    )
+    return (
+        spans.select(
+            F.explode(
+                F.sequence(
+                    F.col("m0"), F.col("m1"), F.expr("interval 1 month")
+                )
+            ).alias("active_month")
+        )
+        .groupBy("active_month")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("active_month")
+    )
+
+
+@register(
+    "q_bitwise_agg",
+    """
+    SELECT l_returnflag,
+           CAST(bit_and(l_linenumber) AS BIGINT) AS lines_and,
+           CAST(bit_or(l_linenumber)  AS BIGINT) AS lines_or,
+           CAST(bit_xor(l_linenumber) AS BIGINT) AS lines_xor
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate coverage (bit_and / bit_or / bit_xor) — order-
+    independent by construction, single grouped pass with map-side
+    partial aggregation."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bit_and("l_linenumber").cast("bigint").alias("lines_and"),
+            F.bit_or("l_linenumber").cast("bigint").alias("lines_or"),
+            F.bit_xor("l_linenumber").cast("bigint").alias("lines_xor"),
+        )
+        .orderBy("l_returnflag")
+    )
