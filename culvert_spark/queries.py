@@ -2616,3 +2616,115 @@ def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_posexplode_tokens",
+    """
+    SELECT doc_id, pos, tok
+    FROM (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+      WHERE doc_id % 50 = 0
+    )
+    WHERE pos < 8
+    ORDER BY doc_id, pos
+    """,
+)
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode coverage: ordinal-position explode of a split array (the
+    lateral-view idiom for token streams). A modulus filter keeps the doc
+    sample a fixed fraction at every scale; the pos<8 cap bounds fan-out
+    per document. DuckDB spells the same thing as generate_subscripts +
+    unnest. Explode runs inside whole-stage codegen — no shuffle at all
+    until the final presentation sort."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+        )
+        .filter(F.col("pos") < 8)
+        .orderBy("doc_id", "pos")
+    )
+
+
+@register(
+    "q_null_handling_funcs",
+    """
+    SELECT c_custkey,
+           nullif(c_mktsegment, 'BUILDING')            AS seg_or_null,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'suppressed')
+                                                       AS seg_filled,
+           CAST(least(c_acctbal, 0.0) AS DOUBLE)       AS overdraft,
+           CAST(greatest(c_acctbal, 0.0) AS DOUBLE)    AS credit,
+           (c_acctbal IS NOT NULL AND c_acctbal < 0)   AS is_negative
+    FROM customer
+    WHERE c_custkey % 10 = 0
+    ORDER BY c_custkey
+    """,
+)
+def q_null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling scalar coverage: nullif / coalesce / least / greatest
+    and null-safe boolean composition. Pure projection — Catalyst folds it
+    into the scan stage; the modulus filter is pushed down so a 10% sample
+    is read at any scale."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    return (
+        c.select(
+            "c_custkey",
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias(
+                "seg_or_null"
+            ),
+            F.coalesce(
+                F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+                F.lit("suppressed"),
+            ).alias("seg_filled"),
+            F.least(F.col("c_acctbal"), F.lit(0.0))
+            .cast("double")
+            .alias("overdraft"),
+            F.greatest(F.col("c_acctbal"), F.lit(0.0))
+            .cast("double")
+            .alias("credit"),
+            (F.col("c_acctbal").isNotNull() & (F.col("c_acctbal") < 0)).alias(
+                "is_negative"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_like_predicates",
+    """
+    SELECT p_brand,
+           CAST(count_if(p_name LIKE '%bolt%') AS BIGINT)           AS n_like,
+           CAST(count_if(p_name ILIKE 'BLUE%') AS BIGINT)           AS n_ilike,
+           CAST(count_if(regexp_matches(p_type, '^(SMALL|MEDIUM)$'))
+                AS BIGINT)                                          AS n_rlike,
+           CAST(count_if(p_name NOT LIKE '%o%') AS BIGINT)          AS n_not_like
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_like_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-predicate coverage: LIKE / ILIKE / RLIKE (regexp) / NOT
+    LIKE, aggregated per brand so the result stays dim-sized at any scale.
+    All four predicates evaluate inside codegen; the grouped count_if
+    aggregation is partial-then-final (map-side combine)."""
+    p = t(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count_if(F.col("p_name").like("%bolt%")).alias("n_like"),
+            F.count_if(F.col("p_name").ilike("BLUE%")).alias("n_ilike"),
+            F.count_if(F.col("p_type").rlike("^(SMALL|MEDIUM)$")).alias(
+                "n_rlike"
+            ),
+            F.count_if(~F.col("p_name").like("%o%")).alias("n_not_like"),
+        )
+        .orderBy("p_brand")
+    )
