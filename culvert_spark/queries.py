@@ -2728,3 +2728,39 @@ def q_like_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "q_rollup_grouping_id",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS status_aggregated,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
+)
+def q_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping_id() / grouping() markers over a rollup: gid is the bitmask
+    of aggregated-away keys (leftmost key = most significant bit — the same
+    convention in Spark and DuckDB), letting a consumer separate detail
+    rows, per-status subtotals, and the grand total in one result. Rollup
+    is one shuffle; the marker columns are computed in the aggregate, not
+    as a second pass."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.grouping("o_orderstatus").cast("bigint").alias(
+                "status_aggregated"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
