@@ -2764,3 +2764,48 @@ def q_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "o_orderstatus", "o_orderpriority")
     )
+
+
+@register(
+    "q_first_last_value",
+    """
+    SELECT c_custkey, c_mktsegment,
+           first_value(c_name) OVER w AS richest_in_segment,
+           last_value(c_name)  OVER w AS poorest_in_segment
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    QUALIFY c_custkey % 20 = 0
+    ORDER BY c_custkey
+    """,
+)
+def q_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value over a full-partition frame: every customer
+    row sees its segment's richest and poorest customer. The frame must be
+    UNBOUNDED..UNBOUNDED (the default last_value frame ends at CURRENT ROW,
+    which silently returns the current row instead of the partition max —
+    the classic window-frame trap). The window computes over full
+    partitions; the modulus sample is applied after (QUALIFY in the
+    oracle), keeping output a fixed fraction at any scale."""
+    c = t(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.first_value(F.col("c_name")).over(w).alias(
+                "richest_in_segment"
+            ),
+            F.last_value(F.col("c_name")).over(w).alias(
+                "poorest_in_segment"
+            ),
+        )
+        .filter(F.col("c_custkey") % 20 == 0)
+        .orderBy("c_custkey")
+    )
