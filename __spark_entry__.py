@@ -41,20 +41,60 @@ except ImportError:  # pragma: no cover
     pass
 
 
+#: Driver CORRECTNESS verification covers the first N registered queries in
+#: registration order.  Round 1 verified 47 queries green (CORRECTNESS_r01);
+#: those do not need re-checking, so round 2 front-loads everything that has
+#: no driver row yet — all textops/vectorops/multimodal queries, TPC-H
+#: q13–q22, and the three newly-oracled queries (q_approx_percentile,
+#: q_approx_distinct, y_ysb_windowed_counts).  Names missing from the
+#: registries are ignored; registered names missing from this list keep
+#: their module registration order after the priority block.
+_PRIORITY = [
+    # TPC-H tail — the hardest subquery shapes, unchecked in r1
+    "q13_order_count_distribution", "q14_promo_share", "q15_top_supplier",
+    "q16_supplier_variety", "q17_below_avg_quantity", "q18_large_orders",
+    "q19_disjunctive_brackets", "q20_supplier_part_share",
+    "q21_sole_late_supplier", "q22_idle_customers",
+    # relational coverage queries unchecked in r1
+    "q_window_rank_suite", "q_agg_funcs_modern", "q_collect_set_segments",
+    "q_histogram_acctbal", "q_sequence_active_months", "q_bitwise_agg",
+    "q_posexplode_tokens", "q_null_handling_funcs", "q_like_predicates",
+    "q_rollup_grouping_id", "q_first_last_value",
+    # text / dedup operators
+    "t_text_stats", "t_quality_scores", "t_token_top20",
+    "t_bpe_token_estimate", "t_lang_id", "t_tfidf_top3",
+    "t_doc_fingerprint", "t_exact_dedup_stats", "t_exact_dedup_groups",
+    "t_train_test_split", "t_ngram_jaccard_pairs", "t_minhash_lsh_pairs",
+    "t_dedup_clusters", "t_simhash_fingerprint",
+    # similarity search
+    "s_cosine_topk", "s_embedding_near_dup", "s_ann_lsh_top1",
+    # multimodal plumbing
+    "m_image_features", "m_frame_sample", "m_audio_features",
+    # vectorized / UDF flavors
+    "v_cosine_topk_pandas", "v_ivf_ann_topk", "v_user_value_zscores",
+    "v_grouped_agg_median", "v_plain_udf_slug", "v_udtf_shingle_top10",
+    # fixed in round 2 (array column crash / no-oracle → hash oracles)
+    "q_approx_percentile", "q_approx_distinct", "y_ysb_windowed_counts",
+]
+
+
+def _ordered(maps: list[dict]) -> dict:
+    merged: dict = {}
+    for m in maps:
+        merged.update(m)
+    out = {k: merged[k] for k in _PRIORITY if k in merged}
+    out.update(merged)  # remaining names keep module registration order
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 shape) on /root/testdata/sf0.001."""
     return _q.q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in _REGISTRIES:
-        out.update(mod.QUERIES)
-    return out
+    return _ordered([mod.QUERIES for mod in _REGISTRIES])
 
 
 def oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {}
-    for mod in _REGISTRIES:
-        out.update(mod.ORACLE)
-    return out
+    return _ordered([mod.ORACLE for mod in _REGISTRIES])

@@ -32,7 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--db", default="default", help="destination database name "
                    "(used only with --table). default = default")
     p.add_argument("--table", default=None,
-                   help="destination saved-table name (enables bucketBy)")
+                   help="destination saved-table name (batch mode: managed "
+                   "table write, --buckets enables bucketBy; streaming mode "
+                   "writes to --output and warns)")
     p.add_argument("-n", "--commit-after-n-rows", type=int, default=1_000_000,
                    help="commit a transaction (micro-batch) about every n "
                    "rows. default = 1_000_000")
@@ -87,18 +89,27 @@ def main(argv: list[str] | None = None) -> int:
     print(f"Starting culvert: writing to {out}", file=sys.stderr)
 
     if args.batch_rows is not None:
+        dest = dict(
+            table=args.table, db=args.db, buckets=args.buckets,
+            seed=args.seed, fmt=args.format,
+        )
         if args.enable_dynamic_partition:
-            ingest.dynamic_partition_ingest(
-                spark, args.batch_rows, out, seed=args.seed, fmt=args.format
-            )
+            ingest.dynamic_partition_ingest(spark, args.batch_rows, out, **dest)
         else:
-            ingest.static_partition_ingest(
-                spark, args.batch_rows, out, seed=args.seed, fmt=args.format
-            )
-        n = spark.read.format(args.format).load(out).count()
+            ingest.static_partition_ingest(spark, args.batch_rows, out, **dest)
+        if args.table:
+            n = spark.table(f"`{args.db}`.`{args.table}`").count()
+        else:
+            n = spark.read.format(args.format).load(out).count()
         print(f"Total rows committed: {n}")
         return 0
 
+    if args.table:
+        print(
+            "warning: --table applies to batch mode (--batch-rows); "
+            f"streaming writes file sink at {out}",
+            file=sys.stderr,
+        )
     with tempfile.TemporaryDirectory(prefix="culvert_ckpt_") as ckpt:
         ingest.run_streaming_ingest(
             spark,

@@ -95,18 +95,35 @@ def batch_ingest(
         writer.save(path)
 
 
+def _table_dest(
+    spark: SparkSession, table: str | None, db: str
+) -> str | None:
+    """Resolve a ``--table``/``--db`` pair to a qualified saved-table name,
+    creating the database on demand (the reference's metastore `db.table`
+    destination, CulvertCLI.java:36-47)."""
+    if not table:
+        return None
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+    return f"`{db}`.`{table}`"
+
+
 def static_partition_ingest(
     spark: SparkSession,
     num_rows: int,
-    path: str,
+    path: str | None,
     stream_id: int = 0,
     columns: list[ColumnSpec] | None = None,
     seed: int = 42,
     fmt: str = "orc",
+    table: str | None = None,
+    db: str = "default",
+    buckets: int | None = None,
 ) -> None:
     """Static-partition mode: every row of stream i lands in partition
     (year=2018, month=i) — 'month' is a stream id, exactly as the reference
-    abuses it (Culvert.java:182)."""
+    abuses it (Culvert.java:182).  With ``table`` the write goes to a
+    managed (optionally bucketed) table instead of ``path`` — the catalog
+    analog of the reference's Hive destination."""
     df = generate(
         spark, num_rows, columns or default_event_columns(), seed=seed,
         start_row=stream_id * num_rows,
@@ -114,7 +131,11 @@ def static_partition_ingest(
     df = df.withColumn("year", F.lit(STATIC_YEAR)).withColumn(
         "month", F.lit(stream_id)
     )
-    batch_ingest(df, path=path, fmt=fmt, partition_by=("year", "month"))
+    batch_ingest(
+        df, path=path, table=_table_dest(spark, table, db), fmt=fmt,
+        partition_by=("year", "month"),
+        bucket_by=(buckets, "user_id") if buckets else None,
+    )
 
 
 def static_parallel_ingest(
@@ -153,10 +174,13 @@ def static_parallel_ingest(
 def dynamic_partition_ingest(
     spark: SparkSession,
     num_rows: int,
-    path: str,
+    path: str | None,
     columns: list[ColumnSpec] | None = None,
     seed: int = 42,
     fmt: str = "orc",
+    table: str | None = None,
+    db: str = "default",
+    buckets: int | None = None,
 ) -> None:
     """Dynamic-partition mode: generated year ∈ [2000,2050), month ∈ [0,12)
     route each row (Stream.java:77-80, Culvert.java:226)."""
@@ -170,7 +194,11 @@ def dynamic_partition_ingest(
     # directory is written by one task (measured ~40x faster) and the
     # downstream table has ~600 well-sized files instead of ~19,000.
     df = df.repartition(F.col("year"), F.col("month"))
-    batch_ingest(df, path=path, fmt=fmt, partition_by=("year", "month"))
+    batch_ingest(
+        df, path=path, table=_table_dest(spark, table, db), fmt=fmt,
+        partition_by=("year", "month"),
+        bucket_by=(buckets, "user_id") if buckets else None,
+    )
 
 
 def reference_ddl_view(df: DataFrame) -> DataFrame:

@@ -77,7 +77,13 @@ def get_spark(
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Register every testdata parquet under ``sf_dir`` as a temp view and
     return {name: DataFrame}. Scans are lazy; Catalyst prunes columns and
-    pushes filters into the parquet reader."""
+    pushes filters into the parquet reader.
+
+    ``events`` is routed through :func:`culvert_spark.queries.t` — its
+    ``ts`` column is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
+    read without the nanosAsLong escape hatch plus an explicit ns→µs
+    conversion (reading it with a bare ``spark.read.parquet`` raises)."""
+    from culvert_spark.queries import t as _t
     names = [
         "region",
         "nation",
@@ -94,7 +100,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = _t(spark, sf_dir, name)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

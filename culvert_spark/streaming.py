@@ -21,6 +21,8 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -200,11 +202,17 @@ def merge_dedup_sink(
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         batch = batch_df.dropDuplicates([key])
-        try:
+        # Probe the sink only if it exists: a bare try/except around the
+        # read would also swallow real failures (permissions, corrupt
+        # footers, transient FS errors) and silently write duplicates.
+        sink_has_data = os.path.exists(output_path) and any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(output_path)
+            for f in fs
+        )
+        if sink_has_data:
             existing = spark.read.parquet(output_path).select(key)
             batch = batch.join(existing, on=key, how="left_anti")
-        except Exception:
-            pass  # first batch: sink does not exist yet
         batch.write.format("parquet").mode("append").save(output_path)
 
     return (

@@ -674,6 +674,30 @@ def t_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _reliable_ckpt(spark: SparkSession):
+    """Return a ``DataFrame -> DataFrame`` reliable-checkpoint function.
+
+    Sets the SparkContext checkpoint dir on first use: from
+    ``CULVERT_CHECKPOINT_DIR`` when given (on a cluster this should be a
+    durable shared filesystem — HDFS/object store — so checkpointed state
+    survives executor loss), else a process-temp directory (local-mode
+    default). ``df.checkpoint()`` then materializes to files and cuts
+    lineage — unlike ``localCheckpoint``, whose executor-resident blocks
+    die with the executor."""
+    import os as _os
+    import tempfile as _tempfile
+
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(
+            _os.environ.get(
+                "CULVERT_CHECKPOINT_DIR",
+                _tempfile.mkdtemp(prefix="culvert_ckpt_"),
+            )
+        )
+    return lambda df: df.checkpoint()
+
+
 def _minhash_sigs_and_cands(spark: SparkSession, sf_dir: str):
     """Shared MinHash pipeline: (signatures, LSH candidate pairs)."""
     d = t(spark, sf_dir, "documents")
@@ -775,22 +799,24 @@ def t_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters are tiny, so 2-4 rounds; hard cap 15). The oracle is a DuckDB
     recursive CTE computing min-reachable-label per node, which is the same
     fixpoint. Each round shuffles only the candidate-graph nodes (O(dups),
-    not O(corpus)); lineage is truncated with localCheckpoint so plans
-    don't grow with iterations."""
+    not O(corpus)); lineage is truncated with RELIABLE checkpoints
+    (written to ``CULVERT_CHECKPOINT_DIR``, default a session temp dir) so
+    plans don't grow with iterations AND the materialized state survives
+    executor loss — ``localCheckpoint`` keeps blocks in executor storage,
+    which on a real cluster turns one lost executor into a failed job."""
+    ckpt = _reliable_ckpt(spark)
     _, cand = _minhash_sigs_and_cands(spark, sf_dir)
-    edges = (
+    edges = ckpt(
         cand.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(
             cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = ckpt(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint()
     )
     for _ in range(15):
         neighbor_min = (
@@ -798,7 +824,7 @@ def t_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
@@ -806,7 +832,6 @@ def t_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
