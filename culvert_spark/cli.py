@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-rows", type=int, default=None,
                    help="run one BATCH generate+write of this many rows "
                    "instead of the streaming loop")
+    p.add_argument("--multi-query", action="store_true",
+                   help="run P INDEPENDENT streaming queries with staggered "
+                   "launches (-l), one checkpoint + output dir per stream — "
+                   "the reference's thread-per-stream shape "
+                   "(Culvert.java:105-108); default is the fused "
+                   "single-query design")
     return p
 
 
@@ -111,23 +117,37 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
     with tempfile.TemporaryDirectory(prefix="culvert_ckpt_") as ckpt:
-        ingest.run_streaming_ingest(
-            spark,
-            output_path=out,
-            checkpoint_root=ckpt,
-            num_streams=args.parallelism,
-            commit_after_rows=args.commit_after_n_rows,
-            events_per_second=args.events_per_second,
-            timeout_ms=args.timeout,
-            dynamic_partitioning=args.enable_dynamic_partition,
-            stream_launch_delay_ms=args.stream_launch_delay,
-            transaction_batch_size=args.transaction_batch_size,
-            enable_auto_flush=not args.disable_auto_flush,
-            streaming_optimizations=not args.disable_streaming_optimization,
-            seed=args.seed,
-            buckets=args.buckets,
-            fmt=args.format,
-        )
+        if args.multi_query:
+            ingest.run_streaming_ingest_multi(
+                spark,
+                output_path=out,
+                checkpoint_root=ckpt,
+                num_streams=args.parallelism,
+                commit_after_rows=args.commit_after_n_rows,
+                events_per_second=args.events_per_second,
+                timeout_ms=args.timeout,
+                stream_launch_delay_ms=args.stream_launch_delay,
+                seed=args.seed,
+                fmt=args.format,
+            )
+        else:
+            ingest.run_streaming_ingest(
+                spark,
+                output_path=out,
+                checkpoint_root=ckpt,
+                num_streams=args.parallelism,
+                commit_after_rows=args.commit_after_n_rows,
+                events_per_second=args.events_per_second,
+                timeout_ms=args.timeout,
+                dynamic_partitioning=args.enable_dynamic_partition,
+                stream_launch_delay_ms=args.stream_launch_delay,
+                transaction_batch_size=args.transaction_batch_size,
+                enable_auto_flush=not args.disable_auto_flush,
+                streaming_optimizations=not args.disable_streaming_optimization,
+                seed=args.seed,
+                buckets=args.buckets,
+                fmt=args.format,
+            )
     return 0
 
 

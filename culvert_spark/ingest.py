@@ -289,7 +289,10 @@ def run_streaming_ingest(
     txn protocol (SURVEY §7.2).
     """
     del enable_auto_flush, streaming_optimizations, transaction_batch_size
-    del stream_launch_delay_ms  # single-query design: nothing to stagger
+    # Fused single-query design: nothing to stagger — P streams are P source
+    # partitions of one query. For reference-shaped P *independent* queries
+    # with staggered launches (CLI -l), see run_streaming_ingest_multi.
+    del stream_launch_delay_ms
     stats = [StreamStats(name=f"stream-{i}") for i in range(num_streams)]
     # Micro-batch ≈ commit_after_rows PER STREAM: trigger = N / eps seconds
     # (bounded so tiny test configs still commit several batches).
@@ -389,6 +392,133 @@ def run_streaming_ingest(
     drain_progress(q)
     if exc is not None:
         raise RuntimeError(f"streaming ingest query failed: {exc}")
+
+    report = IngestReport(timeout_ms=timeout_ms, streams=stats)
+    if not quiet:
+        print(report.render())
+    return report
+
+
+def run_streaming_ingest_multi(
+    spark: SparkSession,
+    output_path: str,
+    checkpoint_root: str,
+    num_streams: int = 1,
+    commit_after_rows: int = 1_000_000,
+    events_per_second: int = 10_000,
+    timeout_ms: int = 60_000,
+    stream_launch_delay_ms: int = 0,
+    columns: list[ColumnSpec] | None = None,
+    seed: int = 42,
+    fmt: str = "orc",
+    quiet: bool = False,
+) -> IngestReport:
+    """Reference-shaped parallel ingest: P *independent* streaming queries,
+    launched with a stagger of ``stream_launch_delay_ms`` between starts —
+    exactly the reference's thread-launch loop (Culvert.java:105-108, CLI
+    ``-l`` CulvertCLI.java:87-93) — each with its own checkpoint, its own
+    rate governor, and its own output directory.
+
+    The fused single-query mode (run_streaming_ingest) is the better Spark
+    design (one scheduler, shared batch clock, no committer contention) and
+    remains the default; this mode exists for parity when the *ramp-up
+    behavior itself* is what's being benchmarked, and as the shape you'd
+    use to ingest P genuinely unrelated topics/tables.
+
+    Isolation notes:
+    - separate output dirs per stream (``stream-i/``): concurrent batch
+      writers into ONE directory race on FileOutputCommitter's shared
+      ``_temporary/0`` staging dir — distinct roots make every commit
+      private (on a cluster, a DSv2/table-format sink would serialize
+      commits instead);
+    - separate checkpoints: each query's commit log is its own exactly-once
+      domain, so one stream restarting never replays another's batches;
+    - per-stream seed offset keeps generated rows globally distinct
+      (stream i generates the same deterministic stream as a reference
+      writer thread with its own RNG).
+    """
+    stats = [StreamStats(name=f"stream-{i}") for i in range(num_streams)]
+    trigger_s = min(10.0, max(0.2, commit_after_rows / max(1, events_per_second)))
+    cols = columns or default_event_columns()
+
+    queries = []
+    seen: list[set[int]] = [set() for _ in range(num_streams)]
+
+    def make_writer(i: int):
+        stream_dir = os.path.join(output_path, f"stream-{i}")
+
+        def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            (
+                batch_df.withColumn("year", F.lit(STATIC_YEAR))
+                .withColumn("month", F.lit(i))
+                .write.format(fmt)
+                .mode("append")
+                .partitionBy("year", "month")
+                .save(stream_dir)
+            )
+
+        return write_batch
+
+    def drain(i: int, q) -> None:
+        for p in q.recentProgress:
+            bid = p["batchId"]
+            if bid in seen[i]:
+                continue
+            seen[i].add(bid)
+            row = (p.get("observedMetrics") or {}).get("committed")
+            if row is None or not row["n"]:
+                continue
+            s = stats[i]
+            s.rows_committed += row["n"]
+            s.txns_committed += 1
+            if not quiet:
+                print(
+                    f"Stream [{s.name}] committed {s.txns_committed} "
+                    f"transactions [rows: {s.rows_committed}]"
+                )
+
+    for i in range(num_streams):
+        src = generate_stream(
+            spark,
+            rows_per_second=events_per_second,
+            columns=cols,
+            seed=seed + i,
+            num_partitions=1,
+        ).observe("committed", F.count(F.lit(1)).alias("n"))
+        q = (
+            src.writeStream.foreachBatch(make_writer(i))
+            .option(
+                "checkpointLocation",
+                os.path.join(checkpoint_root, f"stream-{i}"),
+            )
+            .trigger(processingTime=f"{trigger_s} seconds")
+            .queryName(f"culvert-stream-{i}")
+            .start()
+        )
+        queries.append(q)
+        # The reference sleeps BETWEEN launches, including after the last
+        # (Culvert.java:105-108 sleeps inside the loop body).
+        if stream_launch_delay_ms and i < num_streams - 1:
+            time.sleep(stream_launch_delay_ms / 1000.0)
+
+    deadline = time.monotonic() + timeout_ms / 1000.0
+    while time.monotonic() < deadline:
+        time.sleep(min(0.5, max(0.0, deadline - time.monotonic())))
+        for i, q in enumerate(queries):
+            drain(i, q)
+    excs = [q.exception() for q in queries]
+    for q in queries:
+        q.stop()
+    for q in queries:
+        try:
+            q.awaitTermination(60)
+        except Exception:
+            pass
+    for i, q in enumerate(queries):
+        drain(i, q)
+    for exc in excs:
+        if exc is not None:
+            raise RuntimeError(f"streaming ingest query failed: {exc}")
 
     report = IngestReport(timeout_ms=timeout_ms, streams=stats)
     if not quiet:

@@ -201,3 +201,92 @@ def test_bucketed_managed_table(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(user_id" not in plan
     spark.sql("DROP TABLE culvert_bucketed")
+
+
+def test_multi_query_streaming_stagger(spark, tmp_path):
+    """Reference-shaped parallel ingest (Culvert.java:105-108): P
+    INDEPENDENT queries with staggered launches, each with its own
+    checkpoint and output dir, per-stream committed reports."""
+    import time as _time
+
+    out = str(tmp_path / "multi_out")
+    ckpt = str(tmp_path / "multi_ckpt")
+    t0 = _time.monotonic()
+    report = ingest.run_streaming_ingest_multi(
+        spark,
+        output_path=out,
+        checkpoint_root=ckpt,
+        num_streams=2,
+        commit_after_rows=2_000,
+        events_per_second=8_000,
+        timeout_ms=6_000,
+        stream_launch_delay_ms=400,
+        quiet=True,
+    )
+    elapsed = _time.monotonic() - t0
+    # Launch loop staggers BEFORE the shared timeout clock starts.
+    assert elapsed >= 0.4 + 6.0
+    assert report.total_rows_committed > 0
+    assert all(s.txns_committed >= 1 for s in report.streams)
+    # Committer isolation: one directory per stream, one checkpoint per
+    # stream (concurrent writers into one dir race on _temporary/0).
+    for i in range(2):
+        stream_dir = os.path.join(out, f"stream-{i}")
+        back = spark.read.orc(stream_dir)
+        assert back.count() >= report.streams[i].rows_committed
+        months = {r.month for r in back.select("month").distinct().collect()}
+        assert months == {i}
+        assert os.path.isdir(os.path.join(ckpt, f"stream-{i}", "commits"))
+    # Independent seeds: the two streams generate distinct row streams.
+    a = spark.read.orc(os.path.join(out, "stream-0")).select("user_id").limit(5).collect()
+    b = spark.read.orc(os.path.join(out, "stream-1")).select("user_id").limit(5).collect()
+    assert a != b
+
+
+def test_reader_sees_only_committed_batches(spark, tmp_path):
+    """Micro-batch == transaction, reader-visible (Stream.java:66,194-201
+    analog): the native file sink journals every batch in _spark_metadata,
+    and batch readers of that path plan from the journal — so a concurrent
+    reader's row count only ever jumps by whole committed batches, never a
+    partial batch's files (the journal entry is written AFTER the batch's
+    files, single atomic rename)."""
+    import time as _time
+
+    from culvert_spark.generator import generate_stream
+
+    out = str(tmp_path / "acid_out")
+    ckpt = str(tmp_path / "acid_ckpt")
+    src = generate_stream(spark, rows_per_second=5_000, seed=7)
+    q = (
+        src.writeStream.format("orc")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    observed: list[int] = []
+    try:
+        deadline = _time.monotonic() + 10.0
+        while _time.monotonic() < deadline:
+            if os.path.isdir(out):
+                try:
+                    observed.append(spark.read.orc(out).count())
+                except Exception:
+                    pass  # sink dir exists but no committed batch yet
+            _time.sleep(0.15)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    # Committed batch sizes from the query's own progress journal.
+    batch_rows = [
+        int(p["numInputRows"]) for p in q.recentProgress if p["numInputRows"]
+    ]
+    assert sum(batch_rows) > 0, "no batches committed in the window"
+    valid = {0}
+    acc = 0
+    for n in batch_rows:
+        acc += n
+        valid.add(acc)
+    assert observed, "reader never polled the sink"
+    bad = [c for c in observed if c not in valid]
+    assert not bad, f"reader observed partial batches: {bad} not in {sorted(valid)}"

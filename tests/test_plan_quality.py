@@ -102,3 +102,43 @@ def test_window_topk_single_shuffle(spark):
     plan = executed_plan(spark, "q_top3_orders_per_customer")
     assert "Window" in plan
     assert "TakeOrderedAndProject" not in plan  # it's per-group, not global
+
+
+def test_minhash_lsh_candidates_hash_join(spark):
+    """LSH candidate generation must be an equi-join on (band, band
+    signature) — hash-partitioned or broadcast — never a nested-loop /
+    cartesian pairing, which is the O(n^2) shape LSH exists to avoid."""
+    plan = executed_plan(spark, "t_minhash_lsh_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), "candidate pairing lost its equi-join"
+
+
+def test_cosine_topk_broadcasts_query_side(spark):
+    """Brute-force cosine top-k scans the corpus once and BROADCASTS the
+    (small) query set: no shuffle of the corpus, no nested loop."""
+    plan = executed_plan(spark, "s_cosine_topk")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_ann_probe_is_cell_equi_join(spark):
+    """IVF search joins probe cells to the inverted index on the cell id —
+    an equi-join (broadcastable: the probe side is queries x nprobe rows),
+    not an all-pairs scan."""
+    plan = executed_plan(spark, "v_ivf_ann_topk")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_dedup_clusters_plan_stays_bounded(spark):
+    """Reliable checkpoints must truncate the iterative label-propagation
+    lineage: the final plan reads checkpointed RDDs (Scan ExistingRDD),
+    not a 15-round join tree."""
+    plan = executed_plan(spark, "t_dedup_clusters")
+    assert plan.count("Join") < 10, "lineage not truncated across iterations"
