@@ -80,7 +80,20 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    import hashlib
+    import re
+
+    def plan_fingerprint(df) -> str:
+        """Stable hash of the optimized logical plan: expression ids and
+        path roots are normalized so the fingerprint only changes when the
+        plan SHAPE changes — the round-over-round regression tripwire."""
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        plan = re.sub(r"#\d+[L]?", "#", plan)
+        plan = re.sub(r"file:[^,\]\s]+", "file:", plan)
+        return hashlib.sha256(plan.encode()).hexdigest()[:12]
+
     timings: dict[str, float] = {}
+    details: dict[str, dict] = {}
     for name in HEADLINE:
         fn = registry[name]
         # Best of two runs: the first execution of a query pays one-time
@@ -92,6 +105,12 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
+        out_df = fn(spark, SF_DIR)
+        details[name] = {
+            "sec": round(best, 3),
+            "out_rows": out_df.count(),
+            "plan": plan_fingerprint(out_df),
+        }
 
     # Ingest throughput — the reference's own metric (BASELINE.md: committed
     # rows/sec into a partitioned ORC table; its 1.535M rows/s run used 64
@@ -154,16 +173,43 @@ def main() -> None:
             output_path=stream_out,
             checkpoint_root=stream_ckpt,
             num_streams=n_streams,
-            # Offered rate ~= sustained write rate so micro-batches stay
-            # ~1s; over-offering grows the backlog into giant batches whose
-            # in-flight counts are lost at the stop deadline.
-            commit_after_rows=46_875,
-            events_per_second=46_875,  # per stream → 1.5M/s aggregate
-            timeout_ms=25_000,
+            # Offered rate sits ABOVE the expected sustained rate (1.8M/s
+            # aggregate vs ~1.4M sustained) so the sink, not the source, is
+            # the measured bottleneck. The whole-run committed count loses
+            # in-flight rows at the deadline when over-offered — which is
+            # why rows_per_sec below is the median STEADY-STATE window rate,
+            # not rows/window.
+            commit_after_rows=56_250,
+            events_per_second=56_250,  # per stream → 1.8M/s aggregate
+            timeout_ms=32_000,
             quiet=True,
         )
         stream_rows = report.total_rows_committed
         stream_rps = report.rows_per_second
+        # Steady-state window rates: start at the first sample with
+        # committed rows (query-start latency is unbounded on a noisy
+        # host — a fixed ramp fraction can leave a zero window), split
+        # the rest into 3 equal spans, rate = drows/dt per span.
+        # Median-of-3 beats the 2-8x host CPU-steal variance a single
+        # window is exposed to; min/max is the recorded variance band.
+        window_rates: list[int] = []
+        s = report.samples
+        first_commit = next(
+            (i for i, (_, n) in enumerate(s) if n > 0), len(s)
+        )
+        if len(s) - first_commit >= 6:
+            start_i = first_commit
+            span = (len(s) - start_i) // 3
+            for k in range(3):
+                a = s[start_i + k * span]
+                b = s[start_i + (k + 1) * span - 1] if k < 2 else s[-1]
+                dt = b[0] - a[0]
+                if dt > 0:
+                    window_rates.append(int((b[1] - a[1]) / dt))
+        window_rates.sort()
+        stream_median_rps = (
+            window_rates[len(window_rates) // 2] if window_rates else stream_rps
+        )
     finally:
         shutil.rmtree(stream_ckpt, ignore_errors=True)
         shutil.rmtree(stream_out, ignore_errors=True)
@@ -188,13 +234,17 @@ def main() -> None:
                 },
                 "streaming_ingest": {
                     "rows_committed": stream_rows,
-                    "window_ms": 25_000,
-                    "rows_per_sec": stream_rps,
+                    "window_ms": 32_000,
+                    "rows_per_sec": stream_median_rps,
+                    "whole_run_rows_per_sec": stream_rps,
+                    "window_rates": window_rates,
                     "mode": (
                         f"rate source, {n_streams} streams, micro-batch "
-                        "txns to partitioned ORC"
+                        "txns to partitioned ORC; rows_per_sec = median of "
+                        "3 steady-state sub-windows (ramp-up excluded)"
                     ),
                 },
+                "query_details": details,
             }
         )
     )

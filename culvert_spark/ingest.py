@@ -234,10 +234,16 @@ class StreamStats:
 
 @dataclass
 class IngestReport:
-    """Aggregate throughput report (Culvert.java:165-171)."""
+    """Aggregate throughput report (Culvert.java:165-171).
+
+    ``samples`` is a (monotonic_seconds, total_rows_committed) time series
+    recorded at every progress drain — consumers can compute steady-state
+    window rates from it (bench.py takes the median of three sub-window
+    rates to beat host-level run-to-run variance)."""
 
     timeout_ms: int
     streams: list[StreamStats] = field(default_factory=list)
+    samples: list[tuple[float, int]] = field(default_factory=list)
 
     @property
     def total_rows_committed(self) -> int:
@@ -380,9 +386,13 @@ def run_streaming_ingest(
     # batches commit, so the recentProgress ring buffer can't overflow on
     # long runs), then stop.
     deadline = time.monotonic() + timeout_ms / 1000.0
+    samples: list[tuple[float, int]] = []
     while time.monotonic() < deadline:
         time.sleep(min(0.5, max(0.0, deadline - time.monotonic())))
         drain_progress(q)
+        samples.append(
+            (time.monotonic(), sum(s.rows_committed for s in stats))
+        )
     exc = q.exception()
     q.stop()
     try:
@@ -390,10 +400,11 @@ def run_streaming_ingest(
     except Exception:
         pass
     drain_progress(q)
+    samples.append((time.monotonic(), sum(s.rows_committed for s in stats)))
     if exc is not None:
         raise RuntimeError(f"streaming ingest query failed: {exc}")
 
-    report = IngestReport(timeout_ms=timeout_ms, streams=stats)
+    report = IngestReport(timeout_ms=timeout_ms, streams=stats, samples=samples)
     if not quiet:
         print(report.render())
     return report

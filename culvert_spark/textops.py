@@ -1128,3 +1128,343 @@ def s_ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline quality filters (round 2 additions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_repetition_metrics",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_split_to_array(text, '\s+') AS toks
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+      FROM base),
+    bg AS (
+      SELECT m.doc_id, u.bg, COUNT(*) AS c
+      FROM m, UNNEST(m.bigrams) AS u(bg)
+      GROUP BY m.doc_id, u.bg),
+    top_bg AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM bg GROUP BY doc_id)
+    SELECT m.doc_id, m.n_tokens, m.n_distinct,
+           ROUND(1.0 - CAST(m.n_distinct AS DOUBLE) / m.n_tokens, 6)
+             AS dup_word_frac,
+           t.top_bigram_n,
+           ROUND(CAST(t.top_bigram_n AS DOUBLE) / (m.n_tokens - 1), 6)
+             AS top_bigram_frac,
+           CAST((1.0 - CAST(m.n_distinct AS DOUBLE) / m.n_tokens) > 0.8
+                OR CAST(t.top_bigram_n AS DOUBLE) / (m.n_tokens - 1) > 0.18
+                AS INT) AS flag_repetitive
+    FROM m JOIN top_bg t USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def t_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters per document: duplicate-word
+    fraction (1 - distinct/total) and most-frequent-bigram fraction, plus
+    the keep/drop flag a pretraining pipeline would gate on (thresholds
+    0.8 / 0.18 after Rae et al. 2021's repetition cut family).
+
+    Scale shape: the bigram top count is explode → (doc_id, bigram) count
+    → per-doc max — two partial-aggregated shuffles keyed by doc_id, no
+    per-doc state beyond the hash slots; every fraction is exact integer
+    arithmetic cast once at the end."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    base = d.withColumn("toks", F.split(F.col("text"), r"\s+"))
+    m = base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.expr(
+            "transform(sequence(0, size(toks) - 2),"
+            " i -> concat(toks[i], ' ', toks[i+1]))"
+        ).alias("bigrams"),
+    )
+    top_bg = (
+        m.select("doc_id", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    dup_frac = 1.0 - F.col("n_distinct").cast("double") / F.col("n_tokens")
+    bg_frac = F.col("top_bigram_n").cast("double") / (F.col("n_tokens") - 1)
+    return (
+        m.drop("bigrams")
+        .join(top_bg, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(dup_frac, 6).alias("dup_word_frac"),
+            "top_bigram_n",
+            F.round(bg_frac, 6).alias("top_bigram_frac"),
+            ((dup_frac > 0.8) | (bg_frac > 0.18)).cast("int").alias(
+                "flag_repetitive"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "t_pack_sequences",
+    r"""
+    WITH d AS (
+      SELECT source, doc_id,
+             len(regexp_split_to_array(text, '\s+')) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) / 256) AS BIGINT) AS seq_id
+      FROM d)
+    SELECT source, seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY source, seq_id
+    ORDER BY source, seq_id
+    """,
+)
+def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: concatenate documents (per source, in
+    deterministic doc_id order) into fixed token-budget sequences of 256
+    tokens — the streaming-concat packing every pretraining data loader
+    performs. ``seq_id = floor(running_tokens_before / budget)``.
+
+    Scale shape: one window over (source, doc_id) — state is a running
+    sum per partition key, and at 100 TB the partition key would include a
+    shard component (e.g. hash(doc_id) div shard_rows) so no single
+    source's window serializes on one task."""
+    d = spread(t(spark, sf_dir, "documents").select("source", "doc_id", "text"))
+    d = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = d.withColumn(
+        "seq_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 256
+        ).cast("bigint"),
+    )
+    return (
+        packed.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
+_GRAM5_SPARK = (
+    "array_distinct(CASE WHEN size(toks) >= 5 THEN"
+    " transform(sequence(0, size(toks) - 5),"
+    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))"
+    " ELSE array() END)"
+)
+_GRAM5_DUCK = r"""
+    SELECT doc_id, u.sh
+    FROM (SELECT doc_id,
+                 list_distinct(CASE WHEN len(toks) >= 5 THEN
+                   list_transform(range(1, len(toks) - 3),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          || ' ' || toks[i+3] || ' ' || toks[i+4])
+                   ELSE [] END) AS shs
+          FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+                FROM documents)),
+         UNNEST(shs) AS u(sh)
+"""
+
+
+@register(
+    "t_contamination_check",
+    f"""
+    WITH sh AS ({_GRAM5_DUCK}),
+    bench AS (SELECT DISTINCT sh, doc_id AS bench_id FROM sh
+              WHERE doc_id % 97 = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+    SELECT t.doc_id,
+           COUNT(DISTINCT b.bench_id) AS n_bench_docs,
+           COUNT(DISTINCT t.sh) AS n_shared_5grams
+    FROM train t JOIN bench b ON t.sh = b.sh
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def t_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screening: flag training documents sharing
+    any word-5-gram with a held-out benchmark set (docs with
+    ``doc_id % 97 == 0`` stand in for the eval suite). Reports how many
+    benchmark documents each contaminated training doc overlaps and on how
+    many distinct 5-grams — the evidence needed to decide drop vs scrub.
+
+    Scale shape: the overlap test is an equi-join ON THE 5-GRAM between
+    the (small, broadcastable) benchmark shingle set and the corpus
+    shingles — O(corpus shingles), never all-pairs of documents."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = (
+        d.withColumn("toks", F.split(F.col("text"), r"\s+"))
+        .select("doc_id", F.explode(F.expr(_GRAM5_SPARK)).alias("sh"))
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "sh")
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+            F.countDistinct("sh").alias("n_shared_5grams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# 16 extra deterministic hyperplanes for the multi-band near-dup LSH
+# (8 bands x 2 bits). Distinct hash salt from _SIGNS so the two LSH
+# operators are independent.
+_SIGNS16 = [
+    [
+        1 if hashlib.md5(f"band16:{j},{d_}".encode()).digest()[0] % 2 == 0 else -1
+        for d_ in range(DIM)
+    ]
+    for j in range(16)
+]
+
+
+def _proj16(alias: str, p: int, spark_dialect: bool) -> str:
+    terms = []
+    for d_ in range(DIM):
+        idx = d_ if spark_dialect else d_ + 1
+        cast = "cast" if spark_dialect else "CAST"
+        sgn = "+" if _SIGNS16[p][d_] > 0 else "-"
+        terms.append(f"{sgn} {cast}({alias}[{idx}] AS DOUBLE)")
+    return "(" + " ".join(terms) + ")"
+
+
+def _band_bucket16(alias: str, j: int, spark_dialect: bool) -> str:
+    """2-bit bucket of band j from hyperplanes 2j and 2j+1."""
+    b0 = f"(CASE WHEN {_proj16(alias, 2 * j, spark_dialect)} > 0 THEN 1 ELSE 0 END)"
+    b1 = f"(CASE WHEN {_proj16(alias, 2 * j + 1, spark_dialect)} > 0 THEN 2 ELSE 0 END)"
+    return f"({b0} + {b1})"
+
+
+_NEAR_DUP_BANDS = 8
+_NEAR_DUP_THRESHOLD = 0.4
+
+
+def _near_dup_bands_duck() -> str:
+    selects = [
+        f"SELECT vec_id, {j} AS band,"
+        f" {_band_bucket16('embedding', j, False)} AS bucket"
+        " FROM embeddings"
+        for j in range(_NEAR_DUP_BANDS)
+    ]
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "s_near_dup_lsh_verified",
+    f"""
+    WITH bands AS ({_near_dup_bands_duck()}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT c.vec_a, c.vec_b,
+           ROUND({_dot_duck('a.embedding', 'b.embedding')}
+                 / (sqrt({_dot_duck('a.embedding', 'a.embedding')})
+                    * sqrt({_dot_duck('b.embedding', 'b.embedding')})), 4) AS cos
+    FROM cand c
+    JOIN e a ON a.vec_id = c.vec_a
+    JOIN e b ON b.vec_id = c.vec_b
+    WHERE {_dot_duck('a.embedding', 'b.embedding')}
+          / (sqrt({_dot_duck('a.embedding', 'a.embedding')})
+             * sqrt({_dot_duck('b.embedding', 'b.embedding')})) >= {_NEAR_DUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def s_near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: multi-band hyperplane LSH
+    candidates (8 bands x 2 bits — collision prob for a true cos>=0.4 pair
+    per band ~0.4, across 8 bands ~0.98) followed by an EXACT cosine check,
+    so precision is 1.0 and only recall is approximate. This is the
+    100 TB replacement for the all-pairs baseline (s_embedding_near_dup):
+    candidates come from equi-joins on (band, bucket) — cost
+    O(bucket occupancy), never O(n^2) — and the exact verify touches only
+    candidate pairs. tests/ pins recall >= 0.9 against the brute-force
+    oracle at sf0.001.
+
+    The DuckDB oracle replicates the same bands + verify, so the driver
+    hash-checks the distributed implementation, not the (data-dependent)
+    recall."""
+    e = spread(t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    bands = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.expr(_band_bucket16("embedding", j, True)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for j in range(_NEAR_DUP_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    cos = F.expr(_dot_spark("va", "vb")) / (
+        F.sqrt(F.expr(_dot_spark("va", "va")))
+        * F.sqrt(F.expr(_dot_spark("vb", "vb")))
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= _NEAR_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))
+        .orderBy("vec_a", "vec_b")
+    )

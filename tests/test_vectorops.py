@@ -85,3 +85,23 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     hits = sum(len(btop[q] & itop[q]) for q in btop.index)
     total = sum(len(btop[q]) for q in btop.index)
     assert hits / total >= 0.8, f"recall@3 too low: {hits}/{total}"
+
+
+def test_near_dup_lsh_recall_and_precision(spark):
+    """s_near_dup_lsh_verified vs the exact all-pairs baseline: the exact
+    cosine verify makes precision 1.0 by construction (returned set must be
+    a subset of the brute-force pairs); multi-band LSH recall gated at 0.9."""
+    from culvert_spark import textops
+
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in textops.QUERIES["s_embedding_near_dup"](spark, SF_SMALL).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in textops.QUERIES["s_near_dup_lsh_verified"](spark, SF_SMALL).collect()
+    }
+    assert lsh <= exact, f"false positives: {lsh - exact}"
+    assert exact, "baseline found no pairs — threshold drifted"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"recall too low: {recall:.3f}"
