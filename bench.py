@@ -161,6 +161,7 @@ def main() -> None:
             events_per_second=46_875,
             timeout_ms=8_000,
             quiet=True,
+            fixed_rows_per_batch=1_500_000,
         )
     finally:
         shutil.rmtree(warm_ckpt, ignore_errors=True)
@@ -173,16 +174,20 @@ def main() -> None:
             output_path=stream_out,
             checkpoint_root=stream_ckpt,
             num_streams=n_streams,
-            # Offered rate sits ABOVE the expected sustained rate (1.8M/s
-            # aggregate vs ~1.4M sustained) so the sink, not the source, is
-            # the measured bottleneck. The whole-run committed count loses
-            # in-flight rows at the deadline when over-offered — which is
-            # why rows_per_sec below is the median STEADY-STATE window rate,
-            # not rows/window.
-            commit_after_rows=56_250,
-            events_per_second=56_250,  # per stream → 1.8M/s aggregate
+            # Fixed 3M-row micro-batches (the reference's commitAfterNRows
+            # shape) running back-to-back: the sink paces commits, so
+            # committed rows/s IS sustained sink throughput. A time-based
+            # offer instead snowballs any backlog into one giant in-flight
+            # batch that can outlive the deadline with zero commits
+            # (measured: 24M rows committed vs 1.8M on consecutive runs).
+            # 3M per batch amortizes per-batch planning/commit overhead to
+            # ~batch-write throughput (measured 1.9M rows/s vs 0.8M at
+            # 1.5M-row batches); 6M regresses (writeback pressure).
+            commit_after_rows=3_000_000,
+            events_per_second=3_000_000,
             timeout_ms=32_000,
             quiet=True,
+            fixed_rows_per_batch=3_000_000,
         )
         stream_rows = report.total_rows_committed
         stream_rps = report.rows_per_second

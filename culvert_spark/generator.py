@@ -233,19 +233,36 @@ def generate_stream(
     seed: int = 42,
     num_partitions: int = 1,
     keep_row_id: bool = False,
+    fixed_rows_per_batch: int | None = None,
 ) -> DataFrame:
     """Unbounded generator: rate source → same expressions keyed on the rate
     source's monotonically increasing ``value``. Parallelism = source
     partitions (the Spark analog of P reference streams, Culvert.java:56);
     rows/sec is governed by the source, replacing the reference's per-row
-    sleep throttle (Stream.java:203-205)."""
+    sleep throttle (Stream.java:203-205).
+
+    ``fixed_rows_per_batch`` switches to the ``rate-micro-batch`` source:
+    every micro-batch carries exactly that many rows regardless of wall
+    time. The time-based source accumulates a BACKLOG when the sink is
+    slower than the offer — the next batch grows with everything that
+    accrued, and one over-sized batch can outlive a benchmark deadline
+    with zero commits. Fixed-size batches make a slow sink commit *later*,
+    never *bigger* — the property a committed-rows/s measurement needs."""
     columns = columns or default_event_columns()
-    src = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", rows_per_second)
-        .option("numPartitions", num_partitions)
-        .load()
-    )
+    if fixed_rows_per_batch is not None:
+        src = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", fixed_rows_per_batch)
+            .option("numPartitions", num_partitions)
+            .load()
+        )
+    else:
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second)
+            .option("numPartitions", num_partitions)
+            .load()
+        )
     id_col = F.col("value")
     exprs = [expr_for(c, id_col, seed) for c in columns]
     if keep_row_id:

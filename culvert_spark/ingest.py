@@ -283,6 +283,7 @@ def run_streaming_ingest(
     buckets: int | None = None,
     fmt: str = "orc",
     quiet: bool = False,
+    fixed_rows_per_batch: int | None = None,
 ) -> IngestReport:
     """The full reference run loop (Culvert.startCulvert → run → report):
     launch P rate-governed streaming queries (optionally staggered), each
@@ -314,7 +315,12 @@ def run_streaming_ingest(
         seed=seed,
         num_partitions=num_streams,
         keep_row_id=True,
+        fixed_rows_per_batch=fixed_rows_per_batch,
     )
+    if fixed_rows_per_batch is not None:
+        # Fixed-size batches run back-to-back: the sink's sustained
+        # throughput, not the offer, paces commits (see generate_stream).
+        trigger_s = 0.0
     # Reference stream i ↔ rows with row_id % P == i.
     src = src.withColumn(
         "stream_id", F.pmod(F.col("row_id"), F.lit(num_streams)).cast("int")

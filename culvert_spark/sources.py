@@ -93,3 +93,49 @@ def stream_read_dir(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    whole_text: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Plain-text source: one row per line (``value`` string column), or one
+    row per FILE with ``whole_text`` — the raw-corpus entry point of a text
+    pipeline (each file a document, then split/clean/dedupe downstream).
+
+    Scale note: line mode splits large files across tasks; whole_text pins
+    one file to one task and buffers it in memory, so use it only when
+    documents are file-sized (and bound file sizes upstream)."""
+    reader = spark.read
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    return reader.text(path, wholetext=whole_text)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "error") -> None:
+    """Plain-text sink: requires exactly one string column."""
+    df.write.mode(mode).text(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Binary-file source — the multimodal ingestion path: each file becomes
+    one row of (path, modificationTime, length, content binary), ready for
+    the multimodal.py feature extractors (opaque payload + typed metadata).
+
+    Scale note: the reader parallelizes across files (content is NOT
+    splittable); keep payloads at object-granularity (an image, an audio
+    clip) and push directory/glob pruning into the source — the listing is
+    distributed, and only matched files are ever opened."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)

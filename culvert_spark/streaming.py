@@ -240,3 +240,61 @@ def run_to_memory_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """The same running (count, sum(value)) per user as
+    running_totals_stateful, on Spark 4's transformWithStateInPandas —
+    the successor stateful API (SPARK-49768 family): typed state handles
+    (value/list/map state), timers, and state-TTL replace the single
+    GroupState tuple of applyInPandasWithState.
+
+    Scale: identical to the older API — state partitioned by the grouping
+    key, Arrow-batched input, RocksDB-backed state store on a cluster.
+
+    Runtime requirements: the RocksDB state-store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` Python package (the state-server protocol is protobuf —
+    absent from this container, so the pytest for this operator skips
+    when the import fails; the applyInPandasWithState twin above is the
+    fully-exercised path here)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql import types as T
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = T.StructType(
+                [
+                    T.StructField("n", T.LongType()),
+                    T.StructField("total", T.DoubleType()),
+                ]
+            )
+            self._state = handle.getValueState("totals", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total = self._state.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType="user_id string, n_events bigint, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -135,3 +135,44 @@ def test_stream_stream_join(spark, tmp_path):
     assert sink.iloc[0]["user_id"] == "u1"
     assert sink.iloc[0]["view_id"] == 1
     assert sink.iloc[0]["purchase_id"] == 11
+
+
+def test_text_round_trip(spark, tmp_path):
+    from culvert_spark import sources
+
+    df = spark.createDataFrame(
+        [("alpha line",), ("beta line",), ("gamma line",)], ["value"]
+    )
+    out = str(tmp_path / "text_out")
+    sources.write_text(df, out)
+    back = sources.read_text(spark, out)
+    assert sorted(r.value for r in back.collect()) == [
+        "alpha line", "beta line", "gamma line",
+    ]
+
+
+def test_text_whole_file_mode(spark, tmp_path):
+    from culvert_spark import sources
+
+    doc_dir = tmp_path / "docs"
+    doc_dir.mkdir()
+    (doc_dir / "a.txt").write_text("line1\nline2")
+    (doc_dir / "b.txt").write_text("solo")
+    back = sources.read_text(spark, str(doc_dir), whole_text=True)
+    vals = sorted(r.value for r in back.collect())
+    assert vals == ["line1\nline2", "solo"]
+
+
+def test_binary_file_source(spark, tmp_path):
+    from culvert_spark import sources
+
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "img1.bin").write_bytes(b"\x89PNGfake")
+    (media / "img2.bin").write_bytes(b"\xff\xd8fake")
+    (media / "skip.txt").write_text("not binary payload")
+    df = sources.read_binary_files(spark, str(media), glob="*.bin")
+    rows = {r.path.split("/")[-1]: r for r in df.collect()}
+    assert set(rows) == {"img1.bin", "img2.bin"}
+    assert bytes(rows["img1.bin"].content) == b"\x89PNGfake"
+    assert rows["img2.bin"].length == 6

@@ -294,3 +294,51 @@ def test_merge_dedup_sink_idempotent(spark, tmp_path):
     q.awaitTermination()
     sink = read_sink(spark, out)
     assert sorted(sink["event_id"]) == [1, 2, 3]
+
+
+def test_running_totals_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 stateful API) accumulates the
+    same per-key state across micro-batches as the applyInPandasWithState
+    twin — typed ValueState instead of the GroupState tuple.
+
+    Skips when protobuf is unavailable: the TWS state-server protocol is
+    protobuf-based and the package is not in this container."""
+    pytest.importorskip("google.protobuf")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    write_batch(src, 1, [
+        ("u1", 1, ts("2024-01-01 10:00:00"), "view", 2.0),
+        ("u1", 2, ts("2024-01-01 10:01:00"), "view", 3.0),
+        ("u2", 3, ts("2024-01-01 10:02:00"), "view", 5.0),
+    ])
+    write_batch(src, 2, [
+        ("u1", 4, ts("2024-01-01 10:10:00"), "view", 10.0),
+    ])
+    src_df = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        st.running_totals_tws(src_df)
+        .writeStream.format("memory")
+        .queryName("tws_sink")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pdf = spark.sql("SELECT * FROM tws_sink").toPandas()
+    final = (
+        pdf.sort_values("n_events").groupby("user_id").last().to_dict("index")
+    )
+    assert final["u1"]["n_events"] == 3
+    assert final["u1"]["total_value"] == pytest.approx(15.0)
+    assert final["u2"]["n_events"] == 1
+    assert final["u2"]["total_value"] == pytest.approx(5.0)
