@@ -266,7 +266,8 @@ _YSB_CACHE = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".cache", 
 @register(
     "y_ysb_windowed_counts",
     f"""
-    SELECT time_bucket(INTERVAL '10 minutes', event_time) AS window_start,
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', event_time),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
            ad_type,
            COUNT(*) AS n
     FROM read_parquet('{_YSB_CACHE}/*.parquet')
@@ -293,7 +294,17 @@ def y_ysb_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ad_type", "event_time")
         .groupBy(F.window("event_time", "10 minutes").alias("w"), "ad_type")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("window_start"), "ad_type", "n")
+        # String-typed window label: collect paths are lossy for raw
+        # timestamps on non-UTC hosts (non-Arrow toPandas mislocalizes
+        # DST-ambiguous local times), and a UTC-formatted string survives
+        # any collect path bit-identically.
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "ad_type",
+            "n",
+        )
         .orderBy("window_start", "ad_type")
     )
 

@@ -1006,9 +1006,10 @@ def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.4, tuned to the
     synthetic corpus where max pairwise cos ≈ 0.51). Labelled brute-force
-    baseline: all-pairs with a<b. The scale path for this op is LSH
-    bucketing (see s_ann_lsh_top1) — kept separate so the oracle stays
-    exact."""
+    baseline: all-pairs with a<b — O(n²), correctness yardstick ONLY; keep
+    it out of any large-SF benchmark. The scale path with the same output
+    contract is s_near_dup_lsh_verified (multi-band LSH candidates + exact
+    cosine verify, recall pinned by pytest)."""
     e = spread(t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
