@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-rows", type=int, default=None,
                    help="run one BATCH generate+write of this many rows "
                    "instead of the streaming loop")
+    p.add_argument("--fixed-batches", action="store_true",
+                   help="make every micro-batch carry exactly "
+                   "--commit-after-n-rows rows (rate-micro-batch source) — "
+                   "the closest analog of the reference's commitAfterNRows "
+                   "txns, and immune to backlog snowballing when the sink "
+                   "is slower than the offer")
     p.add_argument("--multi-query", action="store_true",
                    help="run P INDEPENDENT streaming queries with staggered "
                    "launches (-l), one checkpoint + output dir per stream — "
@@ -147,6 +153,9 @@ def main(argv: list[str] | None = None) -> int:
                 seed=args.seed,
                 buckets=args.buckets,
                 fmt=args.format,
+                fixed_rows_per_batch=(
+                    args.commit_after_n_rows if args.fixed_batches else None
+                ),
             )
     return 0
 
