@@ -2881,3 +2881,53 @@ def q_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") % 20 == 0)
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "q_fuzzy_name_match",
+    """
+    WITH names AS (
+      SELECT DISTINCT p_name,
+             split_part(p_name, ' ', 2) AS block
+      FROM part)
+    SELECT a.block,
+           a.p_name AS name_a,
+           b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY a.block, name_a, name_b
+    """,
+)
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string matching: near-identical product names (edit
+    distance <= 3) found WITHIN a blocking key (the product noun), the
+    classic entity-resolution shape. Blocking turns the O(n^2) all-pairs
+    edit-distance scan into an equi-join on the block plus per-block
+    pairing — at 100 TB the block key bounds every candidate set, and
+    ``levenshtein`` runs JVM-side (identical algorithm in DuckDB, so the
+    oracle hash-checks the distances themselves)."""
+    p = t(spark, sf_dir, "part")
+    names = (
+        p.select("p_name")
+        .distinct()
+        .withColumn("block", F.split(F.col("p_name"), " ").getItem(1))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("block").alias("block")
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("block").alias("block_b")
+    )
+    lev = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(
+            b,
+            (F.col("block") == F.col("block_b"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .filter(lev <= 3)
+        .select("block", "name_a", "name_b", lev.alias("edit_dist"))
+        .orderBy("block", "name_a", "name_b")
+    )
