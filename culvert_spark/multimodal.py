@@ -2,9 +2,13 @@
 
 Media are opaque ``binary`` payload columns plus typed metadata — the
 standard large-scale layout (payload bytes + struct metadata in parquet,
-processed by Arrow-batched Python UDFs). The container has no codec
-libraries, so the *decode* step is a clearly-marked deterministic stub
-(``_fake_decode_*``), while everything Spark-side is real and tested:
+processed by Arrow-batched Python UDFs). Uncompressed containers are
+decoded FOR REAL in pure numpy (PGM/PPM images via ``_decode_pnm``,
+RIFF/WAV PCM16 audio via ``_decode_wav_pcm16`` — real image and audio
+bytes pass through the full pipeline, exercised by tests). Compressed
+formats (JPEG/PNG/MP3/H.264) fall back to a clearly-marked deterministic
+stub because their codec libraries are not in this container; everything
+Spark-side is identical either way and tested:
 
 - schema (binary payload + typed metadata struct),
 - partitioning (mapInPandas preserves the input partitioning; no shuffle),
@@ -12,9 +16,10 @@ libraries, so the *decode* step is a clearly-marked deterministic stub
 - batch shapes (Arrow batches, vectorized numpy per batch),
 - fan-out semantics (frame sampling yields multiple rows per video).
 
-Swap ``_fake_decode_*`` for PIL/ffmpeg/soundfile calls in a real deployment;
-every signature stays the same. Real decoders would raise on corrupt
-payloads — the stubs mimic that for empty payloads.
+Swap the stub branch of ``_decode_image``/``_decode_audio`` for
+PIL/ffmpeg/soundfile calls in a real deployment; every signature stays the
+same. Real decoders raise on corrupt payloads — the stub branch mimics
+that for empty payloads.
 
 Scale notes (100 TB): payloads stream through executors in Arrow batches —
 nothing collects to the driver; per-batch numpy work is O(batch bytes);
@@ -75,27 +80,114 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Decode stubs (STUB: replace with PIL / soundfile / ffmpeg in deployment)
+# Decoders. Uncompressed container formats (PGM/PPM images, RIFF/WAV PCM16
+# audio) are decoded FOR REAL in pure numpy — no codec library needed.
+# Compressed formats (JPEG/PNG/MP3/H.264) fall back to a clearly-marked
+# deterministic stub: their codecs (PIL / soundfile / ffmpeg) are not in
+# this container.
 # ---------------------------------------------------------------------------
 
 
-def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decoder: a real implementation would be PIL.Image.open(BytesIO).
-    Deterministically expands payload bytes into a (height, width) luma
-    plane by tiling, so downstream feature math is real array math."""
+def _decode_pnm(payload: bytes) -> np.ndarray:
+    """Real decoder for binary PGM (P5, grayscale) / PPM (P6, RGB):
+    whitespace/comment-tolerant header parse, then a numpy view over the
+    raster. Returns a (height, width) uint8 luma plane (BT.601 for RGB)."""
+    magic = payload[:2]
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates header and raster
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PNM maxval {maxval}")
+    if magic == b"P5":
+        plane = np.frombuffer(
+            payload, dtype=np.uint8, count=width * height, offset=pos
+        ).reshape(height, width)
+        return plane.copy()
+    rgb = np.frombuffer(
+        payload, dtype=np.uint8, count=3 * width * height, offset=pos
+    ).reshape(height, width, 3)
+    luma = (
+        0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    )
+    return np.round(luma).astype(np.uint8)
+
+
+def _decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real decoder for canonical RIFF/WAVE, PCM 16-bit: walks the chunk
+    list for fmt + data and views the samples as little-endian int16
+    (channels interleaved; downmixed by averaging). Returns
+    (samples, sample_rate_from_container)."""
+    if payload[8:12] != b"WAVE":
+        raise ValueError("not a WAVE container")
+    pos = 12
+    sample_rate = None
+    n_channels = 1
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format = int.from_bytes(body[0:2], "little")
+            n_channels = int.from_bytes(body[2:4], "little")
+            sample_rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_format != 1 or bits != 16:
+                raise ValueError("only PCM16 WAV is supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    if n_channels > 1:
+        samples = (
+            samples[: len(samples) - len(samples) % n_channels]
+            .reshape(-1, n_channels)
+            .mean(axis=1)
+            .astype(np.int16)
+        )
+    return samples, sample_rate
+
+
+def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Dispatching decoder: real PNM parse when the payload is PGM/PPM,
+    else the deterministic tiling STUB (compressed codecs unavailable —
+    a deployment would route those through PIL here)."""
     if not payload:
         raise ValueError("corrupt image payload")  # mirrors real decoder
+    # Magic + following whitespace: a 2-byte magic alone has ~3e-5 odds of
+    # appearing in arbitrary binary, which would mis-dispatch synthetic
+    # payloads into the strict parser.
+    if payload[:2] in (b"P5", b"P6") and payload[2:3].isspace():
+        return _decode_pnm(payload)
     buf = np.frombuffer(payload, dtype=np.uint8)
     reps = int(np.ceil(width * height / len(buf)))
     return np.tile(buf, reps)[: width * height].reshape(height, width)
 
 
-def _fake_decode_audio(payload: bytes) -> np.ndarray:
-    """STUB decoder (real: soundfile.read) → int16 PCM-ish samples."""
+def _decode_audio(payload: bytes) -> tuple[np.ndarray, int | None]:
+    """Dispatching decoder: real RIFF/WAV PCM16 parse when the payload is
+    a WAVE container (sample rate from the file), else the deterministic
+    STUB (rate comes from metadata; soundfile would slot in here)."""
     if not payload:
         raise ValueError("corrupt audio payload")
+    if payload[:4] == b"RIFF":
+        return _decode_wav_pcm16(payload)
     buf = np.frombuffer(payload, dtype=np.uint8).astype(np.int16)
-    return (buf - 128) * 256
+    return (buf - 128) * 256, None
 
 
 # ---------------------------------------------------------------------------
@@ -120,7 +212,9 @@ def image_features(media: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
                 w, h = int(meta["width"]), int(meta["height"])
-                plane = _fake_decode_image(bytes(payload), w, h)
+                plane = _decode_image(bytes(payload), w, h)
+                # A real container's header wins over caller metadata.
+                h, w = plane.shape
                 med = float(np.median(plane))
                 bits = (plane.mean(axis=0)[:16] > med).astype(int)
                 rows.append(
@@ -158,7 +252,8 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
                 w, h = int(meta["width"]), int(meta["height"])
-                plane = _fake_decode_image(bytes(payload), w, h)
+                plane = _decode_image(bytes(payload), w, h)
+                h, w = plane.shape
                 yi = (np.arange(out_h) * h // out_h)[:, None]
                 xi = (np.arange(out_w) * w // out_w)[None, :]
                 resized = plane[yi, xi]
@@ -232,8 +327,8 @@ def audio_features(media: DataFrame) -> DataFrame:
             for mid, payload, meta in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
-                samples = _fake_decode_audio(bytes(payload))
-                sr = int(meta["sample_rate"])
+                samples, sr_file = _decode_audio(bytes(payload))
+                sr = sr_file or int(meta["sample_rate"])
                 rows.append(
                     {
                         "media_id": mid,

@@ -37,7 +37,7 @@ def test_image_features_values(media):
     # Recompute one row by hand with the same stub decode.
     r = feats[0]
     src = imgs[r.media_id]
-    plane = mm._fake_decode_image(
+    plane = mm._decode_image(
         bytes(src.payload), src.meta.width, src.meta.height
     )
     assert r.width == src.meta.width and r.height == src.meta.height
@@ -88,7 +88,7 @@ def test_audio_features_values(media):
     auds = {r.media_id: r for r in media.filter("kind = 'audio'").collect()}
     assert {r.media_id for r in feats} == set(auds)
     r = feats[0]
-    samples = mm._fake_decode_audio(bytes(auds[r.media_id].payload))
+    samples, _ = mm._decode_audio(bytes(auds[r.media_id].payload))
     assert r.n_samples == 48
     assert r.duration_s == pytest.approx(48 / 16_000)
     assert r.rms == pytest.approx(
@@ -101,3 +101,70 @@ def test_no_shuffle_in_feature_plan(media):
     exchange (shuffle) between scan and UDF."""
     plan = mm.image_features(media)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _ppm_bytes(rgb):
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6)."""
+    h, w, _ = rgb.shape
+    return b"P6\n# test image\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+
+
+def _wav_bytes(samples, sr):
+    """Encode int16 mono samples as a canonical RIFF/WAVE PCM16 file."""
+    data = samples.astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")          # PCM
+        + (1).to_bytes(2, "little")        # mono
+        + sr.to_bytes(4, "little")
+        + (sr * 2).to_bytes(4, "little")   # byte rate
+        + (2).to_bytes(2, "little")        # block align
+        + (16).to_bytes(2, "little")       # bits
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_real_ppm_through_pipeline(spark):
+    """REAL image bytes (binary PPM, decoded in pure numpy) through the
+    same Spark operators: header dimensions win over metadata, and the
+    features match a hand computation on the known pixels."""
+    rgb = np.zeros((3, 4, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 200  # red plane constant
+    rgb[1, 2] = [10, 20, 30]
+    payload = _ppm_bytes(rgb)
+    expected = mm._decode_pnm(payload)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload), (99, 99, 16000, 4))],
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    r = mm.image_features(df).collect()[0]
+    assert (r.width, r.height) == (4, 3)  # from the PPM header, not meta
+    assert r.mean_luma == pytest.approx(float(expected.mean()))
+    assert r.max_luma == int(expected.max())
+    rs = mm.resize_images(df, out_w=2, out_h=2).collect()[0]
+    assert (rs.width, rs.height) == (2, 2)
+    got = np.frombuffer(bytes(rs.payload), dtype=np.uint8).reshape(2, 2)
+    yi = (np.arange(2) * 3 // 2)[:, None]
+    xi = (np.arange(2) * 4 // 2)[None, :]
+    assert (got == expected[yi, xi]).all()
+
+
+def test_real_wav_through_pipeline(spark):
+    """REAL audio bytes (RIFF/WAV PCM16) through audio_features: the
+    sample rate comes from the container and RMS matches the known
+    samples exactly."""
+    samples = np.array([0, 1000, -1000, 32767, -32768, 5], dtype=np.int16)
+    payload = _wav_bytes(samples, sr=8_000)
+    df = spark.createDataFrame(
+        [(7, "audio", bytearray(payload), (0, 0, 16_000, 0))],
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    r = mm.audio_features(df).collect()[0]
+    assert r.n_samples == 6
+    assert r.duration_s == pytest.approx(6 / 8_000)  # container rate wins
+    assert r.rms == pytest.approx(
+        float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+    )
