@@ -373,3 +373,35 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("m_audio_features")
 def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(synthetic_media(spark, sf_dir)).orderBy("media_id")
+
+
+def media_from_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    kind: str = "image",
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """Real-file media ingestion: ``binaryFile`` source → the (media_id,
+    kind, payload, meta) frame every operator in this module consumes.
+    media_id is a deterministic 32-bit hash of the file path (xxhash64
+    masked) so re-ingesting is idempotent; width/height metadata is left 0
+    — real containers carry their own dimensions and the decoders prefer
+    them.
+
+    Scale: the binaryFile listing is distributed and glob pruning happens
+    at the source; payloads never visit the driver."""
+    from culvert_spark.sources import read_binary_files
+
+    files = read_binary_files(spark, path, glob=glob)
+    return files.select(
+        F.xxhash64("path").bitwiseAND(F.lit((1 << 31) - 1)).alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit(0).cast("int").alias("width"),
+            F.lit(0).cast("int").alias("height"),
+            F.lit(sample_rate).alias("sample_rate"),
+            F.lit(1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )

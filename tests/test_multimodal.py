@@ -168,3 +168,23 @@ def test_real_wav_through_pipeline(spark):
     assert r.rms == pytest.approx(
         float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
     )
+
+
+def test_media_ingestion_from_real_files(spark, tmp_path):
+    """End-to-end media pipeline over REAL files on disk: PPM files →
+    binaryFile source → media frame → image feature extraction."""
+    media_dir = tmp_path / "imgs"
+    media_dir.mkdir()
+    planes = {}
+    for i, shade in enumerate((0, 120, 255)):
+        rgb = np.full((2, 2, 3), shade, dtype=np.uint8)
+        (media_dir / f"img{i}.ppm").write_bytes(_ppm_bytes(rgb))
+        planes[shade] = mm._decode_pnm(_ppm_bytes(rgb))
+    df = mm.media_from_files(spark, str(media_dir), glob="*.ppm")
+    feats = mm.image_features(df).collect()
+    assert len(feats) == 3
+    assert len({r.media_id for r in feats}) == 3  # distinct, deterministic
+    assert {r.max_luma for r in feats} == {
+        int(p.max()) for p in planes.values()
+    }
+    assert all((r.width, r.height) == (2, 2) for r in feats)
