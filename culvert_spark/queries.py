@@ -2931,3 +2931,83 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("block", "name_a", "name_b", lev.alias("edit_dist"))
         .orderBy("block", "name_a", "name_b")
     )
+
+
+@register(
+    "q_string_agg_names",
+    """
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_vips,
+           string_agg(c.c_name, ',' ORDER BY c.c_name) AS vip_names
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > 9000
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def q_string_agg_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (the LISTAGG / string_agg family):
+    per-nation comma-joined list of high-balance customer names in
+    deterministic order. Spark spells it collect_list → array_sort →
+    concat_ws — identical output to DuckDB's ORDER BY'd string_agg, and
+    the sort is per-group (bounded by the filter), never global."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.filter(F.col("c_acctbal") > 9000)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vips"),
+            F.concat_ws(",", F.array_sort(F.collect_list("c_name"))).alias(
+                "vip_names"
+            ),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "q_runtime_filter_prefilter_join",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_price
+    FROM orders o
+    WHERE o.o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_acctbal > 9500)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q_runtime_filter_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime min/max (zone-map style) prefilter before an exact
+    semi-join — the runtime-filter pattern that matters at 100 TB: reduce
+    the (small) key set to [min, max], prefilter the fact scan with a
+    range predicate (cheap, pushable to parquet row-group stats, NO false
+    negatives), then run the exact semi-join on the survivors only. The
+    output is EXACT — the prefilter can only let extra rows through, never
+    drop true matches — so the DuckDB oracle is the plain semi-join. Spark
+    injects the same idea itself (runtime bloom/DPP filters); spelling it
+    out keeps the technique testable and portable to selective key sets
+    where the optimizer doesn't fire."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    vips = c.filter(F.col("c_acctbal") > 9500).select("c_custkey")
+    key_range = vips.agg(
+        F.min("c_custkey").alias("k_lo"), F.max("c_custkey").alias("k_hi")
+    )
+    prefiltered = o.join(broadcast(key_range)).filter(
+        F.col("o_custkey").between(F.col("k_lo"), F.col("k_hi"))
+    )
+    return (
+        prefiltered.join(vips, prefiltered.o_custkey == vips.c_custkey,
+                         "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
