@@ -40,6 +40,13 @@ try:  # Arrow/pandas-UDF vectorized ops
 except ImportError:  # pragma: no cover
     pass
 
+try:  # training-data pipeline ops batch 2 (redaction/chunking/sampling/...)
+    from culvert_spark import pipelineops as _p
+
+    _REGISTRIES.append(_p)
+except ImportError:  # pragma: no cover
+    pass
+
 
 #: Driver CORRECTNESS verification covers the first N registered queries in
 #: registration order.  Round 1 verified 47 queries green (CORRECTNESS_r01);

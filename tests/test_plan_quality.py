@@ -142,3 +142,41 @@ def test_dedup_clusters_plan_stays_bounded(spark):
     not a 15-round join tree."""
     plan = executed_plan(spark, "t_dedup_clusters")
     assert plan.count("Join") < 10, "lineage not truncated across iterations"
+
+
+def test_doc_chunks_is_narrow(spark):
+    """Chunking with overlap is scan → generate → project: any Exchange in
+    the plan means the operator picked up a shuffle it doesn't need (the
+    final orderBy is presentation-only and collapses to local sort at
+    collect; nothing should repartition the corpus)."""
+    df = QUERIES["t_doc_chunks"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, "chunking must not join"
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in exec_plan or "explode" in exec_plan.lower()
+
+
+def test_pii_redaction_single_shuffle(spark):
+    """Redaction is a narrow map; the only exchange allowed is the final
+    low-cardinality groupBy(source) partial+final aggregation."""
+    plan = executed_plan(spark, "t_pii_redaction")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2, "aggregation lost its partial phase"
+
+
+def test_unigram_lm_score_no_cartesian(spark):
+    """Vocabulary join-back must stay an equi-join on token (AQE may pick
+    broadcast or shuffled-hash) and the global top-20 must be TakeOrdered,
+    not a full sort."""
+    plan = executed_plan(spark, "t_unigram_lm_score")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_gapfill_no_nested_loop(spark):
+    """Grid densification joins back on (user_id, hr) — an equi-join —
+    and both window passes share the user_id partitioning."""
+    plan = executed_plan(spark, "q_timeseries_gapfill")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
