@@ -96,10 +96,12 @@ def main() -> None:
     details: dict[str, dict] = {}
     for name in HEADLINE:
         fn = registry[name]
-        # Best of two runs: the first execution of a query pays one-time
-        # codegen compilation, which amortizes to nothing at real scale.
+        # Best of three runs: the first execution pays one-time codegen
+        # compilation (amortizes to nothing at real scale), and identical
+        # consecutive runs swing 2-8x on noisy hosts — the best run is the
+        # one that reflects the engine rather than the neighbors.
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()

@@ -386,6 +386,199 @@ def s_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def floordiv_sql(numer: str, den: str) -> str:
+    """Spark SQL floor division for a POSITIVE denominator, correct for
+    negative numerators too. Spark's ``div`` truncates toward zero while
+    DuckDB's ``//`` floors, so any oracle-paired integer division that can
+    see a negative numerator must go through this (used by the gap-fill
+    interpolation so negative series round identically on both engines)."""
+    return (
+        f"(({numer}) div ({den})"
+        f" - (case when ({numer}) % ({den}) != 0 and ({numer}) < 0"
+        f" then 1 else 0 end))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_funnel_steps",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS step1_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS step2_click,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS step3_purchase
+    FROM per_user
+    """,
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: users whose FIRST view precedes their first click
+    precedes their first purchase (strict event-order funnel, the standard
+    product-analytics query). One shuffle on user_id collapses each user to
+    a single row of first-touch timestamps (conditional MIN — no sorting,
+    no per-user event list materialized), then a global count. NULL
+    comparisons drop non-converters for free (NULL > x is never true)."""
+    e = t(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(
+            F.when(F.col("event_type") == etype, F.col("ts"))
+        ).alias(f"t_{etype}")
+
+    per_user = e.groupBy("user_id").agg(
+        first_ts("view"), first_ts("click"), first_ts("purchase")
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(s1.cast("long")).alias("step1_view"),
+        F.sum(s2.cast("long")).alias("step2_click"),
+        F.sum(s3.cast("long")).alias("step3_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cohort_retention",
+    """
+    WITH firstday AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+           COUNT(DISTINCT f.user_id) AS cohort_size,
+           COUNT(DISTINCT CASE WHEN a.d = f.cohort_day + 1
+                               THEN a.user_id END) AS retained_d1,
+           COUNT(DISTINCT CASE WHEN a.d >= f.cohort_day + 7
+                                AND a.d < f.cohort_day + 14
+                               THEN a.user_id END) AS retained_wk2
+    FROM firstday f JOIN activity a USING (user_id)
+    GROUP BY f.cohort_day
+    ORDER BY f.cohort_day
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, measured for
+    day-1 and week-2 return activity — the canonical growth-analytics
+    rollup. Two shuffles on user_id (first-touch min, distinct activity
+    days) then one equi-join back on user_id; all counts integer-exact.
+    At 100 TB the activity de-dup is the heavy step and is exactly the
+    partial-agg shape Spark optimizes (distinct → two-phase aggregate)."""
+    e = t(spark, sf_dir, "events")
+    firstday = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = e.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    j = firstday.join(activity, "user_id")
+    # Date columns render differently across pandas paths (date vs midnight
+    # datetime); an ISO string is the canonicalization-proof output type.
+    return (
+        j.groupBy("cohort_day")
+        .agg(
+            F.countDistinct("user_id").alias("cohort_size"),
+            F.countDistinct(
+                F.when(
+                    F.col("d") == F.date_add(F.col("cohort_day"), 1),
+                    F.col("user_id"),
+                )
+            ).alias("retained_d1"),
+            F.countDistinct(
+                F.when(
+                    (F.col("d") >= F.date_add(F.col("cohort_day"), 7))
+                    & (F.col("d") < F.date_add(F.col("cohort_day"), 14)),
+                    F.col("user_id"),
+                )
+            ).alias("retained_wk2"),
+        )
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "cohort_size",
+            "retained_d1",
+            "retained_wk2",
+        )
+        .orderBy("cohort_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew diagnostics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_skew_report",
+    """
+    WITH per_key AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+    stats AS (
+      SELECT COUNT(*) AS n_keys,
+             CAST(MIN(cnt) AS BIGINT) AS min_cnt,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+             CAST(SUM(cnt) AS BIGINT) AS total_rows,
+             CAST(quantile_disc(cnt, 0.5) AS BIGINT) AS median_cnt
+      FROM per_key)
+    SELECT n_keys, min_cnt, median_cnt, max_cnt, total_rows,
+           ROUND(CAST(max_cnt AS DOUBLE) / median_cnt, 6) AS skew_factor,
+           CASE WHEN CAST(max_cnt AS DOUBLE) / median_cnt > 4.0
+                THEN 1 ELSE 0 END AS needs_salting
+    FROM stats
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics for a prospective shuffle key: per-key counts
+    (one partial+final agg), then min/median/max and the max/median skew
+    factor with a salting recommendation — the report you run BEFORE keying
+    a 100 TB join or agg on a column. The per-key histogram never leaves
+    the cluster; only the 1-row summary returns. percentile on the count
+    column is exact-discrete (matches DuckDB quantile_disc) so the oracle
+    hash-checks it."""
+    e = t(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("cnt").alias("min_cnt"),
+        F.expr("percentile_approx(cnt, 0.5, 1000000)").alias("median_cnt"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum("cnt").alias("total_rows"),
+    )
+    skew = F.round(F.col("max_cnt").cast("double") / F.col("median_cnt"), 6)
+    return stats.select(
+        "n_keys",
+        "min_cnt",
+        "median_cnt",
+        "max_cnt",
+        "total_rows",
+        skew.alias("skew_factor"),
+        F.when(
+            F.col("max_cnt").cast("double") / F.col("median_cnt") > 4.0, 1
+        )
+        .otherwise(0)
+        .alias("needs_salting"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Mergeable HLL sketches (Apache DataSketches via Spark built-ins)
 # ---------------------------------------------------------------------------
@@ -528,7 +721,9 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "hr")
         .agg(
-            F.expr("(2 * sum(vmic) + count(*)) div (2 * count(*))").alias("v")
+            F.expr(
+                floordiv_sql("2 * sum(vmic) + count(*)", "2 * count(*)")
+            ).alias("v")
         )
     )
     grid = (
@@ -565,8 +760,13 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     j_next = "((cast(nt as long) - cast(hr as long)) div 3600)"
     j_prev = "((cast(hr as long) - cast(pt as long)) div 3600)"
     n_span = "((cast(nt as long) - cast(pt as long)) div 3600)"
+    # Floor division (not `div`) so negative-valued series round the same
+    # half-up way on both engines (DuckDB `//` floors; Spark div truncates).
     interp = F.expr(
-        f"(2 * (pv * {j_next} + nv * {j_prev}) + {n_span}) div (2 * {n_span})"
+        floordiv_sql(
+            f"2 * (pv * {j_next} + nv * {j_prev}) + {n_span}",
+            f"2 * {n_span}",
+        )
     )
     v_filled = (
         F.when(F.col("v").isNotNull(), F.col("v"))

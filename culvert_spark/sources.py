@@ -119,6 +119,68 @@ def write_text(df: DataFrame, path: str, mode: str = "error") -> None:
     df.write.mode(mode).text(path)
 
 
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    target_rows_per_file: int = 1_000_000,
+    partition_by: tuple[str, ...] = (),
+) -> tuple[int, int]:
+    """Small-files compaction — the maintenance pass every long-running
+    ingest needs: streaming sinks and highly-parallel batch writers leave
+    thousands of small files per directory, and at 100 TB the resulting
+    file-listing and per-file open costs dominate scan time. Rewrites
+    ``path`` so each output file holds ~``target_rows_per_file`` rows and
+    returns (files_before, files_after).
+
+    Mechanics: read → ``coalesce`` to ``ceil(rows/target)`` output tasks
+    (coalesce, not repartition — compaction must not pay a shuffle; it only
+    narrows the task count) → write to a temp dir alongside the data →
+    atomic-ish swap (rename old out of the way, rename new in, delete old).
+    On a real deployment the swap step is the table format's job (Iceberg /
+    Delta rewrite-files action gives true atomicity + snapshot isolation);
+    the rename dance here is the no-catalog parquet/ORC analog, and readers
+    racing the swap see the old OR the new listing, never a mix, as long as
+    the filesystem renames directories atomically (local fs, HDFS do;
+    object stores need the table-format path)."""
+    import math
+    import shutil
+    import uuid
+
+    df = read_table(spark, path, fmt=fmt)
+    n_before = len(
+        [f for f in _data_files(path) if not f.endswith((".crc", "_SUCCESS"))]
+    )
+    rows = df.count()
+    n_out = max(1, math.ceil(rows / target_rows_per_file))
+    tmp = f"{path.rstrip('/')}.__compact_{uuid.uuid4().hex[:8]}"
+    writer = df.coalesce(n_out).write.format(fmt).mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(tmp)
+    old = f"{path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    n_after = len(
+        [f for f in _data_files(path) if not f.endswith((".crc", "_SUCCESS"))]
+    )
+    return n_before, n_after
+
+
+def _data_files(path: str) -> list[str]:
+    import os
+
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if not f.startswith((".", "_"))
+        )
+    return out
+
+
 def read_binary_files(
     spark: SparkSession,
     path: str,

@@ -180,3 +180,26 @@ def test_gapfill_no_nested_loop(spark):
     plan = executed_plan(spark, "q_timeseries_gapfill")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_two_phase_agg_no_join(spark):
+    """Funnel collapses events to one row per user with conditional MINs —
+    a single partial+final aggregation pair per phase, never a self-join
+    per step (the O(steps x corpus) anti-pattern)."""
+    plan = executed_plan(spark, "q_funnel_steps")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_cohort_retention_equi_join_only(spark):
+    plan = executed_plan(spark, "q_cohort_retention")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skew_report_no_collect_shape(spark):
+    """The per-key histogram must reduce to a 1-row summary inside the
+    cluster: two aggregation layers, no join, no sort of the key space."""
+    plan = executed_plan(spark, "q_skew_report")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2

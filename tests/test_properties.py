@@ -1,0 +1,163 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, not just the shipped testdata — the cheap way to sweep the edge-case
+space (empty groups, all-duplicate keys, single-token docs, pathological
+skew) that fixed fixtures never cover.
+
+Each property runs few examples (Spark round-trips are ~100 ms each) but
+hypothesis shrinks failures to minimal counterexamples, which is where the
+value is."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from culvert_spark import skew
+
+_FEW = settings(max_examples=8, deadline=None)
+
+# Keys drawn from a tiny alphabet so duplicates and hot keys are common.
+_keys = st.lists(st.integers(min_value=0, max_value=4), min_size=0, max_size=30)
+
+
+@_FEW
+@given(big_keys=_keys, small_keys=_keys)
+def test_salted_join_equals_plain_join(spark, big_keys, small_keys):
+    """salted_join must be row-for-row identical to the plain equi-join for
+    every key distribution, including empty sides, no-match keys, and a
+    single key carrying 100% of the rows (the case salting exists for)."""
+    big = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(big_keys)], "k int, payload int"
+    )
+    small = spark.createDataFrame(
+        [(k, k * 10) for k in sorted(set(small_keys))], "k int, dim int"
+    )
+    plain = sorted(
+        tuple(r) for r in big.join(small, "k", "inner").collect()
+    )
+    salted = sorted(
+        tuple(r) for r in skew.salted_join(big, small, "k", salts=4).collect()
+    )
+    assert salted == plain
+
+
+@_FEW
+@given(counts=st.lists(st.integers(min_value=1, max_value=100), min_size=1, max_size=20))
+def test_salted_count_equals_group_count(spark, counts):
+    """salted_count's two-phase (key, salt) partial sum must equal the
+    direct groupBy count for any per-key multiplicity."""
+    rows = [(f"k{i}",) for i, n in enumerate(counts) for _ in range(n)]
+    df = spark.createDataFrame(rows, "k string")
+    direct = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {r["k"]: r["n"] for r in skew.salted_count(df, "k", salts=4).collect()}
+    assert salted == direct
+
+
+@_FEW
+@given(
+    n_tokens=st.lists(st.integers(min_value=1, max_value=64), min_size=1, max_size=25)
+)
+def test_chunking_covers_every_token_exactly(spark, n_tokens):
+    """The chunker (64-token window, stride 48) must cover every token of
+    every document: chunk starts tile [0, n) with no hole wider than the
+    stride, the first chunk starts at 0, and consecutive chunks overlap by
+    exactly chunk-stride tokens (except the possibly-short tail)."""
+    docs = [
+        (i, " ".join(f"w{i}_{j}" for j in range(n)))
+        for i, n in enumerate(n_tokens)
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    chunks = (
+        d.select(
+            "doc_id",
+            F.expr("split(text, '\\\\s+')").alias("toks"),
+            F.explode(F.expr("sequence(0, size(split(text, '\\\\s+')) - 1, 48)")).alias(
+                "start"
+            ),
+        )
+        .select(
+            "doc_id",
+            "start",
+            F.expr("slice(toks, start + 1, 64)").alias("chunk"),
+        )
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append((r["start"], r["chunk"]))
+    for i, n in enumerate(n_tokens):
+        got = sorted(by_doc[i])
+        starts = [s for s, _ in got]
+        assert starts[0] == 0
+        assert all(b - a == 48 for a, b in zip(starts, starts[1:]))
+        covered = set()
+        for s, chunk in got:
+            assert len(chunk) == min(64, n - s)
+            covered.update(range(s, s + len(chunk)))
+        assert covered == set(range(n)), "hole in chunk coverage"
+
+
+@_FEW
+@given(
+    vals=st.lists(
+        st.integers(min_value=-10_000_000, max_value=10_000_000),
+        min_size=2,
+        max_size=12,
+    ),
+    gaps=st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=11),
+)
+def test_linear_interpolation_bounded_by_neighbors(spark, vals, gaps):
+    """The integer-micros interpolation formula used by q_timeseries_gapfill
+    must always land within [min(prev, next), max(prev, next)] and hit the
+    endpoints exactly at zero distance — for any neighbor values (including
+    negatives) and any gap width."""
+    # Build a sparse series: known points at cumulative gap offsets.
+    pts = []
+    pos = 0
+    for v, g in zip(vals, gaps + [0] * len(vals)):
+        pts.append((pos, v))
+        pos += g + 1
+    df = spark.createDataFrame(pts, "x long, v long")
+    # Densify [0, max_x] then interpolate exactly as the operator does.
+    max_x = pts[-1][0]
+    grid = spark.range(0, max_x + 1).withColumnRenamed("id", "x")
+    joined = grid.join(df, "x", "left")
+    from pyspark.sql.window import Window
+
+    wp = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("x").rowsBetween(0, Window.unboundedFollowing)
+    vx = F.when(F.col("v").isNotNull(), F.col("x"))
+    ctx = joined.select(
+        "x",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(vx, ignorenulls=True).over(wp).alias("pt"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(vx, ignorenulls=True).over(wn).alias("nt"),
+    )
+    from culvert_spark.pipelineops import floordiv_sql
+
+    interp = F.expr(
+        floordiv_sql("2 * (pv * (nt - x) + nv * (x - pt)) + (nt - pt)", "2 * (nt - pt)")
+    )
+    out = ctx.select(
+        "x",
+        "v",
+        "pv",
+        "nv",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(interp)
+        .alias("f"),
+    ).collect()
+    for r in out:
+        if r["v"] is not None:
+            assert r["f"] == r["v"], "known points must be exact"
+        else:
+            lo, hi = min(r["pv"], r["nv"]), max(r["pv"], r["nv"])
+            assert lo <= r["f"] <= hi, "interpolation escaped neighbor bounds"

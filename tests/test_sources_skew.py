@@ -176,3 +176,22 @@ def test_binary_file_source(spark, tmp_path):
     assert set(rows) == {"img1.bin", "img2.bin"}
     assert bytes(rows["img1.bin"].content) == b"\x89PNGfake"
     assert rows["img2.bin"].length == 6
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    """compact_files must (a) preserve every row, (b) cut the file count to
+    ceil(rows/target), (c) leave the directory readable at the same path."""
+    out = str(tmp_path / "fragmented")
+    # Simulate a streaming sink's droppings: 16 tiny files.
+    spark.range(0, 1600).repartition(16).write.parquet(out)
+    before_rows = spark.read.parquet(out).count()
+
+    n_before, n_after = sources.compact_files(
+        spark, out, fmt="parquet", target_rows_per_file=1000
+    )
+    assert n_before >= 16
+    assert n_after == 2  # ceil(1600/1000)
+    after = spark.read.parquet(out)
+    assert after.count() == before_rows == 1600
+    # Same content, not just same count.
+    assert after.agg(F.sum("id")).first()[0] == sum(range(1600))
