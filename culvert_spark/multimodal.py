@@ -375,6 +375,31 @@ def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(synthetic_media(spark, sf_dir)).orderBy("media_id")
 
 
+def image_dedup_groups(media: DataFrame) -> DataFrame:
+    """Near-duplicate image grouping by perceptual hash: decode → 16-bit
+    column-profile phash (``image_features``) → hash-groupBy — the
+    multimodal analog of exact text dedup, and the first pass of any image
+    corpus cleanup (identical and trivially-re-encoded images share a
+    phash; a Hamming-distance LSH over the same bits is the fuzzy next
+    step). One shuffle on the 16-bit hash; each group reports its keeper
+    (min media_id) and duplicate count."""
+    feats = image_features(media)
+    return (
+        feats.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("media_id").alias("keeper_id"),
+            (F.count(F.lit(1)) - 1).alias("n_dupes"),
+        )
+        .orderBy("phash")
+    )
+
+
+@register("m_image_dedup_groups")
+def m_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_dedup_groups(synthetic_media(spark, sf_dir))
+
+
 def media_from_files(
     spark: SparkSession,
     path: str,

@@ -523,6 +523,55 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Null-safe join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_nullsafe_join",
+    """
+    WITH a AS (
+      SELECT NULLIF(user_id % 10, 0) AS nk, COUNT(*) AS cnt_a
+      FROM events GROUP BY NULLIF(user_id % 10, 0)),
+    b AS (
+      SELECT NULLIF(user_id % 10, 0) AS nk,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS views
+      FROM events GROUP BY NULLIF(user_id % 10, 0))
+    SELECT COALESCE(CAST(a.nk AS VARCHAR), 'NULL') AS nk, a.cnt_a, b.views
+    FROM a JOIN b ON a.nk IS NOT DISTINCT FROM b.nk
+    ORDER BY nk
+    """,
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — the semantics you need
+    when joining on optional attributes. Catalyst treats EqualNullSafe as a
+    real equi-join condition, so this still plans as a hash/sort-merge
+    join, not a nested loop. Null keys are manufactured with NULLIF so the
+    match-on-NULL path is actually exercised; the output key is stringified
+    (NULL sentinel) for canonicalization stability."""
+    e = t(spark, sf_dir, "events")
+    nk = F.expr("nullif(user_id % 10, 0)")
+    a = e.groupBy(nk.alias("nk")).agg(F.count(F.lit(1)).alias("cnt_a"))
+    b = e.groupBy(nk.alias("nk")).agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("views")
+    )
+    return (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a.nk").eqNullSafe(F.col("b.nk")))
+        .select(
+            F.coalesce(F.col("a.nk").cast("string"), F.lit("NULL")).alias(
+                "nk"
+            ),
+            "cnt_a",
+            "views",
+        )
+        .orderBy("nk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Skew diagnostics
 # ---------------------------------------------------------------------------
 

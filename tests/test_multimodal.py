@@ -188,3 +188,32 @@ def test_media_ingestion_from_real_files(spark, tmp_path):
         int(p.max()) for p in planes.values()
     }
     assert all((r.width, r.height) == (2, 2) for r in feats)
+
+
+def test_image_dedup_groups_real_duplicates(spark):
+    """Two byte-identical PPMs plus one distinct image: the dedup grouping
+    must put the duplicates in one phash group (keeper = min media_id,
+    n_dupes = 1) and the distinct image in another."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    img_a = rng.integers(0, 255, size=(24, 32, 3), dtype=np.uint8)
+    img_b = 255 - img_a  # structurally different profile
+    rows = [
+        (1, "image", bytearray(_ppm_bytes(img_a)), (0, 0, 16000, 1)),
+        (2, "image", bytearray(_ppm_bytes(img_a)), (0, 0, 16000, 1)),  # dup of 1
+        (3, "image", bytearray(_ppm_bytes(img_b)), (0, 0, 16000, 1)),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {
+        r["phash"]: r
+        for r in mm.image_dedup_groups(media).collect()
+    }
+    assert len(out) == 2, "identical images must share a phash group"
+    groups = sorted(out.values(), key=lambda r: r["n_images"], reverse=True)
+    assert groups[0]["n_images"] == 2
+    assert groups[0]["keeper_id"] == 1
+    assert groups[0]["n_dupes"] == 1
+    assert groups[1]["n_images"] == 1
+    assert groups[1]["n_dupes"] == 0
