@@ -56,6 +56,17 @@ except ImportError:  # pragma: no cover
 #: q_approx_distinct, y_ysb_windowed_counts).  Names missing from the
 #: registries are ignored; registered names missing from this list keep
 #: their module registration order after the priority block.
+#:
+#: ROUND-3 ROTATION (do this at the start of round 3, after CORRECTNESS_r02
+#: lands): replace this list with the queries that still have no driver row —
+#: t_repetition_metrics, t_pack_sequences, t_contamination_check,
+#: s_near_dup_lsh_verified, q_fuzzy_name_match, q_string_agg_names,
+#: q_runtime_filter_prefilter_join, t_pii_redaction, t_text_normalize,
+#: t_doc_chunks, t_stratified_sample, t_hash_sample_rate,
+#: s_embedding_quantize_int8, t_unigram_lm_score, q_hll_sketch_users,
+#: q_timeseries_gapfill, q_skew_report, q_funnel_steps, q_cohort_retention,
+#: q_nullsafe_join, m_image_dedup_groups (+ anything newer) — then pad the
+#: remaining window slots with the highest-value already-green queries.
 _PRIORITY = [
     # TPC-H tail — the hardest subquery shapes, unchecked in r1
     "q13_order_count_distribution", "q14_promo_share", "q15_top_supplier",
