@@ -523,6 +523,51 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semi-structured VARIANT (Spark 4 native JSON type)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_variant_props",
+    """
+    WITH kv AS (
+      SELECT event_type, CAST(props->>'$.k' AS INTEGER) AS k FROM events)
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k
+    FROM kv
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` ingests the raw JSON column once into the binary variant
+    encoding, ``variant_get`` then extracts typed paths without re-parsing
+    — the scale-correct pattern for JSON-heavy event tables (parse cost
+    paid once per row, not once per extracted field; shredded storage
+    ready). Functionally equivalent to ``get_json_object`` (q_json_props)
+    but typed and O(1) per additional path."""
+    e = t(spark, sf_dir, "events")
+    kv = e.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+    )
+    return (
+        kv.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Null-safe join
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,154 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API): a
+deterministic synthetic-documents connector, demonstrating the extension
+point a real deployment would use for in-house storage systems or SaaS APIs
+that have no JVM connector.
+
+``spark.read.format("culvert_synth").option("rows", N).option("parts", P)``
+yields the same (doc_id, text, lang, source, n_chars) shape as the
+``documents`` testdata table, generated deterministically from doc_id — so
+downstream operators (dedup, chunking, scoring) can run against a connector
+instead of parquet with identical results.
+
+Scale notes (100 TB):
+- ``partitions()`` returns P independent shards; each executor's Python
+  worker generates only its shard — the driver never materializes rows.
+- Python DataSources run in Python workers (Arrow-batched but still the
+  slow path vs a JVM scan). They are the *extensibility* story — the right
+  tool for sources that would otherwise need a driver-side collect or a
+  single-threaded export — not a replacement for parquet/ORC scans.
+- The reader is stateless and deterministic per (shard, rows), so task
+  retries are idempotent (exactly-once at the task level for free).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_LANGS = ["en", "de", "fr", "es", "pt"]
+_WORDS = [
+    "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
+    "hash", "merge", "batch", "spark", "line", "sort", "window", "query",
+    "stream", "group", "filter", "join", "column", "order", "data", "the",
+]
+
+
+def _doc_row(doc_id: int) -> tuple:
+    """Pure function of doc_id — the same row on every executor, every
+    retry, every engine."""
+    h = hashlib.md5(f"culvert_synth:{doc_id}".encode()).digest()
+    n_words = 20 + h[0] % 60
+    words = [
+        _WORDS[
+            hashlib.md5(f"w:{doc_id}:{j}".encode()).digest()[0] % len(_WORDS)
+        ]
+        for j in range(n_words)
+    ]
+    text = " ".join(words)
+    return (
+        doc_id,
+        text,
+        _LANGS[h[1] % len(_LANGS)],
+        f"src{h[2] % 20}",
+        len(text),
+    )
+
+
+class _Shard(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SynthDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.parts = int(options.get("parts", 8))
+
+    def partitions(self):
+        step = max(1, -(-self.rows // self.parts))  # ceil
+        return [
+            _Shard(lo, min(lo + step, self.rows))
+            for lo in range(0, self.rows, step)
+        ]
+
+    def read(self, partition: _Shard):
+        for doc_id in range(partition.start, partition.end):
+            yield _doc_row(doc_id)
+
+
+class SynthDocsStreamReader(DataSourceStreamReader):
+    """Micro-batch stream over the same deterministic id space: each
+    trigger advances the offset by ``rows_per_batch`` until ``max_rows``.
+    Offsets are plain dicts (JSON-serialized into the checkpoint log), so
+    restart resumes exactly where the last commit ended — the connector
+    inherits Structured Streaming's exactly-once contract for free because
+    ``read(partition)`` is a pure function of the offset range."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 0))  # 0 = unbounded
+        self.parts = int(options.get("parts", 2))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def latestOffset(self):
+        # Called once per trigger on the driver; advance one batch worth.
+        if not hasattr(self, "_pos"):
+            self._pos = 0
+        nxt = self._pos + self.rows_per_batch
+        if self.max_rows:
+            nxt = min(nxt, self.max_rows)
+        self._pos = nxt
+        return {"pos": self._pos}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["pos"], end["pos"]
+        if hi <= lo:
+            return [_Shard(lo, lo)]
+        step = max(1, -(-(hi - lo) // self.parts))
+        return [
+            _Shard(p, min(p + step, hi)) for p in range(lo, hi, step)
+        ]
+
+    def read(self, partition: _Shard):
+        for doc_id in range(partition.start, partition.end):
+            yield _doc_row(doc_id)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: the source is synthetic and stateless
+
+
+class SynthDocsDataSource(DataSource):
+    """``format("culvert_synth")`` — register with
+    ``spark.dataSource.register(SynthDocsDataSource)``. Supports both
+    ``spark.read`` (partitioned batch) and ``spark.readStream``
+    (micro-batch offsets over the same deterministic rows)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "culvert_synth"
+
+    def schema(self) -> str:
+        return (
+            "doc_id bigint, text string, lang string, "
+            "source string, n_chars bigint"
+        )
+
+    def reader(self, schema) -> SynthDocsReader:
+        return SynthDocsReader(self.options)
+
+    def streamReader(self, schema) -> SynthDocsStreamReader:
+        return SynthDocsStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of all custom Python data sources."""
+    spark.dataSource.register(SynthDocsDataSource)
