@@ -20,6 +20,7 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 BATCH_FORMATS = ("parquet", "orc", "csv", "json")
@@ -166,6 +167,42 @@ def compact_files(
         [f for f in _data_files(path) if not f.endswith((".crc", "_SUCCESS"))]
     )
     return n_before, n_after
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: tuple[str, ...],
+    fmt: str = "parquet",
+    mode: str = "error",
+    num_files: int | None = None,
+    **options: str,
+) -> None:
+    """Range-clustered write: ``repartitionByRange`` on the cluster keys,
+    then sort within each partition before writing — every output file
+    covers a narrow, non-overlapping key range, so parquet/ORC footer
+    min/max statistics let later scans skip whole files (the poor-man's
+    z-order, and the single highest-leverage layout decision for a 100 TB
+    table queried by key ranges: a timestamp-clustered events table turns
+    a time-window scan from full-table into O(files-in-window)).
+
+    Range partitioning samples the key distribution, so skewed keys still
+    produce balanced files (unlike hash partitioning, which preserves the
+    skew). ``num_files`` pins the output file count (an explicit count is
+    exempt from AQE coalescing); default lets AQE size the files."""
+    cols = [F.col(c) for c in cluster_by]
+    ranged = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files
+        else df.repartitionByRange(*cols)
+    )
+    (
+        ranged.sortWithinPartitions(*cluster_by)
+        .write.format(fmt)
+        .mode(mode)
+        .options(**options)
+        .save(path)
+    )
 
 
 def _data_files(path: str) -> list[str]:

@@ -195,3 +195,34 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
     assert after.count() == before_rows == 1600
     # Same content, not just same count.
     assert after.agg(F.sum("id")).first()[0] == sum(range(1600))
+
+
+def test_write_clustered_files_have_disjoint_ranges(spark, tmp_path):
+    """Range-clustered output: each file covers a non-overlapping key range
+    (this is what makes footer min/max statistics prune whole files), and
+    the clustered copy holds exactly the input rows."""
+    import itertools
+    import os
+
+    out = str(tmp_path / "clustered")
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 37 % 10_000).alias("k"), F.col("id").alias("payload")
+    )
+    sources.write_clustered(df, out, cluster_by=("k",), num_files=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("k")).first()[0] == df.agg(F.sum("k")).first()[0]
+
+    files = [
+        os.path.join(out, f)
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) > 1, "need multiple files to demonstrate clustering"
+    ranges = []
+    for f in files:
+        mm = spark.read.parquet(f).agg(F.min("k"), F.max("k")).first()
+        ranges.append((mm[0], mm[1]))
+    for (lo1, hi1), (lo2, hi2) in itertools.combinations(ranges, 2):
+        assert hi1 < lo2 or hi2 < lo1, "file key ranges overlap"
