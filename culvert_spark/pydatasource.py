@@ -24,11 +24,15 @@ from __future__ import annotations
 
 import hashlib
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 _LANGS = ["en", "de", "fr", "es", "pt"]
@@ -149,6 +153,81 @@ class SynthDocsDataSource(DataSource):
         return SynthDocsStreamReader(self.options)
 
 
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class JsonlSinkWriter(DataSourceStreamWriter):
+    """Per-task writer: each task writes its partition to a temp file and
+    returns a commit message; ``commit`` (driver side, once per micro-batch,
+    only after EVERY task succeeded) atomically renames the temp files in
+    and appends one line to a commit log — so a reader that honors the log
+    sees whole micro-batches or nothing, never a torn batch. ``abort``
+    removes the temp files. This is the two-phase-commit shape every
+    transactional sink (JDBC staging tables, object-store manifests)
+    implements; Structured Streaming supplies the retries and the
+    batch-id-based idempotence."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        os.makedirs(os.path.join(self.path, "_tmp"), exist_ok=True)
+        tmp = os.path.join(
+            self.path, "_tmp", f"part-{tc.partitionId()}-{uuid.uuid4().hex}.jsonl"
+        )
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FileCommit(path=tmp, rows=n)
+
+    def commit(self, messages, batchId) -> None:
+        import json
+        import os
+
+        final = []
+        for m in messages:
+            dst = os.path.join(
+                self.path, f"batch-{batchId}-" + os.path.basename(m.path)
+            )
+            os.rename(m.path, dst)
+            final.append({"file": os.path.basename(dst), "rows": m.rows})
+        with open(os.path.join(self.path, "_commits.jsonl"), "a") as fh:
+            fh.write(
+                json.dumps({"batch": batchId, "files": final}) + "\n"
+            )
+
+    def abort(self, messages, batchId) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlSinkDataSource(DataSource):
+    """``format("culvert_jsonl_sink")`` streaming sink with two-phase
+    commit semantics (see :class:`JsonlSinkWriter`)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "culvert_jsonl_sink"
+
+    def streamWriter(self, schema, overwrite) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self.options)
+
+
 def register(spark) -> None:
     """Idempotent registration of all custom Python data sources."""
     spark.dataSource.register(SynthDocsDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)

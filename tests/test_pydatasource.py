@@ -101,3 +101,58 @@ def test_stream_reader_micro_batches(spark, tmp_path):
     assert [r[0] for r in rows] == list(range(120))
     assert tuple(rows[7]) == pydatasource._doc_row(7)
     assert n_batches >= 3, "rate-limited source must take multiple batches"
+
+
+def test_stream_writer_two_phase_commit(spark, tmp_path):
+    """Custom Python streaming SINK: every committed micro-batch appears
+    atomically (commit-log line + renamed files, no _tmp leftovers), and
+    the union of committed files holds exactly the streamed rows."""
+    import json
+    import os
+
+    pydatasource.register(spark)
+    out = str(tmp_path / "jsonl_sink")
+    os.makedirs(out)
+    q = (
+        spark.readStream.format("culvert_synth")
+        .option("rows_per_batch", 50)
+        .option("max_rows", 150)
+        .option("parts", 2)
+        .load()
+        .writeStream.format("culvert_jsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 120
+        def committed_rows():
+            log = os.path.join(out, "_commits.jsonl")
+            if not os.path.exists(log):
+                return 0
+            with open(log) as fh:
+                return sum(
+                    sum(f["rows"] for f in json.loads(line)["files"])
+                    for line in fh
+                )
+        while time.time() < deadline and committed_rows() < 150:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    with open(os.path.join(out, "_commits.jsonl")) as fh:
+        commits = [json.loads(line) for line in fh]
+    assert sum(sum(f["rows"] for f in c["files"]) for c in commits) == 150
+    assert len(commits) >= 3, "expected one commit per micro-batch"
+    # Every logged file exists; no uncommitted temp files linger.
+    ids = []
+    for c in commits:
+        for f in c["files"]:
+            p = os.path.join(out, f["file"])
+            assert os.path.exists(p)
+            with open(p) as fh:
+                ids.extend(json.loads(line)["doc_id"] for line in fh)
+    assert sorted(ids) == list(range(150))
+    assert os.listdir(os.path.join(out, "_tmp")) == []
