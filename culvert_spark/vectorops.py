@@ -368,3 +368,33 @@ def v_udtf_shingle_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+@register("v_arrow_vector_norms")  # rows-only: numpy pairwise summation
+def v_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` flavor (the fifth-and-final Python batch API after
+    mapInPandas / applyInPandas / grouped-agg pandas_udf / UDTF): operates
+    directly on Arrow RecordBatches — no pandas materialization, so the
+    per-batch overhead is one zero-copy list flatten instead of a Series
+    build. Computes per-vector L2 norms; pytest pins equality (to 1e-6)
+    against the JVM unrolled-expression norm so the Arrow path is verified
+    against the SQL engine rather than an oracle."""
+    import pyarrow as pa
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def norms(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            vec_ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            # Zero-copy: flatten the list array once, reshape the values
+            # buffer — no per-row Python objects, no pandas Series.
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            mat = flat.reshape(len(batch), -1).astype(np.float64)
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            yield pa.RecordBatch.from_arrays(
+                [vec_ids, pa.array(nrm, type=pa.float64())],
+                names=["vec_id", "norm"],
+            )
+
+    return e.mapInArrow(norms, "vec_id bigint, norm double").orderBy("vec_id")

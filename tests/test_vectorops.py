@@ -105,3 +105,31 @@ def test_near_dup_lsh_recall_and_precision(spark):
     assert exact, "baseline found no pairs — threshold drifted"
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.9, f"recall too low: {recall:.3f}"
+
+
+def test_arrow_norms_match_jvm_expression(spark):
+    """The mapInArrow norm must agree with the JVM unrolled-expression
+    norm to float tolerance for every vector (same data, two engines)."""
+    from culvert_spark.textops import _dot_spark
+    from culvert_spark.queries import t as scan
+    from tests.conftest import SF_SMALL
+
+    import pyspark.sql.functions as F
+
+    from culvert_spark import vectorops
+
+    arrow = {
+        r["vec_id"]: r["norm"]
+        for r in vectorops.v_arrow_vector_norms(spark, SF_SMALL).collect()
+    }
+    jvm = {
+        r["vec_id"]: r["nrm"]
+        for r in scan(spark, SF_SMALL, "embeddings")
+        .select(
+            "vec_id",
+            F.sqrt(F.expr(_dot_spark("embedding", "embedding"))).alias("nrm"),
+        )
+        .collect()
+    }
+    assert arrow.keys() == jvm.keys() and len(arrow) > 0
+    assert all(abs(arrow[k] - jvm[k]) < 1e-6 for k in arrow)
