@@ -59,20 +59,24 @@ def register(name: str, sql: str | None = None):
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table (lazy; Catalyst prunes/pushes into parquet).
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-    default; read it as long and convert ns→µs with exact integer division
-    (same truncation DuckDB applies when it loads the file).
-
-    The session timezone is pinned to UTC so timestamp values collect
-    identically to DuckDB's naive timestamps regardless of host timezone
-    (the driver calls these functions with its own SparkSession)."""
+    ``events.ts`` has shipped as TIMESTAMP(NANOS) parquet (which Spark 4
+    rejects by default — read as long, ns→µs exact integer division, same
+    truncation DuckDB applies) and as naive TIMESTAMP(MICROS) (which Spark 4
+    reads as TIMESTAMP_NTZ). Both are normalized to plain TIMESTAMP here so
+    every downstream query sees one type; with the session timezone pinned
+    to UTC the NTZ→LTZ cast is value-preserving and matches DuckDB's naive
+    timestamps regardless of host timezone (the driver calls these
+    functions with its own SparkSession)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
