@@ -47,6 +47,13 @@ try:  # training-data pipeline ops batch 2 (redaction/chunking/sampling/...)
 except ImportError:  # pragma: no cover
     pass
 
+try:  # analytics batch 3 (EWMA / transitions / count-min sketch)
+    from culvert_spark import analyticsops as _a
+
+    _REGISTRIES.append(_a)
+except ImportError:  # pragma: no cover
+    pass
+
 
 #: Driver CORRECTNESS verification covers the first N registered queries in
 #: registration order.  Round 1 verified 47 queries green (CORRECTNESS_r01);
@@ -65,7 +72,9 @@ except ImportError:  # pragma: no cover
 #: t_doc_chunks, t_stratified_sample, t_hash_sample_rate,
 #: s_embedding_quantize_int8, t_unigram_lm_score, q_hll_sketch_users,
 #: q_timeseries_gapfill, q_skew_report, q_funnel_steps, q_cohort_retention,
-#: q_nullsafe_join, m_image_dedup_groups (+ anything newer) — then pad the
+#: q_nullsafe_join, m_image_dedup_groups, q_variant_props,
+#: v_arrow_vector_norms, q_ewma_user_daily, q_event_transitions,
+#: q_cms_heavy_hitters (+ anything newer) — then pad the
 #: remaining window slots with the highest-value already-green queries.
 _PRIORITY = [
     # TPC-H tail — the hardest subquery shapes, unchecked in r1

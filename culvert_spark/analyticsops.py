@@ -1,0 +1,219 @@
+"""Analytics batch 3: time-series smoothing (EWMA), event-transition
+matrices, and a count-min-sketch heavy-hitters query (SURVEY.md §2 Tier B
+additions; the reference repo is ingest-only — /root/reference/README.md —
+so these rows have no reference implementation and the Spark mapping is the
+spec).
+
+Cross-engine determinism rules (same as queries.py/textops.py):
+- EWMA uses α=1/2 truncated to 10 lags, so every weight is a dyadic
+  rational (2^-k) and every term (integer count × 2^-k) is exact in an
+  IEEE double — summation order cannot change the result, which makes the
+  value hash-comparable against DuckDB without DECIMAL scaffolding.
+- Transition probabilities follow the established ROUND(x, 6) pattern.
+- The CMS query emits exact counts plus a sketch-accuracy boolean, the
+  same tolerance-oracle shape as q_hll_sketch_users: the oracle cannot
+  (and need not) rebuild the xxhash64 sketch — it checks the exact values
+  and asserts the CMS guarantee (est ≥ exact, est ≤ exact + 1% of mass)
+  that holds with overwhelming probability at width 1024 × depth 4.
+
+Scale notes (100 TB):
+- EWMA: one shuffle to daily grain (partial-agg first), then a per-user
+  window — state is 10 lag slots per user, no unbounded frame.
+- Transitions: one window shuffle on user_id (co-partitioned with the
+  sessionize/funnel family), then a low-cardinality pair aggregation.
+- CMS: the sketch is built from the *distinct-token weight table*, not the
+  raw token stream — explode(depth=4) multiplies |vocab|, not corpus size;
+  the sketch itself is d×w = 4096 counters, mergeable across any partition
+  or time split (the whole point of the sketch at 100 TB: union sketches,
+  never re-scan).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from culvert_spark.queries import QUERIES, ORACLE, register, t  # noqa: F401
+from culvert_spark.textops import TOK_DUCK, TOK_SPARK
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (time-series)
+# ---------------------------------------------------------------------------
+
+_EWMA_LAGS = 10
+
+_EWMA_DUCK_TERMS = " + ".join(
+    f"COALESCE(LAG(cnt, {k}) OVER w, 0) / {float(2 ** k)}"
+    for k in range(_EWMA_LAGS)
+)
+
+
+@register(
+    "q_ewma_user_daily",
+    f"""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY user_id, date_trunc('day', ts))
+    SELECT user_id, day, cnt,
+           {_EWMA_DUCK_TERMS} AS ewma10
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN {_EWMA_LAGS - 1} PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, day
+    """,
+)
+def q_ewma_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of per-user daily event counts,
+    α=1/2 truncated at 10 observations. The closed form Σ cnt_{t-k}·2^-k
+    avoids the sequential y_t = αx + (1-α)y_{t-1} recurrence entirely: ten
+    lag() reads over one ordered window, all inside whole-stage codegen.
+    Weights 2^-k keep every term exact in binary floating point, so the
+    result is bit-identical at any parallelism and to the DuckDB oracle."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    ewma = reduce(
+        lambda a, b: a + b,
+        [
+            F.coalesce(F.lag("cnt", k).over(w), F.lit(0)) / F.lit(float(2**k))
+            for k in range(_EWMA_LAGS)
+        ],
+    )
+    return (
+        daily.select("user_id", "day", "cnt", ewma.alias("ewma10"))
+        .orderBy("user_id", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix (Markov first-order)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_event_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    pairs AS (
+      SELECT from_type, to_type, COUNT(*) AS transitions
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type)
+    SELECT from_type, to_type, transitions,
+           ROUND(transitions / SUM(transitions)
+                 OVER (PARTITION BY from_type), 6) AS prob
+    FROM pairs
+    ORDER BY from_type, to_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event stream:
+    (event_type → next event_type) counts and row-normalized probabilities.
+    One window shuffle on user_id (ordered by ts with event_id as the
+    deterministic tiebreak), then a pair aggregation whose cardinality is
+    |event_types|² — tiny at any data scale."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("transitions")
+    )
+    wt = Window.partitionBy("from_type")
+    return (
+        pairs.select(
+            "from_type",
+            "to_type",
+            "transitions",
+            F.round(
+                F.col("transitions") / F.sum("transitions").over(wt), 6
+            ).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_W = 1024  # counters per row
+_CMS_D = 4  # independent hash rows
+
+
+@register(
+    "q_cms_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT u.tok FROM documents, UNNEST({TOK_DUCK}) AS u(tok)
+      WHERE len(u.tok) > 0),
+    counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+    SELECT tok, cnt, TRUE AS cms_within_bound
+    FROM counts
+    ORDER BY cnt DESC, tok
+    LIMIT 20
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4 rows × 1024 counters) over the document token
+    stream, validated against exact counts for the top-20 heavy hitters.
+
+    The sketch is built the way it must be at 100 TB: aggregate the token
+    stream to (token, weight) FIRST (the partial-agg shuffle already needed
+    for exact counts), then hash each *distinct* token into d rows — so the
+    4× explode multiplies vocabulary size, not corpus size, and the final
+    sketch is d·w = 4096 mergeable counters (union sketches across
+    partitions/days instead of re-scanning).
+
+    Output is the tolerance-oracle shape (cf. q_hll_sketch_users): exact
+    top-20 counts plus a boolean asserting the CMS guarantee est ≥ exact
+    AND est ≤ exact + 1%·N. Expected overcount per row is N/1024 ≈ 0.1%·N
+    and the min over 4 rows is far tighter, so the 1% bound holds with
+    overwhelming probability; the DuckDB oracle emits TRUE."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(TOK_SPARK)).alias("tok"))
+        .where(F.length("tok") > 0)
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+
+    depth = F.explode(
+        F.array(*[F.lit(i) for i in range(_CMS_D)])
+    ).alias("r")
+    hashed = counts.select("tok", "cnt", depth).withColumn(
+        "bucket", F.pmod(F.xxhash64("tok", "r"), F.lit(_CMS_W))
+    )
+    sketch = hashed.groupBy("r", "bucket").agg(F.sum("cnt").alias("c"))
+
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    top20 = counts.orderBy(F.desc("cnt"), "tok").limit(20)
+    est = (
+        top20.select("tok", "cnt", depth)
+        .withColumn("bucket", F.pmod(F.xxhash64("tok", "r"), F.lit(_CMS_W)))
+        .join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("tok")
+        .agg(F.first("cnt").alias("cnt"), F.min("c").alias("est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "cnt",
+            (
+                (F.col("est") >= F.col("cnt"))
+                & (F.col("est") <= F.col("cnt") + F.col("n_total") / 100)
+            ).alias("cms_within_bound"),
+        )
+        .orderBy(F.desc("cnt"), "tok")
+    )

@@ -226,3 +226,49 @@ def test_write_clustered_files_have_disjoint_ranges(spark, tmp_path):
         ranges.append((mm[0], mm[1]))
     for (lo1, hi1), (lo2, hi2) in itertools.combinations(ranges, 2):
         assert hi1 < lo2 or hi2 < lo1, "file key ranges overlap"
+
+
+def test_write_zordered_prunes_both_dims(spark, tmp_path):
+    """Z-order layout: with two independent keys, every file's footer
+    min/max must be narrow on BOTH dimensions — a 1/8-wide range predicate
+    on either key should skip at least half of the 16 files (range
+    clustering on one key would leave the other dimension unprunable:
+    every file spans the full domain)."""
+    import os
+
+    out = str(tmp_path / "zordered")
+    df = spark.range(0, 20_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(256)).alias("a"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(256)).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    sources.write_zordered(df, out, zorder_by=("a", "b"), num_files=16, bits=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 20_000
+    assert (
+        back.agg(F.sum("payload")).first()[0]
+        == df.agg(F.sum("payload")).first()[0]
+    )
+    assert back.columns == ["a", "b", "payload"], "helper column must not leak"
+
+    files = [
+        os.path.join(out, f)
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) >= 8, "need multiple files to demonstrate clustering"
+    boxes = []
+    for f in files:
+        mm = (
+            spark.read.parquet(f)
+            .agg(F.min("a"), F.max("a"), F.min("b"), F.max("b"))
+            .first()
+        )
+        boxes.append(tuple(mm))
+    # Range predicate covering 1/8 of each domain; a file is "hit" when its
+    # bounding box intersects the slab (what footer-stats pruning checks).
+    hit_a = sum(1 for (alo, ahi, _, _) in boxes if alo <= 31)
+    hit_b = sum(1 for (_, _, blo, bhi) in boxes if blo <= 31)
+    assert hit_a <= len(files) // 2, f"a-dim pruning too weak: {hit_a}/{len(files)}"
+    assert hit_b <= len(files) // 2, f"b-dim pruning too weak: {hit_b}/{len(files)}"
