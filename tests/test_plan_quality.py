@@ -203,3 +203,32 @@ def test_skew_report_no_collect_shape(spark):
     plan = executed_plan(spark, "q_skew_report")
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_ewma_single_window_shuffle(spark):
+    """EWMA = daily partial+final agg, then ONE window pass over user_id —
+    ten lag() terms must not multiply window operators or exchanges."""
+    plan = executed_plan(spark, "q_ewma_user_daily")
+    assert "Join" not in plan
+    # AQE toString repeats operators under "== Initial Plan ==" — count only
+    # the final plan section.
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Window [") == 1, "10 lags must share one Window operator"
+    assert final.count("HashAggregate") >= 2
+
+
+def test_event_transitions_no_self_join(spark):
+    """Adjacent-pair extraction is a lead() window, never a self-join on
+    (user, seq+1) — the O(n) vs O(n log n + join) trade at 100 TB."""
+    plan = executed_plan(spark, "q_event_transitions")
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_cms_sketch_joins_are_hash_joins(spark):
+    """The sketch probe joins candidates to the 4096-counter sketch on
+    (r, bucket) and attaches the scalar total — both must plan as
+    broadcast/hash equi-joins, never nested-loop over the vocab."""
+    plan = executed_plan(spark, "q_cms_heavy_hitters")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
