@@ -74,7 +74,8 @@ except ImportError:  # pragma: no cover
 #: q_timeseries_gapfill, q_skew_report, q_funnel_steps, q_cohort_retention,
 #: q_nullsafe_join, m_image_dedup_groups, q_variant_props,
 #: v_arrow_vector_norms, q_ewma_user_daily, q_event_transitions,
-#: q_cms_heavy_hitters (+ anything newer) — then pad the
+#: q_cms_heavy_hitters, q_ohlc_downsample, t_dup_spans (+ anything newer) —
+#: then pad the
 #: remaining window slots with the highest-value already-green queries.
 _PRIORITY = [
     # TPC-H tail — the hardest subquery shapes, unchecked in r1

@@ -217,3 +217,140 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cnt"), "tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC downsampling (time-series resample)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ohlc_downsample",
+    """
+    WITH ranked AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT event_type, hr,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+    FROM ranked
+    GROUP BY event_type, hr
+    ORDER BY event_type, hr
+    """,
+)
+def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each event_type's value stream to hourly OHLC bars
+    (open/high/low/close + count) — the standard time-series downsampling
+    shape. First/last are made deterministic with (ts, event_id) ordered
+    row_numbers instead of first()/last() (which are partition-order-
+    dependent in Spark); both directions share one hash partitioning on
+    (event_type, hour), so the cost is one shuffle + two in-partition
+    sorts, then a partial+final aggregation. The raw doubles pass through
+    un-arithmetic'd, so no DECIMAL scaffolding is needed for oracle
+    parity."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    wa = Window.partitionBy("event_type", "hr").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "hr").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = ev.select(
+        "event_type",
+        "hr",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        ranked.groupBy("event_type", "hr")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate span detection (exact-substring dedup at span granularity)
+# ---------------------------------------------------------------------------
+
+_SPAN = 16  # tokens per span
+
+
+@register(
+    "t_dup_spans",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {TOK_DUCK} AS toks FROM documents),
+    spans AS (
+      SELECT doc_id,
+             array_to_string(toks[i.i:i.i + {_SPAN - 1}], ' ') AS span
+      FROM docs, UNNEST(range(1, len(toks) - {_SPAN - 2})) AS i(i)
+      WHERE len(toks) >= {_SPAN})
+    SELECT span,
+           COUNT(*) AS occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM spans
+    GROUP BY span
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY occurrences DESC, span
+    LIMIT 20
+    """,
+)
+def t_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate 16-token spans appearing in 2+ distinct documents —
+    the span-granularity core of exact-substring training-data dedup
+    (dedup papers remove repeated spans, not just whole-document dupes,
+    because boilerplate recurs inside otherwise-unique pages).
+
+    Plan shape: sequence+explode generates every span start position (a
+    narrow map — no shuffle), slice+concat_ws materializes the span, and
+    one groupBy(span) does the global duplicate count. At 100 TB the
+    groupBy key would be the span's 128-bit hash rather than its text
+    (same shuffle shape, 10× narrower rows) and frequency-filtered by a
+    first partial-agg pass; the text form here keeps the oracle exact."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(TOK_SPARK).alias("toks")
+    )
+    spans = (
+        docs.where(F.size("toks") >= _SPAN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - (_SPAN - 1))
+            ).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("toks", F.col("i"), _SPAN)).alias(
+                "span"
+            ),
+        )
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("occurrences"), "span")
+        .limit(20)
+    )
