@@ -54,6 +54,13 @@ try:  # analytics batch 3 (EWMA / transitions / count-min sketch)
 except ImportError:  # pragma: no cover
     pass
 
+try:  # SQL-text entry surface
+    from culvert_spark import sqlrunner as _s
+
+    _REGISTRIES.append(_s)
+except ImportError:  # pragma: no cover
+    pass
+
 
 #: Driver CORRECTNESS verification covers the first N registered queries in
 #: registration order.  Round 1 verified 47 queries green (CORRECTNESS_r01);
@@ -74,8 +81,9 @@ except ImportError:  # pragma: no cover
 #: q_timeseries_gapfill, q_skew_report, q_funnel_steps, q_cohort_retention,
 #: q_nullsafe_join, m_image_dedup_groups, q_variant_props,
 #: v_arrow_vector_norms, q_ewma_user_daily, q_event_transitions,
-#: q_cms_heavy_hitters, q_ohlc_downsample, t_dup_spans (+ anything newer) —
-#: then pad the
+#: q_cms_heavy_hitters, q_ohlc_downsample, t_dup_spans, q_full_outer_join,
+#: q_merge_upsert, q_scd2_intervals, q_sql_text_interface (+ anything
+#: newer) — then pad the
 #: remaining window slots with the highest-value already-green queries.
 _PRIORITY = [
     # TPC-H tail — the hardest subquery shapes, unchecked in r1

@@ -354,3 +354,198 @@ def t_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("occurrences"), "span")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_full_outer_join",
+    """
+    WITH rich AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 7500),
+    bld AS (
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_mktsegment = 'BUILDING')
+    SELECT COALESCE(r.c_custkey, b.c_custkey) AS custkey,
+           r.c_acctbal AS acctbal,
+           b.c_name AS name,
+           CASE WHEN r.c_custkey IS NULL THEN 'right_only'
+                WHEN b.c_custkey IS NULL THEN 'left_only'
+                ELSE 'both' END AS side
+    FROM rich r
+    FULL OUTER JOIN bld b ON r.c_custkey = b.c_custkey
+    ORDER BY custkey
+    """,
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi-join of two genuinely asymmetric customer subsets
+    (high-balance vs BUILDING-segment) — rows survive from either side with
+    NULLs on the other, and the side marker pins the left-only / right-only
+    / both semantics. Full outer cannot broadcast (both sides must produce
+    unmatched rows), so Spark plans a shuffled sort-merge join — the
+    correct, scalable shape for this operator at any size."""
+    c = t(spark, sf_dir, "customer")
+    rich = c.where(F.col("c_acctbal") > 7500).select("c_custkey", "c_acctbal")
+    bld = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("b_custkey"), "c_name"
+    )
+    joined = rich.join(
+        bld, rich["c_custkey"] == bld["b_custkey"], "full_outer"
+    )
+    return (
+        joined.select(
+            F.coalesce("c_custkey", "b_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_name").alias("name"),
+            F.when(F.col("c_custkey").isNull(), "right_only")
+            .when(F.col("b_custkey").isNull(), "left_only")
+            .otherwise("both")
+            .alias("side"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch MERGE / upsert (CDC apply)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_merge_upsert",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice, 'N'
+      FROM orders WHERE o_orderkey % 1000 = 0)
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM updates
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    ORDER BY o_orderkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO semantics (the CDC-apply core: updates win over
+    base, unmatched updates insert) expressed as updates ∪ (base ANTI JOIN
+    updates) — the upsert pattern for plain-parquet tables without a
+    transaction-log format. The changeset is derived deterministically from
+    orders (every 100th key updated at +10%, every 1000th key re-inserted
+    under a shifted key) so the oracle replays the identical merge.
+
+    Scale shape: one anti equi-join on the merge key (AQE picks broadcast
+    when the changeset is small — the common CDC case) plus a union; no
+    window, no sort except the presentation ORDER BY. The streaming twin is
+    streaming.merge_dedup_sink (foreachBatch idempotent merge)."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = (
+        orders.where(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 1000 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_totalprice",
+                F.lit("N").alias("o_orderstatus"),
+            )
+        )
+    )
+    kept = orders.join(updates, "o_orderkey", "left_anti")
+    return updates.unionByName(kept).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 interval building (change capture → validity ranges)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scd2_intervals",
+    """
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    grouped AS (
+      SELECT user_id, event_type, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+      FROM marked),
+    intervals AS (
+      SELECT user_id, event_type, grp,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM grouped GROUP BY user_id, event_type, grp)
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY grp)
+             AS valid_to,
+           n_events
+    FROM intervals
+    ORDER BY user_id, grp
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 interval construction from an event stream: consecutive
+    runs of the same event_type per user collapse into validity intervals
+    [valid_from, valid_to) with the open current interval ending NULL — the
+    standard islands-and-gaps pattern (change marker via LAG, running SUM
+    to number the islands, per-island MIN/COUNT, LEAD for the exclusive
+    end). All three window passes share the user_id partitioning, so the
+    whole query is ONE shuffle plus the island aggregation.
+
+    Determinism: every window orders by (ts, event_id) so same-timestamp
+    events cannot reorder between engines, LEAD orders by the island number
+    (valid_from can tie when two islands start on the same timestamp), and
+    LAG uses IS DISTINCT FROM so an initial NULL type still opens an
+    island."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = marked.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("is_start").over(wrun).alias("grp"),
+    )
+    intervals = grouped.groupBy("user_id", "event_type", "grp").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    wlead = Window.partitionBy("user_id").orderBy("valid_from")
+    return (
+        intervals.select(
+            "user_id",
+            "event_type",
+            "valid_from",
+            F.lead("valid_from").over(wlead).alias("valid_to"),
+            "n_events",
+        )
+        .orderBy("user_id", "valid_from")
+    )

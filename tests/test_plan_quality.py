@@ -232,3 +232,30 @@ def test_cms_sketch_joins_are_hash_joins(spark):
     plan = executed_plan(spark, "q_cms_heavy_hitters")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_full_outer_is_sort_merge(spark):
+    """FULL OUTER cannot broadcast (both sides emit unmatched rows) — the
+    correct plan is a shuffled sort-merge join, never a nested loop."""
+    plan = executed_plan(spark, "q_full_outer_join")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_upsert_anti_join_shape(spark):
+    """MERGE = changeset ∪ (base ANTI changeset): the anti join must stay an
+    equi hash join on the merge key (broadcast under AQE — the changeset is
+    small in the CDC case), with no cartesian fallback."""
+    plan = executed_plan(spark, "q_merge_upsert")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_no_join(spark):
+    """Islands-and-gaps builds intervals with windows + one aggregation —
+    never a self-join per change point."""
+    plan = executed_plan(spark, "q_scd2_intervals")
+    assert "Join" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Window") >= 2
