@@ -549,3 +549,123 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial: grid-bucketed nearest neighbor
+# ---------------------------------------------------------------------------
+
+_CELL = 5.0  # grid cell edge; search radius = one cell ring
+
+
+@register(
+    "q_spatial_grid_nn",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey AS pid,
+             (c_custkey * 37 % 1000) / 10.0 AS x,
+             (c_custkey * 91 % 1000) / 10.0 AS y
+      FROM customer),
+    cells AS (
+      SELECT pid, x, y,
+             CAST(FLOOR(x / {_CELL}) AS BIGINT) AS cx,
+             CAST(FLOOR(y / {_CELL}) AS BIGINT) AS cy
+      FROM pts),
+    offs AS (
+      SELECT dx.d AS dx, dy.d AS dy
+      FROM (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)),
+    cand AS (
+      SELECT a.pid, b.pid AS nn_pid,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+      FROM cells a
+      JOIN offs ON TRUE
+      JOIN cells b
+        ON b.cx = a.cx + offs.dx AND b.cy = a.cy + offs.dy
+       AND b.pid <> a.pid),
+    ranked AS (
+      SELECT pid, nn_pid, dist2,
+             ROW_NUMBER() OVER (PARTITION BY pid
+                                ORDER BY dist2, nn_pid) AS rn
+      FROM cand)
+    SELECT p.pid, r.nn_pid, r.dist2
+    FROM pts p
+    LEFT JOIN ranked r ON r.pid = p.pid AND r.rn = 1
+    ORDER BY p.pid
+    """,
+)
+def q_spatial_grid_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed nearest neighbor: each point searches only its 3×3
+    cell neighborhood (bounded-radius NN — the eps-neighborhood primitive
+    under DBSCAN/spatial dedup), so the pairing is an EQUI-join on cell id
+    instead of the O(n²) all-pairs cross join — the same
+    bucket-to-bound-candidates trick MinHash-LSH uses, applied to
+    coordinates. Points with an empty neighborhood surface with NULL
+    neighbor via the final left join.
+
+    Coordinates derive deterministically from c_custkey (integer mod then
+    one division) and dist² is a fixed-order arithmetic chain, so both
+    engines produce bit-identical doubles. At 100 TB the plan is unchanged:
+    the 9-offset explode multiplies the probe side only, both join sides
+    hash-partition on (cx, cy), and per-point top-1 is a window over the
+    candidate set (bounded by 9 × cell occupancy)."""
+    c = t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 37 % 1000) / 10.0).alias("x"),
+        ((F.col("c_custkey") * 91 % 1000) / 10.0).alias("y"),
+    )
+    cells = pts.select(
+        "pid",
+        "x",
+        "y",
+        F.floor(F.col("x") / _CELL).alias("cx"),
+        F.floor(F.col("y") / _CELL).alias("cy"),
+    )
+    offs = [F.lit(d) for d in (-1, 0, 1)]
+    probe = (
+        cells.select(
+            "pid",
+            "x",
+            "y",
+            "cx",
+            "cy",
+            F.explode(F.array(*offs)).alias("dx"),
+        )
+        .select(
+            "pid",
+            "x",
+            "y",
+            (F.col("cx") + F.col("dx")).alias("ncx"),
+            "cy",
+            F.explode(F.array(*offs)).alias("dy"),
+        )
+        .select(
+            "pid", "x", "y", "ncx", (F.col("cy") + F.col("dy")).alias("ncy")
+        )
+    )
+    build = cells.select(
+        F.col("pid").alias("nn_pid"),
+        F.col("x").alias("nx"),
+        F.col("y").alias("ny"),
+        F.col("cx").alias("ncx"),
+        F.col("cy").alias("ncy"),
+    )
+    dist2 = (F.col("x") - F.col("nx")) * (F.col("x") - F.col("nx")) + (
+        F.col("y") - F.col("ny")
+    ) * (F.col("y") - F.col("ny"))
+    cand = (
+        probe.join(build, ["ncx", "ncy"])
+        .where(F.col("pid") != F.col("nn_pid"))
+        .select("pid", "nn_pid", dist2.alias("dist2"))
+    )
+    w = Window.partitionBy("pid").orderBy("dist2", "nn_pid")
+    nn = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("pid", "nn_pid", "dist2")
+    )
+    return (
+        pts.select("pid")
+        .join(nn, "pid", "left")
+        .orderBy("pid")
+    )

@@ -259,3 +259,14 @@ def test_scd2_no_join(spark):
     assert "Join" not in plan
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Window") >= 2
+
+
+def test_spatial_nn_is_cell_equi_join(spark):
+    """Grid-NN pairs points via an equi-join on cell id (the 9-offset
+    explode multiplies only the probe side) — never an all-pairs
+    cross/nested-loop join."""
+    plan = executed_plan(spark, "q_spatial_grid_nn")
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
