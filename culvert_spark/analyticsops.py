@@ -669,3 +669,232 @@ def q_spatial_grid_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nn, "pid", "left")
         .orderBy("pid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit (constraint checking)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_data_quality_audit",
+    """
+    SELECT 'orders_null_custkey' AS check_name,
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) AS violations,
+           COUNT(*) AS checked
+    FROM orders
+    UNION ALL
+    SELECT 'orders_nonpositive_price',
+           COUNT(*) FILTER (WHERE o_totalprice <= 0), COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_bad_status',
+           COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P')),
+           COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_disc_range',
+           COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1),
+           COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           COUNT(*) FILTER (WHERE l_quantity <= 0), COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           COUNT(*) FILTER (WHERE c_custkey IS NULL), COUNT(*)
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    ORDER BY check_name
+    """,
+)
+def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit — null checks, range checks, domain
+    checks, and referential integrity — each as a
+    conditional aggregate so every check over a table shares ONE scan
+    (count(when(...))), and the FK check is a left join probed for NULLs.
+    The audit-report shape (check_name, violations, checked) is what a
+    pipeline gate consumes: violations > 0 fails the load. At 100 TB each
+    leg is a scan→partial-agg with no shuffle beyond the 1-row final agg;
+    the FK leg shuffles once on the join key (or broadcasts the dim)."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cust = t(spark, sf_dir, "customer")
+
+    def check(df, name, cond):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.when(cond, 1)).alias("violations"),
+            F.count(F.lit(1)).alias("checked"),
+        )
+
+    legs = [
+        check(orders, "orders_null_custkey", F.col("o_custkey").isNull()),
+        check(
+            orders, "orders_nonpositive_price", F.col("o_totalprice") <= 0
+        ),
+        check(
+            orders,
+            "orders_bad_status",
+            ~F.col("o_orderstatus").isin("F", "O", "P"),
+        ),
+        check(
+            li,
+            "lineitem_disc_range",
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+        ),
+        check(li, "lineitem_nonpositive_qty", F.col("l_quantity") <= 0),
+        check(
+            orders.join(
+                cust, orders["o_custkey"] == cust["c_custkey"], "left"
+            ),
+            "orders_orphan_custkey",
+            F.col("c_custkey").isNull(),
+        ),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC extract)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_snapshot_diff",
+    """
+    WITH snap2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.05
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders
+      WHERE o_orderkey % 53 <> 0
+      UNION ALL
+      SELECT o_orderkey + 200000000, o_totalprice, 'A'
+      FROM orders WHERE o_orderkey % 101 = 0),
+    diff AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS okey,
+             CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                  WHEN b.o_orderkey IS NULL THEN 'removed'
+                  WHEN a.o_totalprice <> b.o_totalprice
+                       OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM orders a
+      FULL OUTER JOIN snap2 b ON a.o_orderkey = b.o_orderkey)
+    SELECT change_type, COUNT(*) AS n_rows,
+           CAST(MIN(okey) AS BIGINT) AS min_key,
+           CAST(MAX(okey) AS BIGINT) AS max_key
+    FROM diff
+    GROUP BY change_type
+    ORDER BY change_type
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-extract between two table snapshots: full-outer join on the key
+    classifies every row as added / removed / changed / unchanged (the
+    complement of q_merge_upsert, which APPLIES a changeset). The second
+    snapshot derives deterministically from orders (every 53rd key deleted,
+    every 97th repriced, every 101st re-inserted under a shifted key) so
+    the oracle replays the identical diff. At 100 TB both sides shuffle
+    once on the key — or zero times if both snapshots were written
+    bucketed/range-clustered on it (sources.write_clustered)."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    snap2 = (
+        orders.where(F.col("o_orderkey") % 53 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") * 1.05
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 200000000).alias("o_orderkey"),
+                "o_totalprice",
+                F.lit("A").alias("o_orderstatus"),
+            )
+        )
+        .select(
+            F.col("o_orderkey").alias("b_key"),
+            F.col("o_totalprice").alias("b_price"),
+            F.col("o_orderstatus").alias("b_status"),
+        )
+    )
+    diff = orders.join(
+        snap2, orders["o_orderkey"] == snap2["b_key"], "full_outer"
+    ).select(
+        F.coalesce("o_orderkey", "b_key").alias("okey"),
+        F.when(F.col("o_orderkey").isNull(), "added")
+        .when(F.col("b_key").isNull(), "removed")
+        .when(
+            (F.col("o_totalprice") != F.col("b_price"))
+            | (F.col("o_orderstatus") != F.col("b_status")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("okey").alias("min_key"),
+            F.max("okey").alias("max_key"),
+        )
+        .orderBy("change_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (ntile)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_equidepth_histogram",
+    """
+    WITH tiled AS (
+      SELECT c_acctbal,
+             NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS bucket
+      FROM customer)
+    SELECT bucket,
+           COUNT(*) AS n_rows,
+           MIN(c_acctbal) AS lo,
+           MAX(c_acctbal) AS hi
+    FROM tiled
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram over customer balances via NTILE(10) — equal
+    row counts per bucket with data-driven boundaries (the complement of
+    q_histogram_acctbal's equi-WIDTH width_bucket). Ties on the value are
+    broken by c_custkey so bucket assignment is deterministic in both
+    engines. Caveat pinned honestly: NTILE requires a single ordered
+    partition (one global sort); at 100 TB you'd use approx_percentile
+    boundaries + width_bucket-style assignment instead — this query is the
+    exact small-dim form, the approx twin is the documented scale path."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    tiled = c.select(
+        "c_acctbal", F.ntile(10).over(w).alias("bucket")
+    )
+    return (
+        tiled.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("c_acctbal").alias("lo"),
+            F.max("c_acctbal").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
