@@ -92,6 +92,19 @@ def main() -> None:
         plan = re.sub(r"file:[^,\]\s]+", "file:", plan)
         return hashlib.sha256(plan.encode()).hexdigest()[:12]
 
+    # Supplementary set (NOT in the headline total, which must stay
+    # comparable across rounds): representatives of operator families added
+    # after round 1 — time-series smoothing, exact-substring dedup, spatial
+    # grid NN, CDC merge, CMS sketch, SCD2 intervals.
+    EXTENDED = [
+        "q_ewma_user_daily",
+        "t_dup_spans",
+        "q_spatial_grid_nn",
+        "q_merge_upsert",
+        "q_cms_heavy_hitters",
+        "q_scd2_intervals",
+    ]
+
     timings: dict[str, float] = {}
     details: dict[str, dict] = {}
     for name in HEADLINE:
@@ -113,6 +126,18 @@ def main() -> None:
             "out_rows": out_df.count(),
             "plan": plan_fingerprint(out_df),
         }
+
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        if name not in registry:
+            continue
+        fn = registry[name]
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        extended[name] = round(best, 3)
 
     # Ingest throughput — the reference's own metric (BASELINE.md: committed
     # rows/sec into a partitioned ORC table; its 1.535M rows/s run used 64
@@ -277,6 +302,7 @@ def main() -> None:
                         "shows the full band)"
                     ),
                 },
+                "queries_extended": extended,
                 "query_details": details,
             }
         )

