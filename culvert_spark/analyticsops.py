@@ -910,3 +910,71 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (materialized-view refresh)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_incremental_agg_refresh",
+    """
+    SELECT o_orderstatus,
+           date_trunc('month', o_orderdate) AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus, date_trunc('month', o_orderdate)
+    ORDER BY o_orderstatus, month
+    """,
+)
+def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh: the Spark side maintains the
+    aggregate INCREMENTALLY — a partial aggregate over the 'historical'
+    slice (orderdate < 1996-01-01) merged with a partial over the 'newly
+    arrived' slice by re-aggregating the algebraic components (sum of sums,
+    sum of counts; avg derived only at merge time) — while the oracle
+    aggregates the full table directly. Their equality is the point: it
+    proves the decomposition is exact, which is what lets a 100 TB pipeline
+    refresh a view from one day's delta instead of rescanning the corpus.
+    DECIMAL partials make the merge bit-exact regardless of how the data
+    was split or partitioned; avg is NOT carried as a partial (it does not
+    merge) — only sum and count are."""
+    orders = t(spark, sf_dir, "orders")
+    split = "1996-01-01"
+
+    def partial(df):
+        return df.groupBy(
+            "o_orderstatus",
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        ).agg(
+            F.count(F.lit(1)).alias("p_count"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("p_sum"),
+        )
+
+    hist = partial(orders.where(F.col("o_orderdate") < split))
+    delta = partial(orders.where(F.col("o_orderdate") >= split))
+    merged = (
+        hist.unionByName(delta)
+        .groupBy("o_orderstatus", "month")
+        .agg(
+            F.sum("p_count").alias("n_orders"),
+            F.sum("p_sum").alias("m_sum"),
+        )
+    )
+    return (
+        merged.select(
+            "o_orderstatus",
+            "month",
+            "n_orders",
+            F.col("m_sum").cast("double").alias("revenue"),
+            F.round(
+                F.col("m_sum").cast("double") / F.col("n_orders"), 6
+            ).alias("avg_price"),
+        )
+        .orderBy("o_orderstatus", "month")
+    )
