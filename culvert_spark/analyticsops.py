@@ -978,3 +978,61 @@ def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate equi-depth histogram (the scale twin of q_equidepth_histogram)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_equidepth_approx",
+    """
+    SELECT CAST(t.i AS INT) AS bucket, TRUE AS within_2pct
+    FROM range(1, 11) t(i)
+    ORDER BY bucket
+    """,
+)
+def q_equidepth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the equi-depth histogram q_equidepth_histogram
+    promises: approx_percentile boundaries (a mergeable sketch — one
+    partial-agg pass, no global sort) + width-style bucket assignment via a
+    higher-order filter over the broadcast boundary array. NTILE needs
+    every row through one ordered partition; this needs one aggregation
+    and a narrow map.
+
+    Tolerance-oracle shape (cf. q_cms_heavy_hitters): each bucket's row
+    count must sit within 2% of n/10 — at sketch accuracy 10000 the
+    boundaries are near-exact, so the flag holds deterministically; the
+    oracle emits the expected TRUE per bucket."""
+    c = t(spark, sf_dir, "customer")
+    pcts = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    stats = c.agg(
+        F.percentile_approx("c_acctbal", pcts, 10000).alias("bounds"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    bucketed = c.crossJoin(F.broadcast(stats)).select(
+        (
+            1
+            + F.size(
+                F.filter(
+                    F.col("bounds"),
+                    lambda b: F.col("c_acctbal") > b,
+                )
+            )
+        ).alias("bucket"),
+        "n_total",
+    )
+    counts = bucketed.groupBy("bucket", "n_total").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        counts.select(
+            F.col("bucket").cast("int").alias("bucket"),
+            (
+                F.abs(F.col("cnt") - F.col("n_total") / 10.0)
+                <= F.col("n_total") / 50.0
+            ).alias("within_2pct"),
+        )
+        .orderBy("bucket")
+    )

@@ -67,3 +67,25 @@ def q_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULLs); the revenue sum uses the DECIMAL pattern for cross-engine
     determinism."""
     return run_sql(spark, sf_dir, _SQL_Q)
+
+
+_LATERAL_Q = """
+SELECT n_name, t.c_name, t.c_acctbal
+FROM nation, LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+ORDER BY n_name, c_acctbal DESC, c_name
+"""
+
+
+@register("q_lateral_topk_per_nation", _LATERAL_Q)
+def q_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY ... LIMIT — top-2
+    customers per nation written the way an ANSI-SQL user writes per-group
+    top-k. Catalyst decorrelates this into the same window/top-k physical
+    shape as the DataFrame formulation (q_top3_orders_per_customer), which
+    is the point: lateral joins don't execute as per-row subquery loops.
+    The identical text runs on DuckDB (both engines support SQL:2016
+    LATERAL), with (acctbal DESC, name) a total order for determinism."""
+    return run_sql(spark, sf_dir, _LATERAL_Q)
