@@ -85,8 +85,8 @@ except ImportError:  # pragma: no cover
 #: q_merge_upsert, q_scd2_intervals, q_sql_text_interface,
 #: q_spatial_grid_nn, q_data_quality_audit, q_snapshot_diff,
 #: q_equidepth_histogram, q_incremental_agg_refresh,
-#: q_lateral_topk_per_nation, q_equidepth_approx (+ anything newer) — then
-#: pad the
+#: q_lateral_topk_per_nation, q_equidepth_approx,
+#: q_pattern_match_sequences (+ anything newer) — then pad the
 #: remaining window slots with the highest-value already-green queries.
 _PRIORITY = [
     # TPC-H tail — the hardest subquery shapes, unchecked in r1

@@ -1036,3 +1036,69 @@ def q_equidepth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral pattern matching (MATCH_RECOGNIZE substitute)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pattern_match_sequences",
+    """
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(LENGTH(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT)
+             AS n_conversions
+    FROM seqs
+    ORDER BY user_id
+    """,
+)
+def q_pattern_match_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral pattern matching without MATCH_RECOGNIZE: encode each
+    user's event stream as a string (one letter per event, time-ordered)
+    and count regex matches — here 'v[ce]*p', a view followed by a
+    purchase with only clicks/errors between (the strict conversion
+    pattern). The encode step is ordered collect via sort_array over
+    (ts, event_id, letter) structs — deterministic at any parallelism and
+    identical to DuckDB's ORDER BY'd string_agg; the pattern is
+    alternation-free over disjoint letter classes so Java (leftmost-first)
+    and RE2 (leftmost-longest) agree on every match.
+
+    Scale: one shuffle on user_id; per-user state is the encoded sequence,
+    so at 100 TB you'd encode per-SESSION (bounded) rather than per-user —
+    same operator, tighter key, exactly what q_sessionize_events
+    provides."""
+    ev = t(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(
+                "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+            ).alias("rec"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("rec")), lambda r: r["c"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return (
+        seqs.select(
+            "user_id",
+            F.length("seq").cast("long").alias("seq_len"),
+            F.regexp_count("seq", F.lit("v[ce]*p"))
+            .cast("long")
+            .alias("n_conversions"),
+        )
+        .orderBy("user_id")
+    )
