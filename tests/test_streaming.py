@@ -342,3 +342,62 @@ def test_running_totals_transform_with_state(spark, tmp_path):
     assert final["u1"]["total_value"] == pytest.approx(15.0)
     assert final["u2"]["n_events"] == 1
     assert final["u2"]["total_value"] == pytest.approx(5.0)
+
+
+def test_rocksdb_state_store_windowed_agg(spark, tmp_path):
+    """The RocksDB state-store provider (the large-state path at scale:
+    state spills to local disk instead of living on the JVM heap) must
+    produce the same windowed aggregation results as the default HDFS-
+    backed store, across TWO rounds sharing one checkpoint — proving state
+    written by RocksDB in round 1 is read back correctly in round 2."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ck")
+        out = str(tmp_path / "out")
+        write_batch(src, 1, [
+            ("u1", 1, ts("2024-01-01 10:00:10"), "view", 1.0),
+            ("u1", 2, ts("2024-01-01 10:00:40"), "view", 2.0),
+            ("u2", 3, ts("2024-01-01 10:01:10"), "view", 3.0),
+        ])
+
+        def windowed(df):
+            return (
+                df.withWatermark("ts", "30 seconds")
+                .groupBy(
+                    F.window("ts", "1 minute").alias("w"), "user_id"
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select("w.start", "user_id", "n")
+            )
+
+        run_round(spark, src, windowed, ckpt, out)
+        # Round 2: late-but-in-watermark row lands in the SAME window as
+        # round 1's state (10:00 window for u1), plus an advancing row.
+        write_batch(src, 2, [
+            ("u1", 4, ts("2024-01-01 10:00:50"), "view", 4.0),
+            ("u2", 5, ts("2024-01-01 10:05:00"), "view", 5.0),
+        ])
+        run_round(spark, src, windowed, ckpt, out)
+        got = {
+            (str(r["start"]), r["user_id"]): r["n"]
+            for r in spark.read.parquet(out).collect()
+        }
+        # u1's 10:00 window must count ALL THREE u1 rows — two from round
+        # 1 plus the round-2 arrival merged into RocksDB-restored state.
+        u1 = [v for (s, u), v in got.items() if u == "u1" and "10:00" in s]
+        assert u1 == [3], f"RocksDB state not merged across rounds: {got}"
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
