@@ -1102,3 +1102,73 @@ def q_pattern_match_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture sampling (data mixing)
+# ---------------------------------------------------------------------------
+
+_TOK_BUDGET = 20_000  # whitespace tokens per source
+
+
+@register(
+    "t_token_budget_mixture",
+    f"""
+    WITH sized AS (
+      SELECT source, doc_id,
+             len({TOK_DUCK}) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    ranked AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM sized)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+           CAST(MIN(cum_tokens) AS BIGINT) AS first_cum
+    FROM ranked
+    WHERE cum_tokens <= {_TOK_BUDGET}
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def t_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing by token budget: keep documents per source in
+    deterministic md5 order until each source's cumulative token count
+    reaches the budget — how a training mixture samples 'N tokens of web,
+    N of books, ...' reproducibly across engines, cluster sizes, and
+    reruns (no RNG: the md5 order IS the shuffle). One window pass per
+    source computes the running token total; the budget cut is a filter on
+    the running sum. At 100 TB the window state is one counter per source
+    and the sort key is the hash — no hotspot, and adding data changes
+    which docs are kept only after the cut point, never before it."""
+    d = t(spark, sf_dir, "documents")
+    sized = d.select(
+        "source",
+        "doc_id",
+        F.size(F.expr(TOK_SPARK)).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = sized.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    )
+    return (
+        ranked.where(F.col("cum_tokens") <= _TOK_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_kept"),
+            F.min("cum_tokens").cast("long").alias("first_cum"),
+        )
+        .orderBy("source")
+    )
