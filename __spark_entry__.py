@@ -86,8 +86,8 @@ except ImportError:  # pragma: no cover
 #: q_spatial_grid_nn, q_data_quality_audit, q_snapshot_diff,
 #: q_equidepth_histogram, q_incremental_agg_refresh,
 #: q_lateral_topk_per_nation, q_equidepth_approx,
-#: q_pattern_match_sequences, t_token_budget_mixture (+ anything newer) —
-#: then pad the
+#: q_pattern_match_sequences, t_token_budget_mixture,
+#: q_interval_bucket_join (+ anything newer) — then pad the
 #: remaining window slots with the highest-value already-green queries.
 _PRIORITY = [
     # TPC-H tail — the hardest subquery shapes, unchecked in r1

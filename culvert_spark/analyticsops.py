@@ -1172,3 +1172,93 @@ def t_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed interval join (point-in-interval without an equi key)
+# ---------------------------------------------------------------------------
+
+_IV_BUCKET_S = 43200  # 12 h buckets; intervals are 18 h → span ≤ 2 buckets
+
+
+@register(
+    "q_interval_bucket_join",
+    f"""
+    WITH iv AS (
+      SELECT i.i AS promo_id,
+             TIMESTAMP '2024-01-01' + (i.i * 12) * INTERVAL 1 HOUR AS w_start
+      FROM range(0, 60) i(i)),
+    ivb AS (
+      SELECT promo_id, w_start, b.b AS bucket
+      FROM iv, UNNEST([
+        CAST(FLOOR(epoch(w_start) / {_IV_BUCKET_S}) AS BIGINT),
+        CAST(FLOOR(epoch(w_start) / {_IV_BUCKET_S}) AS BIGINT) + 1
+      ]) AS b(b)),
+    ev AS (
+      SELECT ts, user_id,
+             CAST(FLOOR(epoch(ts) / {_IV_BUCKET_S}) AS BIGINT) AS bucket
+      FROM events),
+    cand AS (
+      SELECT promo_id, user_id
+      FROM ivb JOIN ev USING (bucket)
+      WHERE ev.ts >= ivb.w_start
+        AND ev.ts < ivb.w_start + INTERVAL 18 HOUR)
+    SELECT promo_id, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM cand
+    GROUP BY promo_id
+    ORDER BY promo_id
+    """,
+)
+def q_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join with NO equi key — events falling inside any
+    of 60 overlapping 18-hour promo windows — made scalable by time
+    bucketing: both sides map to 12 h buckets (each interval explodes into
+    its ≤2 covered buckets, each event into exactly one), the join becomes
+    an EQUI-join on bucket, and the exact containment predicate filters
+    post-match. A naive `ev.ts BETWEEN w_start AND w_end` join has no equi
+    key and plans as BroadcastNestedLoopJoin — O(events × intervals); the
+    bucketed form is O(events × windows-per-bucket). No dedup step is
+    needed: an event has one bucket, so it meets each interval at most
+    once. Same trick as the spatial grid / LSH families, applied to time.
+    Overlapping windows are deliberate — events legitimately match ≤2
+    promos."""
+    iv = spark.range(0, 60).select(
+        F.col("id").alias("promo_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + "
+            "make_interval(0, 0, 0, 0, cast(id * 12 as int), 0, 0)"
+        ).alias("w_start"),
+    )
+    b0 = F.floor(F.col("w_start").cast("long") / _IV_BUCKET_S).cast("long")
+    ivb = iv.select(
+        "promo_id",
+        "w_start",
+        F.explode(F.sequence(b0, b0 + 1)).alias("bucket"),
+    )
+    ev = t(spark, sf_dir, "events").select(
+        "ts",
+        "user_id",
+        F.floor(F.col("ts").cast("long") / _IV_BUCKET_S)
+        .cast("long")
+        .alias("bucket"),
+    )
+    cand = (
+        F.broadcast(ivb)
+        .join(ev, "bucket")
+        .where(
+            (F.col("ts") >= F.col("w_start"))
+            & (
+                F.col("ts")
+                < F.col("w_start") + F.expr("INTERVAL 18 HOURS")
+            )
+        )
+    )
+    return (
+        cand.groupBy("promo_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("promo_id")
+    )

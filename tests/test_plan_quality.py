@@ -293,3 +293,13 @@ def test_join_hints_respected(spark):
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert operator in plan, f"{hint} hint ignored: wanted {operator}"
+
+
+def test_interval_join_is_bucket_equi_join(spark):
+    """The interval join must pair via the bucket equi-join (broadcast of
+    the tiny interval side), never the no-equi-key nested loop it exists
+    to avoid."""
+    plan = executed_plan(spark, "q_interval_bucket_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
