@@ -1262,3 +1262,59 @@ def q_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("promo_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session_window in batch (vs the manual islands construction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_session_window_batch",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts >= COALESCE(
+                    LAG(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id),
+                    TIMESTAMP '1970-01-01')
+                  + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation run in batch mode, checked
+    against the manual islands construction the oracle uses — proving the
+    built-in operator's merge semantics (session end = last event + gap,
+    half-open: an event at exactly the previous end opens a NEW session)
+    match the LAG/running-SUM formulation exactly. In Spark this is ONE
+    aggregation operator (sessions merge inside partial aggregation — no
+    window pass at all), which is why it is the preferred form at scale
+    and the same operator the streaming path uses with state eviction."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
