@@ -1318,3 +1318,51 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window COUNT DISTINCT
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sliding_distinct_users",
+    """
+    WITH assigned AS (
+      SELECT DISTINCT user_id,
+             to_timestamp(s.s) AS w_start
+      FROM events,
+           UNNEST([
+             CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800,
+             CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800 - 1800
+           ]) AS s(s)
+      WHERE to_timestamp(s.s) > ts - INTERVAL 1 HOUR)
+    SELECT w_start AT TIME ZONE 'UTC' AS w_start,
+           COUNT(*) AS distinct_users
+    FROM assigned
+    GROUP BY w_start
+    ORDER BY w_start
+    """,
+)
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per 1-hour window sliding every 30 minutes — the
+    windowed COUNT DISTINCT that plain sliding counts (q_sliding_window_
+    counts) avoid. Each event belongs to exactly 2 overlapping windows;
+    Spark's F.window explodes the assignments and the per-window distinct
+    is a two-level aggregation (dedupe (window, user) partial-side, then
+    count) — at 100 TB swap the exact distinct for approx_count_distinct
+    or the HLL-sketch family (q_hll_sketch_users) to make the final merge
+    constant-size. The DuckDB oracle replays the same window assignment
+    from epoch arithmetic (UTC-pinned on both engines)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w")
+        )
+        .agg(F.count_distinct("user_id").alias("distinct_users"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            "distinct_users",
+        )
+        .orderBy("w_start")
+    )
