@@ -1366,3 +1366,123 @@ def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_weighted_sample",
+    """
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             LEAST(1.0, n_chars / 2000.0) AS keep_prob,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS u
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE u < keep_prob) AS n_kept,
+           CAST(SUM(n_chars) FILTER (WHERE u < keep_prob) AS BIGINT)
+             AS chars_kept
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted sampling without RNG: each document's keep
+    probability derives from its quality proxy (length, capped at 1.0) and
+    the accept/reject draw is the md5-of-id mapped to [0,1) — so the
+    sample is reproducible across engines, reruns, and cluster sizes, and
+    re-running with a different weighting only flips rows whose threshold
+    crossed their fixed draw. This is how a training mixture upsamples
+    high-quality documents deterministically. Narrow map + one
+    low-cardinality aggregation; no shuffle of the corpus at any scale."""
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        "n_chars",
+        F.least(F.lit(1.0), F.col("n_chars") / 2000.0).alias("keep_prob"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            / 4294967296.0
+        ).alias("u"),
+    )
+    kept = F.col("u") < F.col("keep_prob")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")))
+            .cast("long")
+            .alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine table fingerprint (migration validation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_table_fingerprint",
+    """
+    WITH h AS (
+      SELECT md5(concat_ws('|',
+               CAST(o_orderkey AS VARCHAR),
+               CAST(o_custkey AS VARCHAR),
+               o_orderstatus,
+               CAST(o_totalprice AS VARCHAR))) AS rh
+      FROM orders)
+    SELECT 'orders' AS tbl,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT rh) AS distinct_rows,
+           MIN(rh) AS min_hash,
+           MAX(rh) AS max_hash
+    FROM h
+    ORDER BY tbl
+    """,
+)
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table content fingerprint — the migration/copy
+    validation primitive: per-row md5 over a canonical string encoding,
+    summarized as (count, distinct count, min hash, max hash). Two engines
+    (or the same table before/after a 100 TB copy, repartition, or format
+    conversion) agree on the fingerprint iff their content matches up to
+    row order — no sort, no row-by-row diff, one aggregation pass. The
+    canonical encoding pins cross-engine traps explicitly: integer and
+    decimal-free string casts only ('|' delimiter), doubles excluded
+    because VARCHAR casts of floats are engine-specific (o_totalprice has
+    2dp so DuckDB and Spark agree)."""
+    o = t(spark, sf_dir, "orders")
+    h = o.select(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.col("o_totalprice").cast("string"),
+            )
+        ).alias("rh")
+    )
+    return (
+        h.agg(
+            F.lit("orders").alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("rh").alias("distinct_rows"),
+            F.min("rh").alias("min_hash"),
+            F.max("rh").alias("max_hash"),
+        )
+        .orderBy("tbl")
+    )
