@@ -1486,3 +1486,106 @@ def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics (feature-normalization stats)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embedding_dim_stats",
+    """
+    WITH exploded AS (
+      SELECT i.i - 1 AS dim,
+             CAST(ROUND(CAST(embedding[i.i] AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS v
+      FROM embeddings,
+           UNNEST(range(1, len(embedding) + 1)) AS i(i)),
+    agg AS (
+      SELECT dim, COUNT(*) AS n,
+             CAST(SUM(v) AS DOUBLE) AS s,
+             CAST(SUM(v * v) AS DOUBLE) AS s2
+      FROM exploded GROUP BY dim)
+    SELECT CAST(dim AS INT) AS dim, n,
+           ROUND(s / n, 6) AS mean,
+           ROUND(s2 / n - (s / n) * (s / n), 6) AS variance
+    FROM agg
+    ORDER BY dim
+    """,
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance over the embedding corpus — the
+    feature-normalization statistics a vector pipeline computes before
+    whitening or quantization. posexplode turns each 64-dim vector into
+    (dim, value) rows; each value is rounded to DECIMAL(18,6) per-row so
+    the per-dimension sums (and sums of squares, which stay DECIMAL —
+    DECIMAL×DECIMAL is exact) are partition-order-deterministic; variance
+    derives from the exact moments only at the end. One explode (narrow)
+    plus one 64-group aggregation: the shuffle carries 64×partitions
+    partial rows regardless of corpus size."""
+    e = t(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        F.posexplode("embedding").alias("dim", "fv")
+    ).select(
+        "dim",
+        F.round(F.col("fv").cast("double"), 6)
+        .cast("decimal(18,6)")
+        .alias("v"),
+    )
+    agg = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("s2"),
+    )
+    mean = F.col("s") / F.col("n")
+    return (
+        agg.select(
+            F.col("dim").cast("int").alias("dim"),
+            "n",
+            F.round(mean, 6).alias("mean"),
+            F.round(F.col("s2") / F.col("n") - mean * mean, 6).alias(
+                "variance"
+            ),
+        )
+        .orderBy("dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trending: daily top-k event types
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_trending_event_types",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY date_trunc('day', ts), event_type),
+    ranked AS (
+      SELECT day, event_type, cnt,
+             ROW_NUMBER() OVER (PARTITION BY day
+                                ORDER BY cnt DESC, event_type) AS rnk
+      FROM daily)
+    SELECT day, event_type, cnt, rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY day, rnk
+    """,
+)
+def q_trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily trending leaderboard: top-3 event types per day by count.
+    Aggregate FIRST (daily grain — the shuffle carries days×types rows,
+    not events), then rank within each day; WindowGroupLimit pushes the
+    rnk≤3 cut below the sort. The (cnt DESC, event_type) order is total,
+    so ranks are deterministic under ties."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("day").orderBy(F.desc("cnt"), "event_type")
+    return (
+        daily.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .orderBy("day", "rnk")
+    )
