@@ -1589,3 +1589,119 @@ def q_trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .orderBy("day", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month growth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mom_revenue_growth",
+    """
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY date_trunc('month', o_orderdate))
+    SELECT month, revenue,
+           ROUND(100.0 * (revenue - LAG(revenue) OVER w)
+                 / LAG(revenue) OVER w, 4) AS pct_change
+    FROM monthly
+    WINDOW w AS (ORDER BY month)
+    ORDER BY month
+    """,
+)
+def q_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the BI staple: monthly DECIMAL-
+    exact revenue, LAG for the prior month, percent change rounded at the
+    end (the division is double but both engines divide the same exact
+    inputs). The unpartitioned window over ~tens of monthly rows is
+    post-aggregation — the corpus never passes through a single
+    partition."""
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return (
+        monthly.select(
+            "month",
+            "revenue",
+            F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias(
+                "pct_change"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional probabilities (n-gram LM core)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_bigram_lm_top",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, i.i AS pos, list_extract({TOK_DUCK}, i.i) AS w1,
+             list_extract({TOK_DUCK}, i.i + 1) AS w2
+      FROM documents,
+           UNNEST(range(1, len({TOK_DUCK}))) AS i(i)),
+    bigrams AS (
+      SELECT w1, w2, COUNT(*) AS cnt
+      FROM toks WHERE len(w1) > 0 AND len(w2) > 0
+      GROUP BY w1, w2),
+    uni AS (
+      SELECT w1, SUM(cnt) AS total FROM bigrams GROUP BY w1)
+    SELECT b.w1, b.w2, b.cnt,
+           ROUND(b.cnt / u.total, 6) AS cond_prob
+    FROM bigrams b JOIN uni u USING (w1)
+    ORDER BY b.cnt DESC, b.w1, b.w2
+    LIMIT 25
+    """,
+)
+def t_bigram_lm_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional probabilities P(w2|w1) for the top-25 bigrams —
+    the n-gram LM building block above the unigram scorer
+    (t_unigram_lm_score). Adjacent pairs come from one positional explode
+    (sequence + element_at — narrow, no self-join); the conditional
+    denominator is a window sum over the already-aggregated bigram table,
+    so the second pass touches vocab²-bounded rows, not the corpus. At
+    100 TB add a count floor before the window to keep the bigram table
+    to the frequent head."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(TOK_SPARK).alias("toks")
+    )
+    pairs = (
+        d.where(F.size("toks") >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+            "toks",
+        )
+        .select(
+            F.element_at("toks", F.col("i")).alias("w1"),
+            F.element_at("toks", F.col("i") + 1).alias("w2"),
+        )
+        .where((F.length("w1") > 0) & (F.length("w2") > 0))
+    )
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    ww = Window.partitionBy("w1")
+    return (
+        bigrams.select(
+            "w1",
+            "w2",
+            "cnt",
+            F.round(
+                F.col("cnt") / F.sum("cnt").over(ww), 6
+            ).alias("cond_prob"),
+        )
+        .orderBy(F.desc("cnt"), "w1", "w2")
+        .limit(25)
+    )
