@@ -90,7 +90,8 @@ except ImportError:  # pragma: no cover
 #: q_interval_bucket_join, q_session_window_batch,
 #: q_sliding_distinct_users, t_weighted_sample, q_table_fingerprint,
 #: q_embedding_dim_stats, q_trending_event_types, q_mom_revenue_growth,
-#: t_bigram_lm_top (+ anything newer) — then pad the
+#: t_bigram_lm_top, q_churned_users, t_length_band_filter,
+#: t_dedup_keep_best (+ anything newer) — then pad the
 #: remaining window slots with the highest-value already-green queries.
 _PRIORITY = [
     # TPC-H tail — the hardest subquery shapes, unchecked in r1

@@ -1705,3 +1705,172 @@ def t_bigram_lm_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "w1", "w2")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Churn detection (set anti-join on activity periods)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_churned_users",
+    """
+    WITH w1 AS (
+      SELECT user_id, event_type, COUNT(*) AS events_before
+      FROM events WHERE ts < TIMESTAMP '2024-01-25'
+      GROUP BY user_id, event_type),
+    w2 AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE ts >= TIMESTAMP '2024-01-25')
+    SELECT w1.user_id, w1.event_type, w1.events_before
+    FROM w1 ANTI JOIN w2 USING (user_id, event_type)
+    ORDER BY user_id, event_type
+    """,
+)
+def q_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior churn: (user, event_type) pairs active before Jan 25 with
+    ZERO such events afterwards — 'users who stopped purchasing' — the
+    distinct-set anti-join complement of q_cohort_retention's return
+    counting. The activity sets are aggregated before joining (one scan
+    each, bounded by users×types, not event volume) and the anti join
+    prunes survivors. The split sits late in the month so absence is a
+    real signal at every test SF rather than an empty result."""
+    ev = t(spark, sf_dir, "events")
+    split = "2024-01-25"
+    w1 = (
+        ev.where(F.col("ts") < split)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("events_before"))
+    )
+    w2 = (
+        ev.where(F.col("ts") >= split)
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    return (
+        w1.join(w2, ["user_id", "event_type"], "left_anti")
+        .select("user_id", "event_type", "events_before")
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-percentile outlier trim
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_length_band_filter",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             PERCENT_RANK() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS pr
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE pr >= 0.05 AND pr <= 0.95) AS n_kept,
+           CAST(MIN(n_chars) FILTER (WHERE pr >= 0.05 AND pr <= 0.95)
+                AS BIGINT) AS min_kept_chars,
+           CAST(MAX(n_chars) FILTER (WHERE pr >= 0.05 AND pr <= 0.95)
+                AS BIGINT) AS max_kept_chars
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def t_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-outlier trimming: keep each source's 5th–95th percentile
+    band by document length (the cheap first-line quality filter — too
+    short is boilerplate, too long is concatenation junk). PERCENT_RANK
+    with a (n_chars, doc_id) total order makes the band edges
+    deterministic under ties. One window shuffle on source; at 100 TB
+    swap in approx_percentile thresholds per source (two numbers) and a
+    broadcast filter — same report, no per-source sort (the same
+    exact-vs-approx twin relationship as the equi-depth histograms)."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source", "n_chars", F.percent_rank().over(w).alias("pr")
+    )
+    inband = (F.col("pr") >= 0.05) & (F.col("pr") <= 0.95)
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(inband, 1)).alias("n_kept"),
+            F.min(F.when(inband, F.col("n_chars")))
+            .cast("long")
+            .alias("min_kept_chars"),
+            F.max(F.when(inband, F.col("n_chars")))
+            .cast("long")
+            .alias("max_kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical selection among duplicate groups
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_dedup_keep_best",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text, n_chars FROM documents
+      WHERE doc_id % 7 = 0),
+    grouped AS (
+      SELECT md5(text) AS h, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS group_size
+      FROM corpus)
+    SELECT CAST(doc_id AS BIGINT) AS keeper_id,
+           CAST(group_size AS BIGINT) AS n_copies,
+           CAST(n_chars AS BIGINT) AS keeper_chars
+    FROM grouped
+    WHERE rn = 1 AND group_size >= 2
+    ORDER BY keeper_id
+    """,
+)
+def t_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: within each exact-duplicate group
+    (same text hash), keep the 'best' copy — longest, doc_id tiebreak —
+    and report the group it represents. This is the decision step after
+    t_exact_dedup_groups finds the groups: dedup pipelines don't drop
+    arbitrary copies, they keep a deterministic canonical one so reruns
+    are stable. The synthetic corpus has no exact duplicates, so both
+    engines first union in a re-keyed copy of every 7th document — the
+    keeper (the ORIGINAL id, since lengths tie and the lower id wins) and
+    group sizes then verify the selection logic end-to-end. One window
+    over the hash partitioning; emitting only multi-copy groups keeps
+    output O(duplicates)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text", "n_chars"
+        )
+    )
+    w = Window.partitionBy("h").orderBy(F.desc("n_chars"), "doc_id")
+    grouped = corpus.select(
+        F.md5("text").alias("h"), "doc_id", "n_chars"
+    ).select(
+        "h",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("h")).alias("group_size"),
+    )
+    return (
+        grouped.where((F.col("rn") == 1) & (F.col("group_size") >= 2))
+        .select(
+            F.col("doc_id").cast("long").alias("keeper_id"),
+            F.col("group_size").cast("long").alias("n_copies"),
+            F.col("n_chars").cast("long").alias("keeper_chars"),
+        )
+        .orderBy("keeper_id")
+    )
