@@ -1874,3 +1874,141 @@ def t_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("keeper_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT custkey,
+             NTILE(3) OVER (ORDER BY last_order, custkey) AS r_score,
+             NTILE(3) OVER (ORDER BY frequency, custkey) AS f_score,
+             NTILE(3) OVER (ORDER BY monetary, custkey) AS m_score,
+             monetary
+      FROM base)
+    SELECT concat(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
+                  CAST(m_score AS VARCHAR)) AS segment,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(monetary) AS DOUBLE) / COUNT(*), 6)
+             AS avg_monetary
+    FROM scored
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency (last order date), frequency (order
+    count), monetary (DECIMAL-exact spend) scored into terciles and
+    concatenated into the classic '333'-style segment label, reported as
+    segment sizes. NTILE ties are broken by custkey for determinism; the
+    windows run over the per-customer aggregate (one row per customer),
+    never raw orders. monetary stays DECIMAL through BOTH aggregation
+    levels (a double sum re-aggregated per segment would be partition-
+    order dependent) and surfaces as double only for the final division. The same scale note as
+    q_equidepth_histogram applies to the NTILEs: at 100 TB customers,
+    switch to approx_percentile tercile thresholds (the exact/approx twin
+    pattern)."""
+    o = t(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+            "monetary"
+        ),
+    )
+    scored = base.select(
+        "custkey",
+        "monetary",
+        F.ntile(3).over(Window.orderBy("last_order", "custkey")).alias(
+            "r_score"
+        ),
+        F.ntile(3).over(Window.orderBy("frequency", "custkey")).alias(
+            "f_score"
+        ),
+        F.ntile(3).over(Window.orderBy("monetary", "custkey")).alias(
+            "m_score"
+        ),
+    )
+    return (
+        scored.select(
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ).alias("segment"),
+            "monetary",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum("monetary").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair mining (co-occurrence)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_basket_part_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey)
+    SELECT part_a, part_b, support
+    FROM pairs
+    WHERE support >= 2
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 25
+    """,
+)
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: pairs of parts appearing in the same
+    order, with support counts — the candidate-pair step of association
+    mining. The self-join is keyed on the ORDER (the basket id), so pair
+    volume is Σ k_i·(k_i−1)/2 over basket sizes — bounded by the small
+    per-basket item count, never corpus². The a<b predicate halves the
+    pairs and makes each unordered pair canonical; DISTINCT first removes
+    multi-lineitem repeats of the same part so support counts baskets,
+    not line items. At 100 TB add a frequent-item prefilter (support
+    floor on single parts) before pairing — the classic Apriori prune."""
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        pairs.where(F.col("support") >= 2)
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(25)
+    )
