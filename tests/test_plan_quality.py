@@ -303,3 +303,27 @@ def test_interval_join_is_bucket_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_basket_pairs_orderkey_equi_join(spark):
+    """Basket pairing must join on the basket key (equi join) — pair
+    volume is bounded by per-basket item counts, never a cartesian."""
+    plan = executed_plan(spark, "q_basket_part_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_churn_stays_anti_join(spark):
+    plan = executed_plan(spark, "q_churned_users")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_session_window_is_single_aggregation(spark):
+    """Native session_window merges sessions inside aggregation — no
+    window operator, no join, at most the agg exchanges."""
+    plan = executed_plan(spark, "q_session_window_batch")
+    assert "Join" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SessionWindow" in final or "session_window" in final
