@@ -2012,3 +2012,78 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "part_a", "part_b")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph: triangle counting (co-purchase graph)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_graph_triangles",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+    nodes AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+    SELECT node, COUNT(*) AS n_triangles
+    FROM nodes
+    GROUP BY node
+    ORDER BY n_triangles DESC, node
+    LIMIT 15
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph (parts sharing 2+
+    baskets), reporting the 15 most clustered parts — the local-clustering
+    primitive under community detection and fraud-ring analysis. Edges are
+    ORIENTED (a < b), the standard distributed trick: every triangle
+    x<y<z is materialized exactly once as e1=(x,y), e2=(y,z), e3=(x,z),
+    so no post-hoc dedup and the join fan-out of high-degree nodes is
+    bounded by their higher-id neighbors only. Both triangle joins are
+    equi-joins on node ids; at 100 TB the graph build (basket self-join)
+    dominates and gets the same Apriori support prefilter as
+    q_basket_part_pairs."""
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b")
+    )
+    edges = (
+        a.join(b, "k")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select("a", "b")
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "node")
+        .limit(15)
+    )
