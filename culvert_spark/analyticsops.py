@@ -2087,3 +2087,122 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "node")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / MAU stickiness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dau_wau_mau",
+    """
+    WITH dau AS (
+      SELECT date_trunc('day', ts) AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY date_trunc('day', ts)),
+    wau AS (
+      SELECT date_trunc('week', d.day) AS week,
+             COUNT(DISTINCT e.user_id) AS wau
+      FROM (SELECT DISTINCT date_trunc('day', ts) AS day FROM events) d
+      JOIN events e ON date_trunc('day', e.ts) = d.day
+      GROUP BY date_trunc('week', d.day)),
+    mau AS (
+      SELECT COUNT(DISTINCT user_id) AS mau FROM events)
+    SELECT dau.day, dau.dau,
+           wau.wau,
+           mau.mau,
+           ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+    FROM dau, mau
+    JOIN wau ON date_trunc('week', dau.day) = wau.week
+    ORDER BY dau.day
+    """,
+)
+def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth metrics: daily active users joined to their week's WAU and
+    the month's MAU, with DAU/MAU stickiness — the standard engagement
+    dashboard. Three distinct-count grains from one table; the daily and
+    weekly distinct aggregations shuffle on (grain, user) pairs (bounded
+    by users x periods), the MAU scalar broadcasts. Stickiness divides
+    two exact integers — identical doubles on both engines before the
+    ROUND."""
+    ev = t(spark, sf_dir, "events")
+    dau = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    wau = ev.groupBy(
+        F.date_trunc("week", F.date_trunc("day", "ts")).alias("week")
+    ).agg(F.count_distinct("user_id").alias("wau"))
+    mau = ev.agg(F.count_distinct("user_id").alias("mau"))
+    return (
+        dau.withColumn("week", F.date_trunc("week", "day"))
+        .join(wau, "week")
+        .crossJoin(F.broadcast(mau))
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            F.round(
+                F.col("dau").cast("double") / F.col("mau"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier stats (median + MAD)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_robust_outlier_stats",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           COUNT(*) FILTER (WHERE d.adev > 3 * mad.mad) AS n_outliers
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type, mad.mad
+    ORDER BY d.event_type
+    """,
+)
+def q_robust_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: per event_type median and MAD (median
+    absolute deviation), then count values beyond 3×MAD — the
+    skew-resistant alternative to z-scores (v_user_value_zscores). Two
+    exact-percentile passes (Spark percentile() == DuckDB quantile_cont,
+    the mapping q_percentiles pinned) with the medians joined back as
+    broadcast dims between them. Exact medians need the per-group sort at
+    each pass; at 100 TB swap both for approx_percentile — same plan
+    shape minus the sorts."""
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
