@@ -2206,3 +2206,99 @@ def q_robust_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# 2D histogram (hour × value-band heatmap)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_histogram_2d",
+    """
+    SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+           CAST(CASE WHEN value < 0.0 THEN 0
+                     WHEN value >= 100.0 THEN 11
+                     ELSE CAST(FLOOR(value / 10.0) AS BIGINT) + 1
+                END AS INT) AS value_band,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_of_day, value_band
+    """,
+)
+def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D histogram — hour-of-day × value decile-band counts, the heatmap
+    backing shape. Both dimensions bin inside the scan projection
+    (width_bucket and EXTRACT are plain expressions), so the whole query
+    is one partial+final aggregation over ≤ 24×12 cells no matter the
+    corpus size — the cheapest possible distributed visualization
+    aggregate."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.hour("ts").cast("int").alias("hour_of_day"),
+            F.width_bucket("value", F.lit(0.0), F.lit(100.0), F.lit(10))
+            .cast("int")
+            .alias("value_band"),
+        )
+        .groupBy("hour_of_day", "value_band")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("hour_of_day", "value_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration coefficient
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_gini_concentration",
+    """
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM spend)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           ROUND(
+             CAST(2 * SUM(i * m) AS DOUBLE)
+               / (MAX(n) * CAST(SUM(m) AS DOUBLE))
+             - CAST(MAX(n) + 1 AS DOUBLE) / MAX(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient over customer spend — the
+    inequality measure a dataset report quotes ('top 1% of customers =
+    X% of revenue' compressed to one number). Computed from the sorted-
+    rank identity G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n with DECIMAL spend and
+    an exact integer-weighted DECIMAL sum (i·m stays DECIMAL), so the
+    only doubles are two final divisions — bit-identical cross-engine.
+    The ROW_NUMBER needs one global sort of the per-customer aggregate
+    (customers, not orders); ties break on custkey, though the identity
+    itself is tie-order invariant (equal m values commute in Σi·xᵢ)."""
+    o = t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("m")
+    )
+    w = Window.orderBy("m", "o_custkey")
+    ranked = spend.select(
+        "m",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("m"))).cast("double")
+            / (F.max("n") * F.sum("m").cast("double"))
+            - (F.max("n") + 1).cast("double") / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
