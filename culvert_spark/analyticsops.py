@@ -2302,3 +2302,104 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth (partitioned calendar lag)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_yoy_revenue_growth",
+    """
+    WITH monthly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+             CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1, 2)
+    SELECT yr, mo, revenue,
+           ROUND(100.0 * (revenue - LAG(revenue) OVER w)
+                 / LAG(revenue) OVER w, 4) AS yoy_pct
+    FROM monthly
+    WINDOW w AS (PARTITION BY mo ORDER BY yr)
+    ORDER BY yr, mo
+    """,
+)
+def q_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth: the LAG runs within each calendar-month
+    partition ordered by year, so January compares to last January —
+    the seasonal-adjustment twin of q_mom_revenue_growth's sequential
+    lag. Same posture: DECIMAL-exact monthly revenue first, the window
+    touches only years×months rows."""
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.partitionBy("mo").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return (
+        monthly.select(
+            "yr",
+            "mo",
+            "revenue",
+            F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias(
+                "yoy_pct"
+            ),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning users per day
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_new_vs_returning",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
+      FROM events GROUP BY user_id),
+    daily AS (
+      SELECT DISTINCT date_trunc('day', e.ts) AS day, e.user_id
+      FROM events e)
+    SELECT d.day,
+           COUNT(*) FILTER (WHERE d.day = f.first_day) AS new_users,
+           COUNT(*) FILTER (WHERE d.day > f.first_day) AS returning_users
+    FROM daily d JOIN firsts f USING (user_id)
+    GROUP BY d.day
+    ORDER BY d.day
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into new (first-ever active day) vs
+    returning — the acquisition/retention overlay on the DAU curve. One
+    pass builds per-user first days (bounded by the user dimension,
+    broadcast back), a second de-duplicates (day, user) activity; the
+    split is a conditional aggregate on the comparison. Same first-touch
+    backbone as q_cohort_retention, reduced to the daily report."""
+    ev = t(spark, sf_dir, "events")
+    days = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    firsts = days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        days.join(F.broadcast(firsts), "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("day") == F.col("first_day"), 1)).alias(
+                "new_users"
+            ),
+            F.count(F.when(F.col("day") > F.col("first_day"), 1)).alias(
+                "returning_users"
+            ),
+        )
+        .orderBy("day")
+    )
