@@ -2403,3 +2403,128 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users (running COUNT DISTINCT)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cumulative_distinct_users",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
+      FROM events GROUP BY user_id),
+    new_per_day AS (
+      SELECT first_day AS day, COUNT(*) AS new_users
+      FROM firsts GROUP BY first_day)
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_users
+    FROM new_per_day
+    ORDER BY day
+    """,
+)
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over time — the user-base growth curve.
+    A naive running COUNT(DISTINCT) window is non-decomposable (each day
+    would rescan all prior days); the first-appearance trick makes it
+    linear: distinct-count is the running SUM of first-appearance counts,
+    because each user contributes to the cumulative total exactly once —
+    on their first day. Per-user MINs are bounded by the user dimension;
+    the running sum touches one row per day."""
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_day.select(
+            "day",
+            "new_users",
+            F.sum("new_users").over(w).cast("long").alias(
+                "cumulative_users"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency (view → first purchase)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_conversion_latency",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'view') AS first_view,
+             MIN(ts) FILTER (WHERE event_type = 'purchase')
+               AS first_purchase
+      FROM events GROUP BY user_id),
+    conv AS (
+      SELECT user_id,
+             (epoch_us(first_purchase) - epoch_us(first_view)) // 1000000
+               AS latency_s
+      FROM per_user
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view)
+    SELECT COUNT(*) AS n_converted,
+           CAST(MIN(latency_s) AS BIGINT) AS min_s,
+           CAST(MAX(latency_s) AS BIGINT) AS max_s,
+           CAST(quantile_cont(latency_s, 0.5) AS DOUBLE) AS median_s
+    FROM conv
+    """,
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: seconds from each user's first view to their first
+    purchase (strictly after it), summarized as count/min/max/median —
+    the inter-event latency metric behind 'how long does conversion
+    take'. One conditional-MIN aggregation per user (the funnel backbone:
+    no self-join per step), microsecond-integer epoch subtraction with
+    floor division so the second-granularity latencies are exact (naive
+    fractional-second epochs round differently across engines — caught
+    as an off-by-one), and the exact-median mapping q_percentiles
+    pinned."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    conv = per_user.where(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (
+            (
+                F.unix_micros("first_purchase")
+                - F.unix_micros("first_view")
+            )
+            / F.lit(1000000)
+        )
+        .cast("long")
+        .alias("latency_s")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("latency_s").cast("long").alias("min_s"),
+        F.max("latency_s").cast("long").alias("max_s"),
+        F.expr("percentile(latency_s, 0.5)")
+        .cast("double")
+        .alias("median_s"),
+    )
