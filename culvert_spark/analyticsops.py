@@ -2528,3 +2528,63 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("median_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto 80/20 coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pareto_coverage",
+    """
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT m,
+             ROW_NUMBER() OVER (ORDER BY m DESC, o_custkey) AS i,
+             SUM(m) OVER (ORDER BY m DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             COUNT(*) OVER () AS n,
+             SUM(m) OVER () AS total
+      FROM spend)
+    SELECT CAST(MIN(i) AS BIGINT) AS top_customers,
+           CAST(MAX(n) AS BIGINT) AS all_customers,
+           ROUND(CAST(MIN(i) AS DOUBLE) / MAX(n), 6) AS customer_fraction
+    FROM ranked
+    WHERE cum >= CAST(0.8 AS DECIMAL(4,2)) * total
+    """,
+)
+def q_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto coverage: the smallest top-k customer set whose spend
+    reaches 80% of total revenue ('does the 80/20 rule hold here') — the
+    actionable companion to q_gini_concentration's single number. The
+    running and total sums stay DECIMAL (exact under any partitioning),
+    the 0.8 threshold multiplies as DECIMAL so the cutoff comparison is
+    exact, and the answer is MIN(rank) over rows past the cutoff. Both
+    windows share one descending sort of the per-customer aggregate."""
+    o = t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("m")
+    )
+    wo = Window.orderBy(F.desc("m"), "o_custkey")
+    ranked = spend.select(
+        "m",
+        F.row_number().over(wo).alias("i"),
+        F.sum("m")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("m").over(Window.partitionBy()).alias("total"),
+    )
+    past = ranked.where(
+        F.col("cum") >= F.lit(0.8).cast("decimal(4,2)") * F.col("total")
+    )
+    return past.agg(
+        F.min("i").cast("long").alias("top_customers"),
+        F.max("n").cast("long").alias("all_customers"),
+        F.round(
+            F.min("i").cast("double") / F.max("n"), 6
+        ).alias("customer_fraction"),
+    )
