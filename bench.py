@@ -103,6 +103,10 @@ def main() -> None:
         "q_merge_upsert",
         "q_cms_heavy_hitters",
         "q_scd2_intervals",
+        "q_interval_bucket_join",
+        "q_pattern_match_sequences",
+        "q_graph_triangles",
+        "q_session_window_batch",
     ]
 
     timings: dict[str, float] = {}
