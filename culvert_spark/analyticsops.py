@@ -2588,3 +2588,138 @@ def q_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("i").cast("double") / F.max("n"), 6
         ).alias("customer_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_vocab_growth",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, u.tok
+      FROM documents, UNNEST({TOK_DUCK}) AS u(tok)
+      WHERE len(u.tok) > 0),
+    firsts AS (
+      SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok),
+    new_per_doc AS (
+      SELECT first_doc AS doc_id, COUNT(*) AS new_terms
+      FROM firsts GROUP BY first_doc),
+    tokens_per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(SUM(t.n_tokens) OVER w AS BIGINT) AS corpus_tokens,
+           CAST(SUM(COALESCE(n.new_terms, 0)) OVER w AS BIGINT)
+             AS vocab_size
+    FROM tokens_per_doc t
+    LEFT JOIN new_per_doc n ON n.doc_id = t.doc_id
+    WINDOW w AS (ORDER BY t.doc_id ROWS UNBOUNDED PRECEDING)
+    ORDER BY t.doc_id
+    """,
+)
+def t_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): cumulative distinct tokens vs
+    cumulative corpus tokens in doc_id order — what tokenizer design reads
+    to size a vocabulary ('how fast do new terms stop appearing'). The
+    same first-appearance trick as q_cumulative_distinct_users, at token
+    grain: each term counts toward the vocabulary exactly once, at its
+    first document, so the non-decomposable running COUNT DISTINCT
+    becomes a running SUM over per-doc first-appearance counts. The heavy
+    shuffle is the token groupBy (bounded by vocab); the windows run over
+    one row per document."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.expr(TOK_SPARK)).alias("tok"))
+        .where(F.length("tok") > 0)
+    )
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    new_per_doc = firsts.groupBy(
+        F.col("first_doc").alias("doc_id")
+    ).agg(F.count(F.lit(1)).alias("new_terms"))
+    tokens_per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tokens_per_doc.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tokens").over(w).cast("long").alias("corpus_tokens"),
+            F.sum(F.coalesce(F.col("new_terms"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("vocab_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonality profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_weekday_seasonality",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(dayofweek(ts) AS INT) AS dow,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    profile AS (
+      SELECT dow, COUNT(*) AS n_days,
+             CAST(SUM(cnt) AS BIGINT) AS total_events
+      FROM daily GROUP BY dow),
+    overall AS (
+      SELECT CAST(SUM(total_events) AS DOUBLE) / SUM(n_days) AS mean_daily
+      FROM profile)
+    SELECT p.dow, p.n_days, p.total_events,
+           ROUND(CAST(p.total_events AS DOUBLE) / p.n_days, 6)
+             AS avg_events,
+           ROUND(CAST(p.total_events AS DOUBLE) / p.n_days / o.mean_daily,
+                 6) AS seasonality_index
+    FROM profile p, overall o
+    ORDER BY p.dow
+    """,
+)
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality profile: average events per weekday and each
+    weekday's index against the overall daily mean (>1 = busier than
+    average) — the load-shaping input for capacity planning and anomaly
+    baselines. DuckDB's dayofweek() (0=Sunday) differs from Spark's
+    dayofweek() (1=Sunday): Spark subtracts 1 to align the encodings.
+    Day-grain aggregation first, so the profile windows touch ≤ 7 rows."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    profile = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cnt").cast("long").alias("total_events"),
+    )
+    overall = profile.agg(
+        (
+            F.sum("total_events").cast("double") / F.sum("n_days")
+        ).alias("mean_daily")
+    )
+    avg_events = F.col("total_events").cast("double") / F.col("n_days")
+    return (
+        profile.crossJoin(F.broadcast(overall))
+        .select(
+            "dow",
+            "n_days",
+            "total_events",
+            F.round(avg_events, 6).alias("avg_events"),
+            F.round(avg_events / F.col("mean_daily"), 6).alias(
+                "seasonality_index"
+            ),
+        )
+        .orderBy("dow")
+    )
