@@ -95,8 +95,8 @@ except ImportError:  # pragma: no cover
 #: q_graph_triangles, q_dau_wau_mau, q_robust_outlier_stats,
 #: q_histogram_2d, q_gini_concentration, q_yoy_revenue_growth,
 #: q_new_vs_returning, q_cumulative_distinct_users, q_conversion_latency,
-#: q_pareto_coverage, t_vocab_growth, q_weekday_seasonality (+ anything
-#: newer) — then pad the
+#: q_pareto_coverage, t_vocab_growth, q_weekday_seasonality,
+#: q_null_profile, q_json_key_profile (+ anything newer) — then pad the
 #: remaining window slots with the highest-value already-green queries.
 _PRIORITY = [
     # TPC-H tail — the hardest subquery shapes, unchecked in r1

@@ -2723,3 +2723,109 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Column null/blank profile (data profiling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_null_profile",
+    """
+    SELECT 'o_custkey' AS col,
+           COUNT(*) - COUNT(o_custkey) AS n_null,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           COUNT(*) AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus), COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice), COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority), COUNT(*)
+    FROM orders
+    ORDER BY col
+    """,
+)
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile — null count, distinct cardinality, row count per
+    column in long format: the first pass a data catalog or quality tool
+    runs on an unknown table. Spark computes ALL columns' profiles in ONE
+    aggregation over one scan (count/count-distinct pairs side by side),
+    then unpivots to the long shape; the oracle spells the same numbers
+    as per-column passes. Cardinality profiling at 100 TB swaps
+    count_distinct for approx_count_distinct — same single-scan plan."""
+    o = t(spark, sf_dir, "orders")
+    cols = [
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    ]
+    aggs = []
+    for c in cols:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"null_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"dist_{c}"))
+    aggs.append(F.count(F.lit(1)).alias("n_rows"))
+    wide = o.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', null_{c}, dist_{c}" for c in cols
+    )
+    return (
+        wide.selectExpr(
+            f"stack({len(cols)}, {stack_expr}) AS (col, n_null, n_distinct)",
+            "n_rows",
+        )
+        .select("col", "n_null", "n_distinct", "n_rows")
+        .orderBy("col")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON key frequency (semi-structured schema discovery)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_json_key_profile",
+    """
+    WITH keys AS (
+      SELECT u.k
+      FROM events, UNNEST(json_keys(props)) AS u(k)
+      WHERE props IS NOT NULL)
+    SELECT k AS key,
+           COUNT(*) AS n_present,
+           (SELECT COUNT(*) FROM events) AS n_events
+    FROM keys
+    GROUP BY k
+    ORDER BY key
+    """,
+)
+def q_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema discovery: which JSON keys exist in the
+    props payload and how often — what an ingestion pipeline runs before
+    deciding typed extraction paths (q_variant_props / q_from_json_struct
+    are the downstream consumers). json_object_keys explodes per-row key
+    sets (narrow); the profile aggregation is bounded by the distinct key
+    vocabulary. The total-events scalar broadcasts."""
+    ev = t(spark, sf_dir, "events")
+    total = ev.agg(F.count(F.lit(1)).alias("n_events"))
+    keys = (
+        ev.where(F.col("props").isNotNull())
+        .select(F.explode(F.json_object_keys("props")).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_present"))
+    )
+    return (
+        keys.crossJoin(F.broadcast(total))
+        .select("key", "n_present", "n_events")
+        .orderBy("key")
+    )
