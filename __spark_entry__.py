@@ -63,67 +63,56 @@ except ImportError:  # pragma: no cover
 
 
 #: Driver CORRECTNESS verification covers the first N registered queries in
-#: registration order.  Round 1 verified 47 queries green (CORRECTNESS_r01);
-#: those do not need re-checking, so round 2 front-loads everything that has
-#: no driver row yet — all textops/vectorops/multimodal queries, TPC-H
-#: q13–q22, and the three newly-oracled queries (q_approx_percentile,
-#: q_approx_distinct, y_ysb_windowed_counts).  Names missing from the
-#: registries are ignored; registered names missing from this list keep
-#: their module registration order after the priority block.
+#: registration order (50-query window per round).  Rounds 1+2 verified 97
+#: queries (90 hash-green, 7 rows-only-by-design, 0 failures) — those keep
+#: their CORRECTNESS rows and do not need re-checking.  Round 3 front-loads
+#: the queries that still have no driver row (the "ROUND-3 ROTATION" list
+#: from round 2), plus the queries whose code or oracle changed this round
+#: (q_basket_part_pairs / q_graph_triangles: Apriori prefilter;
+#: q_dau_wau_mau: oracle rewrite; v_user_value_zscores /
+#: v_grouped_agg_median: newly oracled via ROUND(x, 6)).  Names missing
+#: from the registries are ignored; registered names missing from this list
+#: keep their module registration order after the priority block.
 #:
-#: ROUND-3 ROTATION (do this at the start of round 3, after CORRECTNESS_r02
-#: lands): replace this list with the queries that still have no driver row —
-#: t_repetition_metrics, t_pack_sequences, t_contamination_check,
-#: s_near_dup_lsh_verified, q_fuzzy_name_match, q_string_agg_names,
-#: q_runtime_filter_prefilter_join, t_pii_redaction, t_text_normalize,
-#: t_doc_chunks, t_stratified_sample, t_hash_sample_rate,
-#: s_embedding_quantize_int8, t_unigram_lm_score, q_hll_sketch_users,
-#: q_timeseries_gapfill, q_skew_report, q_funnel_steps, q_cohort_retention,
-#: q_nullsafe_join, m_image_dedup_groups, q_variant_props,
-#: v_arrow_vector_norms, q_ewma_user_daily, q_event_transitions,
-#: q_cms_heavy_hitters, q_ohlc_downsample, t_dup_spans, q_full_outer_join,
-#: q_merge_upsert, q_scd2_intervals, q_sql_text_interface,
-#: q_spatial_grid_nn, q_data_quality_audit, q_snapshot_diff,
-#: q_equidepth_histogram, q_incremental_agg_refresh,
-#: q_lateral_topk_per_nation, q_equidepth_approx,
-#: q_pattern_match_sequences, t_token_budget_mixture,
-#: q_interval_bucket_join, q_session_window_batch,
-#: q_sliding_distinct_users, t_weighted_sample, q_table_fingerprint,
-#: q_embedding_dim_stats, q_trending_event_types, q_mom_revenue_growth,
-#: t_bigram_lm_top, q_churned_users, t_length_band_filter,
-#: t_dedup_keep_best, q_rfm_segments, q_basket_part_pairs,
-#: q_graph_triangles, q_dau_wau_mau, q_robust_outlier_stats,
-#: q_histogram_2d, q_gini_concentration, q_yoy_revenue_growth,
-#: q_new_vs_returning, q_cumulative_distinct_users, q_conversion_latency,
-#: q_pareto_coverage, t_vocab_growth, q_weekday_seasonality,
-#: q_null_profile, q_json_key_profile (+ anything newer) — then pad the
-#: remaining window slots with the highest-value already-green queries.
+#: ROUND-4 ROTATION (do this at the start of round 4, after CORRECTNESS_r03
+#: lands): replace this list with the remaining unchecked names —
+#: q_table_fingerprint, q_embedding_dim_stats, q_trending_event_types,
+#: q_mom_revenue_growth, t_bigram_lm_top, q_churned_users,
+#: t_length_band_filter, t_dedup_keep_best, q_rfm_segments,
+#: q_robust_outlier_stats, q_histogram_2d, q_gini_concentration,
+#: q_yoy_revenue_growth, q_new_vs_returning, q_cumulative_distinct_users,
+#: q_conversion_latency, q_pareto_coverage, t_vocab_growth,
+#: q_weekday_seasonality, q_null_profile, q_json_key_profile, plus every
+#: query added during round 3 (grep this file's registries against
+#: CORRECTNESS_r01∪r02∪r03 row names) — then pad the remaining window
+#: slots with the highest-value already-green queries.  That closes the
+#: verification debt: after round 4 every registered query has a driver row.
 _PRIORITY = [
-    # TPC-H tail — the hardest subquery shapes, unchecked in r1
-    "q13_order_count_distribution", "q14_promo_share", "q15_top_supplier",
-    "q16_supplier_variety", "q17_below_avg_quantity", "q18_large_orders",
-    "q19_disjunctive_brackets", "q20_supplier_part_share",
-    "q21_sole_late_supplier", "q22_idle_customers",
-    # relational coverage queries unchecked in r1
-    "q_window_rank_suite", "q_agg_funcs_modern", "q_collect_set_segments",
-    "q_histogram_acctbal", "q_sequence_active_months", "q_bitwise_agg",
-    "q_posexplode_tokens", "q_null_handling_funcs", "q_like_predicates",
-    "q_rollup_grouping_id", "q_first_last_value",
-    # text / dedup operators
-    "t_text_stats", "t_quality_scores", "t_token_top20",
-    "t_bpe_token_estimate", "t_lang_id", "t_tfidf_top3",
-    "t_doc_fingerprint", "t_exact_dedup_stats", "t_exact_dedup_groups",
-    "t_train_test_split", "t_ngram_jaccard_pairs", "t_minhash_lsh_pairs",
-    "t_dedup_clusters", "t_simhash_fingerprint",
-    # similarity search
-    "s_cosine_topk", "s_embedding_near_dup", "s_ann_lsh_top1",
-    # multimodal plumbing
-    "m_image_features", "m_frame_sample", "m_audio_features",
-    # vectorized / UDF flavors
-    "v_cosine_topk_pandas", "v_ivf_ann_topk", "v_user_value_zscores",
-    "v_grouped_agg_median", "v_plain_udf_slug", "v_udtf_shingle_top10",
-    # fixed in round 2 (array column crash / no-oracle → hash oracles)
-    "q_approx_percentile", "q_approx_distinct", "y_ysb_windowed_counts",
+    # training-data pipeline ops (repetition/packing/contamination/
+    # redaction/normalize/chunking/sampling/quantization/LM scoring)
+    "t_repetition_metrics", "t_pack_sequences", "t_contamination_check",
+    "s_near_dup_lsh_verified", "q_fuzzy_name_match", "q_string_agg_names",
+    "q_runtime_filter_prefilter_join", "t_pii_redaction", "t_text_normalize",
+    "t_doc_chunks", "t_stratified_sample", "t_hash_sample_rate",
+    "s_embedding_quantize_int8", "t_unigram_lm_score", "q_hll_sketch_users",
+    # time series / ops / product analytics
+    "q_timeseries_gapfill", "q_skew_report", "q_funnel_steps",
+    "q_cohort_retention", "q_nullsafe_join", "m_image_dedup_groups",
+    "q_variant_props", "v_arrow_vector_norms", "q_ewma_user_daily",
+    "q_event_transitions", "q_cms_heavy_hitters", "q_ohlc_downsample",
+    "t_dup_spans", "q_full_outer_join",
+    # CDC / SCD2 / maintenance / spatial / quality
+    "q_merge_upsert", "q_scd2_intervals", "q_sql_text_interface",
+    "q_spatial_grid_nn", "q_data_quality_audit", "q_snapshot_diff",
+    "q_equidepth_histogram", "q_incremental_agg_refresh",
+    "q_lateral_topk_per_nation", "q_equidepth_approx",
+    "q_pattern_match_sequences", "t_token_budget_mixture",
+    "q_interval_bucket_join", "q_session_window_batch",
+    "q_sliding_distinct_users", "t_weighted_sample",
+    # changed this round — re-verify under the driver
+    "q_basket_part_pairs", "q_graph_triangles", "q_dau_wau_mau",
+    # newly oracled this round (no_oracle → ROUND(x,6) hash oracle)
+    "v_user_value_zscores", "v_grouped_agg_median",
 ]
 
 

@@ -270,6 +270,20 @@ def main() -> None:
         shutil.rmtree(stream_out, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    # The bulky per-query detail blob (plan fingerprints, extended
+    # timings) goes on its OWN earlier line: the driver tail-captures the
+    # LAST stdout line, and r2 proved that folding details into it
+    # overflows the capture and leaves "parsed": null.  Keep the final
+    # line a compact summary.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_details",
+                "queries_extended": extended,
+                "query_details": details,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -306,8 +320,6 @@ def main() -> None:
                         "shows the full band)"
                     ),
                 },
-                "queries_extended": extended,
-                "query_details": details,
             }
         )
     )

@@ -538,7 +538,12 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals = grouped.groupBy("user_id", "event_type", "grp").agg(
         F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
     )
-    wlead = Window.partitionBy("user_id").orderBy("valid_from")
+    # LEAD and the final sort order by the island number grp, not
+    # valid_from: two islands of one user can start on the same timestamp
+    # (same-ts events with a type change), and ordering by the tied
+    # valid_from would make the successor — and the hash vs the oracle,
+    # which orders by grp — nondeterministic.
+    wlead = Window.partitionBy("user_id").orderBy("grp")
     return (
         intervals.select(
             "user_id",
@@ -546,8 +551,10 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_from",
             F.lead("valid_from").over(wlead).alias("valid_to"),
             "n_events",
+            "grp",
         )
-        .orderBy("user_id", "valid_from")
+        .orderBy("user_id", "grp")
+        .drop("grp")
     )
 
 
@@ -988,7 +995,9 @@ def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_equidepth_approx",
     """
-    SELECT CAST(t.i AS INT) AS bucket, TRUE AS within_2pct
+    SELECT CAST(t.i AS INT) AS bucket, TRUE AS within_2pct,
+           CAST(NULL AS BIGINT) AS cnt_if_deviant,
+           (SELECT COUNT(*) FROM customer) AS n_total
     FROM range(1, 11) t(i)
     ORDER BY bucket
     """,
@@ -1004,7 +1013,12 @@ def q_equidepth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tolerance-oracle shape (cf. q_cms_heavy_hitters): each bucket's row
     count must sit within 2% of n/10 — at sketch accuracy 10000 the
     boundaries are near-exact, so the flag holds deterministically; the
-    oracle emits the expected TRUE per bucket."""
+    oracle emits the expected TRUE per bucket.  Two debuggability columns
+    keep the oracle data-dependent without breaking the hash:
+    ``cnt_if_deviant`` is NULL while the tolerance holds but carries the
+    offending bucket count in any future mismatch diff, and ``n_total``
+    ties the result to the table's actual row count so a reshaped
+    customer table can't silently pass."""
     c = t(spark, sf_dir, "customer")
     pcts = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
     stats = c.agg(
@@ -1026,13 +1040,16 @@ def q_equidepth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = bucketed.groupBy("bucket", "n_total").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    within = (
+        F.abs(F.col("cnt") - F.col("n_total") / 10.0)
+        <= F.col("n_total") / 50.0
+    )
     return (
         counts.select(
             F.col("bucket").cast("int").alias("bucket"),
-            (
-                F.abs(F.col("cnt") - F.col("n_total") / 10.0)
-                <= F.col("n_total") / 50.0
-            ).alias("within_2pct"),
+            within.alias("within_2pct"),
+            F.when(~within, F.col("cnt")).alias("cnt_if_deviant"),
+            "n_total",
         )
         .orderBy("bucket")
     )
@@ -2113,8 +2130,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
            wau.wau,
            mau.mau,
            ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
-    FROM dau, mau
+    FROM dau
     JOIN wau ON date_trunc('week', dau.day) = wau.week
+    CROSS JOIN mau
     ORDER BY dau.day
     """,
 )

@@ -238,11 +238,25 @@ def v_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ZSCORE_SCHEMA = "user_id bigint, event_id bigint, value double, zscore double"
 
 
-@register("v_user_value_zscores")  # rows-only: float mean/std ordering
+@register(
+    "v_user_value_zscores",
+    """
+    SELECT user_id, event_id, value,
+           ROUND(CASE WHEN stddev_pop(value) OVER w > 0
+                      THEN (value - avg(value) OVER w) / stddev_pop(value) OVER w
+                      ELSE 0 END, 6) AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    ORDER BY user_id, event_id
+    """,
+)
 def v_user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas (grouped map): per-user z-score of event values.
     Rows are sorted by event_id inside the group so the float reduction
-    order — and thus the result — is deterministic at any partitioning."""
+    order — and thus the result — is deterministic at any partitioning.
+    numpy ``std`` is ddof=0 == SQL STDDEV_POP; the oracle-facing zscore is
+    rounded to 6 places on both sides so the (tiny) float-summation-order
+    difference between numpy and the window aggregate can't flip the hash."""
     ev = t(spark, sf_dir, "events").select("user_id", "event_id", "value")
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -256,14 +270,25 @@ def v_user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id")
         .applyInPandas(zscore, ZSCORE_SCHEMA)
+        .withColumn("zscore", F.round("zscore", 6))
         .orderBy("user_id", "event_id")
     )
 
 
-@register("v_grouped_agg_median")  # rows-only: medians beyond SQL parity
+@register(
+    "v_grouped_agg_median",
+    """
+    SELECT event_type, ROUND(median(value), 6) AS median_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def v_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas_udf: exact median of event values per type
-    (Spark's built-in is percentile_approx; the UDAF gives the exact one)."""
+    (Spark's built-in is percentile_approx; the UDAF gives the exact one).
+    DuckDB ``median`` interpolates on even counts exactly like numpy;
+    ROUND(x, 6) on both sides absorbs float noise."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -273,7 +298,7 @@ def v_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
-        .agg(median_udaf(F.col("value")).alias("median_value"))
+        .agg(F.round(median_udaf(F.col("value")), 6).alias("median_value"))
         .orderBy("event_type")
     )
 
@@ -370,15 +395,26 @@ def v_udtf_shingle_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("v_arrow_vector_norms")  # rows-only: numpy pairwise summation
+@register(
+    "v_arrow_vector_norms",
+    """
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                                              x -> CAST(x AS DOUBLE) * x))), 6)
+             AS norm
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
 def v_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``mapInArrow`` flavor (the fifth-and-final Python batch API after
     mapInPandas / applyInPandas / grouped-agg pandas_udf / UDTF): operates
     directly on Arrow RecordBatches — no pandas materialization, so the
     per-batch overhead is one zero-copy list flatten instead of a Series
     build. Computes per-vector L2 norms; pytest pins equality (to 1e-6)
-    against the JVM unrolled-expression norm so the Arrow path is verified
-    against the SQL engine rather than an oracle."""
+    against the JVM unrolled-expression norm, and the oracle compares the
+    6-place-rounded norm (both sides square in float64, so they agree to
+    ~1e-13 relative — far inside the rounding granularity)."""
     import pyarrow as pa
 
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -397,4 +433,8 @@ def v_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 names=["vec_id", "norm"],
             )
 
-    return e.mapInArrow(norms, "vec_id bigint, norm double").orderBy("vec_id")
+    return (
+        e.mapInArrow(norms, "vec_id bigint, norm double")
+        .withColumn("norm", F.round("norm", 6))
+        .orderBy("vec_id")
+    )

@@ -38,10 +38,12 @@ def test_zscores_hand_computed(spark):
     one_user = out[out.user_id == out.user_id.iloc[0]].sort_values("event_id")
     v = one_user["value"].to_numpy(dtype=np.float64)
     expect = (v - v.mean()) / v.std()
-    assert np.allclose(one_user["zscore"].to_numpy(), expect)
-    # Global sanity: zscores are standardized within each user.
+    assert np.allclose(one_user["zscore"].to_numpy(), expect, atol=1e-6)
+    # Global sanity: zscores are standardized within each user (the
+    # oracle-facing output is rounded to 6 places, so the per-user mean
+    # only vanishes to rounding granularity).
     g = out.groupby("user_id")["zscore"]
-    assert np.allclose(g.mean().to_numpy(), 0.0, atol=1e-9)
+    assert np.allclose(g.mean().to_numpy(), 0.0, atol=1e-6)
 
 
 def test_grouped_agg_median(spark):
