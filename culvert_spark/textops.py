@@ -651,7 +651,12 @@ def t_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       12x|shingles|.
     - The candidate join keys on (band, signature) — an equi-join on a
       16-byte key; est_jaccard compares the two 12-slot signature arrays
-      directly (no second explode)."""
+      directly (no second explode).
+    - Mega-bucket guard: buckets holding more than ``_BUCKET_CAP`` docs are
+      dropped before the pair join (see the constant's docstring), so one
+      corpus-wide boilerplate signature can never make a reduce task
+      quadratic. The shipped SFs never trigger the cap, so the (uncapped)
+      DuckDB oracle remains an exact twin."""
     sig, cand = _minhash_sigs_and_cands(spark, sf_dir)
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("mhs").alias("mhs_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("mhs").alias("mhs_b"))
@@ -698,9 +703,32 @@ def _reliable_ckpt(spark: SparkSession):
     return lambda df: df.checkpoint()
 
 
-def _minhash_sigs_and_cands(spark: SparkSession, sf_dir: str):
-    """Shared MinHash pipeline: (signatures, LSH candidate pairs)."""
-    d = t(spark, sf_dir, "documents")
+#: Mega-bucket cap: max docs allowed in one (band, bsig) LSH bucket before
+#: the bucket is dropped from candidate generation.  A boilerplate cluster
+#: shared by 10⁷ docs would otherwise make a single bucket quadratic
+#: (10¹⁴ candidate pairs from one reduce task).  Buckets at or under the
+#: cap are verified exactly downstream, so for any corpus whose real
+#: duplicate clusters are smaller than the cap the output is IDENTICAL to
+#: the uncapped pipeline — the shipped test SFs never come close, which is
+#: why the DuckDB oracle (which has no cap) still hash-matches.  At 100 TB
+#: a dropped bucket means "this boilerplate is so common that pairwise
+#: dedup is the wrong tool" — route those docs to exact-hash dedup
+#: (t_exact_dedup_groups) instead of enumerating O(cap²) pairs.
+_BUCKET_CAP = 1000
+
+
+def _minhash_sigs_and_cands(
+    spark: SparkSession, sf_dir: str, bucket_cap: int = _BUCKET_CAP
+):
+    """Shared MinHash pipeline over the documents table:
+    (signatures, LSH candidate pairs)."""
+    return _minhash_from_docs(t(spark, sf_dir, "documents"), bucket_cap)
+
+
+def _minhash_from_docs(d: DataFrame, bucket_cap: int = _BUCKET_CAP):
+    """MinHash pipeline from any docs DataFrame (doc_id, text, ...):
+    (signatures, LSH candidate pairs), with the (band, bsig) mega-bucket
+    cap applied before the pair join."""
     sh = _with_shingles(d)
     mh_cols = [
         F.min(
@@ -729,8 +757,17 @@ def _minhash_sigs_and_cands(spark: SparkSession, sf_dir: str):
     bands = sig.select(
         "doc_id", F.posexplode(band_sigs).alias("band", "bsig")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Count docs per bucket with a window over the same (band, bsig) key
+    # the pair join shuffles on — the exchange is shared, so the cap costs
+    # no extra shuffle — and drop over-cap buckets before any pair exists.
+    wb = Window.partitionBy("band", "bsig")
+    capped = (
+        bands.withColumn("n_bucket", F.count(F.lit(1)).over(wb))
+        .filter(F.col("n_bucket") <= F.lit(bucket_cap))
+        .drop("n_bucket")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
     cand = (
         a.join(
             b,

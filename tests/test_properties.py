@@ -161,3 +161,29 @@ def test_linear_interpolation_bounded_by_neighbors(spark, vals, gaps):
         else:
             lo, hi = min(r["pv"], r["nv"]), max(r["pv"], r["nv"])
             assert lo <= r["f"] <= hi, "interpolation escaped neighbor bounds"
+
+
+def test_lsh_mega_bucket_cap_bounds_candidates(spark):
+    """A corpus-wide boilerplate cluster must NOT generate quadratic LSH
+    candidate pairs: buckets over _BUCKET_CAP docs are dropped before the
+    pair join, while genuine small duplicate clusters survive exactly.
+
+    Synthetic corpus: 1,000 byte-identical boilerplate docs (one LSH
+    bucket per band of size 1,000) plus one genuine duplicate pair with
+    different text. With the cap at 50 the boilerplate contributes ZERO
+    pairs and the real pair survives; with the cap effectively off, the
+    same corpus explodes to C(1000,2) + 1 pairs — the quadratic shape the
+    cap exists to prevent."""
+    from culvert_spark.textops import _minhash_from_docs
+
+    boiler = "terms of service apply to all content provided herein thanks"
+    real = "the quick brown fox jumps over the lazy dog tonight again"
+    rows = [(i, boiler) for i in range(1000)] + [(5001, real), (5002, real)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    _, capped = _minhash_from_docs(docs, bucket_cap=50)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert got == {(5001, 5002)}, f"cap leaked/overcut: {len(got)} pairs"
+
+    _, uncapped = _minhash_from_docs(docs, bucket_cap=10**9)
+    assert uncapped.count() == 1000 * 999 // 2 + 1
