@@ -1982,6 +1982,28 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _apriori_prefilter(items: DataFrame, min_support: int = 2) -> DataFrame:
+    """Apriori frequent-item prune before a basket self-join.
+
+    A pair can only reach pair-support >= s if BOTH parts individually
+    appear in >= s baskets (pair support is bounded by each item's basket
+    count), so dropping parts under the floor before pairing is LOSSLESS
+    for any downstream ``support >= min_support`` filter while cutting the
+    self-join fan-out of the long tail of once-bought parts. At 100x scale
+    this is what keeps a hot part in 10⁶ baskets from meeting every
+    one-off part in those baskets. ``items`` must already be distinct
+    (basket, part) pairs; the prune is a semi join against the over-floor
+    part list (an equi-join on l_partkey — broadcastable when the
+    frequent-part list is small)."""
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .where(F.col("n_baskets") >= min_support)
+        .select("l_partkey")
+    )
+    return items.join(freq, "l_partkey", "semi")
+
+
 @register(
     "q_basket_part_pairs",
     """
@@ -2008,10 +2030,13 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-basket item count, never corpus². The a<b predicate halves the
     pairs and makes each unordered pair canonical; DISTINCT first removes
     multi-lineitem repeats of the same part so support counts baskets,
-    not line items. At 100 TB add a frequent-item prefilter (support
-    floor on single parts) before pairing — the classic Apriori prune."""
+    not line items. The Apriori frequent-item prefilter
+    (:func:`_apriori_prefilter`) drops parts in fewer than 2 baskets
+    before pairing — lossless under the ``support >= 2`` output filter."""
     li = t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = _apriori_prefilter(
+        li.select("l_orderkey", "l_partkey").distinct(), min_support=2
+    )
     a = items.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
     )
@@ -2070,11 +2095,14 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     x<y<z is materialized exactly once as e1=(x,y), e2=(y,z), e3=(x,z),
     so no post-hoc dedup and the join fan-out of high-degree nodes is
     bounded by their higher-id neighbors only. Both triangle joins are
-    equi-joins on node ids; at 100 TB the graph build (basket self-join)
-    dominates and gets the same Apriori support prefilter as
-    q_basket_part_pairs."""
+    equi-joins on node ids; the graph build (basket self-join) dominates
+    at scale and runs behind the same Apriori support prefilter as
+    q_basket_part_pairs (edges need support >= 2, so parts in fewer than
+    2 baskets cannot contribute an edge — the prune is lossless)."""
     li = t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = _apriori_prefilter(
+        li.select("l_orderkey", "l_partkey").distinct(), min_support=2
+    )
     a = items.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a")
     )

@@ -327,3 +327,43 @@ def test_session_window_is_single_aggregation(spark):
     assert "Join" not in plan
     final = plan.split("== Initial Plan ==")[0]
     assert "SessionWindow" in final or "session_window" in final
+
+
+def test_apriori_prefilter_precedes_basket_self_join(spark):
+    """The frequent-item prune must run BEFORE the basket self-join in
+    both basket-pair mining and the triangle graph build: the semi join
+    against the over-floor part list is the only LeftSemi in either plan,
+    so its presence proves the prune gates the pairing."""
+    for name in ("q_basket_part_pairs", "q_graph_triangles"):
+        plan = executed_plan(spark, name)
+        assert "LeftSemi" in plan, f"{name}: Apriori prefilter missing"
+        assert "CartesianProduct" not in plan
+
+
+def test_apriori_prefilter_is_lossless(spark):
+    """Pruning parts under the support floor cannot change the support>=2
+    pair output (pair support <= each part's basket count)."""
+    import pyspark.sql.functions as F
+
+    from culvert_spark.analyticsops import _apriori_prefilter
+    from culvert_spark.queries import t as scan
+
+    li = scan(spark, SF_SMALL, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+
+    def pairs(src):
+        a = src.select(F.col("l_orderkey").alias("k"),
+                       F.col("l_partkey").alias("pa"))
+        b = src.select(F.col("l_orderkey").alias("k"),
+                       F.col("l_partkey").alias("pb"))
+        return {
+            (r.pa, r.pb, r.n)
+            for r in a.join(b, "k")
+            .where(F.col("pa") < F.col("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= 2)
+            .collect()
+        }
+
+    assert pairs(_apriori_prefilter(items, 2)) == pairs(items)
