@@ -117,19 +117,28 @@ def q_ewma_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's event stream:
-    (event_type → next event_type) counts and row-normalized probabilities.
-    One window shuffle on user_id (ordered by ts with event_id as the
-    deterministic tiebreak), then a pair aggregation whose cardinality is
-    |event_types|² — tiny at any data scale."""
+    (event_type → next event_type) counts and row-normalized probabilities,
+    then a pair aggregation whose cardinality is |event_types|² — tiny at
+    any data scale.
+
+    Giant-key guard: adjacency is extracted two-level
+    (:func:`culvert_spark.twolevel.segmented_lead_pairs`) — LEAD inside
+    (user_id, day) sub-partitions plus a day-boundary stitch over the
+    per-user day list — so one user with 10⁹ events can never pin a single
+    window task. Row-identical to the plain user_id-partitioned LEAD
+    (ordered by ts, event_id)."""
+    from culvert_spark.twolevel import segmented_lead_pairs
+
     ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        F.col("event_type").alias("from_type"),
-        F.lead("event_type").over(w).alias("to_type"),
-    ).where(F.col("to_type").isNotNull())
-    pairs = seq.groupBy("from_type", "to_type").agg(
-        F.count(F.lit(1)).alias("transitions")
+    seq = segmented_lead_pairs(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        payload="event_type",
     )
+    pairs = seq.groupBy(
+        F.col("from_val").alias("from_type"), F.col("to_val").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("transitions"))
     wt = Window.partitionBy("from_type")
     return (
         pairs.select(
@@ -1087,27 +1096,45 @@ def q_pattern_match_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternation-free over disjoint letter classes so Java (leftmost-first)
     and RE2 (leftmost-longest) agree on every match.
 
-    Scale: one shuffle on user_id; per-user state is the encoded sequence,
-    so at 100 TB you'd encode per-SESSION (bounded) rather than per-user —
-    same operator, tighter key, exactly what q_sessionize_events
-    provides."""
+    Giant-key guard (two-level, cf. culvert_spark.twolevel): encode at
+    (user_id, day) grain first — the event-struct sort and collect happen
+    inside day sub-partitions — then concatenate the per-day strings in
+    day order. String concatenation over ordered contiguous segments
+    reassembles the identical full sequence, so matches that span
+    midnight still count; the per-user step now sorts a handful of
+    day-structs instead of every event. (Per-user state is still the full
+    encoded string — at 100 TB you'd additionally encode per-SESSION
+    (bounded), which q_sessionize_events provides.)"""
+    from culvert_spark.twolevel import with_bucket
+
     ev = t(spark, sf_dir, "events")
-    seqs = (
-        ev.select(
+    day_seqs = (
+        with_bucket(ev)
+        .select(
             "user_id",
+            "_bucket",
             F.struct(
                 "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
             ).alias("rec"),
         )
-        .groupBy("user_id")
+        .groupBy("user_id", "_bucket")
         .agg(
             F.array_join(
                 F.transform(
                     F.sort_array(F.collect_list("rec")), lambda r: r["c"]
                 ),
                 "",
-            ).alias("seq")
+            ).alias("dseq")
         )
+    )
+    seqs = day_seqs.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_bucket", "dseq"))),
+                lambda r: r["dseq"],
+            ),
+            "",
+        ).alias("seq")
     )
     return (
         seqs.select(

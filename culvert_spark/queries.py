@@ -1621,31 +1621,24 @@ def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch sessionization (30-min inactivity gap): lag → gap flag →
-    running-sum session ids → two-level aggregate. Timestamps compared in
-    integer microseconds so both engines are exact. This is the batch twin of
-    the streaming session_window operator."""
+    """Batch sessionization (30-min inactivity gap). Timestamps compared
+    in integer microseconds so both engines are exact. This is the batch
+    twin of the streaming session_window operator.
+
+    Giant-key guard: sessions are built two-level
+    (:func:`culvert_spark.twolevel.sessionize_session_rows`) — lag → gap
+    flag → running sum inside (user_id, day) sub-partitions, then a
+    day-boundary merge over per-user session runs (structurally ≤ 48
+    runs/day at a 30-min gap) — so a hot user cannot pin one window task,
+    and sessions spanning midnight still merge exactly as the single-pass
+    sessionizer would."""
+    from culvert_spark.twolevel import sessionize_session_rows
+
     ev = t(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
-    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_run = (
-        Window.partitionBy("user_id")
-        .orderBy("us")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    seq = ev.select("user_id", "ts", "event_id").withColumn("us", us)
-    marked = seq.withColumn(
-        "new_s",
-        F.when(
-            F.lag("us").over(w_seq).isNull()
-            | ((F.col("us") - F.lag("us").over(w_seq)) > 1_800_000_000),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    sess = marked.withColumn("session_id", F.sum("new_s").over(w_run))
-    per_session = sess.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        (F.max("us") - F.min("us")).alias("dur_us"),
+    per_session = sessionize_session_rows(ev).select(
+        "user_id",
+        "n_events",
+        (F.col("max_us") - F.col("min_us")).alias("dur_us"),
     )
     return (
         per_session.groupBy("user_id")

@@ -367,3 +367,17 @@ def test_apriori_prefilter_is_lossless(spark):
         }
 
     assert pairs(_apriori_prefilter(items, 2)) == pairs(items)
+
+
+def test_giant_key_guard_sub_buckets_user_windows(spark):
+    """The window-family giant-key guard: transitions, pattern match, and
+    sessionize must run their heavy ordered pass inside (user_id, _bucket)
+    sub-partitions — the _bucket column appearing in the executed plan
+    proves the two-level shape survived Catalyst."""
+    for name in (
+        "q_event_transitions",
+        "q_pattern_match_sequences",
+        "q_sessionize_events",
+    ):
+        plan = executed_plan(spark, name)
+        assert "_bucket" in plan, f"{name}: two-level guard missing"

@@ -187,3 +187,86 @@ def test_lsh_mega_bucket_cap_bounds_candidates(spark):
 
     _, uncapped = _minhash_from_docs(docs, bucket_cap=10**9)
     assert uncapped.count() == 1000 * 999 // 2 + 1
+
+
+def _hot_key_events(spark):
+    """One hot user (2,000 events crossing two midnights, incl. sessions
+    spanning midnight and same-ts ties) plus a quiet control user."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 23, 0, 0)
+    rows = []
+    eid = 0
+    for k in range(2000):
+        # bursts of 5 events 1s apart, bursts 40min apart -> many sessions,
+        # several crossing midnight as the stream marches over 3 days
+        ts = base + dt.timedelta(minutes=40 * (k // 5), seconds=k % 5)
+        rows.append((eid, ts, 7, "vcep"[eid % 4] + "x"))
+        eid += 1
+    rows.append((eid, base, 8, "view"))       # control user, same-ts tie
+    rows.append((eid + 1, base, 8, "purchase"))
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+
+
+def test_two_level_lead_pairs_match_single_window(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from culvert_spark.twolevel import segmented_lead_pairs
+
+    ev = _hot_key_events(spark)
+    two = (
+        segmented_lead_pairs(ev, ["user_id"], ["ts", "event_id"], "event_type")
+        .groupBy("user_id", "from_val", "to_val")
+        .count()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    naive = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_val"),
+            F.lead("event_type").over(w).alias("to_val"),
+        )
+        .where(F.col("to_val").isNotNull())
+        .groupBy("user_id", "from_val", "to_val")
+        .count()
+    )
+    assert {tuple(r) for r in two.collect()} == {tuple(r) for r in naive.collect()}
+
+
+def test_two_level_sessionize_matches_single_window(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from culvert_spark.twolevel import sessionize_session_rows
+
+    ev = _hot_key_events(spark)
+    two = {
+        (r.user_id, r.n_events, r.min_us, r.max_us)
+        for r in sessionize_session_rows(ev).collect()
+    }
+    us = F.unix_micros(F.col("ts"))
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = wseq.rowsBetween(Window.unboundedPreceding, 0)
+    marked = ev.withColumn("us", us).withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(wseq).isNull()
+            | ((F.col("us") - F.lag("us").over(wseq)) > 1_800_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    naive = {
+        (r.user_id, r.n_events, r.min_us, r.max_us)
+        for r in marked.withColumn("sid", F.sum("new_s").over(wrun))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("us").alias("min_us"),
+            F.max("us").alias("max_us"),
+        )
+        .collect()
+    }
+    assert two == naive and len(two) > 10
