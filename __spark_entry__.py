@@ -61,6 +61,13 @@ try:  # SQL-text entry surface
 except ImportError:  # pragma: no cover
     pass
 
+try:  # training-data prep batch (round 3: shuffle/truncation/gopher/semdedup)
+    from culvert_spark import trainprep as _tp
+
+    _REGISTRIES.append(_tp)
+except ImportError:  # pragma: no cover
+    pass
+
 
 #: Driver CORRECTNESS verification covers the first N registered queries in
 #: registration order (50-query window per round).  Rounds 1+2 verified 97
@@ -82,11 +89,16 @@ except ImportError:  # pragma: no cover
 #: q_robust_outlier_stats, q_histogram_2d, q_gini_concentration,
 #: q_yoy_revenue_growth, q_new_vs_returning, q_cumulative_distinct_users,
 #: q_conversion_latency, q_pareto_coverage, t_vocab_growth,
-#: q_weekday_seasonality, q_null_profile, q_json_key_profile, plus every
-#: query added during round 3 (grep this file's registries against
-#: CORRECTNESS_r01∪r02∪r03 row names) — then pad the remaining window
-#: slots with the highest-value already-green queries.  That closes the
-#: verification debt: after round 4 every registered query has a driver row.
+#: q_weekday_seasonality, q_null_profile, q_json_key_profile (21 from the
+#: r2 overflow), the 7 queries added in round 3 — t_deterministic_shuffle,
+#: t_context_truncation_stats, t_quality_percentile_filter,
+#: t_gopher_quality_rules, s_semantic_dedup_rep, q_ols_daily_revenue_trend,
+#: q_chi2_priority_status — and the 3 whose implementation changed after
+#: the r3 window was frozen (candidate generation restructured to bucket
+#: assembly; oracles unchanged): t_minhash_lsh_pairs, t_dedup_clusters.
+#: That is 30 names; pad the remaining ~20 window
+#: slots with the highest-value already-green queries.  After round 4
+#: every registered query has a driver row against its current code.
 _PRIORITY = [
     # training-data pipeline ops (repetition/packing/contamination/
     # redaction/normalize/chunking/sampling/quantization/LM scoring)

@@ -50,6 +50,112 @@ def _sf_from_dir(d: str) -> float:
     return -1.0
 
 
+#: sf_large measurement set: the four queries VERDICT r2 named as the
+#: LLM-pipeline hot path whose scale posture needs a measured curve.
+SF_LARGE_QUERIES = [
+    "t_minhash_lsh_pairs",
+    "s_near_dup_lsh_verified",
+    "t_pack_sequences",
+    "q_graph_triangles",
+]
+SF_LARGE_REP = 8  # replicas of SF_DIR → effective sf ≈ 8 × headline sf
+
+
+def _bench_sf_large(spark, registry) -> dict:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    stride = 100_000_000  # id shift per replica — far above any real id
+    large_dir = tempfile.mkdtemp(prefix="culvert_bench_sflarge_")
+    try:
+        rep = F.explode(
+            F.sequence(F.lit(0), F.lit(SF_LARGE_REP - 1))
+        ).alias("rep")
+
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        docs.select("*", rep).select(
+            (F.col("doc_id") + F.col("rep") * stride).alias("doc_id"),
+            # replicas are NEAR-dups (one trailing token differs): the band
+            # join still collides and the exact verify still has to work.
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(F.concat_ws(" ", "text", F.format_string("rep%d", "rep")))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        ).write.mode("overwrite").parquet(
+            os.path.join(large_dir, "documents.parquet")
+        )
+
+        # Replica embeddings get a per-replica deterministic sign flip per
+        # dimension: cos between two vectors in the SAME replica is
+        # unchanged (signs cancel), cos across replicas decorrelates — so
+        # true near-dup pairs scale ~linearly with replicas (a real 8x
+        # corpus), not quadratically (8 exact copies of every vector).
+        import hashlib
+
+        sign_rows = []
+        for r in range(SF_LARGE_REP):
+            sign_rows.append(
+                (
+                    r,
+                    [
+                        1.0
+                        if r == 0
+                        or hashlib.md5(f"{r},{i}".encode()).digest()[0] % 2 == 0
+                        else -1.0
+                        for i in range(64)
+                    ],
+                )
+            )
+        signs_df = spark.createDataFrame(
+            sign_rows, "rep int, signs array<double>"
+        )
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        emb.select("*", rep).join(F.broadcast(signs_df), "rep").select(
+            (F.col("vec_id") + F.col("rep") * stride).alias("vec_id"),
+            F.zip_with(
+                "embedding",
+                "signs",
+                lambda a, b: (a.cast("double") * b).cast("float"),
+            ).alias("embedding"),
+            "label",
+        ).write.mode("overwrite").parquet(
+            os.path.join(large_dir, "embeddings.parquet")
+        )
+
+        li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        li.select("*", rep).select(
+            (F.col("l_orderkey") + F.col("rep") * stride).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        ).write.mode("overwrite").parquet(
+            os.path.join(large_dir, "lineitem.parquet")
+        )
+
+        timings: dict[str, float] = {}
+        for name in SF_LARGE_QUERIES:
+            if name not in registry:
+                continue
+            fn = registry[name]
+            best = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                fn(spark, large_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - start)
+            timings[name] = round(best, 3)
+        return {
+            "sf": round(_sf_from_dir(SF_DIR) * SF_LARGE_REP, 3),
+            "replicas": SF_LARGE_REP,
+            "queries": timings,
+        }
+    finally:
+        shutil.rmtree(large_dir, ignore_errors=True)
+
+
 def main() -> None:
     from culvert_spark.session import get_spark
 
@@ -142,6 +248,15 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
         extended[name] = round(best, 3)
+
+    # sf_large: the LLM-pipeline hot path measured at ~8x the headline SF so
+    # the scale claims carry a measured curve, not just plan shapes.  The
+    # corpus is SF_DIR replicated REP times with shifted ids (documents get a
+    # per-replica suffix token so replicas are NEAR-duplicates — the MinHash
+    # band join and exact verify both do real work, the web-crawl shape);
+    # built once into a temp dir with the same <table>.parquet layout so the
+    # registry callables run unmodified against it.
+    sf_large = _bench_sf_large(spark, registry)
 
     # Ingest throughput — the reference's own metric (BASELINE.md: committed
     # rows/sec into a partitioned ORC table; its 1.535M rows/s run used 64
@@ -292,6 +407,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                "sf_large": sf_large,
                 "ingest": {
                     "rows": ingest_rows,
                     "sec": round(ingest_sec, 3),

@@ -2019,16 +2019,59 @@ def _apriori_prefilter(items: DataFrame, min_support: int = 2) -> DataFrame:
     self-join fan-out of the long tail of once-bought parts. At 100x scale
     this is what keeps a hot part in 10⁶ baskets from meeting every
     one-off part in those baskets. ``items`` must already be distinct
-    (basket, part) pairs; the prune is a semi join against the over-floor
-    part list (an equi-join on l_partkey — broadcastable when the
-    frequent-part list is small)."""
+    (basket, part) pairs — and should be persisted by the caller, since
+    the prune references it twice (the frequent-part aggregate and the
+    join side). The over-floor part list broadcasts: it is bounded by the
+    part dimension, not the corpus."""
     freq = (
         items.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .where(F.col("n_baskets") >= min_support)
         .select("l_partkey")
     )
-    return items.join(freq, "l_partkey", "semi")
+    return items.join(F.broadcast(freq), "l_partkey", "semi")
+
+
+def _basket_pair_support(li: DataFrame, min_support: int = 2) -> DataFrame:
+    """Distinct co-occurring part pairs per basket with basket-support
+    counts (columns a < b, support >= ``min_support``).
+
+    Shape: Apriori part prune (count distinct baskets per part, broadcast
+    the over-floor list, semi-join — no shuffle of the fact side), then
+    ONE shuffle to the basket grain where ``collect_set`` both dedups
+    multi-lineitem repeats and assembles the basket, then in-basket pair
+    explosion (quadratic only in basket SIZE, which the order domain
+    bounds — TPC-H baskets hold <= 7 parts), then one aggregate on the
+    pair key. Compared to the classic items-self-join this saves the
+    distinct shuffle and one side of the join shuffle; a domain with
+    unbounded basket sizes would cap/salt the basket assembly instead
+    (same trade as the LSH band-bucket cap)."""
+    li2 = li.select("l_orderkey", "l_partkey")
+    freq = (
+        li2.groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("n_baskets"))
+        .where(F.col("n_baskets") >= min_support)
+        .select("l_partkey")
+    )
+    baskets = (
+        li2.join(F.broadcast(freq), "l_partkey", "semi")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (p, i) ->"
+                " transform(slice(ps, i + 2, size(ps)),"
+                " q -> named_struct('a', p, 'b', q))))"
+            )
+        ).alias("pr")
+    ).select("pr.a", "pr.b")
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
 
 
 @register(
@@ -2059,25 +2102,19 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-lineitem repeats of the same part so support counts baskets,
     not line items. The Apriori frequent-item prefilter
     (:func:`_apriori_prefilter`) drops parts in fewer than 2 baskets
-    before pairing — lossless under the ``support >= 2`` output filter."""
+    before pairing — lossless under the ``support >= 2`` output filter.
+
+    Pairing runs through :func:`_basket_pair_support`: one shuffle to the
+    basket grain, in-basket pair explosion bounded by basket size, one
+    pair aggregate — no self-join, no distinct pre-pass."""
     li = t(spark, sf_dir, "lineitem")
-    items = _apriori_prefilter(
-        li.select("l_orderkey", "l_partkey").distinct(), min_support=2
-    )
-    a = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
-    )
-    pairs = (
-        a.join(b, "k")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("support"))
-    )
     return (
-        pairs.where(F.col("support") >= 2)
+        _basket_pair_support(li, min_support=2)
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "support",
+        )
         .orderBy(F.desc("support"), "part_a", "part_b")
         .limit(25)
     )
@@ -2125,33 +2162,25 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins on node ids; the graph build (basket self-join) dominates
     at scale and runs behind the same Apriori support prefilter as
     q_basket_part_pairs (edges need support >= 2, so parts in fewer than
-    2 baskets cannot contribute an edge — the prune is lossless)."""
+    2 baskets cannot contribute an edge — the prune is lossless).
+
+    Reuse: the edge list is referenced three times (e1/e2/e3), but its
+    pair-aggregation exchange is identical in all three, so Spark's
+    ReuseExchange/AQE stage reuse serves them from one shuffle write — an
+    explicit persist measured 4x SLOWER here (cache-materialization
+    barrier + memory-store write vs pipelined reuse). Each triangle's
+    three corners are counted from ONE evaluation of the triangle join
+    via explode of (x, y, z). The edge build runs through
+    :func:`_basket_pair_support` (Apriori prune + basket-grain pair
+    explosion — no self-join)."""
     li = t(spark, sf_dir, "lineitem")
-    items = _apriori_prefilter(
-        li.select("l_orderkey", "l_partkey").distinct(), min_support=2
-    )
-    a = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b")
-    )
-    edges = (
-        a.join(b, "k")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 2)
-        .select("a", "b")
-    )
+    edges = _basket_pair_support(li, min_support=2).select("a", "b")
     e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
     tri = e1.join(e2, "y").join(e3, ["x", "z"])
-    nodes = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+    nodes = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("node")
     )
     return (
         nodes.groupBy("node")
@@ -2902,3 +2931,146 @@ def q_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", "n_present", "n_events")
         .orderBy("key")
     )
+
+
+@register(
+    "q_ols_daily_revenue_trend",
+    """
+    WITH daily AS (
+      SELECT DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS x,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+      FROM orders
+      GROUP BY 1),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DECIMAL(38,2)) AS sx,
+             CAST(SUM(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS DECIMAL(38,2))
+               AS sxx,
+             CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(38,2)) AS sxy,
+             CAST(SUM(y * y) AS DECIMAL(38,4)) AS syy
+      FROM daily)
+    SELECT n AS n_days,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+           ROUND((CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE))
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM s
+    """,
+)
+def q_ols_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS regression of daily order revenue on the day index
+    (trend line + fit quality) — the "is this metric growing" primitive.
+    All five sufficient statistics (Σx, Σx², Σy, Σxy, Σy²) are computed as
+    EXACT integer/decimal sums in one partial-aggregate pass (map-side
+    combine, order-independent because decimal addition is associative);
+    slope/intercept/r² drop to double only for the final closed-form
+    division, which is a deterministic single expression. This is the
+    at-scale alternative to covar_pop/var_pop/corr built-ins, whose
+    double accumulation is not bit-reproducible across partitionings.
+
+    Scale shape: one shuffle to the daily grain, then a 1-row global
+    aggregate of exact decimals — safe at any size."""
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+            ).alias("x")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,2)").alias("sx"),
+        F.sum(F.col("x").cast("bigint") * F.col("x").cast("bigint"))
+        .cast("decimal(38,2)")
+        .alias("sxx"),
+        F.sum("y").cast("decimal(38,2)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,2)").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,4)").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / denx
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n"),
+            6,
+        ).alias("intercept"),
+        F.round(num * num / (denx * deny), 6).alias("r2"),
+    )
+
+
+@register(
+    "q_chi2_priority_status",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             COUNT(*) AS obs
+      FROM orders GROUP BY 1, 2),
+    tot AS (
+      SELECT priority, status, obs,
+             SUM(obs) OVER (PARTITION BY priority) AS rowt,
+             SUM(obs) OVER (PARTITION BY status) AS colt,
+             SUM(obs) OVER () AS n
+      FROM cells)
+    SELECT priority, status, CAST(obs AS BIGINT) AS obs,
+           ROUND(CAST(rowt AS DOUBLE) * CAST(colt AS DOUBLE) / n, 6)
+             AS expected,
+           ROUND((obs - CAST(rowt AS DOUBLE) * CAST(colt AS DOUBLE) / n)
+                 * (obs - CAST(rowt AS DOUBLE) * CAST(colt AS DOUBLE) / n)
+                 / (CAST(rowt AS DOUBLE) * CAST(colt AS DOUBLE) / n), 6)
+             AS contrib
+    FROM tot
+    ORDER BY priority, status
+    """,
+)
+def q_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence table for order priority x status: observed
+    vs expected counts and each cell's chi² contribution — the categorical
+    drift/association check a data-quality suite runs between two
+    dimensions. Row/column/grand totals are integer window sums over the
+    tiny cell table (order-independent); expected and contrib are single
+    double expressions per cell (deterministic), rounded for presentation.
+
+    Scale shape: the corpus collapses to |priorities| x |statuses| cells
+    in one partial-agg pass; everything after operates on that cell table
+    (~15 rows at any corpus size)."""
+    o = t(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    wr = Window.partitionBy("priority")
+    wc = Window.partitionBy("status")
+    wall = Window.partitionBy()
+    tot = cells.select(
+        "priority",
+        "status",
+        "obs",
+        F.sum("obs").over(wr).alias("rowt"),
+        F.sum("obs").over(wc).alias("colt"),
+        F.sum("obs").over(wall).alias("n"),
+    )
+    exp = F.col("rowt").cast("double") * F.col("colt").cast("double") / F.col("n")
+    return tot.select(
+        "priority",
+        "status",
+        F.col("obs").cast("bigint").alias("obs"),
+        F.round(exp, 6).alias("expected"),
+        F.round((F.col("obs") - exp) * (F.col("obs") - exp) / exp, 6).alias(
+            "contrib"
+        ),
+    ).orderBy("priority", "status")

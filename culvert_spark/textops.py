@@ -728,7 +728,21 @@ def _minhash_sigs_and_cands(
 def _minhash_from_docs(d: DataFrame, bucket_cap: int = _BUCKET_CAP):
     """MinHash pipeline from any docs DataFrame (doc_id, text, ...):
     (signatures, LSH candidate pairs), with the (band, bsig) mega-bucket
-    cap applied before the pair join."""
+    cap applied before any pair exists.
+
+    The signature table is referenced three times downstream (candidate
+    build + doc_a/doc_b joins); its aggregation exchange is identical in
+    every reference, so Spark's ReuseExchange/AQE stage reuse serves all
+    three from one shuffle write — measured faster than an explicit
+    persist (which serializes the pipeline behind a cache-materialization
+    barrier and pays the memory-store write).
+
+    Candidates come from bucket assembly, not a self-join: group the
+    (band, bsig) table once, ``collect_list`` the member docs (bounded by
+    ``bucket_cap`` — the size filter IS the mega-bucket guard, applied to
+    the array before any pair is enumerated), and explode each bucket's
+    a<b pairs. One shuffle on the bucket key, pair volume bounded by
+    cap² per bucket by construction."""
     sh = _with_shingles(d)
     mh_cols = [
         F.min(
@@ -736,8 +750,12 @@ def _minhash_from_docs(d: DataFrame, bucket_cap: int = _BUCKET_CAP):
         ).alias(f"mh_{i}")
         for i in range(_N_HASHES)
     ]
-    sig = sh.groupBy("doc_id").agg(*mh_cols).withColumn(
-        "mhs", F.array(*[F.col(f"mh_{i}") for i in range(_N_HASHES)])
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(*mh_cols)
+        .withColumn(
+            "mhs", F.array(*[F.col(f"mh_{i}") for i in range(_N_HASHES)])
+        )
     )
     n_bands = _N_HASHES // _BAND_SIZE
     band_sigs = F.array(
@@ -757,28 +775,24 @@ def _minhash_from_docs(d: DataFrame, bucket_cap: int = _BUCKET_CAP):
     bands = sig.select(
         "doc_id", F.posexplode(band_sigs).alias("band", "bsig")
     )
-    # Count docs per bucket with a window over the same (band, bsig) key
-    # the pair join shuffles on — the exchange is shared, so the cap costs
-    # no extra shuffle — and drop over-cap buckets before any pair exists.
-    wb = Window.partitionBy("band", "bsig")
-    capped = (
-        bands.withColumn("n_bucket", F.count(F.lit(1)).over(wb))
-        .filter(F.col("n_bucket") <= F.lit(bucket_cap))
-        .drop("n_bucket")
+    buckets = (
+        bands.groupBy("band", "bsig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(
+            (F.size("ds") >= 2) & (F.size("ds") <= F.lit(bucket_cap))
+        )
     )
-    a = capped.alias("a")
-    b = capped.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared_bands"))
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (p, i) ->"
+                " transform(slice(ds, i + 2, size(ds)),"
+                " q -> named_struct('doc_a', p, 'doc_b', q))))"
+            )
+        ).alias("pr")
+    ).select("pr.doc_a", "pr.doc_b")
+    cand = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("shared_bands")
     )
     return sig, cand
 
@@ -1492,12 +1506,27 @@ def s_near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    cos = F.expr(_dot_spark("va", "vb")) / (
-        F.sqrt(F.expr(_dot_spark("va", "va")))
-        * F.sqrt(F.expr(_dot_spark("vb", "vb")))
+    # Norms are computed ONCE per vector (narrow map, O(n) dots) and carried
+    # through the pair joins, so the per-pair verify is a single dot product
+    # instead of three — bit-identical to the per-pair form (same expression
+    # tree on the same input bits), 3x less verify CPU on candidate-heavy
+    # corpora.
+    ev = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(F.expr(_dot_spark("embedding", "embedding"))).alias("nrm"),
     )
+    ea = ev.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    eb = ev.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.expr(_dot_spark("va", "vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")

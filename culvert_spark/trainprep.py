@@ -1,0 +1,387 @@
+"""Training-data preparation operators (round 3 batch): deterministic
+global shuffle, context-length truncation accounting, quality-percentile
+filtering, Gopher-style heuristic quality rules, and SemDeDup-style
+semantic dedup by centroid representative.
+
+These extend the LLM-pipeline surface (SURVEY.md §2 Tier B) with the
+remaining steps a pretraining data pipeline runs between "cleaned corpus"
+and "training shards". Same design rules as textops.py: JVM-side built-in
+functions only, md5-based hashing (bit-identical across Spark and DuckDB),
+fixed left-to-right float summation where a float reduction exists, and a
+DuckDB oracle that performs the same computation.
+
+Scale notes (100 TB):
+- The deterministic shuffle is ONE hash-partitioned window — shard count
+  scales with the corpus (shard ≈ fixed row budget), so no shard's window
+  serializes on a single task.
+- Truncation stats and Gopher rules are narrow maps + a low-cardinality
+  aggregate: they never shuffle the corpus.
+- Percentile filtering shuffles once on `source`; at 100 TB a giant
+  source would route through the two-level segmentation helper
+  (culvert_spark/twolevel.py) like the other user-partitioned windows.
+- Semantic dedup buckets on an 8-bit hyperplane signature (bounded
+  occupancy), computes per-bucket centroids from a posexplode aggregate
+  (shuffle bounded by buckets x dims, not the corpus), and broadcasts the
+  centroid table (<=256 rows) back for the cosine scoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from culvert_spark.queries import QUERIES, ORACLE, register, spread, t  # noqa: F401
+from culvert_spark.textops import (  # noqa: F401
+    DIM,
+    TOK_DUCK,
+    TOK_SPARK,
+    _bucket_expr,
+    _hex60_duck,
+    _hex60_spark,
+)
+
+_N_SHARDS = 8
+
+
+@register(
+    "t_deterministic_shuffle",
+    f"""
+    SELECT shard, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+             AS pos, doc_id
+    FROM (SELECT doc_id,
+                 {_hex60_duck("('shuf|' || CAST(doc_id AS VARCHAR))")} AS h,
+                 {_hex60_duck("('shuf|' || CAST(doc_id AS VARCHAR))")} % {_N_SHARDS}
+                   AS shard
+          FROM documents)
+    ORDER BY shard, pos
+    """,
+)
+def t_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training shards: every doc gets a
+    (shard, position) that is a pure function of doc_id — the reproducible
+    pseudo-random permutation a data loader needs so that run N and a
+    resumed run N' read the identical byte order. shard = md5 bucket;
+    position = rank of the md5 value within the shard.
+
+    Scale shape: one shuffle on `shard`; shard count scales with the
+    corpus (fixed rows-per-shard budget), so the per-shard ordering window
+    never sees more than the shard budget. No global sort exists anywhere:
+    ordering is per-shard."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id"))
+    h = F.expr(_hex60_spark("concat('shuf|', cast(doc_id as string))"))
+    d = d.select("doc_id", h.alias("h"), (h % _N_SHARDS).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select(
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+            "doc_id",
+        )
+        .orderBy("shard", "pos")
+    )
+
+
+_CTX = (32, 64, 96)
+
+
+@register(
+    "t_context_truncation_stats",
+    f"""
+    SELECT source, c.ctx AS ctx,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_tok > c.ctx THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_over,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(GREATEST(n_tok - c.ctx, 0)) AS BIGINT) AS tokens_lost,
+           ROUND(CAST(SUM(GREATEST(n_tok - c.ctx, 0)) AS DOUBLE)
+                 / SUM(n_tok), 6) AS pct_tokens_lost
+    FROM (SELECT source, len({TOK_DUCK}) AS n_tok FROM documents),
+         (VALUES {", ".join(f"({c})" for c in _CTX)}) c(ctx)
+    GROUP BY source, c.ctx
+    ORDER BY source, ctx
+    """,
+)
+def t_context_truncation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation accounting: for each source and each
+    candidate context length, how many documents exceed it and how many
+    tokens a hard truncation would discard — the table that decides the
+    packing/chunking strategy before training. Integer arithmetic
+    throughout; the only division is the final ratio.
+
+    Scale shape: narrow token count per doc, then one aggregate of
+    |sources| x |ctx| groups — map-side combine absorbs the corpus."""
+    d = t(spark, sf_dir, "documents").select(
+        "source", F.expr(f"size({TOK_SPARK})").alias("n_tok")
+    )
+    d = d.select(
+        "source",
+        "n_tok",
+        F.explode(F.array(*[F.lit(c) for c in _CTX])).alias("ctx"),
+    )
+    lost = F.greatest(F.col("n_tok") - F.col("ctx"), F.lit(0))
+    return (
+        d.groupBy("source", "ctx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_tok") > F.col("ctx"), 1).otherwise(0)
+            ).alias("n_docs_over"),
+            F.sum("n_tok").cast("bigint").alias("tokens_total"),
+            F.sum(lost).cast("bigint").alias("tokens_lost"),
+            F.round(
+                F.sum(lost).cast("double") / F.sum("n_tok"), 6
+            ).alias("pct_tokens_lost"),
+        )
+        .orderBy("source", "ctx")
+    )
+
+
+@register(
+    "t_quality_percentile_filter",
+    f"""
+    SELECT source, doc_id, ROUND(qs, 6) AS quality_score, ROUND(pr, 6) AS pr
+    FROM (
+      SELECT source, doc_id, qs,
+             PERCENT_RANK() OVER (PARTITION BY source
+                                  ORDER BY qs DESC, doc_id) AS pr
+      FROM (
+        SELECT source, doc_id,
+               CAST(LENGTH(text)
+                    - 10 * len(list_filter({TOK_DUCK},
+                               x -> x = 'a' OR x = 'the')) AS DOUBLE)
+               / len({TOK_DUCK}) AS qs
+        FROM documents))
+    WHERE pr <= 0.5
+    ORDER BY source, doc_id
+    """,
+)
+def t_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-percentile filter: keep the top half of each
+    source by the t_quality_scores scoring rule — the "filter by quality
+    classifier percentile, stratified by domain" step of a pretraining
+    mix. percent_rank is computed over a total order (score, doc_id) so
+    ranks are deterministic under ties.
+
+    Scale shape: one shuffle on source; at 100 TB a giant source uses
+    the approx-percentile threshold instead of an exact rank (compute the
+    per-source score threshold with percentile_approx — a mergeable
+    sketch — then a narrow filter; same contract, no ordered window)."""
+    d = t(spark, sf_dir, "documents")
+    qs = (
+        F.length("text")
+        - 10
+        * F.expr(f"size(filter({TOK_SPARK}, x -> x = 'a' OR x = 'the'))")
+    ).cast("double") / F.expr(f"size({TOK_SPARK})")
+    scored = spread(d.select("source", "doc_id", qs.alias("qs")))
+    w = Window.partitionBy("source").orderBy(F.desc("qs"), "doc_id")
+    return (
+        scored.select(
+            "source",
+            "doc_id",
+            "qs",
+            F.percent_rank().over(w).alias("pr"),
+        )
+        .filter(F.col("pr") <= 0.5)
+        .select(
+            "source",
+            "doc_id",
+            F.round("qs", 6).alias("quality_score"),
+            F.round("pr", 6).alias("pr"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+@register(
+    "t_gopher_quality_rules",
+    f"""
+    SELECT doc_id, n_words,
+           ROUND(mwl, 6) AS mean_word_len,
+           ROUND(alpha_ratio, 6) AS alpha_ratio,
+           ROUND(hash_ratio, 6) AS symbol_ratio,
+           (mwl >= 3 AND mwl <= 10 AND alpha_ratio >= 0.8
+            AND hash_ratio <= 0.1) AS keep
+    FROM (
+      SELECT doc_id,
+             len({TOK_DUCK}) AS n_words,
+             CAST(LENGTH(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+               / len({TOK_DUCK}) AS mwl,
+             CAST(len(list_filter({TOK_DUCK},
+                      x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+               / len({TOK_DUCK}) AS alpha_ratio,
+             CAST(LENGTH(text) - LENGTH(replace(text, '#', ''))
+                  + LENGTH(text) - LENGTH(replace(text, '...', ''))
+                  AS DOUBLE) / LENGTH(text) AS hash_ratio
+      FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def t_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality rules (Rae et al. 2021 §A.1.1
+    re-expressed): mean word length in [3, 10], >=80% of words contain an
+    alphabetic character, and <=10% symbol characters ('#' plus '...'
+    ellipses) — each document gets its rule inputs and a final keep flag.
+    Every ratio is a single division of exact integers (deterministic in
+    double), rounded for presentation; the keep flag compares the RAW
+    ratios so it never depends on rounding.
+
+    Scale shape: narrow per-doc map, zero shuffles — the 100 TB workhorse
+    shape (cf. SURVEY §9 "Text pipeline" row)."""
+    d = t(spark, sf_dir, "documents")
+    n_words = F.expr(f"size({TOK_SPARK})")
+    mwl = (
+        F.length(F.regexp_replace("text", r"\s+", "")).cast("double") / n_words
+    )
+    alpha = (
+        F.expr(
+            f"size(filter({TOK_SPARK}, x -> x rlike '[a-zA-Z]'))"
+        ).cast("double")
+        / n_words
+    )
+    symb = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+        + F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ).cast("double") / F.length("text")
+    scored = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mwl"),
+        alpha.alias("alpha_ratio"),
+        symb.alias("hash_ratio"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_words",
+        F.round("mwl", 6).alias("mean_word_len"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("hash_ratio", 6).alias("symbol_ratio"),
+        (
+            (F.col("mwl") >= 3)
+            & (F.col("mwl") <= 10)
+            & (F.col("alpha_ratio") >= 0.8)
+            & (F.col("hash_ratio") <= 0.1)
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _dot_list_duck(a: str, b: str) -> str:
+    """Fixed-order dot product where either side may be a DuckDB list
+    (1-based)."""
+    terms = [
+        f"CAST({a}[{i + 1}] AS DOUBLE) * CAST({b}[{i + 1}] AS DOUBLE)"
+        for i in range(DIM)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _dot_spark_cols(a: str, b: str) -> str:
+    terms = [
+        f"cast({a}[{i}] as double) * cast({b}[{i}] as double)"
+        for i in range(DIM)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "s_semantic_dedup_rep",
+    f"""
+    WITH e AS (SELECT vec_id, embedding,
+                      {_bucket_expr('embedding', False)} AS bucket
+               FROM embeddings),
+    cent AS (
+      SELECT bucket, d.i AS pos,
+             list_reduce(list(CAST(embedding[d.i] AS DOUBLE) ORDER BY vec_id),
+                         (acc, x) -> acc + x) / COUNT(*) AS cd
+      FROM e, range(1, {DIM + 1}) d(i)
+      GROUP BY bucket, d.i),
+    centv AS (SELECT bucket, list(cd ORDER BY pos) AS centroid
+              FROM cent GROUP BY bucket),
+    mem AS (SELECT bucket, COUNT(*) AS n_members FROM e GROUP BY bucket),
+    scored AS (
+      SELECT e.bucket, e.vec_id,
+             {_dot_list_duck('e.embedding', 'c.centroid')}
+             / (sqrt({_dot_list_duck('e.embedding', 'e.embedding')})
+                * sqrt({_dot_list_duck('c.centroid', 'c.centroid')})) AS cos
+      FROM e JOIN centv c ON c.bucket = e.bucket)
+    SELECT s.bucket, s.vec_id AS rep_vec_id, m.n_members,
+           ROUND(s.cos, 4) AS rep_cos
+    FROM (SELECT bucket, vec_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY bucket
+                                    ORDER BY cos DESC, vec_id) AS rn
+          FROM scored) s
+    JOIN mem m ON m.bucket = s.bucket
+    WHERE s.rn = 1
+    ORDER BY s.bucket
+    """,
+)
+def s_semantic_dedup_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023 re-expressed):
+    bucket embeddings by the 8-bit hyperplane signature (the same
+    deterministic planes as s_ann_lsh_top1), compute each bucket's
+    centroid, and elect the member closest to the centroid as the bucket
+    representative — the canonical doc a semantic-dedup pass would keep.
+
+    Float determinism: the centroid's per-dimension sum is a fixed-order
+    fold over members sorted by vec_id (Spark `aggregate` over a sorted
+    collect_list == DuckDB `list_reduce` over an ORDER BY list — both
+    left-to-right, and 0.0 + x == x exactly so the differing fold seeds
+    agree), and the cosine is the fixed left-to-right 64-term dot.
+
+    Scale shape: centroid aggregation shuffles (bucket, dim) pairs — at
+    most 256 x 64 groups regardless of corpus size (at 100 TB the
+    signature widens so occupancy stays bounded, cf. SURVEY §9 "Embedding
+    ANN"); the centroid table (<=256 rows) broadcasts back for scoring;
+    the sorted member fold would become a decimal-sum partial aggregate
+    at scale (documented trade: the fold keeps the oracle bit-exact)."""
+    e = spread(
+        t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ).withColumn("bucket", F.expr(_bucket_expr("embedding", True)))
+    mem = e.select("bucket", "vec_id", F.posexplode("embedding"))
+    cent = (
+        mem.groupBy("bucket", "pos")
+        .agg(
+            (
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(vec_id, col))),"
+                    " cast(0.0 as double), (acc, x) -> acc + cast(x.col as double))"
+                )
+                / F.count(F.lit(1))
+            ).alias("cd")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cd))),"
+                " s -> s.cd)"
+            ).alias("centroid")
+        )
+    )
+    n_mem = e.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_members"))
+    scored = e.join(broadcast(cent), "bucket").select(
+        "bucket",
+        "vec_id",
+        F.expr(
+            f"{_dot_spark_cols('embedding', 'centroid')}"
+            f" / (sqrt({_dot_spark_cols('embedding', 'embedding')})"
+            f" * sqrt({_dot_spark_cols('centroid', 'centroid')}))"
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.select(
+            "bucket", "vec_id", "cos", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .join(broadcast(n_mem), "bucket")
+        .select(
+            "bucket",
+            F.col("vec_id").alias("rep_vec_id"),
+            "n_members",
+            F.round("cos", 4).alias("rep_cos"),
+        )
+        .orderBy("bucket")
+    )

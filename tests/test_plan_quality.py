@@ -381,3 +381,55 @@ def test_giant_key_guard_sub_buckets_user_windows(spark):
     ):
         plan = executed_plan(spark, name)
         assert "_bucket" in plan, f"{name}: two-level guard missing"
+
+
+def test_trainprep_narrow_ops_no_corpus_shuffle(spark):
+    """Gopher rules and truncation stats must not shuffle the corpus: the
+    only exchanges allowed are the low-cardinality aggregate/sort ones —
+    no join, no window over the doc grain in the Gopher plan."""
+    plan = executed_plan(spark, "t_gopher_quality_rules")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    plan = executed_plan(spark, "t_context_truncation_stats")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final
+
+
+def test_deterministic_shuffle_single_shard_exchange(spark):
+    """The training shuffle partitions once on shard; no join, no global
+    sort ahead of the per-shard window (the final presentation sort is
+    the only range exchange)."""
+    plan = executed_plan(spark, "t_deterministic_shuffle")
+    assert "Join" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_semantic_dedup_broadcasts_centroids(spark):
+    """SemDeDup scoring must broadcast the (<=256-row) centroid table back
+    to the embedding side — never shuffle the corpus for that join — and
+    contain no cartesian."""
+    plan = executed_plan(spark, "s_semantic_dedup_rep")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_bucket_assembly_no_self_join(spark):
+    """LSH candidates come from bucket assembly (groupBy + in-bucket pair
+    explosion), not a bands self-join: the only joins in the plan are the
+    two signature joins for est_jaccard."""
+    plan = executed_plan(spark, "t_minhash_lsh_pairs")
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ols_single_pass_decimal_moments(spark):
+    """The OLS sufficient statistics reduce in one partial+final aggregate
+    pass over the daily grain — no window, no join, no second scan."""
+    plan = executed_plan(spark, "q_ols_daily_revenue_trend")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan") == 1
