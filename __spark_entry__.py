@@ -90,13 +90,14 @@ except ImportError:  # pragma: no cover
 #: q_yoy_revenue_growth, q_new_vs_returning, q_cumulative_distinct_users,
 #: q_conversion_latency, q_pareto_coverage, t_vocab_growth,
 #: q_weekday_seasonality, q_null_profile, q_json_key_profile (21 from the
-#: r2 overflow), the 7 queries added in round 3 — t_deterministic_shuffle,
+#: r2 overflow), the 10 queries added in round 3 — t_deterministic_shuffle,
 #: t_context_truncation_stats, t_quality_percentile_filter,
 #: t_gopher_quality_rules, s_semantic_dedup_rep, q_ols_daily_revenue_trend,
-#: q_chi2_priority_status — and the 3 whose implementation changed after
+#: q_chi2_priority_status, t_mix_temperature_weights, t_char_class_profile,
+#: t_token_coverage_topk — and the 2 whose implementation changed after
 #: the r3 window was frozen (candidate generation restructured to bucket
 #: assembly; oracles unchanged): t_minhash_lsh_pairs, t_dedup_clusters.
-#: That is 30 names; pad the remaining ~20 window
+#: That is 33 names; pad the remaining ~17 window
 #: slots with the highest-value already-green queries.  After round 4
 #: every registered query has a driver row against its current code.
 _PRIORITY = [

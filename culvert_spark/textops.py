@@ -1466,12 +1466,21 @@ def s_near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs at scale: multi-band hyperplane LSH
     candidates (8 bands x 2 bits — collision prob for a true cos>=0.4 pair
     per band ~0.4, across 8 bands ~0.98) followed by an EXACT cosine check,
-    so precision is 1.0 and only recall is approximate. This is the
-    100 TB replacement for the all-pairs baseline (s_embedding_near_dup):
-    candidates come from equi-joins on (band, bucket) — cost
-    O(bucket occupancy), never O(n^2) — and the exact verify touches only
-    candidate pairs. tests/ pins recall >= 0.9 against the brute-force
-    oracle at sf0.001.
+    so precision is 1.0 and only recall is approximate. Candidates come
+    from equi-joins on (band, bucket) and the exact verify touches only
+    candidate pairs; the pair dedup runs AFTER the verify so no full
+    candidate table is ever shuffled. tests/ pins recall >= 0.9 against
+    the brute-force oracle at sf0.001.
+
+    Honest complexity: at this contract's low threshold (cos >= 0.4,
+    i.e. ~66 degree angle) hyperplane LSH has rho = ln(p_true)/ln(p_rand)
+    = ln(0.63)/ln(0.5) ~ 0.67, so candidates grow ~n^1.67 — better than
+    the all-pairs baseline's n^2 but NOT linear; every LSH family
+    degrades toward all-pairs as the threshold drops. bench.py's
+    sf_large section measures the curve. True near-duplicate dedup
+    (cos >= 0.9, where per-bit collision is ~0.9 and LSH prunes hard)
+    and the linear-scaling centroid path (s_semantic_dedup_rep) are the
+    100 TB tools; this operator is the bounded-threshold pair finder.
 
     The DuckDB oracle replicates the same bands + verify, so the driver
     hash-checks the distributed implementation, not the (data-dependent)
@@ -1493,6 +1502,11 @@ def s_near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # No distinct before the verify: a pair colliding in k bands is
+    # verified k times (k <= 8, ~1.1 on average for random collisions),
+    # which is far cheaper than shuffling the full candidate table through
+    # a pre-verify DISTINCT — the dedup runs on the tiny survivor set
+    # instead (same rounded cos per pair, so the late distinct is exact).
     cand = (
         bands.alias("a")
         .join(
@@ -1504,7 +1518,6 @@ def s_near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
         )
-        .distinct()
     )
     # Norms are computed ONCE per vector (narrow map, O(n) dots) and carried
     # through the pair joins, so the per-pair verify is a single dot product
@@ -1533,5 +1546,6 @@ def s_near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cos_raw"))
         .filter(F.col("cos_raw") >= _NEAR_DUP_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))
+        .distinct()
         .orderBy("vec_a", "vec_b")
     )

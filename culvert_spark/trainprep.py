@@ -385,3 +385,189 @@ def s_semantic_dedup_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "t_mix_temperature_weights",
+    f"""
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len({TOK_DUCK})) AS BIGINT) AS tokens
+      FROM documents GROUP BY source),
+    shares AS (
+      SELECT source, n_docs, tokens,
+             CAST(tokens AS DOUBLE) / SUM(tokens) OVER () AS p,
+             CAST(ROUND(sqrt(CAST(tokens AS DOUBLE) / SUM(tokens) OVER ()), 9)
+                  AS DECIMAL(18,9)) AS w9
+      FROM per_src)
+    SELECT source, n_docs, tokens,
+           ROUND(p, 6) AS raw_share,
+           ROUND(CAST(w9 AS DOUBLE)
+                 / CAST(SUM(w9) OVER () AS DOUBLE), 6) AS temp_weight
+    FROM shares
+    ORDER BY source
+    """,
+)
+def t_mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data-mixture weights (T=2): per-source sampling
+    weight ∝ sqrt(token share), normalized — the up-weight-the-tail
+    mixing rule multilingual/multi-domain pretraining uses so small
+    sources are not drowned by the head. sqrt (unlike pow/log) is
+    IEEE-correctly-rounded on both engines, so the per-source weight is
+    bit-identical; the normalizing sum runs over weights rounded to 9
+    decimals and cast to DECIMAL — exact, order-independent — and only
+    the final division returns to double.
+
+    Scale shape: the corpus collapses to |sources| rows in one
+    partial-agg pass; everything after is window arithmetic on that tiny
+    table."""
+    d = t(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr(f"size({TOK_SPARK})")).cast("bigint").alias("tokens"),
+    )
+    wall = Window.partitionBy()
+    p = F.col("tokens").cast("double") / F.sum("tokens").over(wall)
+    shares = per_src.select(
+        "source",
+        "n_docs",
+        "tokens",
+        p.alias("p"),
+        F.round(F.sqrt(p), 9).cast("decimal(18,9)").alias("w9"),
+    )
+    return shares.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round("p", 6).alias("raw_share"),
+        F.round(
+            F.col("w9").cast("double")
+            / F.sum("w9").over(wall).cast("double"),
+            6,
+        ).alias("temp_weight"),
+    ).orderBy("source")
+
+
+@register(
+    "t_char_class_profile",
+    """
+    SELECT source,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS chars_total,
+           CAST(SUM(LENGTH(text)
+                - LENGTH(regexp_replace(text, '[a-zA-Z]', '', 'g')))
+             AS BIGINT) AS chars_alpha,
+           CAST(SUM(LENGTH(text)
+                - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
+             AS BIGINT) AS chars_digit,
+           CAST(SUM(LENGTH(text)
+                - LENGTH(regexp_replace(text, '\\s', '', 'g')))
+             AS BIGINT) AS chars_space,
+           ROUND(CAST(SUM(LENGTH(text)
+                 - LENGTH(regexp_replace(text, '[a-zA-Z]', '', 'g')))
+                 AS DOUBLE) / SUM(LENGTH(text)), 6) AS alpha_ratio
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def t_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class profile per source (alpha / digit / whitespace
+    counts and the alpha ratio) — the encoding-sanity check a corpus
+    audit runs before tokenizer training (mojibake, number-dump, and
+    whitespace-art sources stand out immediately). Counts are
+    length-difference integer arithmetic; the only division is the final
+    ratio.
+
+    Scale shape: narrow per-doc regex counting inside codegen, one
+    low-cardinality aggregate — never shuffles the corpus."""
+    d = t(spark, sf_dir, "documents")
+    def cnt(pat):
+        return F.length("text") - F.length(
+            F.regexp_replace("text", pat, "")
+        )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.length("text")).cast("bigint").alias("chars_total"),
+            F.sum(cnt("[a-zA-Z]")).cast("bigint").alias("chars_alpha"),
+            F.sum(cnt("[0-9]")).cast("bigint").alias("chars_digit"),
+            F.sum(cnt(r"\s")).cast("bigint").alias("chars_space"),
+            F.round(
+                F.sum(cnt("[a-zA-Z]")).cast("double")
+                / F.sum(F.length("text")),
+                6,
+            ).alias("alpha_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "t_token_coverage_topk",
+    f"""
+    WITH tok AS (
+      SELECT u.t AS token FROM documents, UNNEST({TOK_DUCK}) AS u(t)),
+    counts AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    ranked AS (
+      SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rk,
+             SUM(n) OVER () AS total
+      FROM counts)
+    SELECT CAST(k.k AS INT) AS k,
+           CAST(SUM(n) FILTER (WHERE rk <= k.k) AS BIGINT) AS covered_tokens,
+           CAST(MAX(total) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n) FILTER (WHERE rk <= k.k) AS DOUBLE)
+                 / MAX(total), 6) AS coverage
+    FROM ranked, (VALUES (10), (100), (1000)) k(k)
+    GROUP BY k.k
+    ORDER BY k
+    """,
+)
+def t_token_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all corpus tokens the
+    top-k most frequent token types cover, at k = 10 / 100 / 1000 — the
+    number that sizes a tokenizer vocabulary (complement of the OOV
+    rate). Pure integer arithmetic until the final ratio; ranking ties
+    break on the token string so ranks are total-ordered.
+
+    Scale shape: one token-grain aggregate (shuffle bounded by vocab
+    after partial agg — the Zipf head is exactly what map-side combine
+    absorbs), then window ranking over the vocab-sized count table."""
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.expr(TOK_SPARK)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wall = Window.partitionBy()
+    ranked = counts.select(
+        "token",
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), "token"))
+        .alias("rk"),
+        F.sum("n").over(wall).alias("total"),
+    )
+    ks = ranked.select(
+        "n",
+        "rk",
+        "total",
+        F.explode(F.array(F.lit(10), F.lit(100), F.lit(1000))).alias("k"),
+    )
+    return (
+        ks.groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("k"), F.col("n")))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.max("total").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum(F.when(F.col("rk") <= F.col("k"), F.col("n"))).cast(
+                    "double"
+                )
+                / F.max("total"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )

@@ -103,12 +103,18 @@ def sessionize_session_rows(
     > gap silence, so one (user, day) holds at most 86 400 s/gap_s + 1
     local sessions (48 for the 30-min default) — level 2 is tiny no
     matter how many events a hot user produces."""
-    b = (
-        events.select("user_id", "ts", "event_id")
-        .withColumn("us", F.unix_micros(F.col("ts")))
-        .transform(with_bucket)
-    )
-    wseg = Window.partitionBy("user_id", "_bucket").orderBy("ts", "event_id")
+    # The level-1 shuffle carries (user_id, us, event_id, _bucket) only:
+    # the bucket is the integer epoch day (identical day boundaries to
+    # date_trunc under the pinned UTC session, one long instead of a
+    # timestamp) and ordering by us == ordering by ts (unix_micros is
+    # monotone), so the original timestamp column never enters the
+    # exchange.
+    b = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+    ).withColumn("_bucket", F.expr("us div 86400000000"))
+    wseg = Window.partitionBy("user_id", "_bucket").orderBy("us", "event_id")
     marked = b.withColumn(
         "_new",
         F.when(

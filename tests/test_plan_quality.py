@@ -433,3 +433,41 @@ def test_ols_single_pass_decimal_moments(spark):
     assert "Window" not in plan
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FileScan") == 1
+
+
+def test_mixture_weights_single_scan_tiny_tail(spark):
+    """Temperature mixture weights collapse the corpus to |sources| rows in
+    one partial+final aggregate; the window arithmetic runs on that tiny
+    table — no join, single scan."""
+    plan = executed_plan(spark, "t_mix_temperature_weights")
+    assert "Join" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan") == 1
+    assert "partial_" in plan  # map-side combine before the shuffle
+
+
+def test_char_class_profile_narrow(spark):
+    """Char-class profiling is a narrow codegen map + low-cardinality agg:
+    no join, no window, no explode of the corpus."""
+    plan = executed_plan(spark, "t_char_class_profile")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Generate" not in plan
+
+
+def test_token_coverage_partial_agg_before_vocab_window(spark):
+    """The coverage curve's token aggregate must be partial+final (the
+    Zipf head is absorbed map-side); the ranking window runs over the
+    vocab-sized count table, never the corpus."""
+    plan = executed_plan(spark, "t_token_coverage_topk")
+    assert "partial_count" in plan
+    assert "Join" not in plan
+
+
+def test_chi2_integer_window_totals_no_join(spark):
+    """The contingency totals are window sums over the tiny cell table —
+    no join anywhere in the plan."""
+    plan = executed_plan(spark, "q_chi2_priority_status")
+    assert "Join" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan") == 1
