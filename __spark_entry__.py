@@ -94,10 +94,12 @@ except ImportError:  # pragma: no cover
 #: t_context_truncation_stats, t_quality_percentile_filter,
 #: t_gopher_quality_rules, s_semantic_dedup_rep, q_ols_daily_revenue_trend,
 #: q_chi2_priority_status, t_mix_temperature_weights, t_char_class_profile,
-#: t_token_coverage_topk — and the 2 whose implementation changed after
-#: the r3 window was frozen (candidate generation restructured to bucket
-#: assembly; oracles unchanged): t_minhash_lsh_pairs, t_dedup_clusters.
-#: That is 33 names; pad the remaining ~17 window
+#: t_token_coverage_topk, t_pretrain_pipeline_e2e — and the 3 whose
+#: implementation changed after the r3 window was frozen (candidate
+#: generation restructured to bucket assembly / post-verify dedup; oracles
+#: unchanged): t_minhash_lsh_pairs, t_dedup_clusters,
+#: s_near_dup_lsh_verified is already IN the r3 window so it re-verifies
+#: automatically.  That is 34 names; pad the remaining ~16 window
 #: slots with the highest-value already-green queries.  After round 4
 #: every registered query has a driver row against its current code.
 _PRIORITY = [

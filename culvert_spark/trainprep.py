@@ -571,3 +571,101 @@ def t_token_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "t_pretrain_pipeline_e2e",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM documents),
+    dedup AS (
+      SELECT * FROM (
+        SELECT doc_id, source, norm,
+               ROW_NUMBER() OVER (PARTITION BY md5(norm)
+                                  ORDER BY doc_id) AS rn
+        FROM norm)
+      WHERE rn = 1),
+    kept AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(norm, '\\s+')) AS n_tok
+      FROM dedup
+      WHERE len(regexp_replace(norm, '\\s+', '', 'g'))
+              >= 3 * len(regexp_split_to_array(norm, '\\s+'))
+        AND len(regexp_replace(norm, '\\s+', '', 'g'))
+              <= 10 * len(regexp_split_to_array(norm, '\\s+'))),
+    packed AS (
+      SELECT source, doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256
+               AS BIGINT) AS seq_id
+      FROM kept)
+    SELECT source,
+           COUNT(*) AS n_docs_kept,
+           COUNT(DISTINCT seq_id) AS n_seqs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM packed
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def t_pretrain_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining data pipeline as ONE composable lazy plan:
+    normalize (lowercase, strip non-alphanumerics, collapse whitespace) →
+    exact-dedup on the normalized hash (keep lowest doc_id) → heuristic
+    quality filter (mean word length in [3, 10], the Gopher band, on the
+    normalized text) → pack survivors into 256-token training sequences
+    per source → per-source shard report. This is the composition every
+    data pipeline ships: each stage is an operator this repo also exposes
+    individually (t_text_normalize / t_exact_dedup_* /
+    t_gopher_quality_rules / t_pack_sequences), and because all stages
+    are declarative the whole chain optimizes as one Catalyst plan — the
+    dedup window, packing window, and final aggregate are the only
+    shuffles; normalization and filtering fuse into the scan.
+
+    Scale shape: dedup partitions on the content hash (uniform);
+    packing partitions on source (the giant-source guard is the same
+    shard-key extension t_pack_sequences documents); report is
+    |sources| rows."""
+    d = t(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        "source",
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+        ).alias("norm"),
+    )
+    wdup = Window.partitionBy(F.md5(F.col("norm").cast("binary"))).orderBy(
+        "doc_id"
+    )
+    dedup = (
+        norm.withColumn("rn", F.row_number().over(wdup))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    n_tok = F.expr(r"size(split(norm, '\\s+'))")
+    n_char = F.length(F.regexp_replace("norm", r"\s+", ""))
+    kept = dedup.where(
+        (n_char >= 3 * n_tok) & (n_char <= 10 * n_tok)
+    ).select("doc_id", "source", n_tok.alias("n_tok"))
+    wpack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = kept.withColumn(
+        "seq_id",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(wpack), F.lit(0)) / 256
+        ).cast("bigint"),
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.count_distinct("seq_id").alias("n_seqs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )

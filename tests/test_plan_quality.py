@@ -471,3 +471,16 @@ def test_chi2_integer_window_totals_no_join(spark):
     assert "Join" not in plan
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FileScan") == 1
+
+
+def test_pretrain_pipeline_fuses_into_three_shuffles(spark):
+    """The e2e pipeline chain (normalize → dedup → filter → pack → report)
+    must optimize as one plan whose only exchanges are the dedup window
+    (content hash), the packing window (source), and the final aggregate —
+    normalization and the quality filter fuse into the scan side; no join
+    anywhere."""
+    plan = executed_plan(spark, "t_pretrain_pipeline_e2e")
+    assert "Join" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 3
+    assert final.count("FileScan") == 1
