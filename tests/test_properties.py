@@ -270,3 +270,51 @@ def test_two_level_sessionize_matches_single_window(spark):
         .collect()
     }
     assert two == naive and len(two) > 10
+
+
+def test_deterministic_shuffle_is_stable_permutation(spark):
+    """The training shuffle must be a bijection doc_id <-> (shard, pos)
+    with dense per-shard positions, and identical under different input
+    partitionings (pure function of doc_id, no RDD-order dependence)."""
+    import __spark_entry__ as entrymod
+
+    from tests.conftest import SF_SMALL
+
+    fn = entrymod.queries()["t_deterministic_shuffle"]
+    rows = fn(spark, SF_SMALL).collect()
+    docs = [r.doc_id for r in rows]
+    assert len(docs) == len(set(docs)), "a doc appears twice"
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), (
+            f"shard {shard}: positions not dense from 1"
+        )
+    # Re-run with a different shuffle partitioning: same assignment.
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        rows2 = fn(spark, SF_SMALL).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_mixture_weights_normalize_and_monotone(spark):
+    """Temperature weights must sum to ~1 and preserve the size order of
+    sources while compressing it (temperature flattens the head: the
+    largest source's weight share must not exceed its raw share)."""
+    import __spark_entry__ as entrymod
+
+    from tests.conftest import SF_SMALL
+
+    rows = entrymod.queries()["t_mix_temperature_weights"](
+        spark, SF_SMALL
+    ).collect()
+    total_w = sum(r.temp_weight for r in rows)
+    assert abs(total_w - 1.0) < 1e-4
+    top = max(rows, key=lambda r: r.tokens)
+    assert top.temp_weight <= top.raw_share + 1e-9
+    bottom = min(rows, key=lambda r: r.tokens)
+    assert bottom.temp_weight >= bottom.raw_share - 1e-9
