@@ -657,26 +657,19 @@ def t_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       corpus-wide boilerplate signature can never make a reduce task
       quadratic. The shipped SFs never trigger the cap, so the (uncapped)
       DuckDB oracle remains an exact twin."""
-    sig, cand = _minhash_sigs_and_cands(spark, sf_dir)
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("mhs").alias("mhs_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("mhs").alias("mhs_b"))
+    _, cand = _minhash_sigs_and_cands(spark, sf_dir)
     n_eq = F.size(
         F.filter(
             F.zip_with(F.col("mhs_a"), F.col("mhs_b"), lambda x, y: x == y),
             lambda v: v,
         )
     )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "shared_bands",
-            F.round(n_eq.cast("double") / _N_HASHES, 6).alias("est_jaccard"),
-        )
-        .orderBy("doc_a", "doc_b")
-    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        "shared_bands",
+        F.round(n_eq.cast("double") / _N_HASHES, 6).alias("est_jaccard"),
+    ).orderBy("doc_a", "doc_b")
 
 
 def _reliable_ckpt(spark: SparkSession):
@@ -772,12 +765,18 @@ def _minhash_from_docs(d: DataFrame, bucket_cap: int = _BUCKET_CAP):
             for i in range(n_bands)
         ]
     )
+    # Bucket members carry their full signature array through the ONE
+    # LSH shuffle, so candidate pairs emerge with (mhs_a, mhs_b) attached
+    # and est_jaccard needs NO signature joins afterwards — the same
+    # carry-the-signature layout Spark ML's MinHashLSH uses. first() is
+    # exact: every row of a pair group carries the same signatures.
     bands = sig.select(
-        "doc_id", F.posexplode(band_sigs).alias("band", "bsig")
+        F.struct("doc_id", "mhs").alias("dm"),
+        F.posexplode(band_sigs).alias("band", "bsig"),
     )
     buckets = (
         bands.groupBy("band", "bsig")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .agg(F.sort_array(F.collect_list("dm")).alias("ds"))
         .where(
             (F.size("ds") >= 2) & (F.size("ds") <= F.lit(bucket_cap))
         )
@@ -787,12 +786,20 @@ def _minhash_from_docs(d: DataFrame, bucket_cap: int = _BUCKET_CAP):
             F.expr(
                 "flatten(transform(ds, (p, i) ->"
                 " transform(slice(ds, i + 2, size(ds)),"
-                " q -> named_struct('doc_a', p, 'doc_b', q))))"
+                " q -> named_struct('a', p, 'b', q))))"
             )
         ).alias("pr")
-    ).select("pr.doc_a", "pr.doc_b")
-    cand = pairs.groupBy("doc_a", "doc_b").agg(
-        F.count(F.lit(1)).alias("shared_bands")
+    )
+    cand = (
+        pairs.groupBy(
+            F.col("pr.a.doc_id").alias("doc_a"),
+            F.col("pr.b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("shared_bands"),
+            F.first("pr.a.mhs").alias("mhs_a"),
+            F.first("pr.b.mhs").alias("mhs_b"),
+        )
     )
     return sig, cand
 

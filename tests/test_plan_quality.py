@@ -105,15 +105,16 @@ def test_window_topk_single_shuffle(spark):
 
 
 def test_minhash_lsh_candidates_hash_join(spark):
-    """LSH candidate generation must be an equi-join on (band, band
-    signature) — hash-partitioned or broadcast — never a nested-loop /
-    cartesian pairing, which is the O(n^2) shape LSH exists to avoid."""
+    """LSH candidate generation must come from hash-partitioned bucket
+    assembly (a groupBy on (band, signature) + in-bucket pair explosion
+    with signatures carried through) — never a nested-loop / cartesian
+    pairing, and since signatures travel with the buckets there must be
+    NO join anywhere in the plan."""
     plan = executed_plan(spark, "t_minhash_lsh_pairs")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
-        "BroadcastHashJoin" in plan
-    ), "candidate pairing lost its equi-join"
+    assert "Join" not in plan, "signature carry lost — join reappeared"
+    assert "Generate" in plan  # the in-bucket pair explosion
 
 
 def test_cosine_topk_broadcasts_query_side(spark):
@@ -417,10 +418,10 @@ def test_semantic_dedup_broadcasts_centroids(spark):
 
 def test_minhash_bucket_assembly_no_self_join(spark):
     """LSH candidates come from bucket assembly (groupBy + in-bucket pair
-    explosion), not a bands self-join: the only joins in the plan are the
-    two signature joins for est_jaccard."""
+    explosion) with signatures carried through the bucket rows: the whole
+    pipeline is two aggregations and a Generate — join-free."""
     plan = executed_plan(spark, "t_minhash_lsh_pairs")
-    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Join" not in plan
     assert "Generate explode" in plan or "Generate" in plan
     assert "CartesianProduct" not in plan
 
