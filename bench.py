@@ -417,19 +417,38 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # The bulky per-query detail blob (plan fingerprints, extended
-    # timings) goes on its OWN earlier line: the driver tail-captures the
-    # LAST stdout line, and r2 proved that folding details into it
-    # overflows the capture and leaves "parsed": null.  Keep the final
-    # line a compact summary.
+    # timings, sf_large breakdown, methodology prose) goes on its OWN
+    # earlier line: the driver tail-captures the LAST stdout line, and r2
+    # proved that folding details into it overflows the capture and leaves
+    # "parsed": null.  The final line stays a compact summary (<~1 KB).
     print(
         json.dumps(
             {
                 "metric": "headline_query_details",
                 "queries_extended": extended,
                 "query_details": details,
+                "sf_large": sf_large,
+                "ingest_mode": (
+                    f"{n_streams} static-partitioned streams, ORC "
+                    "(BASELINE.md configuration shape)"
+                ),
+                "streaming_mode": (
+                    f"rate source, {n_streams} streams, micro-batch "
+                    "txns to partitioned ORC; rows_per_sec = median of "
+                    "3 steady-state sub-windows (ramp-up excluded); "
+                    "best_window = peak sustained 15s span — the "
+                    "like-for-like number vs BASELINE.md's dedicated-"
+                    "host figure when this host is noisy (window_rates "
+                    "shows the full band)"
+                ),
+                "streaming_window_rates": window_rates,
             }
         )
     )
+    sf_large_compact = dict(sf_large.get("queries", {}))
+    sf_large_compact["s_near_dup_lsh_verified"] = sf_large.get(
+        "near_dup", {}
+    ).get("s_near_dup_lsh_verified")
     print(
         json.dumps(
             {
@@ -438,15 +457,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
-                "sf_large": sf_large,
+                "sf_large": {
+                    "sf": sf_large.get("sf"),
+                    "queries": sf_large_compact,
+                },
                 "ingest": {
                     "rows": ingest_rows,
                     "sec": round(ingest_sec, 3),
                     "rows_per_sec": int(ingest_rows / ingest_sec),
-                    "mode": (
-                        f"{n_streams} static-partitioned streams, ORC "
-                        "(BASELINE.md configuration shape)"
-                    ),
                 },
                 "streaming_ingest": {
                     "rows_committed": stream_rows,
@@ -456,16 +474,6 @@ def main() -> None:
                         window_rates[-1] if window_rates else stream_rps
                     ),
                     "whole_run_rows_per_sec": stream_rps,
-                    "window_rates": window_rates,
-                    "mode": (
-                        f"rate source, {n_streams} streams, micro-batch "
-                        "txns to partitioned ORC; rows_per_sec = median of "
-                        "3 steady-state sub-windows (ramp-up excluded); "
-                        "best_window = peak sustained 15s span — the "
-                        "like-for-like number vs BASELINE.md's dedicated-"
-                        "host figure when this host is noisy (window_rates "
-                        "shows the full band)"
-                    ),
                 },
             }
         )
