@@ -2154,31 +2154,61 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting on the co-purchase graph (parts sharing 2+
     baskets), reporting the 15 most clustered parts — the local-clustering
-    primitive under community detection and fraud-ring analysis. Edges are
-    ORIENTED (a < b), the standard distributed trick: every triangle
-    x<y<z is materialized exactly once as e1=(x,y), e2=(y,z), e3=(x,z),
-    so no post-hoc dedup and the join fan-out of high-degree nodes is
-    bounded by their higher-id neighbors only. Both triangle joins are
-    equi-joins on node ids; the graph build (basket self-join) dominates
-    at scale and runs behind the same Apriori support prefilter as
-    q_basket_part_pairs (edges need support >= 2, so parts in fewer than
-    2 baskets cannot contribute an edge — the prune is lossless).
+    primitive under community detection and fraud-ring analysis.
 
-    Reuse: the edge list is referenced three times (e1/e2/e3), but its
-    pair-aggregation exchange is identical in all three, so Spark's
-    ReuseExchange/AQE stage reuse serves them from one shuffle write — an
-    explicit persist measured 4x SLOWER here (cache-materialization
-    barrier + memory-store write vs pipelined reuse). Each triangle's
-    three corners are counted from ONE evaluation of the triangle join
-    via explode of (x, y, z). The edge build runs through
-    :func:`_basket_pair_support` (Apriori prune + basket-grain pair
-    explosion — no self-join)."""
+    Edges are oriented by DEGREE (from the lower-(degree, id) endpoint to
+    the higher — the Cohen / Suri-Vassilvitskii orientation): every
+    triangle then has exactly one node with two outgoing edges (its
+    orientation-minimum corner), so each triangle is enumerated exactly
+    once as a wedge x→y, x→z closed by the oriented edge y→z. Unlike
+    plain id-orientation, out-degree under degree-orientation is bounded
+    by O(√m) regardless of skew, so wedge volume is O(m^1.5) even when
+    hub parts appear in millions of baskets — id-orientation degrades to
+    Σ deg² on exactly the hub-heavy graphs where triangles matter. The
+    wedge join and the closing join are both equi-joins (on x and on
+    (y, z)); the degree table is node-count sized, so AQE broadcasts it
+    when small and shuffle-joins on the node key when not.
+
+    The graph build runs behind the same Apriori support prefilter as
+    q_basket_part_pairs (edges need support >= 2, so parts in fewer than
+    2 baskets cannot contribute an edge — the prune is lossless), through
+    :func:`_basket_pair_support` (basket-grain pair explosion — no
+    self-join). The edge list is referenced by the degree aggregate, both
+    wedge sides, and the closing join, but its pair-aggregation exchange
+    is identical in all of them, so ReuseExchange/AQE stage reuse serves
+    them from one shuffle write — an explicit persist measured 4x SLOWER
+    here (cache-materialization barrier vs pipelined reuse). Each
+    triangle's three corners are counted from ONE evaluation of the
+    triangle join via explode of (x, y, z)."""
     li = t(spark, sf_dir, "lineitem")
-    edges = _basket_pair_support(li, min_support=2).select("a", "b")
-    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    und = _basket_pair_support(li, min_support=2).select("a", "b")
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # Orient a—b toward the higher (degree, id); carry each endpoint's
+    # degree so the wedge canonicalization below needs no extra join.
+    withdeg = (
+        und.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+    )
+    fwd = F.struct("da", "a") < F.struct("db", "b")
+    o = withdeg.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    )
+    w1 = o.select(F.col("src").alias("x"), F.col("dst").alias("y"), F.col("ddst").alias("dy"))
+    w2 = o.select(F.col("src").alias("x"), F.col("dst").alias("z"), F.col("ddst").alias("dz"))
+    wedges = (
+        w1.join(w2, "x")
+        .where(F.struct("dy", "y") < F.struct("dz", "z"))
+        .select("x", "y", "z")
+    )
+    closing = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri = wedges.join(closing, ["y", "z"])
     nodes = tri.select(
         F.explode(F.array("x", "y", "z")).alias("node")
     )
