@@ -68,6 +68,13 @@ try:  # training-data prep batch (round 3: shuffle/truncation/gopher/semdedup)
 except ImportError:  # pragma: no cover
     pass
 
+try:  # corpus analysis + Spark 4 SQL surface (round 3 batch 2)
+    from culvert_spark import corpusops as _c
+
+    _REGISTRIES.append(_c)
+except ImportError:  # pragma: no cover
+    pass
+
 
 #: Driver CORRECTNESS verification covers the first N registered queries in
 #: registration order (50-query window per round).  Rounds 1+2 verified 97
@@ -94,14 +101,19 @@ except ImportError:  # pragma: no cover
 #: t_context_truncation_stats, t_quality_percentile_filter,
 #: t_gopher_quality_rules, s_semantic_dedup_rep, q_ols_daily_revenue_trend,
 #: q_chi2_priority_status, t_mix_temperature_weights, t_char_class_profile,
-#: t_token_coverage_topk, t_pretrain_pipeline_e2e — and the 3 whose
-#: implementation changed after the r3 window was frozen (candidate
-#: generation restructured to bucket assembly / post-verify dedup; oracles
-#: unchanged): t_minhash_lsh_pairs, t_dedup_clusters,
-#: s_near_dup_lsh_verified is already IN the r3 window so it re-verifies
-#: automatically.  That is 34 names; pad the remaining ~16 window
-#: slots with the highest-value already-green queries.  After round 4
-#: every registered query has a driver row against its current code.
+#: t_token_coverage_topk, t_pretrain_pipeline_e2e — the 9 corpusops
+#: queries added later in round 3 (t_doc_entropy, t_boilerplate_ngrams,
+#: t_hashed_ngram_features, t_incremental_dedup, q_bfs_reachable_parts,
+#: q_sql_pipe_interface, q_collation_group_ci, q_try_functions,
+#: q_from_xml_events), v_pq_ann_topk (rows-only) — and the
+#: queries whose implementation changed after the r3 window was frozen
+#: (candidate generation restructured to bucket assembly / post-verify
+#: dedup, oracles unchanged: t_minhash_lsh_pairs, t_dedup_clusters;
+#: degree-oriented triangles: q_graph_triangles re-verifies inside the r3
+#: window already, as does s_near_dup_lsh_verified).  That is 45 names;
+#: pad the remaining ~5 window slots with the highest-value already-green
+#: queries.  After round 4 every registered query has a driver row
+#: against its current code.
 _PRIORITY = [
     # training-data pipeline ops (repetition/packing/contamination/
     # redaction/normalize/chunking/sampling/quantization/LM scoring)

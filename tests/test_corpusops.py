@@ -1,0 +1,181 @@
+"""Hand-computed values, invariants, and plan gates for the corpusops
+batch (entropy / boilerplate / hashed features / BFS / Spark 4 SQL
+surface). Oracle parity runs in test_oracle_queries.py; these pin the
+math on inputs the shipped fixtures don't cover and the plan shapes the
+scale story depends on."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMALL
+from tests.test_plan_quality import executed_plan
+
+QUERIES = entrymod.queries()
+
+
+def _write_docs(spark, tmp_path, rows):
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_doc_entropy_hand_values(spark, tmp_path):
+    """H = log2(n) - (Σ c·log2 c)/n against by-hand cases: a 2/3-1/3 split
+    (0.918296), a single token (0 bits), and a uniform 4-way split
+    (exactly 2 bits)."""
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a a b", "en", "s"),
+            (2, "x", "en", "s"),
+            (3, "a b c d", "en", "s"),
+        ],
+    )
+    rows = {r.doc_id: r for r in QUERIES["t_doc_entropy"](spark, d).collect()}
+    assert rows[1].n_tokens == 3
+    assert rows[1].token_entropy == pytest.approx(0.918296, abs=1e-6)
+    assert rows[1].low_entropy
+    assert rows[2].token_entropy == 0.0 and rows[2].low_entropy
+    assert rows[3].token_entropy == 2.0 and rows[3].low_entropy
+
+
+def test_doc_entropy_partition_invariant(spark):
+    """The rounded-DECIMAL term sum must make entropy identical under any
+    shuffle partitioning (no float-order dependence)."""
+    fn = QUERIES["t_doc_entropy"]
+    a = [tuple(r) for r in fn(spark, SF_SMALL).collect()]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = [tuple(r) for r in fn(spark, SF_SMALL).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b and len(a) > 0
+
+
+def test_boilerplate_shared_shingles_flagged(spark, tmp_path):
+    """A shingle shared by >= 4 docs of ONE source is boilerplate there;
+    the same text in another source (below the threshold) is not — corpus
+    frequency is source-scoped."""
+    boiler = "terms of service apply now"  # 3 fully-shared shingles in s1
+    rows = [
+        (i, f"{boiler} unique{i} tail{i} words{i} here{i}", "en", "s1")
+        for i in range(5)
+    ]
+    rows.append((99, f"{boiler} other{99} tail{99} words{99} here{99}", "en", "s2"))
+    d = _write_docs(spark, tmp_path, rows)
+    got = {
+        r.doc_id: r for r in QUERIES["t_boilerplate_ngrams"](spark, d).collect()
+    }
+    # each doc: 9 tokens -> 7 shingles; the 3 shingles made purely of the
+    # 5-token shared prefix appear in all five s1 docs, the 4 touching a
+    # unique token don't.
+    assert got[0].n_shingles == 7
+    assert got[0].n_boiler == 3
+    assert all(got[i].n_boiler == 3 and got[i].keep for i in range(5))
+    assert got[99].n_boiler == 0 and got[99].keep
+
+
+def test_bfs_hand_chain(spark, tmp_path):
+    """Chain 1-10-20-30-40 via shared baskets: seed (part 1) is depth 0,
+    each hop adds 1, and part 40 (4 hops away) is unreachable at cap 3."""
+    d = str(tmp_path)
+    rows = [
+        (1, 1), (1, 10),
+        (2, 10), (2, 20),
+        (3, 20), (3, 30),
+        (4, 30), (4, 40),
+    ]
+    spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "lineitem.parquet"))
+    got = {
+        (r.part_id, r.depth)
+        for r in QUERIES["q_bfs_reachable_parts"](spark, d).collect()
+    }
+    assert got == {(1, 0), (10, 1), (20, 2), (30, 3)}
+
+
+def test_hashed_features_conserve_bigram_mass(spark):
+    """Per doc, feature counts must sum to the doc's bigram count
+    (n_tokens - 1) and bucket ids must lie in [0, 32)."""
+    import pyspark.sql.functions as F
+
+    from culvert_spark.corpusops import _FEAT_BUCKETS, _FEAT_DOC_CAP
+    from culvert_spark.queries import t as scan
+
+    feats = QUERIES["t_hashed_ngram_features"](spark, SF_SMALL)
+    per_doc = {
+        r.doc_id: (r.total, r.bmin, r.bmax)
+        for r in feats.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("total"),
+            F.min("bucket").alias("bmin"),
+            F.max("bucket").alias("bmax"),
+        )
+        .collect()
+    }
+    expected = {
+        r.doc_id: r.n - 1
+        for r in scan(spark, SF_SMALL, "documents")
+        .where(F.col("doc_id") < _FEAT_DOC_CAP)
+        .select("doc_id", F.size(F.split("text", r"\s+")).alias("n"))
+        .collect()
+        if r.n >= 2
+    }
+    assert {k: v[0] for k, v in per_doc.items()} == expected
+    assert all(0 <= v[1] and v[2] < _FEAT_BUCKETS for v in per_doc.values())
+
+
+def test_hashed_features_filter_pushed_to_scan(spark):
+    """The doc_id cap must reach the parquet reader as a pushed filter —
+    at 100 TB this is the difference between scanning 50 docs and the
+    corpus."""
+    plan = executed_plan(spark, "t_hashed_ngram_features")
+    assert "PushedFilters" in plan and "LessThan(doc_id,50)" in plan
+
+
+def test_bfs_plan_all_equijoins(spark):
+    """Every BFS round must be an equi-join on the node key — a cartesian
+    anywhere here means the frontier expansion is O(frontier x edges)."""
+    plan = executed_plan(spark, "q_bfs_reachable_parts")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_doc_entropy_no_window_no_sort_shuffle(spark):
+    """Entropy is two hash aggregates — the sorted-partition shapes
+    (Window, global sort before the final ORDER BY) must not appear in
+    the aggregation path."""
+    plan = executed_plan(spark, "t_doc_entropy")
+    assert "Window" not in plan
+
+
+def test_incremental_dedup_statuses(spark, tmp_path):
+    """All three classifications on a hand corpus: an incoming doc byte-
+    identical to a base doc is exact_dup (and also band-collides), a
+    shingle-overlapping variant is near_dup, an unrelated doc is unique.
+    doc_id % 5 == 0 marks incoming."""
+    base_text = "the quick brown fox jumps over the lazy dog tonight again"
+    near_text = "the quick brown fox jumps over the lazy dog tonight maybe"
+    rows = [
+        (1, base_text, "en", "s"),          # base
+        (2, "totally different words entirely here now", "en", "s"),  # base
+        (5, base_text, "en", "s"),          # incoming: exact dup of 1
+        (10, near_text, "en", "s"),         # incoming: near dup of 1
+        (15, "unrelated content about completely other topics", "en", "s"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {
+        r.doc_id: (r.status, r.n_exact_base, r.n_near_base)
+        for r in QUERIES["t_incremental_dedup"](spark, d).collect()
+    }
+    assert got[5][0] == "exact_dup" and got[5][1] == 1 and got[5][2] >= 1
+    assert got[10] == ("near_dup", 0, got[10][2]) and got[10][2] >= 1
+    assert got[15] == ("unique", 0, 0)
