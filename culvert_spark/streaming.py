@@ -298,3 +298,105 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def _minhash_band_cols():
+    """Per-ROW MinHash band signatures (no explode/groupBy): shingle the
+    text with array expressions, take array_min of md5('i|'||shingle) per
+    hash function, md5-fold each band of 3. Bit-identical to the batch
+    pipeline in textops (min over distinct shingles == min over all), but
+    expressed as narrow per-row expressions so it composes with streaming
+    (no shuffle, no aggregation before the stateful op)."""
+    from culvert_spark.textops import _BAND_SIZE, _N_HASHES
+
+    sh = (
+        "array_distinct(CASE WHEN size(split(text, '\\\\s+')) >= 3 THEN "
+        "transform(sequence(0, size(split(text, '\\\\s+')) - 3), "
+        "i -> concat_ws(' ', split(text, '\\\\s+')[i], "
+        "split(text, '\\\\s+')[i+1], split(text, '\\\\s+')[i+2])) "
+        "ELSE array() END)"
+    )
+    mh = [
+        F.expr(
+            f"array_min(transform({sh}, s -> md5(cast(concat('{i}|', s) as binary))))"
+        ).alias(f"mh_{i}")
+        for i in range(_N_HASHES)
+    ]
+    n_bands = _N_HASHES // _BAND_SIZE
+    return mh, n_bands
+
+
+def near_dup_stream_filter(docs: DataFrame, bucket_cap: int = 64) -> DataFrame:
+    """Streaming near-duplicate detection: flag each arriving document
+    that MinHash-LSH-collides with ANY previously seen document — without
+    ever re-scanning the corpus. The batch dedup (textops) answers "which
+    pairs exist in this corpus"; this answers the production-ingest
+    question "is this NEW doc a dup of anything that came before", with
+    the full history compressed into per-bucket state.
+
+    Shape: band signatures are computed per-row (``_minhash_band_cols`` —
+    identical values to the batch pipeline), the row explodes to its 4
+    (band, bsig) bucket keys, and a bucket-keyed applyInPandasWithState
+    keeps up to ``bucket_cap`` anchor doc_ids per bucket. An arriving doc
+    whose bucket already has anchors emits (doc_id, band, anchor_doc) —
+    its near-dup evidence; the anchor list stops growing at the cap (the
+    streaming form of the batch mega-bucket guard: a boilerplate bucket
+    holds ``bucket_cap`` ids forever, never millions). Same-batch arrivals
+    are processed in doc_id order so intra-batch duplicates are caught
+    deterministically.
+
+    State size = buckets x (<= cap) longs, partitioned by bucket key
+    across executors; at 100 TB add a ProcessingTimeTimeout to expire
+    cold buckets, or back the store with RocksDB (demonstrated in
+    tests/test_streaming.py::test_rocksdb_state_store_windowed_agg)."""
+    import pandas as pd  # local import: only the stateful path needs it
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    mh, n_bands = _minhash_band_cols()
+    from culvert_spark.textops import _BAND_SIZE
+
+    sig = docs.select("doc_id", "text").select("doc_id", *mh)
+    band_sigs = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{j}")
+                        for j in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE)
+                    ],
+                ).cast("binary")
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_sigs).alias("band", "bsig")
+    ).where(F.col("bsig").isNotNull())
+
+    out_schema = "doc_id bigint, band int, anchor_doc bigint"
+    state_schema = "docs array<bigint>"
+
+    def update(key, pdf_iter, state):
+        anchors = list(state.get[0]) if state.exists else []
+        hits = []
+        band = int(key[0])
+        for pdf in pdf_iter:
+            for doc_id in sorted(int(x) for x in pdf["doc_id"]):
+                if anchors and doc_id not in anchors:
+                    hits.append((doc_id, band, anchors[0]))
+                if len(anchors) < bucket_cap and doc_id not in anchors:
+                    anchors.append(doc_id)
+        state.update((anchors,))
+        if hits:
+            yield pd.DataFrame(
+                hits, columns=["doc_id", "band", "anchor_doc"]
+            )
+
+    return bands.groupBy("band", "bsig").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

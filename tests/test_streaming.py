@@ -401,3 +401,79 @@ def test_rocksdb_state_store_windowed_agg(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_streaming_near_dup_filter(spark, tmp_path):
+    """Cross-batch near-dup detection: a doc arriving in batch 2 that is
+    byte-identical to a batch-1 doc is flagged against that anchor in all
+    4 bands; a unique doc emits nothing; an intra-batch duplicate pair is
+    caught too. Signatures must equal the batch textops pipeline's."""
+    docs_schema = "doc_id bigint, text string"
+    dup = "the quick brown fox jumps over the lazy dog tonight again"
+    uniq = "completely different content with no overlapping shingles present"
+    third = "yet another entirely unrelated set of words goes right here"
+    fourth = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src, exist_ok=True)
+
+    def write_docs(idx, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(src, f"b{idx}.parquet"),
+        )
+
+    # batch 1: two unique docs.  batch 2 (staged up front; one file per
+    # micro-batch): an exact dup of doc 1 (collides in all 4 bands),
+    # another unique doc, and an intra-batch duplicate pair (7, 8).
+    write_docs(1, [(1, dup), (2, uniq)])
+    write_docs(2, [(5, dup), (6, third), (7, fourth), (8, fourth)])
+    ckpt = str(tmp_path / "ck")
+
+    sdf = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        st.near_dup_stream_filter(sdf)
+        .writeStream.format("memory")
+        .queryName("near_dup_sink")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM near_dup_sink").toPandas()
+    assert set(out["doc_id"]) == {5, 8}, "batch-1 docs must not be flagged"
+    five = out[out["doc_id"] == 5]
+    assert set(five["anchor_doc"]) == {1} and len(five) == 4  # all bands
+    eight = out[out["doc_id"] == 8]
+    assert set(eight["anchor_doc"]) == {7}
+
+
+def test_streaming_minhash_matches_batch_signatures(spark):
+    """The per-row band signatures must be bit-identical to the batch
+    (explode + groupBy) pipeline in textops for the same docs."""
+    from culvert_spark.queries import t as scan
+    from culvert_spark.streaming import _minhash_band_cols
+    from culvert_spark.textops import _minhash_from_docs
+
+    from tests.conftest import SF_SMALL
+
+    d = scan(spark, SF_SMALL, "documents").where(F.col("doc_id") < 40)
+    mh, _ = _minhash_band_cols()
+    row_side = {
+        (r.doc_id, i): getattr(r, f"mh_{i}")
+        for r in d.select("doc_id", "text").select("doc_id", *mh).collect()
+        for i in range(12)
+    }
+    sig, _cand = _minhash_from_docs(d)
+    batch_side = {
+        (r.doc_id, i): getattr(r, f"mh_{i}")
+        for r in sig.collect()
+        for i in range(12)
+    }
+    assert row_side == batch_side and len(batch_side) > 0
