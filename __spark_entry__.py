@@ -105,7 +105,8 @@ except ImportError:  # pragma: no cover
 #: queries added later in round 3 (t_doc_entropy, t_boilerplate_ngrams,
 #: t_hashed_ngram_features, t_incremental_dedup, q_bfs_reachable_parts,
 #: q_sql_pipe_interface, q_collation_group_ci, q_try_functions,
-#: q_from_xml_events), v_pq_ann_topk (rows-only) — and the
+#: q_from_xml_events), t_multimodal_manifest, and the rows-only
+#: v_pq_ann_topk + t_bpe_learn_merges — and the
 #: queries whose implementation changed after the r3 window was frozen
 #: (candidate generation restructured to bucket assembly / post-verify
 #: dedup, oracles unchanged: t_minhash_lsh_pairs, t_dedup_clusters;

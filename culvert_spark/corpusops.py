@@ -637,3 +637,169 @@ def t_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_exact").cast("bigint").alias("n_exact_base"),
         F.col("n_near").cast("bigint").alias("n_near_base"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal training manifest (paired text + embedding shard assembly)
+# ---------------------------------------------------------------------------
+
+_MANIFEST_SHARDS = 4
+
+
+@register(
+    "t_multimodal_manifest",
+    f"""
+    WITH paired AS (
+      SELECT d.doc_id,
+             len({TOK_DUCK}) AS n_tokens,
+             e.label,
+             {_hex60_duck("('mshard|' || CAST(d.doc_id AS VARCHAR))")} AS h
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id)
+    SELECT CAST(h % {_MANIFEST_SHARDS} AS INT) AS shard,
+           ROW_NUMBER() OVER w AS pos,
+           doc_id, n_tokens, label,
+           CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS token_offset
+    FROM paired
+    WINDOW w AS (PARTITION BY h % {_MANIFEST_SHARDS} ORDER BY h, doc_id)
+    ORDER BY shard, pos
+    """,
+)
+def t_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired multimodal shard manifest: join each document to its
+    embedding row (text + vision/audio tower pairing by id), assign a
+    deterministic pseudo-random shard (md5), and lay out each shard as
+    (position, token_offset) — the index a multimodal data loader uses to
+    seek into packed shards without scanning them. token_offset is the
+    exclusive running sum of the doc's token count within its shard, so
+    offset + n_tokens of the last row is the shard's total budget.
+
+    Scale shape: one equi-join on the id (both sides bucket-able on it in
+    a real layout), one shuffle to the shard grain; the per-shard window
+    computes position and running offset in the same sort. Shard count
+    scales with the corpus (fixed rows-per-shard), so no shard's window
+    exceeds its budget — same discipline as t_deterministic_shuffle."""
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    paired = (
+        d.select(
+            "doc_id",
+            F.expr(f"size({TOK_SPARK})").alias("n_tokens"),
+        )
+        .join(e.select(F.col("vec_id").alias("doc_id"), "label"), "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "label",
+            F.expr(
+                _hex60_spark("concat('mshard|', cast(doc_id as string))")
+            ).alias("h"),
+        )
+    )
+    shard = (F.col("h") % _MANIFEST_SHARDS).cast("int")
+    w = Window.partitionBy(shard).orderBy("h", "doc_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        paired.select(
+            shard.alias("shard"),
+            F.row_number().over(w).cast("bigint").alias("pos"),
+            "doc_id",
+            "n_tokens",
+            "label",
+            (F.sum("n_tokens").over(wsum) - F.col("n_tokens"))
+            .cast("bigint")
+            .alias("token_offset"),
+        )
+        .orderBy("shard", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (distributed tokenizer training)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 5
+
+
+def bpe_learn_merges(
+    docs: DataFrame, n_merges: int = _BPE_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn the first ``n_merges`` BPE merges (Sennrich et al. 2016) over
+    the corpus: the token-frequency table replaces the corpus after ONE
+    shuffle (classic BPE trains on word counts, so every round is
+    vocab-bounded, not corpus-bounded), then each round counts adjacent
+    symbol pairs weighted by word frequency, picks the most frequent pair
+    (ties broken lexicographically — fully deterministic), and rewrites
+    the vocab's symbol arrays with a greedy left-to-right non-overlapping
+    merge fold. Only the ONE winning (pair, count) row per round reaches
+    the driver.
+
+    Returns [(rank, left, right, merged, pair_count)] — the artifact a
+    tokenizer trainer persists."""
+    vocab = (
+        docs.select(F.explode(F.expr(TOK_SPARK)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", F.split("tok", ""))
+        .select("freq", "syms")
+        .persist()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    cur = vocab
+    try:
+        for rank in range(1, n_merges + 1):
+            pairs = (
+                cur.where(F.size("syms") >= 2)
+                .select(
+                    "freq",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(0, size(syms) - 2), "
+                            "i -> struct(syms[i] AS l, syms[i+1] AS r))"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not pairs:
+                break
+            l, r, cnt = pairs[0].l, pairs[0].r, int(pairs[0].cnt)
+            merges.append((rank, l, r, l + r, cnt))
+            cur = cur.withColumn(
+                "syms",
+                F.aggregate(
+                    "syms",
+                    F.array().cast("array<string>"),
+                    lambda acc, x: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.lit(l))
+                        & (x == F.lit(r)),
+                        F.concat(
+                            F.slice(acc, F.lit(1), F.size(acc) - 1),
+                            F.array(F.lit(l + r)),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(x))),
+                ),
+            )
+    finally:
+        vocab.unpersist()
+    return merges
+
+
+@register("t_bpe_learn_merges")  # rows-only: iterative (SURVEY §5.1)
+def t_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (first 5 merges) over the
+    documents corpus — genuinely iterative (each round's pair counts
+    depend on the previous round's merge), so no SQL oracle; the merge
+    sequence is pinned against a by-hand BPE trace in pytest. The result
+    set IS the learned artifact (5 rows), assembled from per-round
+    distributed aggregates."""
+    d = spread(t(spark, sf_dir, "documents").select("text"))
+    merges = bpe_learn_merges(d)
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, pair_count bigint",
+    ).orderBy("rank")

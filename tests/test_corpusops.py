@@ -179,3 +179,51 @@ def test_incremental_dedup_statuses(spark, tmp_path):
     assert got[5][0] == "exact_dup" and got[5][1] == 1 and got[5][2] >= 1
     assert got[10] == ("near_dup", 0, got[10][2]) and got[10][2] >= 1
     assert got[15] == ("unique", 0, 0)
+
+
+def test_bpe_merges_hand_trace(spark):
+    """Full by-hand BPE trace on the classic low/lower/newest corpus:
+    pair counts, lexicographic tie-breaks, and greedy non-overlapping
+    re-tokenization all pinned for 5 rounds."""
+    from culvert_spark.corpusops import bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [("low low low",), ("lower lower",), ("newest",)], "text string"
+    )
+    assert bpe_learn_merges(docs) == [
+        (1, "l", "o", "lo", 5),       # l-o ties o-w at 5; 'l' < 'o'
+        (2, "lo", "w", "low", 5),
+        (3, "e", "r", "er", 2),       # e-r ties low-e at 2; 'e' < 'low'
+        (4, "low", "er", "lower", 2),
+        (5, "e", "s", "es", 1),       # 5-way tie; (e,s) lexicographic min
+    ]
+
+
+def test_bpe_greedy_merge_handles_runs(spark):
+    """Merging (a,a) over 'aaa'/'aaaa' must be greedy left-to-right and
+    non-overlapping: aaa -> [aa, a], aaaa -> [aa, aa] (so round 2 counts
+    the aa-aa pair, not an overlapping phantom)."""
+    from culvert_spark.corpusops import bpe_learn_merges
+
+    docs = spark.createDataFrame([("aaa aaaa",)], "text string")
+    got = bpe_learn_merges(docs, n_merges=2)
+    assert got[0] == (1, "a", "a", "aa", 5)  # 2 adjacent pairs + 3
+    # round 2: [aa,a] and [aa,aa] -> aa-a ties aa-aa; 'a' < 'aa'
+    assert got[1] == (2, "aa", "a", "aaa", 1)
+
+
+def test_multimodal_manifest_offsets_dense(spark):
+    """Per shard: positions dense from 1 and token_offset equal to the
+    running sum of earlier docs' token counts."""
+    rows = QUERIES["t_multimodal_manifest"](spark, SF_SMALL).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) == 4
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.pos)
+        assert [r.pos for r in rs] == list(range(1, len(rs) + 1))
+        run = 0
+        for r in rs:
+            assert r.token_offset == run
+            run += r.n_tokens
