@@ -106,7 +106,7 @@ except ImportError:  # pragma: no cover
 #: t_hashed_ngram_features, t_incremental_dedup, q_bfs_reachable_parts,
 #: q_sql_pipe_interface, q_collation_group_ci, q_try_functions,
 #: q_from_xml_events), t_multimodal_manifest, and the rows-only
-#: v_pq_ann_topk + t_bpe_learn_merges — and the
+#: v_pq_ann_topk + t_bpe_learn_merges + t_bpe_tokenize_stats — and the
 #: queries whose implementation changed after the r3 window was frozen
 #: (candidate generation restructured to bucket assembly / post-verify
 #: dedup, oracles unchanged: t_minhash_lsh_pairs, t_dedup_clusters;

@@ -803,3 +803,73 @@ def t_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "rank int, left string, right string, merged string, pair_count bigint",
     ).orderBy("rank")
+
+
+def _apply_merges_col(col_name: str, merges: list[tuple[int, str, str, str, int]]):
+    """Fold each learned merge, in rank order, over a symbol-array column
+    (greedy left-to-right non-overlapping — identical semantics to the
+    training fold in :func:`bpe_learn_merges`)."""
+    def one_merge(l: str, r: str, merged: str):
+        def fold(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return fold
+
+    out = F.col(col_name)
+    for _rank, l, r, merged, _cnt in merges:
+        out = F.aggregate(
+            out, F.array().cast("array<string>"), one_merge(l, r, merged)
+        )
+    return out
+
+
+@register("t_bpe_tokenize_stats")  # rows-only: depends on learned merges
+def t_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer INFERENCE: apply the merges learned by
+    t_bpe_learn_merges back to the corpus and report, per document, the
+    word count, the BPE symbol count, and symbols-per-word — the number
+    that actually prices a training corpus (token budget) once a
+    tokenizer exists. Vocab-bounded like training: merges are applied
+    once per DISTINCT token (the fold runs over the token table, not the
+    corpus), then a broadcast-friendly join maps each doc's words to
+    their symbol counts and one aggregate sums them.
+
+    Rows-only: the applied merges come from the iterative learner, so no
+    static SQL oracle exists; the learn→apply round trip is pinned by
+    hand in pytest (known corpus → known merges → known symbol counts).
+
+    Scale shape: one corpus shuffle to (doc, token) grain, vocab-sized
+    merge computation, vocab join (AQE broadcasts the symbol-count side
+    when small), one doc-grain aggregate."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    merges = bpe_learn_merges(d)
+    toks = d.select("doc_id", F.explode(F.expr(TOK_SPARK)).alias("tok"))
+    vocab = toks.select("tok").distinct().withColumn("syms", F.split("tok", ""))
+    vocab = vocab.select(
+        "tok", F.size(_apply_merges_col("syms", merges)).alias("bpe_len")
+    )
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("bpe_len").cast("bigint").alias("n_bpe_symbols"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_symbols",
+            F.round(
+                F.col("n_bpe_symbols").cast("double") / F.col("n_words"), 6
+            ).alias("symbols_per_word"),
+        )
+        .orderBy("doc_id")
+    )

@@ -227,3 +227,25 @@ def test_multimodal_manifest_offsets_dense(spark):
         for r in rs:
             assert r.token_offset == run
             run += r.n_tokens
+
+
+def test_bpe_tokenize_roundtrip(spark, tmp_path):
+    """learn -> apply round trip on the hand corpus: with merges
+    (l,o),(lo,w),(e,r),(low,er),(e,s), 'low low low' packs to 3 symbols,
+    'lower lower' to 2, and 'newest' to 5 (n,e,w,es,t)."""
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "low low low", "en", "s"),
+            (2, "lower lower", "en", "s"),
+            (3, "newest", "en", "s"),
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_symbols, r.symbols_per_word)
+        for r in QUERIES["t_bpe_tokenize_stats"](spark, d).collect()
+    }
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (2, 2, 1.0)
+    assert got[3] == (1, 5, 5.0)
