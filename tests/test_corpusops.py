@@ -249,3 +249,21 @@ def test_bpe_tokenize_roundtrip(spark, tmp_path):
     assert got[1] == (3, 3, 1.0)
     assert got[2] == (2, 2, 1.0)
     assert got[3] == (1, 5, 5.0)
+
+
+def test_incremental_dedup_plan_no_cartesian(spark):
+    """Both dedup paths must be equi-joins (digest; band+bsig) — a
+    cartesian/nested-loop anywhere means incoming x base blew up."""
+    plan = executed_plan(spark, "t_incremental_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_multimodal_manifest_plan_single_join(spark):
+    """The manifest is one id equi-join plus one shard-grain window: no
+    cartesian, and exactly one SortMergeJoin/BroadcastHashJoin pair of
+    inputs (docs, embeddings)."""
+    plan = executed_plan(spark, "t_multimodal_manifest")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join") >= 1
+    assert "Window" in plan
