@@ -267,3 +267,34 @@ def test_multimodal_manifest_plan_single_join(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("Join") >= 1
     assert "Window" in plan
+
+
+def test_incremental_dedup_signature_store_equivalent(spark, tmp_path):
+    """The steady-state path (persisted base signature table + increment-
+    only hashing) must classify incoming docs identically to the
+    recompute-everything query on the shipped corpus."""
+    import pyspark.sql.functions as F
+
+    from culvert_spark.corpusops import (
+        _INC_MOD,
+        build_signature_table,
+        incremental_dedup_vs_signatures,
+    )
+    from culvert_spark.queries import t as scan
+
+    d = scan(spark, SF_SMALL, "documents")
+    base = d.where(F.col("doc_id") % _INC_MOD != 0)
+    inc = d.where(F.col("doc_id") % _INC_MOD == 0)
+
+    sig_path = os.path.join(str(tmp_path), "base_sigs.parquet")
+    build_signature_table(base).write.mode("overwrite").parquet(sig_path)
+    persisted = spark.read.parquet(sig_path)
+
+    steady = [
+        tuple(r)
+        for r in incremental_dedup_vs_signatures(inc, persisted).collect()
+    ]
+    full = [
+        tuple(r) for r in QUERIES["t_incremental_dedup"](spark, SF_SMALL).collect()
+    ]
+    assert steady == full and len(steady) > 0
