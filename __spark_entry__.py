@@ -110,8 +110,10 @@ except ImportError:  # pragma: no cover
 #: queries whose implementation changed after the r3 window was frozen
 #: (candidate generation restructured to bucket assembly / post-verify
 #: dedup, oracles unchanged: t_minhash_lsh_pairs, t_dedup_clusters;
-#: degree-oriented triangles: q_graph_triangles re-verifies inside the r3
-#: window already, as does s_near_dup_lsh_verified).  That is 45 names;
+#: q01_pricing_summary moved to the integer-scaled cents sum path with
+#: its oracle changed in lockstep; degree-oriented triangles:
+#: q_graph_triangles re-verifies inside the r3 window already, as does
+#: s_near_dup_lsh_verified).  That is 46 names;
 #: pad the remaining ~5 window slots with the highest-value already-green
 #: queries.  After round 4 every registered query has a driver row
 #: against its current code.
