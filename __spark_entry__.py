@@ -105,7 +105,7 @@ except ImportError:  # pragma: no cover
 #: queries added later in round 3 (t_doc_entropy, t_boilerplate_ngrams,
 #: t_hashed_ngram_features, t_incremental_dedup, q_bfs_reachable_parts,
 #: q_sql_pipe_interface, q_collation_group_ci, q_try_functions,
-#: q_from_xml_events), t_multimodal_manifest, and the rows-only
+#: q_from_xml_events), t_multimodal_manifest, t_lang_id_confusion, and the rows-only
 #: v_pq_ann_topk + t_bpe_learn_merges + t_bpe_tokenize_stats — and the
 #: queries whose implementation changed after the r3 window was frozen
 #: (candidate generation restructured to bucket assembly / post-verify
@@ -113,8 +113,8 @@ except ImportError:  # pragma: no cover
 #: q01_pricing_summary moved to the integer-scaled cents sum path with
 #: its oracle changed in lockstep; degree-oriented triangles:
 #: q_graph_triangles re-verifies inside the r3 window already, as does
-#: s_near_dup_lsh_verified).  That is 46 names;
-#: pad the remaining ~5 window slots with the highest-value already-green
+#: s_near_dup_lsh_verified).  That is 47 names;
+#: pad the remaining ~3 window slots with the highest-value already-green
 #: queries.  After round 4 every registered query has a driver row
 #: against its current code.
 _PRIORITY = [

@@ -972,3 +972,47 @@ def incremental_dedup_vs_signatures(
         F.col("n_exact").cast("bigint").alias("n_exact_base"),
         F.col("n_near").cast("bigint").alias("n_near_base"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation (confusion matrix vs labels)
+# ---------------------------------------------------------------------------
+
+from culvert_spark.textops import QUERIES as _TEXT_QUERIES  # noqa: E402
+
+
+@register(
+    "t_lang_id_confusion",
+    f"""
+    WITH pred AS ({ORACLE['t_lang_id']})
+    SELECT lang, pred_lang, COUNT(*) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS recall_share
+    FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+    """,
+)
+def t_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the confusion matrix of the
+    keyword language-ID against the labeled lang column, with each cell's
+    share of its true-language row count (the per-language recall on the
+    diagonal) — the eval report a pipeline publishes next to any filter
+    model it trains. Built by composing the registered t_lang_id operator
+    with one aggregate; the oracle nests t_lang_id's oracle the same way,
+    so the two stay in lockstep by construction.
+
+    Scale shape: inherits t_lang_id's narrow scoring scan; the confusion
+    aggregate is bounded by langs^2 cells and the share window by the
+    langs partition — nothing corpus-sized shuffles."""
+    pred = _TEXT_QUERIES["t_lang_id"](spark, sf_dir)
+    w = Window.partitionBy("lang")
+    cells = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cells.select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias(
+            "recall_share"
+        ),
+    ).orderBy("lang", "pred_lang")
