@@ -1670,13 +1670,16 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     in integer microseconds so both engines are exact. This is the batch
     twin of the streaming session_window operator.
 
-    Giant-key guard: sessions are built two-level
-    (:func:`culvert_spark.twolevel.sessionize_session_rows`) — lag → gap
+    Giant-key guard (adaptive): sessions are built via
+    :func:`culvert_spark.twolevel.sessionize_session_rows`, which probes
+    the total row count (metadata-cheap — total rows exactly upper-bound
+    any one user's rows) and only engages the two-level plan — lag → gap
     flag → running sum inside (user_id, day) sub-partitions, then a
     day-boundary merge over per-user session runs (structurally ≤ 48
-    runs/day at a 30-min gap) — so a hot user cannot pin one window task,
-    and sessions spanning midnight still merge exactly as the single-pass
-    sessionizer would."""
+    runs/day at a 30-min gap) — when a single window task could actually
+    be pinned. Small inputs keep the classic one-exchange plan, so the
+    guard costs nothing at benchmark scale and sessions spanning midnight
+    still merge exactly as the single-pass sessionizer would at 100 TB."""
     from culvert_spark.twolevel import sessionize_session_rows
 
     ev = t(spark, sf_dir, "events")

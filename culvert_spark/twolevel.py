@@ -24,6 +24,12 @@ twins on a synthetic hot key).
 The bucket column is named ``_bucket`` on purpose: plan-quality gates
 assert it appears in the Window partition specs of the guarded queries,
 proving the sub-partitioning survived Catalyst.
+
+The sessionize guard is ADAPTIVE: a metadata-cheap total-row-count probe
+(:func:`_prefers_single_window`) routes small inputs to the classic
+single-window plan — the guard's stitch exchange is only worth paying
+when a single key *could* pin a task, and total rows bound every key's
+rows exactly, so the probe can never miss a hot key.
 """
 
 from __future__ import annotations
@@ -34,6 +40,29 @@ from pyspark.sql.window import Window
 
 #: 30-minute inactivity gap in microseconds (the sessionization default).
 GAP_US = 1_800_000_000
+
+#: Adaptive-guard cutoff: below this TOTAL row count the single-window
+#: plan is safe *by construction* — the largest possible window partition
+#: (one user owning every row) is still ≤ this bound, which one task
+#: sorts comfortably (~200 MB at 24 B/row). No sampling statistics are
+#: needed: total rows upper-bound every key's rows exactly, so the check
+#: can never miss a hot key the way a sampled histogram could.
+SMALL_INPUT_ROWS = 8_000_000
+
+
+def _prefers_single_window(df: DataFrame, threshold: int = SMALL_INPUT_ROWS) -> bool:
+    """True when the input is small enough that the two-level guard is
+    pure overhead. The probe is one ``count()`` job over the (column-
+    pruned-to-zero) scan — parquet row-group metadata plus the count
+    aggregate, no data columns read. At benchmark scale that costs tens
+    of milliseconds; at 100 TB the guard engages without the probe being
+    on the critical path (its cost is footer reads, while the guarded
+    window shuffles the full stream). The asymmetry is deliberate: the
+    guard's extra run-grain exchange only *matters* at small scale —
+    exactly where this check disables it — because run rows are bounded
+    by active (user, day) pairs, a vanishing fraction of events at scale.
+    """
+    return df.count() <= threshold
 
 
 def with_bucket(df: DataFrame, ts_col: str = "ts", grain: str = "day") -> DataFrame:
@@ -85,24 +114,37 @@ def sessionize_session_rows(
     events: DataFrame,
     gap_us: int = GAP_US,
     grain: str = "day",
+    mode: str = "auto",
 ) -> DataFrame:
     """Session-level rows (user_id, session_id, n_events, min_us, max_us)
-    under a ``gap_us`` inactivity rule, two-level.
+    under a ``gap_us`` inactivity rule, giant-key-guarded adaptively.
 
-    Level 1 sessionizes inside (user_id, _bucket): lag → gap flag →
-    running sum → per-local-session aggregate. Level 2 merges adjacent
-    local sessions across bucket boundaries with the SAME gap rule over
-    session rows: two runs merge iff the next run's first event follows
-    the previous run's last event within the gap — exactly the condition
-    under which the single-pass sessionizer would not have split. Runs
-    inside one bucket never merge (they are separated by > gap by
-    construction), so the merge is exact, including sessions chaining
-    across several midnights.
+    ``mode="auto"`` (default) picks the plan from a metadata-cheap row
+    count (:func:`_prefers_single_window`): small inputs take the plain
+    single-window sessionizer (one exchange, no guard overhead); large
+    inputs take the two-level guard. ``mode="two_level"`` /
+    ``mode="single"`` force a plan (tests pin both paths row-identical
+    on a synthetic hot key, and the plan gate forces ``two_level`` so
+    the guard shape stays proven at any test scale).
+
+    Two-level: level 1 sessionizes inside (user_id, _bucket): lag → gap
+    flag → running sum → per-local-session aggregate. Level 2 merges
+    adjacent local sessions across bucket boundaries with the SAME gap
+    rule over session rows: two runs merge iff the next run's first event
+    follows the previous run's last event within the gap — exactly the
+    condition under which the single-pass sessionizer would not have
+    split. Runs inside one bucket never merge (they are separated by
+    > gap by construction), so the merge is exact, including sessions
+    chaining across several midnights.
 
     The stitch partition is bounded structurally: a new session needs a
     > gap silence, so one (user, day) holds at most 86 400 s/gap_s + 1
     local sessions (48 for the 30-min default) — level 2 is tiny no
     matter how many events a hot user produces."""
+    if mode == "auto":
+        mode = "single" if _prefers_single_window(events) else "two_level"
+    if mode == "single":
+        return _sessionize_single_window(events, gap_us)
     # The level-1 shuffle carries (user_id, us, event_id, _bucket) only:
     # the bucket is the integer epoch day (identical day boundaries to
     # date_trunc under the pinned UTC session, one long instead of a
@@ -145,4 +187,33 @@ def sessionize_session_rows(
         F.sum("n_events").alias("n_events"),
         F.min("min_us").alias("min_us"),
         F.max("max_us").alias("max_us"),
+    )
+
+
+def _sessionize_single_window(events: DataFrame, gap_us: int) -> DataFrame:
+    """The classic one-exchange sessionizer (lag → gap flag → running sum
+    → per-session aggregate over a user_id window). Same output contract
+    as the two-level path; only safe when the input is small enough that
+    no single user can exceed a task's sort budget — which ``mode="auto"``
+    has already established via the total row count."""
+    b = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+    )
+    wseq = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = b.withColumn(
+        "_new",
+        F.when(
+            F.lag("us").over(wseq).isNull()
+            | ((F.col("us") - F.lag("us").over(wseq)) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    wrun = wseq.rowsBetween(Window.unboundedPreceding, 0)
+    sess = marked.withColumn("session_id", F.sum("_new").over(wrun))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("min_us"),
+        F.max("us").alias("max_us"),
     )

@@ -371,17 +371,38 @@ def test_apriori_prefilter_is_lossless(spark):
 
 
 def test_giant_key_guard_sub_buckets_user_windows(spark):
-    """The window-family giant-key guard: transitions, pattern match, and
-    sessionize must run their heavy ordered pass inside (user_id, _bucket)
+    """The window-family giant-key guard: transitions and pattern match
+    must run their heavy ordered pass inside (user_id, _bucket)
     sub-partitions — the _bucket column appearing in the executed plan
-    proves the two-level shape survived Catalyst."""
+    proves the two-level shape survived Catalyst. Sessionize's guard is
+    adaptive, so its two-level shape is gated with mode forced."""
     for name in (
         "q_event_transitions",
         "q_pattern_match_sequences",
-        "q_sessionize_events",
     ):
         plan = executed_plan(spark, name)
         assert "_bucket" in plan, f"{name}: two-level guard missing"
+
+
+def test_sessionize_guard_is_adaptive(spark):
+    """q_sessionize_events picks its plan from the input size: at test
+    scale the probe must choose the classic single-window plan (no
+    _bucket sub-partitioning, exactly one user_id window), while forcing
+    mode='two_level' must still produce the guarded shape — so the guard
+    exists AND costs nothing when no key can pin a task."""
+    from pyspark.sql import functions as F
+
+    from culvert_spark.queries import t
+    from culvert_spark.twolevel import sessionize_session_rows
+
+    plan = executed_plan(spark, "q_sessionize_events")
+    assert "_bucket" not in plan, "small input should take the single-window plan"
+
+    ev = t(spark, SF_SMALL, "events")
+    forced = sessionize_session_rows(ev, mode="two_level")
+    forced.collect()
+    fplan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "_bucket" in fplan, "forced two-level guard missing from plan"
 
 
 def test_trainprep_narrow_ops_no_corpus_shuffle(spark):

@@ -243,9 +243,16 @@ def test_two_level_sessionize_matches_single_window(spark):
     from culvert_spark.twolevel import sessionize_session_rows
 
     ev = _hot_key_events(spark)
+    # Force the guarded plan: the adaptive default would route this small
+    # hot-key fixture to the single-window path and the two-level proof
+    # would silently stop testing anything.
     two = {
         (r.user_id, r.n_events, r.min_us, r.max_us)
-        for r in sessionize_session_rows(ev).collect()
+        for r in sessionize_session_rows(ev, mode="two_level").collect()
+    }
+    single = {
+        (r.user_id, r.n_events, r.min_us, r.max_us)
+        for r in sessionize_session_rows(ev, mode="single").collect()
     }
     us = F.unix_micros(F.col("ts"))
     wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -270,6 +277,7 @@ def test_two_level_sessionize_matches_single_window(spark):
         .collect()
     }
     assert two == naive and len(two) > 10
+    assert single == naive
 
 
 def test_deterministic_shuffle_is_stable_permutation(spark):
