@@ -990,7 +990,8 @@ def t_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_cosine_topk",
     f"""
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
-    q AS (SELECT vec_id, embedding FROM e WHERE vec_id % 50 = 0),
+    q AS (SELECT vec_id, embedding FROM e WHERE vec_id % 50 = 0
+          ORDER BY vec_id LIMIT 1024),
     scored AS (
       SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
              {_dot_duck('q.embedding', 'e.embedding')}
@@ -1007,10 +1008,14 @@ def t_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-3 neighbors for a query subset (vec_id % 50 = 0)
-    — the exact ANN baseline. The (small) query set is broadcast against the
-    full vector table; the dot product is a fixed-order JVM-side expression
-    chain (no UDF). Output is rank-only so float ulps can't affect the hash.
+    """Brute-force cosine top-3 neighbors for a bounded query subset
+    (vec_id % 50 = 0, deterministically capped at 1024 queries — the cap
+    keeps the broadcast side O(bound) instead of O(n/50), so the plan
+    survives a corpus 100× larger; at test SFs the cap is not reached and
+    the query set is identical to the uncapped definition) — the exact
+    ANN baseline. The query set is broadcast against the full vector
+    table; the dot product is a fixed-order JVM-side expression chain (no
+    UDF). Output is rank-only so float ulps can't affect the hash.
 
     At 100 TB the same plan holds: broadcast queries x partitioned vectors,
     then a per-query top-k via row_number. For large query sets, switch to
@@ -1023,10 +1028,15 @@ def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nrm", F.sqrt(F.expr(_dot_spark("embedding", "embedding")))
         )
     )
-    q = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("nrm").alias("qnrm"),
+    q = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(1024)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
     )
     pairs = broadcast(q).join(e, F.col("vec_id") != F.col("query_id"))
     dot = F.expr(_dot_spark("qv", "embedding"))

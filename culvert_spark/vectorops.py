@@ -34,6 +34,35 @@ from culvert_spark.queries import QUERIES, ORACLE, register, t  # noqa: F401
 
 TOPK_SCHEMA = "query_id bigint, neighbor_id bigint, cos double"
 
+#: Hard cap on the registered ANN demos' query sets. The operators
+#: (cosine_topk_vectorized / ivf_search / the PQ ADC scan) take an
+#: arbitrary *bounded* query set; the demos default to "every 50th
+#: vec_id" which at test SFs is < this cap (so registered outputs are
+#: unchanged) but would grow with the corpus — at 100 TB an unbounded
+#: ``toPandas()`` of n/50 query rows is a driver OOM. The cap makes the
+#: driver transfer O(bound), independent of corpus size.
+ANN_MAX_QUERIES = 1024
+
+
+def default_query_set(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bound: int = ANN_MAX_QUERIES,
+) -> pd.DataFrame:
+    """The demo query set: every 50th vec_id, deterministically capped at
+    ``bound`` rows (orderBy + limit compiles to TakeOrdered — no global
+    sort, and the same rows at any parallelism). Returns the pandas frame
+    the vectorized operators consume; the transfer is ≤ bound rows."""
+    return (
+        df.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(bound)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .toPandas()
+    )
+
 
 def cosine_topk_vectorized(
     embeddings: DataFrame, query_pdf: pd.DataFrame, k: int = 3
@@ -81,17 +110,13 @@ def cosine_topk_vectorized(
 
 @register("v_cosine_topk_pandas")  # rows-only: numpy pairwise summation
 def v_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same semantics as s_cosine_topk (queries = vec_id % 50 == 0, top-3)
-    on the vectorized path. No SQL oracle: numpy's pairwise float summation
-    is not bit-identical to a SQL +-chain; rank output is compared against
-    the expression-based twin in tests instead."""
+    """Same semantics as s_cosine_topk (queries = vec_id % 50 == 0 capped
+    at ANN_MAX_QUERIES, top-3) on the vectorized path. No SQL oracle:
+    numpy's pairwise float summation is not bit-identical to a SQL
+    +-chain; rank output is compared against the expression-based twin in
+    tests instead."""
     e = t(spark, sf_dir, "embeddings")
-    query_pdf = (
-        e.filter(F.col("vec_id") % 50 == 0)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-        .toPandas()
-    )
-    return cosine_topk_vectorized(e, query_pdf, k=3)
+    return cosine_topk_vectorized(e, default_query_set(e), k=3)
 
 
 # ---------------------------------------------------------------------------
@@ -220,19 +245,15 @@ def ivf_search(
 @register("v_ivf_ann_topk")  # rows-only: iterative/approximate (SURVEY §5.1)
 def v_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN end-to-end: train a 16-cell coarse quantizer (3 Lloyd
-    rounds), then top-3 search probing 8/16 cells for the vec_id % 50
-    query set — half the brute-force work at 93% recall@3 on this corpus
-    (synthetic embeddings are weakly clustered; real embedding spaces
-    cluster far better and need fewer probes). Genuinely iterative — no
-    SQL oracle; recall vs brute force is asserted in tests."""
+    rounds), then top-3 search probing 8/16 cells for the bounded
+    vec_id % 50 query set (≤ ANN_MAX_QUERIES rows reach the driver) —
+    half the brute-force work at 93% recall@3 on this corpus (synthetic
+    embeddings are weakly clustered; real embedding spaces cluster far
+    better and need fewer probes). Genuinely iterative — no SQL oracle;
+    recall vs brute force is asserted in tests."""
     e = t(spark, sf_dir, "embeddings")
     centroids = ivf_train(e, n_cells=16, iters=3)
-    query_pdf = (
-        e.filter(F.col("vec_id") % 50 == 0)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-        .toPandas()
-    )
-    return ivf_search(e, query_pdf, centroids, k=3, n_probe=8)
+    return ivf_search(e, default_query_set(e), centroids, k=3, n_probe=8)
 
 
 ZSCORE_SCHEMA = "user_id bigint, event_id bigint, value double, zscore double"
@@ -579,12 +600,7 @@ def v_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     m_sub, k_codes, dsub = codebooks.shape
 
     norm = _pq_normalize(e)
-    query_pdf = (
-        norm.filter(F.col("vec_id") % 50 == 0)
-        .withColumnRenamed("vec_id", "query_id")
-        .withColumnRenamed("nv", "qv")
-        .toPandas()
-    )
+    query_pdf = default_query_set(norm, vec_col="nv")
     qids = query_pdf["query_id"].to_numpy()
     qmat = np.stack(query_pdf["qv"].to_numpy()).astype(np.float64)
     # ADC lookup tables: lut[q, m, c] = ||q_sub - codeword||^2.
