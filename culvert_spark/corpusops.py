@@ -722,6 +722,86 @@ def t_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 5
 
 
+def _bpe_fold_duck(prev: str, w: str) -> str:
+    """One greedy left-to-right merge pass over ``{prev}.syms`` in DuckDB,
+    applying winner CTE ``{w}``'s (l, r) pair — the exact mirror of the
+    Spark-side F.aggregate fold. The accumulator is a TAB-delimited string
+    (tokens are whitespace-split, so no symbol can ever contain the
+    separator); ends_with on the delimited form tests "last symbol == l"
+    without list slicing inside the lambda."""
+    return f"""
+  SELECT freq, tok, string_split(
+    list_reduce(syms, (acc, x) -> CASE
+      WHEN (acc = {w}.l OR ends_with(acc, chr(9) || {w}.l)) AND x = {w}.r
+      THEN substr(acc, 1, length(acc) - length({w}.l)) || {w}.l || {w}.r
+      ELSE acc || chr(9) || x END), chr(9)) AS syms
+  FROM {prev}, {w}"""
+
+
+def _bpe_winner_duck(prev: str) -> str:
+    """Round winner in DuckDB: adjacent symbol pairs weighted by word
+    frequency (list_zip of the two shifted slices — DuckDB slice bounds
+    are INCLUSIVE, hence [:-2]), argmax with the lexicographic (l, r)
+    tie-break the Spark learner pins."""
+    return f"""
+  SELECT z.p[1] AS l, z.p[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM {prev}, UNNEST(list_zip(syms[:-2], syms[2:])) AS z(p)
+  WHERE len(syms) >= 2
+  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1"""
+
+
+def _bpe_learn_ctes(n: int) -> str:
+    """The shared WITH-body: token table → word-frequency vocab → n
+    unrolled (winner, rewrite) rounds. Unrolled rather than recursive
+    because each round's rewrite is parameterized by that round's
+    argmax — a correlated scalar, which WITH RECURSIVE cannot re-bind
+    per iteration."""
+    parts = [
+        r"""toks AS (
+  SELECT doc_id, u.tok
+  FROM documents, UNNEST(regexp_split_to_array(text, '\s+')) AS u(tok)),
+v0 AS (
+  SELECT tok, COUNT(*) AS freq, string_split(tok, '') AS syms
+  FROM toks GROUP BY tok)"""
+    ]
+    for k in range(1, n + 1):
+        parts.append(f"w{k} AS ({_bpe_winner_duck(f'v{k - 1}')})")
+        if k < n:
+            parts.append(f"v{k} AS ({_bpe_fold_duck(f'v{k - 1}', f'w{k}')})")
+    return ",\n".join(parts)
+
+
+def _bpe_learn_oracle(n: int = _BPE_MERGES) -> str:
+    body = "\n  UNION ALL ".join(
+        f'SELECT CAST({k} AS INTEGER) AS rank, l AS "left", r AS "right", '
+        f"l || r AS merged, cnt AS pair_count FROM w{k}"
+        for k in range(1, n + 1)
+    )
+    return f"WITH {_bpe_learn_ctes(n)}\nSELECT * FROM ({body}) ORDER BY rank"
+
+
+def _bpe_tokenize_oracle(n: int = _BPE_MERGES) -> str:
+    parts = [
+        _bpe_learn_ctes(n),
+        """i0 AS (
+  SELECT tok, 1 AS freq, string_split(tok, '') AS syms FROM toks GROUP BY tok)""",
+    ]
+    for k in range(1, n + 1):
+        parts.append(f"i{k} AS ({_bpe_fold_duck(f'i{k - 1}', f'w{k}')})")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+vocab AS (SELECT tok, len(syms) AS bpe_len FROM i{n})
+SELECT t.doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(v.bpe_len) AS BIGINT) AS n_bpe_symbols,
+       ROUND(CAST(SUM(v.bpe_len) AS DOUBLE) / COUNT(*), 6) AS symbols_per_word
+FROM toks t JOIN vocab v ON v.tok = t.tok
+GROUP BY t.doc_id ORDER BY t.doc_id"""
+    )
+
+
 def bpe_learn_merges(
     docs: DataFrame, n_merges: int = _BPE_MERGES
 ) -> list[tuple[int, str, str, str, int]]:
@@ -791,14 +871,17 @@ def bpe_learn_merges(
     return merges
 
 
-@register("t_bpe_learn_merges")  # rows-only: iterative (SURVEY §5.1)
+@register("t_bpe_learn_merges", _bpe_learn_oracle())
 def t_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (first 5 merges) over the
-    documents corpus — genuinely iterative (each round's pair counts
-    depend on the previous round's merge), so no SQL oracle; the merge
-    sequence is pinned against a by-hand BPE trace in pytest. The result
-    set IS the learned artifact (5 rows), assembled from per-round
-    distributed aggregates."""
+    documents corpus — iterative, but with a FIXED round count and a
+    pinned lexicographic tie-break, so the whole 5-round computation IS
+    SQL-expressible by unrolling: the oracle chains 5 (argmax, rewrite)
+    CTE pairs whose rewrite is the same greedy left-to-right fold
+    (list_reduce over a TAB-delimited accumulator). Hash-checked against
+    DuckDB since round 4; the merge sequence is additionally pinned
+    against a by-hand BPE trace in pytest. The result set IS the learned
+    artifact (5 rows), assembled from per-round distributed aggregates."""
     d = spread(t(spark, sf_dir, "documents").select("text"))
     merges = bpe_learn_merges(d)
     return spark.createDataFrame(
@@ -833,7 +916,7 @@ def _apply_merges_col(col_name: str, merges: list[tuple[int, str, str, str, int]
     return out
 
 
-@register("t_bpe_tokenize_stats")  # rows-only: depends on learned merges
+@register("t_bpe_tokenize_stats", _bpe_tokenize_oracle())
 def t_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer INFERENCE: apply the merges learned by
     t_bpe_learn_merges back to the corpus and report, per document, the
@@ -844,8 +927,10 @@ def t_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus), then a broadcast-friendly join maps each doc's words to
     their symbol counts and one aggregate sums them.
 
-    Rows-only: the applied merges come from the iterative learner, so no
-    static SQL oracle exists; the learn→apply round trip is pinned by
+    Hash-oracled since round 4: the oracle re-learns the 5 merges with
+    the unrolled CTE chain (_bpe_learn_ctes) and applies the same folds
+    to the distinct-token table, so learn→apply parity is checked
+    end-to-end cross-engine; the round trip is additionally pinned by
     hand in pytest (known corpus → known merges → known symbol counts).
 
     Scale shape: one corpus shuffle to (doc, token) grain, vocab-sized
