@@ -168,7 +168,8 @@ _CMS_D = 4  # independent hash rows
       SELECT u.tok FROM documents, UNNEST({TOK_DUCK}) AS u(tok)
       WHERE len(u.tok) > 0),
     counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
-    SELECT tok, cnt, TRUE AS cms_within_bound
+    SELECT tok, cnt, TRUE AS cms_within_bound,
+           CAST(NULL AS BIGINT) AS est_if_deviant
     FROM counts
     ORDER BY cnt DESC, tok
     LIMIT 20
@@ -189,7 +190,11 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 counts plus a boolean asserting the CMS guarantee est ≥ exact
     AND est ≤ exact + 1%·N. Expected overcount per row is N/1024 ≈ 0.1%·N
     and the min over 4 rows is far tighter, so the 1% bound holds with
-    overwhelming probability; the DuckDB oracle emits TRUE."""
+    overwhelming probability; the DuckDB oracle emits TRUE.
+    ``est_if_deviant`` stays NULL while the bound holds (hash-stable) and
+    carries the offending sketch estimate in any future mismatch diff —
+    a tolerance failure is diagnosable from the CORRECTNESS record
+    alone."""
     toks = (
         t(spark, sf_dir, "documents")
         .select(F.explode(F.expr(TOK_SPARK)).alias("tok"))
@@ -214,15 +219,18 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.first("cnt").alias("cnt"), F.min("c").alias("est"))
     )
+    within = (F.col("est") >= F.col("cnt")) & (
+        F.col("est") <= F.col("cnt") + F.col("n_total") / 100
+    )
     return (
         est.crossJoin(F.broadcast(total))
         .select(
             "tok",
             "cnt",
-            (
-                (F.col("est") >= F.col("cnt"))
-                & (F.col("est") <= F.col("cnt") + F.col("n_total") / 100)
-            ).alias("cms_within_bound"),
+            within.alias("cms_within_bound"),
+            F.when(~within, F.col("est"))
+            .cast("bigint")
+            .alias("est_if_deviant"),
         )
         .orderBy(F.desc("cnt"), "tok")
     )

@@ -684,12 +684,14 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per AS (
       SELECT event_type,
              COUNT(DISTINCT user_id) AS exact_users,
-             1 AS within_5pct
+             1 AS within_5pct,
+             CAST(NULL AS BIGINT) AS est_if_deviant
       FROM events GROUP BY event_type),
     total AS (
       SELECT 'ALL' AS event_type,
              COUNT(DISTINCT user_id) AS exact_users,
-             1 AS within_5pct
+             1 AS within_5pct,
+             CAST(NULL AS BIGINT) AS est_if_deviant
       FROM events)
     SELECT * FROM per UNION ALL SELECT * FROM total
     ORDER BY event_type
@@ -713,17 +715,24 @@ def q_hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("hll_sketch_agg(user_id)").alias("sk"),
         )
     )
+    # est_if_deviant: NULL while the 5% bound holds (hash-stable) but the
+    # measured sketch estimate in any future mismatch diff — a tolerance
+    # failure is diagnosable from the CORRECTNESS record alone.
+    per_within = (
+        F.abs(F.expr("hll_sketch_estimate(sk)") - F.col("exact_users"))
+        <= 0.05 * F.col("exact_users")
+    )
     per_out = per.select(
         "event_type",
         "exact_users",
-        (
-            F.abs(
-                F.expr("hll_sketch_estimate(sk)") - F.col("exact_users")
-            )
-            <= 0.05 * F.col("exact_users")
-        )
-        .cast("int")
-        .alias("within_5pct"),
+        per_within.cast("int").alias("within_5pct"),
+        F.when(~per_within, F.expr("hll_sketch_estimate(sk)"))
+        .cast("bigint")
+        .alias("est_if_deviant"),
+    )
+    tot_within = (
+        F.abs(F.col("est") - F.col("exact_users"))
+        <= 0.05 * F.col("exact_users")
     )
     total = (
         per.select(F.col("sk"), F.col("exact_users"))
@@ -736,9 +745,10 @@ def q_hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.lit("ALL").alias("event_type"),
             "exact_users",
-            (F.abs(F.col("est") - F.col("exact_users")) <= 0.05 * F.col("exact_users"))
-            .cast("int")
-            .alias("within_5pct"),
+            tot_within.cast("int").alias("within_5pct"),
+            F.when(~tot_within, F.col("est"))
+            .cast("bigint")
+            .alias("est_if_deviant"),
         )
     )
     return per_out.unionByName(total).orderBy("event_type")
