@@ -75,6 +75,13 @@ try:  # corpus analysis + Spark 4 SQL surface (round 3 batch 2)
 except ImportError:  # pragma: no cover
     pass
 
+try:  # streaming batch-replay parity queries (round 4)
+    from culvert_spark import streaming as _st
+
+    _REGISTRIES.append(_st)
+except ImportError:  # pragma: no cover
+    pass
+
 
 #: Driver CORRECTNESS verification covers the first N registered queries in
 #: registration order (50-query window per round).  Rounds 1–3 verified 145

@@ -400,3 +400,175 @@ def near_dup_stream_filter(docs: DataFrame, bucket_cap: int = 64) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch-replayable streaming parity queries (driver-checkable streaming)
+# ---------------------------------------------------------------------------
+#
+# The streaming suite above is pytest-only by nature (the driver compares
+# batch DataFrames against DuckDB). These registered queries close that gap:
+# each one REPLAYS the test table through a real Structured Streaming job —
+# file source split into multiple parquet files, one file per micro-batch
+# (maxFilesPerTrigger=1), availableNow trigger, state store and all — into a
+# memory sink, then returns the final table for the ordinary oracle compare.
+# A hash-green row therefore proves the streaming operator's cross-batch
+# state semantics equal the batch SQL, not just that the wiring runs.
+#
+# Determinism: the replays only use output shapes that are invariant to
+# micro-batch boundaries — complete-mode aggregations (tumbling window,
+# session window: the final state is the same whatever the file split) and
+# append-mode dedup projected to the key set (which rows are kept may vary
+# with arrival order; the KEY SET cannot). No query relies on file order.
+
+import tempfile
+
+from pyspark.sql import SparkSession
+
+from culvert_spark.queries import QUERIES, ORACLE, register, t  # noqa: F401,E402
+
+
+def replay_stream(
+    spark: SparkSession,
+    df: DataFrame,
+    build,
+    name: str,
+    n_files: int = 4,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Replay a batch DataFrame through a streaming transformation: write
+    ``df`` as ``n_files`` parquet files, re-read them as a file stream one
+    file per micro-batch, run ``build(stream)`` to a memory sink with
+    availableNow semantics, and return the final table. The memory sink
+    holds final-state rows only (complete mode re-emits the whole state
+    each batch; the memory sink replaces the table), so the returned
+    DataFrame is directly comparable to a batch oracle."""
+    base = tempfile.mkdtemp(prefix=f"culvert_replay_{name}_")
+    src, ck = os.path.join(base, "in"), os.path.join(base, "ck")
+    df.repartition(n_files).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink = f"{name}_{os.path.basename(base).rsplit('_', 1)[-1]}"
+    q = run_to_memory_sink(build(stream), sink, ck, output_mode)
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "st_tumbling_counts_replay",
+    """
+    SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS window_us,
+           event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_us, event_type
+    """,
+)
+def st_tumbling_counts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window counts replayed over the events table (4
+    micro-batches through the real state store) — the streaming twin of
+    q_hourly_event_counts, now driver-checked: the final complete-mode
+    state must equal the batch GROUP BY whatever the file split. Window
+    starts are compared as unix micros so the check is timezone-proof.
+
+    The replay watermark horizon exceeds the data span (files are NOT
+    time-ordered, so replayed "arrival" order is arbitrary — any finite
+    horizon would let an early file's max timestamp mark later-arriving
+    earlier-time rows late and silently drop them; late-data semantics
+    under a real horizon are pinned separately in the pytest suite)."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    out = replay_stream(
+        spark,
+        ev,
+        lambda s: tumbling_counts(s, "1 hour", watermark="3650 days"),
+        "st_tumbling",
+    )
+    return (
+        out.select(
+            F.unix_micros("window_start").alias("window_us"),
+            "event_type",
+            "n",
+        )
+        .orderBy("window_us", "event_type")
+    )
+
+
+@register(
+    "st_session_window_replay",
+    """
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events),
+    marked AS (
+      SELECT user_id, us,
+             CASE WHEN prev_us IS NULL
+                       OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM seq),
+    sess AS (
+      SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id, MIN(us) AS start_us,
+           MAX(us) + 1800000000 AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, start_us
+    """,
+)
+def st_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window sessionization replayed over the events
+    table — the driver-checked form of the streaming/batch sessionize
+    parity the pytest suite pins: sessions that grow and MERGE across
+    micro-batch boundaries in the session-window state store must equal
+    the batch islands-and-gaps oracle exactly (session end = last event
+    + gap, per Spark's session_window contract). Complete output mode
+    keeps every finalized-or-open session in the final state, so no
+    tail session is lost to an unadvanced watermark; the horizon exceeds
+    the data span because replayed files are not time-ordered (see
+    st_tumbling_counts_replay)."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    out = replay_stream(
+        spark,
+        ev,
+        lambda s: session_counts(s, gap="30 minutes", watermark="3650 days"),
+        "st_session",
+    )
+    return (
+        out.select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id", "start_us")
+    )
+
+
+@register(
+    "st_dedup_digest_replay",
+    """
+    SELECT DISTINCT md5(text) AS digest FROM documents ORDER BY digest
+    """,
+)
+def st_dedup_digest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup replayed over the documents table: md5 digests
+    dropDuplicates'd across 4 micro-batches of dedup state, projected to
+    the digest key set — which row of a duplicate group survives depends
+    on arrival order, but the emitted KEY SET is batch-order-invariant and
+    must equal batch DISTINCT. Append mode: dedup emits each first-seen
+    key once; the memory sink accumulates them."""
+    docs = t(spark, sf_dir, "documents").select(F.md5("text").alias("digest"))
+    out = replay_stream(
+        spark,
+        docs,
+        lambda s: dedup_exact(s, "digest"),
+        "st_dedup",
+        output_mode="append",
+    )
+    return out.select("digest").distinct().orderBy("digest")
