@@ -170,6 +170,32 @@ def _bench_sf_large(spark, registry) -> dict:
                 ).save()
                 best = min(best, time.perf_counter() - start)
             timings[name] = round(best, 3)
+
+        # Same-session scaling pair for triangle counting: the sf0.1 point
+        # measured HERE (not in the extended section) so the sf0.4/sf0.1
+        # ratio shares one host-noise regime. Wedge volume grows O(m^1.5),
+        # so the time exponent log(ratio)/log(replicas) should stay <= 1.5
+        # within noise.
+        tri_small = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            registry["q_graph_triangles"](spark, SF_DIR).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            tri_small = min(tri_small, time.perf_counter() - start)
+        tri_pair = {
+            "sf_small_sec": round(tri_small, 3),
+            "sf_large_sec": timings.get("q_graph_triangles"),
+        }
+        if tri_small > 0 and timings.get("q_graph_triangles"):
+            import math
+
+            ratio = timings["q_graph_triangles"] / tri_small
+            tri_pair["ratio"] = round(ratio, 2)
+            tri_pair["exponent"] = round(
+                math.log(ratio) / math.log(SF_LARGE_REP), 2
+            )
+            tri_pair["bound"] = 1.5
         nd_best = float("inf")
         for _ in range(2):
             start = time.perf_counter()
@@ -182,6 +208,7 @@ def _bench_sf_large(spark, registry) -> dict:
             "sf": round(_sf_from_dir(SF_DIR) * SF_LARGE_REP, 3),
             "replicas": SF_LARGE_REP,
             "queries": timings,
+            "triangles_scaling_pair": tri_pair,
             "near_dup": {
                 "sf": round(_sf_from_dir(SF_DIR) * SF_LARGE_REP_ND, 3),
                 "replicas": SF_LARGE_REP_ND,
@@ -191,6 +218,124 @@ def _bench_sf_large(spark, registry) -> dict:
         }
     finally:
         shutil.rmtree(large_dir, ignore_errors=True)
+
+
+def _stream_warm(spark, n_streams: int) -> None:
+    """Untimed warm run for the streaming-ingest path (source init +
+    foreachBatch codegen + tiered JIT over the 3M-row batch shape)."""
+    import shutil
+    import tempfile
+
+    from culvert_spark import ingest as _ingest
+
+    warm_ckpt = tempfile.mkdtemp(prefix="culvert_bench_swarm_ckpt_")
+    warm_out = tempfile.mkdtemp(prefix="culvert_bench_swarm_out_")
+    try:
+        _ingest.run_streaming_ingest(
+            spark,
+            output_path=warm_out,
+            checkpoint_root=warm_ckpt,
+            num_streams=n_streams,
+            commit_after_rows=3_000_000,
+            events_per_second=3_000_000,
+            # 30s: tiered JIT over the 3M-row batch path takes ~8-10
+            # batches across 32 threads to reach C2 steady state — a short
+            # warm leaves the first two measured windows 2x slow (measured
+            # band [0.6M, 0.63M, 1.63M] with a 12s warm).
+            timeout_ms=30_000,
+            quiet=True,
+            fixed_rows_per_batch=3_000_000,
+        )
+    finally:
+        shutil.rmtree(warm_ckpt, ignore_errors=True)
+        shutil.rmtree(warm_out, ignore_errors=True)
+    os.sync()  # barrier for the warm run's own writes
+    time.sleep(1)
+
+
+def _one_stream_run(spark, n_streams: int) -> tuple[int, int, int, list[int]]:
+    """One 45 s measured streaming run → (rows, whole_run_rps,
+    median_window_rps, sorted window band)."""
+    import shutil
+    import tempfile
+
+    from culvert_spark import ingest as _ingest
+
+    stream_ckpt = tempfile.mkdtemp(prefix="culvert_bench_sckpt_")
+    stream_out = tempfile.mkdtemp(prefix="culvert_bench_sout_")
+    try:
+        report = _ingest.run_streaming_ingest(
+            spark,
+            output_path=stream_out,
+            checkpoint_root=stream_ckpt,
+            num_streams=n_streams,
+            # Fixed 3M-row micro-batches (the reference's
+            # commitAfterNRows shape) running back-to-back: the sink
+            # paces commits, so committed rows/s IS sustained sink
+            # throughput. A time-based offer instead snowballs any
+            # backlog into one giant in-flight batch that can outlive
+            # the deadline with zero commits (measured: 24M rows
+            # committed vs 1.8M on consecutive runs). 3M per batch
+            # amortizes per-batch planning/commit overhead to
+            # ~batch-write throughput (measured 1.9M rows/s vs 0.8M at
+            # 1.5M-row batches); 6M regresses (writeback pressure).
+            commit_after_rows=3_000_000,
+            events_per_second=3_000_000,
+            # 45s: long enough that the steady-state majority outweighs
+            # any residual first-batch ramp in the 3-window median.
+            timeout_ms=45_000,
+            quiet=True,
+            fixed_rows_per_batch=3_000_000,
+        )
+        rows = report.total_rows_committed
+        rps = report.rows_per_second
+        # Steady-state window rates: start at the first sample with
+        # committed rows (query-start latency is unbounded on a noisy
+        # host — a fixed ramp fraction can leave a zero window), split
+        # the rest into 3 equal spans, rate = drows/dt per span.
+        # Median-of-3 beats the 2-8x host CPU-steal variance a single
+        # window is exposed to; min/max is the recorded variance band.
+        rates: list[int] = []
+        s = report.samples
+        first_commit = next(
+            (i for i, (_, n) in enumerate(s) if n > 0), len(s)
+        )
+        if len(s) - first_commit >= 6:
+            start_i = first_commit
+            span = (len(s) - start_i) // 3
+            for k in range(3):
+                a = s[start_i + k * span]
+                b = s[start_i + (k + 1) * span - 1] if k < 2 else s[-1]
+                dt = b[0] - a[0]
+                if dt > 0:
+                    rates.append(int((b[1] - a[1]) / dt))
+        rates.sort()
+        med = rates[len(rates) // 2] if rates else rps
+        return rows, rps, med, rates
+    finally:
+        shutil.rmtree(stream_ckpt, ignore_errors=True)
+        shutil.rmtree(stream_out, ignore_errors=True)
+
+
+def _measure_streaming(spark, n_streams: int, runs: int = 2) -> dict:
+    """Warm once, measure ``runs`` 45 s runs, keep the one with the best
+    steady-window median (consecutive runs measure 2x apart under
+    neighbor CPU steal); all run medians stay recorded."""
+    _stream_warm(spark, n_streams)
+    run_medians: list[int] = []
+    best = {"rows": 0, "rps": 0, "median": 0, "rates": []}
+    for _ in range(runs):
+        rows_i, rps_i, med_i, rates_i = _one_stream_run(spark, n_streams)
+        run_medians.append(med_i)
+        if med_i >= best["median"]:
+            best = {
+                "rows": rows_i,
+                "rps": rps_i,
+                "median": med_i,
+                "rates": rates_i,
+            }
+    best["run_medians"] = run_medians
+    return best
 
 
 def main() -> None:
@@ -222,6 +367,16 @@ def main() -> None:
     registry["q06_revenue_forecast"](spark, SF_DIR).write.format(
         "noop"
     ).mode("overwrite").save()
+
+    # EARLY streaming-ingest measurement (round-4 A/B): one 45 s run with a
+    # QUIET preceding state — before the query, sf_large, and batch-ingest
+    # sections have touched the page cache or dirtied any pages. Compared
+    # against the standard late-position measurement below (same session,
+    # same code): agreement means harness position doesn't depress the
+    # number and round-over-round deltas are host noise; a late deficit
+    # would point at residual interference from the preceding sections.
+    n_streams = int(CPUS)
+    early_stream = _measure_streaming(spark, n_streams, runs=1)
 
     import hashlib
     import re
@@ -310,7 +465,6 @@ def main() -> None:
 
     from culvert_spark import ingest as _ingest
 
-    n_streams = int(CPUS)
     rows_per_stream = 250_000
     ingest_rows = n_streams * rows_per_stream
     warm = tempfile.mkdtemp(prefix="culvert_bench_ingest_warm_")
@@ -340,109 +494,17 @@ def main() -> None:
     time.sleep(2)
 
     # Streaming ingest throughput (the reference's actual mode): rate
-    # source at an aggressive rate, one micro-batch per second, committed
-    # rows counted over a short window.
-    warm_ckpt = tempfile.mkdtemp(prefix="culvert_bench_swarm_ckpt_")
-    warm_out = tempfile.mkdtemp(prefix="culvert_bench_swarm_out_")
-    try:
-        # Untimed warm run: absorbs streaming-query start latency (first
-        # micro-batch pays source init + foreachBatch codegen, ~8s cold).
-        # Warm at the SAME batch size as the measured run — the 3M-row
-        # batch plan/writer path is what needs to be hot, and a smaller
-        # warm batch leaves the first measured window paying its JIT
-        # (measured: first-window 0.95M vs mid 1.3M with a 1.5M-row warm).
-        _ingest.run_streaming_ingest(
-            spark,
-            output_path=warm_out,
-            checkpoint_root=warm_ckpt,
-            num_streams=n_streams,
-            commit_after_rows=3_000_000,
-            events_per_second=3_000_000,
-            # 30s: tiered JIT over the 3M-row batch path takes ~8-10
-            # batches across 32 threads to reach C2 steady state — a short
-            # warm leaves the first two measured windows 2x slow (measured
-            # band [0.6M, 0.63M, 1.63M] with a 12s warm).
-            timeout_ms=30_000,
-            quiet=True,
-            fixed_rows_per_batch=3_000_000,
-        )
-    finally:
-        shutil.rmtree(warm_ckpt, ignore_errors=True)
-        shutil.rmtree(warm_out, ignore_errors=True)
-    os.sync()  # same barrier after the warm run's own writes
-    time.sleep(1)
-    def one_stream_run() -> tuple[int, int, int, list[int]]:
-        """One 45 s measured streaming run → (rows, whole_run_rps,
-        median_window_rps, sorted window band)."""
-        stream_ckpt = tempfile.mkdtemp(prefix="culvert_bench_sckpt_")
-        stream_out = tempfile.mkdtemp(prefix="culvert_bench_sout_")
-        try:
-            report = _ingest.run_streaming_ingest(
-                spark,
-                output_path=stream_out,
-                checkpoint_root=stream_ckpt,
-                num_streams=n_streams,
-                # Fixed 3M-row micro-batches (the reference's
-                # commitAfterNRows shape) running back-to-back: the sink
-                # paces commits, so committed rows/s IS sustained sink
-                # throughput. A time-based offer instead snowballs any
-                # backlog into one giant in-flight batch that can outlive
-                # the deadline with zero commits (measured: 24M rows
-                # committed vs 1.8M on consecutive runs). 3M per batch
-                # amortizes per-batch planning/commit overhead to
-                # ~batch-write throughput (measured 1.9M rows/s vs 0.8M at
-                # 1.5M-row batches); 6M regresses (writeback pressure).
-                commit_after_rows=3_000_000,
-                events_per_second=3_000_000,
-                # 45s: long enough that the steady-state majority outweighs
-                # any residual first-batch ramp in the 3-window median.
-                timeout_ms=45_000,
-                quiet=True,
-                fixed_rows_per_batch=3_000_000,
-            )
-            rows = report.total_rows_committed
-            rps = report.rows_per_second
-            # Steady-state window rates: start at the first sample with
-            # committed rows (query-start latency is unbounded on a noisy
-            # host — a fixed ramp fraction can leave a zero window), split
-            # the rest into 3 equal spans, rate = drows/dt per span.
-            # Median-of-3 beats the 2-8x host CPU-steal variance a single
-            # window is exposed to; min/max is the recorded variance band.
-            rates: list[int] = []
-            s = report.samples
-            first_commit = next(
-                (i for i, (_, n) in enumerate(s) if n > 0), len(s)
-            )
-            if len(s) - first_commit >= 6:
-                start_i = first_commit
-                span = (len(s) - start_i) // 3
-                for k in range(3):
-                    a = s[start_i + k * span]
-                    b = s[start_i + (k + 1) * span - 1] if k < 2 else s[-1]
-                    dt = b[0] - a[0]
-                    if dt > 0:
-                        rates.append(int((b[1] - a[1]) / dt))
-            rates.sort()
-            med = rates[len(rates) // 2] if rates else rps
-            return rows, rps, med, rates
-        finally:
-            shutil.rmtree(stream_ckpt, ignore_errors=True)
-            shutil.rmtree(stream_out, ignore_errors=True)
-
-    # Two measured runs, keep the one with the better median: a 45 s run
-    # is one sample of the host's noise process, and consecutive runs
-    # measure 2x apart under neighbor CPU steal — the better run is the
-    # one that reflects the engine. Both medians are recorded in the
-    # details line so the spread stays visible.
-    run_medians: list[int] = []
-    stream_rows = stream_rps = stream_median_rps = 0
-    window_rates: list[int] = []
-    for _ in range(2):
-        rows_i, rps_i, med_i, rates_i = one_stream_run()
-        run_medians.append(med_i)
-        if med_i >= stream_median_rps:
-            stream_rows, stream_rps = rows_i, rps_i
-            stream_median_rps, window_rates = med_i, rates_i
+    # source at an aggressive rate, fixed 3M-row micro-batches, committed
+    # rows counted over a 45 s window. Two measured runs, keep the one
+    # with the better median (see _measure_streaming); the early
+    # quiet-state measurement above is the same code at the other session
+    # position.
+    late_stream = _measure_streaming(spark, n_streams, runs=2)
+    stream_rows = late_stream["rows"]
+    stream_rps = late_stream["rps"]
+    stream_median_rps = late_stream["median"]
+    window_rates = late_stream["rates"]
+    run_medians = late_stream["run_medians"]
 
     total = round(sum(timings.values()), 3)
     # The bulky per-query detail blob (plan fingerprints, extended
@@ -472,6 +534,17 @@ def main() -> None:
                 ),
                 "streaming_window_rates": window_rates,
                 "streaming_run_medians": run_medians,
+                "streaming_early_vs_late": {
+                    "early_median_rps": early_stream["median"],
+                    "early_window_rates": early_stream["rates"],
+                    "late_median_rps": stream_median_rps,
+                    "note": (
+                        "same code, same session: early runs before any "
+                        "query/ingest section (quiet page cache), late is "
+                        "the standard position — agreement attributes "
+                        "round-over-round streaming deltas to host noise"
+                    ),
+                },
             }
         )
     )
@@ -479,6 +552,7 @@ def main() -> None:
     sf_large_compact["s_near_dup_lsh_verified"] = sf_large.get(
         "near_dup", {}
     ).get("s_near_dup_lsh_verified")
+    tri_pair_compact = sf_large.get("triangles_scaling_pair", {})
     print(
         json.dumps(
             {
@@ -490,6 +564,7 @@ def main() -> None:
                 "sf_large": {
                     "sf": sf_large.get("sf"),
                     "queries": sf_large_compact,
+                    "triangles_scaling": tri_pair_compact,
                 },
                 "ingest": {
                     "rows": ingest_rows,
@@ -504,6 +579,7 @@ def main() -> None:
                         window_rates[-1] if window_rates else stream_rps
                     ),
                     "whole_run_rows_per_sec": stream_rps,
+                    "early_run_rows_per_sec": early_stream["median"],
                 },
             }
         )
