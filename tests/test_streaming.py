@@ -477,3 +477,43 @@ def test_streaming_minhash_matches_batch_signatures(spark):
         for i in range(12)
     }
     assert row_side == batch_side and len(batch_side) > 0
+
+
+def test_replay_stream_parity_on_synthetic(spark):
+    """The batch-replay harness (replay_stream): a tiny synthetic frame
+    streamed as 3 one-file micro-batches through a complete-mode tumbling
+    aggregation must equal the batch groupBy exactly — pinning the
+    harness the registered st_* parity queries stand on, independent of
+    the test-data tables."""
+    import datetime as dt
+
+    from culvert_spark.streaming import replay_stream, tumbling_counts
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=17 * i), f"t{i % 3}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string"
+    )
+    out = replay_stream(
+        spark,
+        df,
+        lambda s: tumbling_counts(s, "1 hour", watermark="3650 days"),
+        "replay_synth",
+        n_files=3,
+    )
+    got = {
+        (r.window_start, r.event_type, r.n)
+        for r in out.select("window_start", "event_type", "n").collect()
+    }
+    want = {
+        (r.w, r.event_type, r.n)
+        for r in df.groupBy(
+            F.date_trunc("hour", "ts").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 10
