@@ -88,25 +88,28 @@ except ImportError:  # pragma: no cover
 #: queries (139 hash-green, 6 rows-only-by-design, 0 failures) — those keep
 #: their CORRECTNESS rows and do not need re-checking.  Round 4 executes the
 #: ROUND-4 ROTATION from the round-3 verdict: the 46 registered queries with
-#: no driver row yet, plus the queries whose implementation changed after
-#: the r3 window was frozen (t_minhash_lsh_pairs / t_dedup_clusters:
-#: candidate generation restructured to bucket assembly + post-verify
-#: dedup; q01_pricing_summary: integer-scaled cents sums with the oracle
-#: changed in lockstep) and q_sessionize_events (two-level giant-key guard
-#: made adaptive this round).  Names missing from the registries are
-#: ignored; registered names missing from this list keep their module
-#: registration order after the priority block.  After round 4 every
-#: query registered through round 3 has a driver row against its current
-#: code.
+#: no driver row yet, plus the four highest-risk re-verifications: the
+#: post-r3-freeze restructures (t_minhash_lsh_pairs: bucket-assembly
+#: candidate generation; q01_pricing_summary: integer-scaled cents sums,
+#: oracle in lockstep) and the two queries whose OUTPUT SCHEMA changed
+#: this round (q_cms_heavy_hitters / q_hll_sketch_users: est_if_deviant
+#: debuggability column — their r3 rows are stale).  Names missing from
+#: the registries are ignored; registered names missing from this list
+#: keep their module registration order after the priority block.  After
+#: round 4 every query registered through round 3 has a driver row, with
+#: four narrow exceptions deferred to round 5 below.
 #:
 #: ROUND-5 ROTATION (do this at the start of round 5, after CORRECTNESS_r04
-#: lands): rows for the queries whose output or code changed in round 4
-#: after this window froze, plus any queries newly registered in round 4 —
-#: see the round-4 commit messages; front-load q_equidepth_approx /
-#: q_hll_sketch_users / q_cms_heavy_hitters if their tolerance oracles were
-#: made value-emitting, the streaming batch-parity queries, and any ANN
-#: queries whose query-set parameterization changed registered output
-#: (none expected).  Pad with the highest-value already-green queries.
+#: lands): front-load (a) the three streaming batch-replay parity queries
+#: registered this round (st_tumbling_counts_replay,
+#: st_session_window_replay, st_dedup_digest_replay), (b) the deliberate
+#: deferrals: t_dedup_clusters (label-propagation logic unchanged since its
+#: r1-green row; its candidate input path is proven via t_minhash_lsh_pairs
+#: this round) and q_sessionize_events (plan-only adaptive-guard change;
+#: output pinned identical by the two-mode property test and local
+#: full-registry emulation), and (c) the BPE pair with their new oracles if
+#: this window could not run them.  Pad with the highest-value
+#: already-green queries.
 _PRIORITY = [
     # r2-overflow product analytics / time series / profiling (21)
     "q_table_fingerprint", "q_embedding_dim_stats", "q_trending_event_types",
@@ -129,9 +132,9 @@ _PRIORITY = [
     # round-3 stragglers (2) + rows-only trio (3)
     "t_multimodal_manifest", "t_lang_id_confusion",
     "v_pq_ann_topk", "t_bpe_learn_merges", "t_bpe_tokenize_stats",
-    # changed after the r3 window froze / changed this round — re-verify (4)
-    "t_minhash_lsh_pairs", "t_dedup_clusters", "q01_pricing_summary",
-    "q_sessionize_events",
+    # changed after the r3 window froze / schema changed this round (4)
+    "t_minhash_lsh_pairs", "q01_pricing_summary",
+    "q_cms_heavy_hitters", "q_hll_sketch_users",
 ]
 
 
