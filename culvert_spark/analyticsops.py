@@ -1381,18 +1381,17 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sliding_distinct_users",
     """
     WITH assigned AS (
-      SELECT DISTINCT user_id,
-             to_timestamp(s.s) AS w_start
+      SELECT DISTINCT user_id, s.s AS w_s
       FROM events,
            UNNEST([
              CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800,
              CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800 - 1800
            ]) AS s(s)
-      WHERE to_timestamp(s.s) > ts - INTERVAL 1 HOUR)
-    SELECT w_start AT TIME ZONE 'UTC' AS w_start,
+      WHERE s.s > epoch(ts) - 3600)
+    SELECT make_timestamp(w_s * 1000000) AS w_start,
            COUNT(*) AS distinct_users
     FROM assigned
-    GROUP BY w_start
+    GROUP BY w_s
     ORDER BY w_start
     """,
 )
@@ -1405,7 +1404,10 @@ def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     count) — at 100 TB swap the exact distinct for approx_count_distinct
     or the HLL-sketch family (q_hll_sketch_users) to make the final merge
     constant-size. The DuckDB oracle replays the same window assignment
-    from epoch arithmetic (UTC-pinned on both engines)."""
+    from pure epoch-integer arithmetic and builds w_start with
+    make_timestamp (naive) — no TIMESTAMPTZ anywhere, so the compare is
+    identical under ANY host timezone (to_timestamp would re-interpret
+    the naive ts under the session zone and break on non-UTC hosts)."""
     ev = t(spark, sf_dir, "events")
     return (
         ev.groupBy(
