@@ -195,7 +195,16 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning-invariant like the DECIMAL path, but the 64-bit longs
     stay inside the primitive fast path of the hash aggregate — measured
     ~2x faster on this scan-dominated query. Discounts average at micros
-    (scale 6) since their domain is the unit interval."""
+    (scale 6) since their domain is the unit interval.
+
+    Deliberately NO spread(): the post-decode work is primitive long sums,
+    so when the test file is one unsplittable row group the single-task
+    partial aggregate (decode is serial either way) beats paying a
+    full-row round-robin shuffle just to parallelize cheap adds —
+    measured 0.76 s vs 1.08 s at sf0.1. At real scale the scan splits by
+    itself and partial aggregation parallelizes with it; spread() stays
+    reserved for hashing/regex/dot-product stages where per-row compute
+    dominates the exchange."""
     li = t(spark, sf_dir, "lineitem")
     price, disc, tax, qty = (
         F.col("l_extendedprice"),
@@ -204,10 +213,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity"),
     )
     return (
-        spread(
-            li.filter(
-                F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
-            )
+        li.filter(
+            F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
