@@ -100,9 +100,10 @@ except ImportError:  # pragma: no cover
 #: four narrow exceptions deferred to round 5 below.
 #:
 #: ROUND-5 ROTATION (do this at the start of round 5, after CORRECTNESS_r04
-#: lands): front-load (a) the three streaming batch-replay parity queries
-#: registered this round (st_tumbling_counts_replay,
-#: st_session_window_replay, st_dedup_digest_replay), (b) the deliberate
+#: lands): front-load (a) the queries registered this round — the three
+#: streaming batch-replay parity queries (st_tumbling_counts_replay,
+#: st_session_window_replay, st_dedup_digest_replay) and
+#: t_cdc_chunk_dedup — (b) the deliberate
 #: deferrals: t_dedup_clusters (label-propagation logic unchanged since its
 #: r1-green row; its candidate input path is proven via t_minhash_lsh_pairs
 #: this round) and q_sessionize_events (plan-only adaptive-guard change;

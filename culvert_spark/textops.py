@@ -1566,3 +1566,135 @@ def s_near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) sub-document dedup
+# ---------------------------------------------------------------------------
+
+_CDC_W = 4  # rolling-window tokens; boundary prob 1/8 → ~8-token chunks
+
+
+def cdc_chunk_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, n, h, sz): content-defined chunk rows for a (doc_id, text)
+    frame. Boundary positions, chunk splitting, and chunk digests are all
+    narrow per-doc array expressions — the first shuffle-bearing consumer
+    is whatever aggregates these rows."""
+    w = _CDC_W
+    df = d.select(
+        "doc_id", F.expr(TOK_SPARK).alias("tk")
+    ).withColumn("n", F.size("tk"))
+    bounds = F.expr(
+        f"CASE WHEN n >= {w + 1} THEN "
+        f"filter(sequence(2, n - {w - 1}), "
+        f"p -> substring(md5(cast(concat_ws(' ', slice(tk, p, {w})) "
+        f"as binary)), 1, 1) < '2') "
+        f"ELSE array() END"
+    )
+    return (
+        df.withColumn("b", bounds)
+        .select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.expr(
+                    "zip_with("
+                    "  concat(array(1), b),"
+                    "  concat(transform(b, x -> x - 1), array(n)),"
+                    "  (s, e) -> struct("
+                    "    md5(cast(concat_ws(' ', slice(tk, s, e - s + 1))"
+                    "        as binary)) AS h,"
+                    "    e - s + 1 AS sz))"
+                )
+            ).alias("c"),
+        )
+        .select(
+            "doc_id", "n", F.col("c.h").alias("h"), F.col("c.sz").alias("sz")
+        )
+    )
+
+
+@register(
+    "t_cdc_chunk_dedup",
+    rf"""
+    WITH docs AS (
+      SELECT doc_id, {TOK_DUCK} AS tk FROM documents),
+    base AS (SELECT doc_id, tk, len(tk) AS n FROM docs),
+    bnds AS (
+      SELECT doc_id, tk, n,
+             CASE WHEN n >= {_CDC_W + 1} THEN
+               list_filter(generate_series(2, n - {_CDC_W - 1}),
+                 p -> substr(md5(array_to_string(tk[p:p + {_CDC_W - 1}], ' ')),
+                             1, 1) < '2')
+             ELSE CAST([] AS BIGINT[]) END AS b
+      FROM base),
+    chunks AS (
+      SELECT doc_id, n,
+             md5(array_to_string(tk[z.p[1]:z.p[2]], ' ')) AS h,
+             z.p[2] - z.p[1] + 1 AS sz
+      FROM bnds,
+           UNNEST(list_zip(list_prepend(1, b),
+                           list_append(list_transform(b, x -> x - 1), n)))
+             AS z(p)),
+    stats AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY h)
+    SELECT c.doc_id,
+           CAST(c.n AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_chunks,
+           COUNT(*) FILTER (WHERE s.nd >= 2) AS dup_chunks,
+           COALESCE(CAST(SUM(c.sz) FILTER (WHERE s.nd >= 2) AS BIGINT), 0)
+             AS dup_tokens,
+           ROUND(COALESCE(SUM(c.sz) FILTER (WHERE s.nd >= 2), 0)
+                 / CAST(c.n AS DOUBLE), 6) AS dup_fraction
+    FROM chunks c JOIN stats s USING (h)
+    GROUP BY c.doc_id, c.n
+    ORDER BY c.doc_id
+    """,
+)
+def t_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the rolling-hash chunker of dedup
+    storage — LBFS/Borg/restic — at token grain): chunk boundaries fall
+    where the hash of a {_CDC_W}-token window starts with hex 0/1
+    (p = 1/8, ~8-token expected chunks), so an insertion only reshapes
+    the chunks it touches — unlike fixed-stride spans (t_dup_spans),
+    which shift every downstream span. Per doc: chunk count, chunks whose
+    digest recurs in ≥2 distinct documents, duplicated-token count and
+    fraction — the sub-document dedup signal span-exact dedup papers act
+    on.
+
+    Plan shape: boundary detection, chunk splitting, and chunk digests
+    are ALL narrow per-doc array expressions (filter/zip_with over a
+    token array — no explode until chunks exist, and chunk rows are ~8×
+    fewer than token rows). Then one groupBy(digest) for global
+    recurrence, one digest equi-join back, one doc-grain aggregate —
+    three chunk-grain shuffles, none token-grain. At 100 TB the digest
+    join stays uniform (md5 keys); a viral boilerplate chunk is an
+    aggregation hot key, never a sorted partition."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    chunks = cdc_chunk_rows(d)
+    stats = chunks.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    dup = F.col("nd") >= 2
+    return (
+        chunks.join(stats, "h")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(F.when(dup, 1)).alias("dup_chunks"),
+            F.coalesce(F.sum(F.when(dup, F.col("sz"))), F.lit(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            "n_chunks",
+            "dup_chunks",
+            "dup_tokens",
+            F.round(
+                F.col("dup_tokens").cast("double") / F.col("n"), 6
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )

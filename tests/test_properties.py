@@ -326,3 +326,40 @@ def test_mixture_weights_normalize_and_monotone(spark):
     assert top.temp_weight <= top.raw_share + 1e-9
     bottom = min(rows, key=lambda r: r.tokens)
     assert bottom.temp_weight >= bottom.raw_share - 1e-9
+
+
+def test_cdc_chunks_tile_and_localize_edits(spark):
+    """Content-defined chunking: (1) chunks tile each doc exactly (sizes
+    sum to the token count, every chunk non-empty); (2) the CDC property —
+    inserting one token at the FRONT of a long doc leaves the chunk
+    digest multiset identical except for a bounded prefix, where a
+    fixed-stride chunker would change every span."""
+    import pyspark.sql.functions as F
+
+    from culvert_spark.textops import cdc_chunk_rows
+
+    toks = [f"w{(i * 37) % 211}" for i in range(400)]
+    base = " ".join(toks)
+    shifted = "INSERTED " + base
+    d = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id bigint, text string"
+    )
+    rows = cdc_chunk_rows(d).collect()
+    by_doc = {1: [], 2: []}
+    for r in rows:
+        by_doc[r.doc_id].append((r.h, r.sz))
+    n = {r.doc_id: r.n for r in rows}
+    assert sum(sz for _, sz in by_doc[1]) == n[1] == 400
+    assert sum(sz for _, sz in by_doc[2]) == n[2] == 401
+    assert all(sz >= 1 for doc in by_doc.values() for _, sz in doc)
+    # Suffix stability: after the first boundary beyond the edit settles,
+    # all remaining chunks agree. Compare digest multisets: the shared
+    # tail must cover most of the doc (the edit only reshapes the head).
+    from collections import Counter
+
+    c1, c2 = Counter(h for h, _ in by_doc[1]), Counter(h for h, _ in by_doc[2])
+    shared = sum((c1 & c2).values())
+    assert shared >= len(by_doc[1]) - 3, (
+        f"front insertion reshaped {len(by_doc[1]) - shared} chunks; "
+        "CDC should localize the edit"
+    )
