@@ -102,8 +102,10 @@ except ImportError:  # pragma: no cover
 #: ROUND-5 ROTATION (do this at the start of round 5, after CORRECTNESS_r04
 #: lands): front-load (a) the queries registered this round — the three
 #: streaming batch-replay parity queries (st_tumbling_counts_replay,
-#: st_session_window_replay, st_dedup_digest_replay) and
-#: t_cdc_chunk_dedup — (b) the deliberate
+#: st_session_window_replay, st_dedup_digest_replay), t_cdc_chunk_dedup,
+#: q_embedding_covariance, and v_gram_matrix (rows-only) — plus
+#: q_approx_distinct, whose output schema gained *_est_if_deviant
+#: columns this round — (b) the deliberate
 #: deferrals: t_dedup_clusters (label-propagation logic unchanged since its
 #: r1-green row; its candidate input path is proven via t_minhash_lsh_pairs
 #: this round) and q_sessionize_events (plan-only adaptive-guard change;

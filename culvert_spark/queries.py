@@ -404,7 +404,9 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(DISTINCT user_id)  AS exact_users,
            COUNT(DISTINCT event_id) AS exact_events,
            1 AS users_within_2pct,
-           1 AS events_within_2pct
+           1 AS events_within_2pct,
+           CAST(NULL AS BIGINT) AS users_est_if_deviant,
+           CAST(NULL AS BIGINT) AS events_est_if_deviant
     FROM events
     """,
 )
@@ -415,7 +417,10 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle: HLL++ estimates are engine-specific, so the hash-checked
     contract is (exact counts, estimate-within-2%-of-exact flags); the
     estimate itself is deterministic for fixed data, making the flag a
-    stable pass/fail signal rather than a flaky one."""
+    stable pass/fail signal rather than a flaky one.  The
+    *_est_if_deviant columns stay NULL while the bound holds and carry
+    the offending estimate in any future mismatch diff (the repo-wide
+    tolerance-oracle debuggability pattern)."""
     ev = t(spark, sf_dir, "events")
     agg = ev.agg(
         F.countDistinct("user_id").alias("exact_users"),
@@ -425,12 +430,18 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     within = lambda a, e: (  # noqa: E731
         F.abs(F.col(a) - F.col(e)) <= 0.02 * F.col(e)
-    ).cast("int")
+    )
     return agg.select(
         "exact_users",
         "exact_events",
-        within("au", "exact_users").alias("users_within_2pct"),
-        within("ae", "exact_events").alias("events_within_2pct"),
+        within("au", "exact_users").cast("int").alias("users_within_2pct"),
+        within("ae", "exact_events").cast("int").alias("events_within_2pct"),
+        F.when(~within("au", "exact_users"), F.col("au"))
+        .cast("bigint")
+        .alias("users_est_if_deviant"),
+        F.when(~within("ae", "exact_events"), F.col("ae"))
+        .cast("bigint")
+        .alias("events_est_if_deviant"),
     )
 
 
