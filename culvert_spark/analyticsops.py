@@ -1606,6 +1606,90 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COV_D = 64  # embedding dimensionality
+
+
+@register(
+    "q_embedding_covariance",
+    f"""
+    WITH pairs AS (
+      SELECT u.i AS di, v.j AS dj,
+             CAST(ROUND(CAST(embedding[u.i + 1] AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS vi,
+             CAST(ROUND(CAST(embedding[v.j + 1] AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS vj
+      FROM embeddings,
+           UNNEST(generate_series(0, {_COV_D - 1})) AS u(i),
+           UNNEST(generate_series(0, {_COV_D - 1})) AS v(j)
+      WHERE v.j >= u.i),
+    agg AS (
+      SELECT di, dj, COUNT(*) AS n,
+             CAST(SUM(vi * vj) AS DOUBLE) AS sp,
+             CAST(SUM(vi) AS DOUBLE) AS si,
+             CAST(SUM(vj) AS DOUBLE) AS sj
+      FROM pairs GROUP BY di, dj)
+    SELECT CAST(di AS INT) AS dim_a, CAST(dj AS INT) AS dim_b, n,
+           ROUND(sp / n - (si / n) * (sj / n), 6) + 0.0 AS cov
+    FROM agg
+    ORDER BY dim_a, dim_b
+    """,
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding corpus — the
+    sufficient statistic for whitening and PCA (SemDeDup-style semantic
+    dedup whitens before clustering; q_embedding_dim_stats is this
+    query's diagonal). Exact: per-row values round to DECIMAL(18,6), the
+    DECIMAL×DECIMAL cross-moments sum exactly under any partitioning, and
+    cov = Σxy/n − mean·mean runs in doubles only at the very end with the
+    identical expression shape on both engines.
+
+    Plan shape: the d(d+1)/2 = {_COV_D * (_COV_D + 1) // 2} pair terms
+    per vector come from ONE narrow flatten/transform explode (no join,
+    no second pass over the corpus), then a single {_COV_D * (_COV_D + 1) // 2}-group
+    aggregation — the shuffle carries pairs×partitions partial rows
+    regardless of corpus size. At 100 TB the same statistic comes from
+    the mapInArrow Gram twin (v_gram_matrix: one float64 matmul per
+    Arrow batch, 64×64 partials) when exactness can yield to speed."""
+    e = t(spark, sf_dir, "embeddings")
+    dv = (
+        f"cast(round(cast(element_at(embedding, {{0}} + 1) as double), 6) "
+        f"as decimal(18,6))"
+    )
+    pair_expr = (
+        f"flatten(transform(sequence(0, {_COV_D - 1}), i -> "
+        f"transform(sequence(i, {_COV_D - 1}), j -> "
+        f"struct(i AS di, j AS dj, {dv.format('i')} AS vi, "
+        f"{dv.format('j')} AS vj))))"
+    )
+    pairs = e.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+        "p.di", "p.dj", "p.vi", "p.vj"
+    )
+    agg = pairs.groupBy("di", "dj").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("vi") * F.col("vj")).cast("double").alias("sp"),
+        F.sum("vi").cast("double").alias("si"),
+        F.sum("vj").cast("double").alias("sj"),
+    )
+    n = F.col("n")
+    return (
+        agg.select(
+            F.col("di").cast("int").alias("dim_a"),
+            F.col("dj").cast("int").alias("dim_b"),
+            "n",
+            # + 0.0 normalizes IEEE negative zero (ROUND can emit -0.0,
+            # whose repr differs from 0.0 in the driver's value hash).
+            (
+                F.round(
+                    F.col("sp") / n - (F.col("si") / n) * (F.col("sj") / n),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+        .orderBy("dim_a", "dim_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Trending: daily top-k event types
 # ---------------------------------------------------------------------------

@@ -461,6 +461,50 @@ def v_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("v_gram_matrix")  # rows-only: numpy float matmul (SURVEY §5.1)
+def v_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram matrix Σ xᵀx over the embedding corpus via
+    mapInArrow — the 100 TB path to the covariance/PCA sufficient
+    statistic (q_embedding_covariance is the oracle-exact DECIMAL twin):
+    each Arrow batch contributes ONE float64 (d×d) matmul, emitted as
+    d(d+1)/2 partial rows, and a single 2080-group aggregation merges
+    partials — shuffle volume is pairs×partitions, never corpus-sized,
+    and the per-row work runs at BLAS speed instead of expression-tree
+    speed. Rows-only: numpy's pairwise float summation differs from a
+    SQL +-chain at the ulp level; pytest pins agreement with the exact
+    DECIMAL pipeline to 1e-4."""
+    import pyarrow as pa
+
+    e = t(spark, sf_dir, "embeddings").select("embedding")
+    d = 64
+    iu = np.triu_indices(d)
+
+    def gram(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            flat = batch.column("embedding").flatten().to_numpy(
+                zero_copy_only=False
+            )
+            mat = flat.reshape(len(batch), -1).astype(np.float64)
+            g = mat.T @ mat  # (d, d) partial Gram for this batch
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(iu[0].astype(np.int32)),
+                    pa.array(iu[1].astype(np.int32)),
+                    pa.array(g[iu], type=pa.float64()),
+                ],
+                names=["dim_a", "dim_b", "s"],
+            )
+
+    return (
+        e.mapInArrow(gram, "dim_a int, dim_b int, s double")
+        .groupBy("dim_a", "dim_b")
+        .agg(F.round(F.sum("s"), 4).alias("gram"))
+        .orderBy("dim_a", "dim_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) approximate nearest neighbor
 # ---------------------------------------------------------------------------

@@ -166,3 +166,44 @@ def test_pq_ann_recall_vs_exact(spark):
     cb = pq_train(scan(spark, SF_SMALL, "embeddings"))
     assert cb.shape == (_PQ_M, _PQ_K, 64 // _PQ_M)
     assert np.isfinite(cb).all()
+
+
+def test_gram_matrix_matches_exact_decimal_pipeline(spark):
+    """The mapInArrow Gram partials must merge to the same cross-moments
+    the oracle-exact DECIMAL pipeline computes: gram(i,j) ~= sp(i,j)
+    (the Σ vi·vj term inside q_embedding_covariance) to 1e-4 — numpy
+    pairwise summation vs exact decimal sums differ only at the ulp
+    level. Also pins symmetry bookkeeping: exactly d(d+1)/2 rows with
+    dim_a <= dim_b."""
+    import __spark_entry__ as entrymod
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMALL
+
+    qs = entrymod.queries()
+    gram = {
+        (r.dim_a, r.dim_b): r.gram
+        for r in qs["v_gram_matrix"](spark, SF_SMALL).collect()
+    }
+    assert len(gram) == 64 * 65 // 2
+    assert all(a <= b for a, b in gram)
+    cov_rows = qs["q_embedding_covariance"](spark, SF_SMALL).collect()
+    # Reconstruct sp = n * (cov + mean_a * mean_b) is lossy post-rounding;
+    # instead recompute the exact decimal cross-moment directly.
+    from culvert_spark.queries import t as scan
+
+    e = scan(spark, SF_SMALL, "embeddings")
+    dv = (
+        "cast(round(cast(element_at(embedding, {0} + 1) as double), 6) "
+        "as decimal(18,6))"
+    )
+    checks = [(0, 0), (0, 63), (7, 41), (63, 63)]
+    exact = e.select(
+        *[
+            F.expr(f"{dv.format(a)} * {dv.format(b)}").alias(f"p_{a}_{b}")
+            for a, b in checks
+        ]
+    ).agg(*[F.sum(f"p_{a}_{b}").alias(f"s_{a}_{b}") for a, b in checks]).first()
+    for a, b in checks:
+        assert abs(gram[(a, b)] - float(exact[f"s_{a}_{b}"])) < 1e-4, (a, b)
+    assert len(cov_rows) == 64 * 65 // 2
