@@ -64,6 +64,10 @@ SF_LARGE_QUERIES = [
     "t_pack_sequences",
     "q_graph_triangles",
     "s_semantic_dedup_rep",
+    # round 4: the replicated corpus is NEAR-duplicated (per-replica
+    # suffix token), so CDC finds real cross-replica duplicate chunks —
+    # the web-crawl shape its dup-fraction output exists for.
+    "t_cdc_chunk_dedup",
 ]
 SF_LARGE_REP = 4  # replicas of SF_DIR → effective sf ≈ 4 × headline sf
 SF_LARGE_REP_ND = 2  # near-dup replica factor (see note above)
@@ -405,6 +409,9 @@ def main() -> None:
         "q_pattern_match_sequences",
         "q_graph_triangles",
         "q_session_window_batch",
+        # round-4 additions
+        "t_cdc_chunk_dedup",
+        "q_embedding_covariance",
     ]
 
     timings: dict[str, float] = {}
