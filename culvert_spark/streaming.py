@@ -572,3 +572,64 @@ def st_dedup_digest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out.select("digest").distinct().orderBy("digest")
+
+
+@register(
+    "st_merge_dedup_replay",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    UNION ALL
+    SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice,
+           'N' AS o_orderstatus
+    FROM orders WHERE o_orderkey % 1000 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def st_merge_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch idempotent-merge sink, driver-checked: seed a
+    parquet sink with the orders base, then stream q_merge_upsert's
+    changeset (every 100th key re-delivered with a changed payload, every
+    1000th key under a new shifted key) through merge_dedup_sink across 4
+    micro-batches. The sink's contract is insert-if-absent dedup: every
+    re-delivered EXISTING key must be dropped (whatever batch it arrives
+    in — the per-batch anti-join probes the growing sink), every new key
+    must land exactly once. The final sink therefore equals base ∪
+    shifted-key inserts — order-invariant because changeset keys are
+    unique, so the key SET decides the result, not arrival order."""
+    import shutil
+    import tempfile
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = (
+        base.where(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+        )
+        .unionByName(
+            base.where(F.col("o_orderkey") % 1000 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_totalprice",
+                F.lit("N").alias("o_orderstatus"),
+            )
+        )
+    )
+    root = tempfile.mkdtemp(prefix="culvert_replay_merge_")
+    src = os.path.join(root, "in")
+    sink = os.path.join(root, "sink")
+    ck = os.path.join(root, "ck")
+    base.write.mode("overwrite").parquet(sink)
+    updates.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(updates.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = merge_dedup_sink(stream, sink, ck, key="o_orderkey")
+    q.awaitTermination()
+    out = spark.read.parquet(sink).orderBy("o_orderkey")
+    shutil.rmtree(src, ignore_errors=True)
+    return out
