@@ -3208,3 +3208,124 @@ def q_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contrib"
         ),
     ).orderBy("priority", "status")
+
+
+# ---------------------------------------------------------------------------
+# Graph: PageRank (co-purchase graph, fixed damped iterations)
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**12  # rank unit: 1e-12 of total mass
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled DuckDB twin of q_graph_pagerank: the same fixed-round
+    trick the BPE oracle uses — each iteration is a (contrib-sum, rank
+    update) CTE pair in exact integer arithmetic, so the chain is plain
+    SQL, no recursion."""
+    parts = [
+        """items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    edges AS (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL SELECT b AS src, a AS dst FROM und),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (
+      SELECT node, deg, CAST(1000000000000 // n AS BIGINT) AS rank
+      FROM deg, nn)"""
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        parts.append(
+            f"""i{k} AS (
+      SELECT e.dst AS node, CAST(SUM(r.rank // r.deg) AS BIGINT) AS inc
+      FROM r{k - 1} r JOIN edges e ON e.src = r.node
+      GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""r{k} AS (
+      SELECT d.node, d.deg,
+             CAST((15 * 1000000000000) // (100 * nn.n)
+                  + (85 * COALESCE(i{k}.inc, 0)) // 100 AS BIGINT) AS rank
+      FROM deg d CROSS JOIN nn LEFT JOIN i{k} ON i{k}.node = d.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node AS part, rank AS rank_e12
+    FROM r{_PR_ITERS}
+    ORDER BY rank DESC, part
+    LIMIT 25"""
+    )
+
+
+@register("q_graph_pagerank", _pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph (parts sharing 2+ baskets,
+    symmetrized), {it} damped iterations (d = 0.85), top-25 — the
+    influence/centrality primitive next to the triangle count. Exact and
+    hash-oracled despite being iterative: ranks live in integer units of
+    1e-12 total mass, per-edge contributions are floor divisions
+    (rank div degree), incoming mass sums as exact bigints, and the
+    damping update is integer multiply/divide — identical arithmetic in
+    both engines, so the fixed-round loop unrolls into the oracle's CTE
+    chain exactly like the BPE learner.
+
+    Scale shape: edges come from the same Apriori-pruned basket pairing
+    the triangle count uses (one basket-grain shuffle, pair volume
+    bounded by basket size); each iteration is one equi-join of the
+    node-sized rank table to edges plus one dst-grain aggregate — the
+    shuffles are edge-bounded, the rank state is node-bounded, and the
+    per-iteration aggregate is partial+final so a hub part's incoming
+    mass combines map-side. The node-count scalar broadcasts. Spark
+    recomputes the shared edge subtree across iterations via exchange
+    reuse (the same trade triangle counting measured faster than
+    persist); a production loop at 100 TB would checkpoint the rank
+    table every few rounds to truncate lineage (t_dedup_clusters shows
+    that pattern).""".replace("{it}", str(_PR_ITERS))
+    li = t(spark, sf_dir, "lineitem")
+    und = _basket_pair_support(li, min_support=2).select("a", "b")
+    edges = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"), "deg")
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", "deg", "n", F.expr(f"{_PR_SCALE} div n").alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        contribs = (
+            ranks.select(
+                F.col("node").alias("src"),
+                F.expr("rank div deg").alias("c"),
+            )
+            .join(edges, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                "deg",
+                "n",
+                F.expr(
+                    f"(15 * {_PR_SCALE}) div (100 * n)"
+                    " + (85 * coalesce(inc, 0)) div 100"
+                ).alias("rank"),
+            )
+        )
+    return (
+        ranks.select(F.col("node").alias("part"), F.col("rank").alias("rank_e12"))
+        .orderBy(F.desc("rank_e12"), "part")
+        .limit(25)
+    )
