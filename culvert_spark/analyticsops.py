@@ -1653,9 +1653,14 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     per vector come from ONE narrow flatten/transform explode (no join,
     no second pass over the corpus), then a single {_COV_D * (_COV_D + 1) // 2}-group
     aggregation — the shuffle carries pairs×partitions partial rows
-    regardless of corpus size. At 100 TB the same statistic comes from
-    the mapInArrow Gram twin (v_gram_matrix: one float64 matmul per
-    Arrow batch, 64×64 partials) when exactness can yield to speed."""
+    regardless of corpus size. A dim-grain self-join formulation measures
+    2× faster at sf0.1 (vectorized join beats 4M per-row struct allocs)
+    but shuffles the full exploded corpus on vec_id — rejected: this
+    query's narrow shape must survive 100×, and its small-scale seconds
+    don't matter (the bench-scale alternative is simply the Gram twin).
+    At 100 TB the same statistic comes from the mapInArrow Gram twin
+    (v_gram_matrix: one float64 matmul per Arrow batch, 64×64 partials)
+    when exactness can yield to speed."""
     e = t(spark, sf_dir, "embeddings")
     lv = (
         "cast(round(cast(element_at(embedding, {0} + 1) as double) "
