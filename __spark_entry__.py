@@ -100,10 +100,11 @@ except ImportError:  # pragma: no cover
 #: four narrow exceptions deferred to round 5 below.
 #:
 #: ROUND-5 ROTATION (do this at the start of round 5, after CORRECTNESS_r04
-#: lands): front-load (a) the queries registered this round — the four
+#: lands): front-load (a) the queries registered this round — the five
 #: streaming batch-replay parity queries (st_tumbling_counts_replay,
 #: st_session_window_replay, st_dedup_digest_replay,
-#: st_merge_dedup_replay), t_cdc_chunk_dedup, q_graph_pagerank,
+#: st_merge_dedup_replay, st_restart_recovery_replay), t_cdc_chunk_dedup,
+#: q_graph_pagerank,
 #: q_embedding_covariance, and v_gram_matrix (rows-only) — plus
 #: q_approx_distinct, whose output schema gained *_est_if_deviant
 #: columns this round — (b) the deliberate

@@ -633,3 +633,66 @@ def st_merge_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.read.parquet(sink).orderBy("o_orderkey")
     shutil.rmtree(src, ignore_errors=True)
     return out
+
+
+@register(
+    "st_restart_recovery_replay",
+    """
+    SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS window_us,
+           event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_us, event_type
+    """,
+)
+def st_restart_recovery_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint restart recovery, driver-checked: HALF the events flow
+    through a windowed streaming aggregation which is then STOPPED; the
+    other half lands in the source directory and a brand-new query is
+    started from the SAME checkpoint. The restarted query must restore
+    the first run's window state from the state store (not rescan the
+    already-committed files) and fold in only the new files — the final
+    complete-mode state must equal the batch GROUP BY over everything.
+    This is the exactly-once recovery guarantee as a hash row instead of
+    a pytest assertion. Window starts compare as unix micros
+    (timezone-proof); the split is by event_id parity, so both phases
+    and the oracle are deterministic."""
+    import shutil
+    import tempfile
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    base = tempfile.mkdtemp(prefix="culvert_replay_restart_")
+    src, ck = os.path.join(base, "in"), os.path.join(base, "ck")
+    tag = os.path.basename(base).rsplit("_", 1)[-1]
+
+    def run_phase(qn: str) -> DataFrame:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        agg = tumbling_counts(stream, "1 hour", watermark="3650 days")
+        q = run_to_memory_sink(agg, qn, ck, output_mode="complete")
+        q.awaitTermination()
+        return spark.table(qn)
+
+    ev.where(F.col("event_id") % 2 == 0).repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+    run_phase(f"st_restart_a_{tag}")
+    ev.where(F.col("event_id") % 2 == 1).repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+    out = run_phase(f"st_restart_b_{tag}")
+    final = (
+        out.select(
+            F.unix_micros("window_start").alias("window_us"),
+            "event_type",
+            "n",
+        )
+        .orderBy("window_us", "event_type")
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    return final
