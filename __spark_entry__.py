@@ -104,6 +104,7 @@ except ImportError:  # pragma: no cover
 #: streaming batch-replay parity queries (st_tumbling_counts_replay,
 #: st_session_window_replay, st_dedup_digest_replay,
 #: st_merge_dedup_replay, st_restart_recovery_replay), t_cdc_chunk_dedup,
+#: t_incremental_dedup_persisted,
 #: q_graph_pagerank,
 #: q_embedding_covariance, and v_gram_matrix (rows-only) — plus
 #: q_approx_distinct, whose output schema gained *_est_if_deviant

@@ -36,6 +36,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1101,3 +1103,36 @@ def t_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_share"
         ),
     ).orderBy("lang", "pred_lang")
+
+
+@register("t_incremental_dedup_persisted", ORACLE["t_incremental_dedup"])
+def t_incremental_dedup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The steady-state form of t_incremental_dedup, end-to-end through
+    the PERSISTED artifact: the base corpus's signature table
+    (:func:`build_signature_table` — exact digests + exploded LSH band
+    rows) is written to parquet and read back before the increment is
+    classified against it, exactly as a production pipeline would reuse
+    the previous corpus version's signatures instead of re-hashing
+    100 TB per increment. Output contract and oracle are identical to
+    t_incremental_dedup (the recompute-everything form) — the driver row
+    therefore proves the persisted path, including the parquet round
+    trip of the signature schema, not just the in-memory equivalence the
+    pytest pins.
+
+    Scale shape: one signature build + write for the base (amortized
+    across increments), increment-side hashing only, two equi-joins
+    (digest; capped band buckets) — the cheapest possible steady state."""
+    import tempfile
+
+    d = t(spark, sf_dir, "documents")
+    is_inc = F.col("doc_id") % _INC_MOD == 0
+    store = tempfile.mkdtemp(prefix="culvert_sigstore_")
+    path = os.path.join(store, "base_sigs.parquet")
+    build_signature_table(d.where(~is_inc)).write.mode("overwrite").parquet(
+        path
+    )
+    # The temp store intentionally outlives this call: the returned plan
+    # is lazy and the driver collects it later.
+    return incremental_dedup_vs_signatures(
+        d.where(is_inc), spark.read.parquet(path)
+    )
