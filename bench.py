@@ -412,6 +412,7 @@ def main() -> None:
         # round-4 additions
         "t_cdc_chunk_dedup",
         "q_embedding_covariance",
+        "q_graph_pagerank",
     ]
 
     timings: dict[str, float] = {}

@@ -527,3 +527,18 @@ def test_cdc_chunking_stays_narrow_until_chunk_grain(spark):
     assert gens and all("zip_with" in g for g in gens), gens
     assert "Window" not in final
     assert "CartesianProduct" not in final
+
+
+def test_pagerank_iterations_stay_equi_join(spark):
+    """PageRank's per-iteration data joins must stay equi (rank→edges on
+    src, contribs back on node; the only nested-loop join allowed is the
+    broadcast of the ONE-ROW node-count scalar), no cartesian, and every
+    per-iteration aggregate keeps its map-side partial phase (a hub's
+    incoming mass combines before the shuffle)."""
+    plan = executed_plan(spark, "q_graph_pagerank")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert ("BroadcastHashJoin" in final) or ("SortMergeJoin" in final) or (
+        "ShuffledHashJoin" in final
+    ), "edge/contrib joins must be hash/merge equi-joins"
+    assert "partial_sum" in final, "iteration aggregate lost its partial phase"
