@@ -82,6 +82,13 @@ try:  # streaming batch-replay parity queries (round 4)
 except ImportError:  # pragma: no cover
     pass
 
+try:  # Hive-compatible bucket ids (round 4)
+    from culvert_spark import hivebucket as _hb
+
+    _REGISTRIES.append(_hb)
+except ImportError:  # pragma: no cover
+    pass
+
 
 #: Driver CORRECTNESS verification covers the first N registered queries in
 #: registration order (50-query window per round).  Rounds 1–3 verified 145
@@ -104,7 +111,7 @@ except ImportError:  # pragma: no cover
 #: streaming batch-replay parity queries (st_tumbling_counts_replay,
 #: st_session_window_replay, st_dedup_digest_replay,
 #: st_merge_dedup_replay, st_restart_recovery_replay), t_cdc_chunk_dedup,
-#: t_incremental_dedup_persisted,
+#: t_incremental_dedup_persisted, q_hive_bucket_histogram,
 #: q_graph_pagerank,
 #: q_embedding_covariance, and v_gram_matrix (rows-only) — plus
 #: q_approx_distinct, whose output schema gained *_est_if_deviant

@@ -1,0 +1,121 @@
+"""Hive-compatible bucket hashing: every Spark-side hash is pinned
+against an independent pure-Python reference of the PUBLIC algorithm
+(Java SE hashCode spec; Austin Appleby's Murmur3_x86_32, including its
+published test vectors), so byte compatibility rests on the spec, not on
+the implementation agreeing with itself."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from culvert_spark.hivebucket import (
+    HIVE_MURMUR_SEED,
+    _murmur3_32,
+    hive_bucket_v1,
+    hive_bucket_v2,
+    java_string_hashcode,
+    with_hive_bucket,
+)
+
+
+def _java_string_hash_ref(s: str) -> int:
+    """Independent Java String.hashCode (32-bit wrap per the Java SE
+    spec) over UTF-16 code units."""
+    h = 0
+    for hi, lo in zip(
+        s.encode("utf-16-be")[::2], s.encode("utf-16-be")[1::2]
+    ):
+        c = (hi << 8) | lo
+        h = (31 * h + c) & 0xFFFFFFFF
+    return h - 2**32 if h >= 2**31 else h
+
+
+def test_murmur3_published_vectors():
+    """Canonical Murmur3_x86_32 test vectors (public reference values,
+    seed 0 / 0x9747b28c), proving the Python reference is the canonical
+    algorithm before anything else is compared to it."""
+    assert _murmur3_32(b"", seed=0) == 0
+    # Widely-published canonical values:
+    assert _murmur3_32(b"hello", seed=0) == 0x248BFA47
+    assert _murmur3_32(b"hello, world", seed=0) == 0x149BBB7F
+    assert (
+        _murmur3_32(b"The quick brown fox jumps over the lazy dog", seed=0)
+        == 0x2E4FF723
+    )
+
+
+def test_java_string_hashcode_matches_spec(spark):
+    """Spark-side String.hashCode == the Java spec for known values
+    ("hello".hashCode() == 99162322 per the JDK) and arbitrary ASCII."""
+    vals = ["", "a", "hello", "user-123e4567", "The quick brown fox", "zz9"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r.s: r.h
+        for r in df.select("s", java_string_hashcode(F.col("s")).alias("h")).collect()
+    }
+    assert got["hello"] == 99162322  # JDK-documented example value
+    for v in vals:
+        assert got[v] == _java_string_hash_ref(v), v
+
+
+def test_bucket_v1_assignment(spark):
+    """v1 bucket ids for int/long/string keys match
+    (hashCode & MAX_INT) % n computed by the reference."""
+    rows = [(i, i * 1234567890123, f"user-{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "i int, l long, s string")
+    out = df.select(
+        "i",
+        "l",
+        "s",
+        hive_bucket_v1(F.col("i"), 8, "int").alias("bi"),
+        hive_bucket_v1(F.col("l"), 8, "long").alias("bl"),
+        hive_bucket_v1(F.col("s"), 8, "string").alias("bs"),
+    ).collect()
+    for r in out:
+        assert r.bi == (r.i & 0x7FFFFFFF) % 8
+        u = r.l % 2**64
+        jl = (u ^ (u >> 32)) & 0xFFFFFFFF
+        jl = jl - 2**32 if jl >= 2**31 else jl
+        assert r.bl == (jl & 0x7FFFFFFF) % 8
+        js = _java_string_hash_ref(r.s)
+        assert r.bs == (js & 0x7FFFFFFF) % 8
+
+
+def test_bucket_v2_string_matches_reference(spark):
+    """v2 (Hive 3 / Murmur3 seed 104729) bucket ids for string keys match
+    the canonical reference over UTF-8 bytes."""
+    vals = [f"user-{i:04d}" for i in range(64)] + ["", "a", "日本語テキスト"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r.s: r.b
+        for r in df.select(
+            "s", hive_bucket_v2(F.col("s"), 64, "string").alias("b")
+        ).collect()
+    }
+    for v in vals:
+        want = (
+            _murmur3_32(v.encode("utf-8"), HIVE_MURMUR_SEED) & 0x7FFFFFFF
+        ) % 64
+        assert got[v] == want, v
+
+
+def test_bucket_v2_rejects_numeric_keys(spark):
+    with pytest.raises(ValueError, match="string/binary"):
+        hive_bucket_v2(F.col("x"), 8, "bigint")
+
+
+def test_with_hive_bucket_routes_generated_stream_keys(spark):
+    """End-to-end on the reference's own shape: bucket the generated
+    user_id (string) column into 64 buckets per Hive v2, check ids are
+    in range, deterministic, and spread across many buckets."""
+    from culvert_spark.generator import generate
+
+    df = generate(spark, num_rows=2000, seed=123).select("user_id")
+    out = with_hive_bucket(df, "user_id", 64, version=2)
+    pdf = out.toPandas()
+    assert pdf["_hive_bucket"].between(0, 63).all()
+    assert pdf["_hive_bucket"].nunique() > 32  # spread, not collapsed
+    again = with_hive_bucket(df, "user_id", 64, version=2).toPandas()
+    assert pdf["_hive_bucket"].tolist() == again["_hive_bucket"].tolist()
