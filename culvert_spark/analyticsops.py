@@ -1326,7 +1326,7 @@ def q_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH marked AS (
       SELECT user_id, ts,
-             CASE WHEN ts >= COALESCE(
+             CASE WHEN ts > COALESCE(
                     LAG(ts) OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id),
                     TIMESTAMP '1970-01-01')
@@ -1350,9 +1350,11 @@ def q_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's NATIVE session_window aggregation run in batch mode, checked
     against the manual islands construction the oracle uses — proving the
-    built-in operator's merge semantics (session end = last event + gap,
-    half-open: an event at exactly the previous end opens a NEW session)
-    match the LAG/running-SUM formulation exactly. In Spark this is ONE
+    built-in operator's merge semantics (session end = last event + gap;
+    an event at EXACTLY the previous session's end MERGES into it — only
+    gap-exceeding, strictly-greater gaps split, matching the `>` split in
+    both this oracle and st_session_window_replay's) match the
+    LAG/running-SUM formulation exactly. In Spark this is ONE
     aggregation operator (sessions merge inside partial aggregation — no
     window pass at all), which is why it is the preferred form at scale
     and the same operator the streaming path uses with state eviction."""

@@ -1,7 +1,7 @@
 """Hive-compatible bucket-id computation (SURVEY §7.1 disposition,
 upgraded): the reference writes Hive-bucketed ACID tables
-(`/root/reference/README.md:62-63` — `CLUSTERED BY (user_id) INTO 64
-BUCKETS`), and cross-engine readers assume rows were routed to bucket
+(`/root/reference/README.md:62-63` — `clustered by (user_id) into 32
+buckets`), and cross-engine readers assume rows were routed to bucket
 files by HIVE's hash, not Spark's. Spark's ``hash()`` is Murmur3 with
 seed 42 and a non-canonical tail treatment, so native Spark bucketing is
 NOT byte-compatible. This module computes Hive's bucket ids so a Spark
@@ -10,12 +10,16 @@ writer can route rows the way a Hive reader expects.
 Two generations of Hive bucketing exist:
 
 - **Version 1** (``bucketing_version=1``, Hive < 3 and tables migrated
-  from it): Java ``Object.hashCode`` semantics per type — int → value,
-  bigint → ``(int)(v ^ v >>> 32)``, string → the 31-polynomial
-  ``String.hashCode`` over UTF-16 code units — then
-  ``(hash & Integer.MAX_VALUE) % numBuckets``. Fully specified by the
-  Java SE API docs; implemented here as pure JVM expressions (32-bit
-  wrap emulated in masked long arithmetic, ANSI-safe).
+  from it): Hive's ``ObjectInspectorUtils.hashCode`` per type — int →
+  value, bigint → ``(int)(v ^ v >>> 32)``, string → a 31-polynomial
+  fold over the SIGNED UTF-8 bytes of the value (Hive hashes the Text
+  writable's bytes, ``r = r*31 + (int) byte``; this equals Java
+  ``String.hashCode`` only while every character is ASCII — Hive's own
+  source comments say exactly that) — then
+  ``(hash & Integer.MAX_VALUE) % numBuckets``. Implemented here as pure
+  JVM expressions (32-bit wrap emulated in masked long arithmetic,
+  ANSI-safe), folding over ``encode(col, 'UTF-8')`` bytes so non-ASCII
+  keys route identically to Hive.
 - **Version 2** (``bucketing_version=2``, Hive 3 default — the
   reference's Hive 3.1.1): canonical Murmur3_x86_32 with Hive's
   ``Murmur3.DEFAULT_SEED = 104729`` over the key's serialized bytes.
@@ -55,13 +59,42 @@ _I31 = 2147483648  # 2^31
 
 def java_string_hashcode(col: Column) -> Column:
     """Java ``String.hashCode`` (h = 31·h + c over UTF-16 code units) as a
-    JVM expression — the Hive bucketing-v1 hash for string keys. BMP-only
-    (code point == UTF-16 unit); supplementary-plane characters would
-    need surrogate decomposition, which the pinned test documents."""
+    JVM expression. NOT Hive's bucketing-v1 string hash — Hive folds the
+    UTF-8 *bytes* (see :func:`hive_v1_string_hash`); the two agree only
+    on pure-ASCII values. Kept for the Java-spec pinned test and for
+    callers that genuinely want String.hashCode. BMP-only (code point ==
+    UTF-16 unit); supplementary-plane characters would need surrogate
+    decomposition, which the pinned test documents."""
     return F.aggregate(
         F.transform(F.split(col, ""), lambda ch: F.ascii(ch).cast("long")),
         F.lit(0).cast("long"),
         lambda h, c: _wrap32_col(_wrap32_col(h * F.lit(31)) + c),
+    ).cast("int")
+
+
+def hive_v1_string_hash(col: Column) -> Column:
+    """Hive bucketing-v1 string hash as a JVM expression: the
+    31-polynomial ``r = r*31 + (int) b`` folded over the value's SIGNED
+    UTF-8 bytes (Hive's ``ObjectInspectorUtils.hashCode`` hashes the
+    Text writable's bytes, not UTF-16 code units — equal to Java
+    ``String.hashCode`` only for ASCII; e.g. 'é' → −1978 here and in
+    Hive, vs 233 under String.hashCode). Each byte is sliced with
+    ``substring`` on the binary, read as unsigned via hex→conv, then
+    sign-corrected; the fold wraps in masked 32-bit long arithmetic."""
+    b = F.encode(col, "UTF-8")
+    n = F.length(b)
+    idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def _sbyte(i: Column) -> Column:
+        u = F.conv(F.hex(F.substring(b, i, F.lit(1))), 16, 10).cast("long")
+        return u - F.when(u >= 128, F.lit(256)).otherwise(F.lit(0))
+
+    return F.aggregate(
+        idx,
+        F.lit(0).cast("long"),
+        lambda h, i: _wrap32_col(_wrap32_col(h * F.lit(31)) + _sbyte(i)),
     ).cast("int")
 
 
@@ -72,7 +105,8 @@ def _wrap32_col(c: Column) -> Column:
 
 def hive_bucket_v1(col: Column, num_buckets: int, dtype: str) -> Column:
     """Hive bucketing_version=1 bucket id for an int/bigint/string key:
-    Java hashCode semantics, then ``(h & Integer.MAX_VALUE) % n``."""
+    Hive's ObjectInspectorUtils.hashCode semantics (signed-UTF-8-byte
+    fold for strings), then ``(h & Integer.MAX_VALUE) % n``."""
     if dtype in ("int", "integer"):
         h = col.cast("long")
     elif dtype in ("long", "bigint"):
@@ -83,7 +117,7 @@ def hive_bucket_v1(col: Column, num_buckets: int, dtype: str) -> Column:
             )
         )
     elif dtype == "string":
-        h = java_string_hashcode(col).cast("long")
+        h = hive_v1_string_hash(col).cast("long")
     else:
         raise ValueError(f"unsupported v1 bucket key type: {dtype}")
     return F.pmod(
@@ -219,12 +253,16 @@ def _wrap32_duck(e: str) -> str:
 )
 def q_hive_bucket_histogram(spark, sf_dir: str) -> DataFrame:
     """Hive bucketing-v1 routing, driver-checked: every customer name is
-    hashed with Java String.hashCode semantics (the JVM-expression
-    implementation above) and assigned its Hive v1 bucket; the histogram
-    per bucket hash-compares against a DuckDB oracle that re-implements
-    the same 31-polynomial with a list_reduce fold — so the wrap-around
-    arithmetic (the part a port typically gets wrong) is proven
-    cross-engine on real string data, beyond the known-vector pytest.
+    hashed with Hive's v1 string hash (the signed-UTF-8-byte 31-fold in
+    :func:`hive_v1_string_hash`) and assigned its Hive v1 bucket; the
+    histogram per bucket hash-compares against a DuckDB oracle that
+    re-implements the same 31-polynomial with a list_reduce fold over
+    ``ascii(ch)`` code points — valid because c_name is pure ASCII, where
+    code points and signed UTF-8 bytes coincide (the non-ASCII byte-fold
+    divergence, e.g. 'é' → −1978, is pinned in tests/test_hivebucket.py).
+    So the wrap-around arithmetic (the part a port typically gets wrong)
+    is proven cross-engine on real string data, beyond the known-vector
+    pytest.
 
     Scale shape: a narrow per-row fold plus one {_HB_N}-group aggregate —
     the hash is exactly what a Hive-compatible bucketed writer computes

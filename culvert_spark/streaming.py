@@ -443,6 +443,8 @@ def replay_stream(
     holds final-state rows only (complete mode re-emits the whole state
     each batch; the memory sink replaces the table), so the returned
     DataFrame is directly comparable to a batch oracle."""
+    import shutil
+
     base = tempfile.mkdtemp(prefix=f"culvert_replay_{name}_")
     src, ck = os.path.join(base, "in"), os.path.join(base, "ck")
     df.repartition(n_files).write.mode("overwrite").parquet(src)
@@ -451,9 +453,18 @@ def replay_stream(
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    sink = f"{name}_{os.path.basename(base).rsplit('_', 1)[-1]}"
+    # Fixed sink name per replay: the memory sink registers the query name
+    # as a temp view (replacing any prior one), so repeated invocations in
+    # one session — the driver's hash compare plus perf reruns — reuse ONE
+    # view instead of accumulating uniquely-named tables.
+    sink = f"{name}_replay_sink"
+    spark.catalog.dropTempView(sink)
     q = run_to_memory_sink(build(stream), sink, ck, output_mode)
     q.awaitTermination()
+    # Post-termination the memory sink holds every row in memory; the
+    # parquet input and checkpoint are dead weight — remove them now so
+    # nothing leaks per invocation (round-4-verdict lifecycle rule).
+    shutil.rmtree(base, ignore_errors=True)
     return spark.table(sink)
 
 
@@ -630,8 +641,16 @@ def st_merge_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = merge_dedup_sink(stream, sink, ck, key="o_orderkey")
     q.awaitTermination()
-    out = spark.read.parquet(sink).orderBy("o_orderkey")
-    shutil.rmtree(src, ignore_errors=True)
+    # localCheckpoint materializes the final sink contents (small: base ∪
+    # inserts) so the WHOLE temp root — parquet sink included — can be
+    # removed before returning the lazy plan (lifecycle rule: no per-call
+    # temp-dir leak; the returned DataFrame no longer reads the files).
+    out = (
+        spark.read.parquet(sink)
+        .orderBy("o_orderkey")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
     return out
 
 
@@ -665,9 +684,9 @@ def st_restart_recovery_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = tempfile.mkdtemp(prefix="culvert_replay_restart_")
     src, ck = os.path.join(base, "in"), os.path.join(base, "ck")
-    tag = os.path.basename(base).rsplit("_", 1)[-1]
 
     def run_phase(qn: str) -> DataFrame:
+        spark.catalog.dropTempView(qn)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", "1")
@@ -681,11 +700,11 @@ def st_restart_recovery_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.where(F.col("event_id") % 2 == 0).repartition(2).write.mode(
         "append"
     ).parquet(src)
-    run_phase(f"st_restart_a_{tag}")
+    run_phase("st_restart_a_sink")
     ev.where(F.col("event_id") % 2 == 1).repartition(2).write.mode(
         "append"
     ).parquet(src)
-    out = run_phase(f"st_restart_b_{tag}")
+    out = run_phase("st_restart_b_sink")
     final = (
         out.select(
             F.unix_micros("window_start").alias("window_us"),
@@ -694,5 +713,7 @@ def st_restart_recovery_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_us", "event_type")
     )
-    shutil.rmtree(src, ignore_errors=True)
+    # Memory sink holds the final state; remove the whole temp base (input
+    # AND checkpoint) — the restart already happened, nothing reads ck.
+    shutil.rmtree(base, ignore_errors=True)
     return final

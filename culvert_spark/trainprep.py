@@ -37,6 +37,7 @@ from culvert_spark.textops import (  # noqa: F401
     DIM,
     TOK_DUCK,
     TOK_SPARK,
+    _bucket_col,
     _bucket_expr,
     _hex60_duck,
     _hex60_spark,
@@ -339,7 +340,7 @@ def s_semantic_dedup_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale (documented trade: the fold keeps the oracle bit-exact)."""
     e = spread(
         t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ).withColumn("bucket", F.expr(_bucket_expr("embedding", True)))
+    ).withColumn("bucket", _bucket_col(F.col("embedding")))
     mem = e.select("bucket", "vec_id", F.posexplode("embedding"))
     cent = (
         mem.groupBy("bucket", "pos")

@@ -15,6 +15,7 @@ from culvert_spark.hivebucket import (
     _murmur3_32,
     hive_bucket_v1,
     hive_bucket_v2,
+    hive_v1_string_hash,
     java_string_hashcode,
     with_hive_bucket,
 )
@@ -29,6 +30,17 @@ def _java_string_hash_ref(s: str) -> int:
     ):
         c = (hi << 8) | lo
         h = (31 * h + c) & 0xFFFFFFFF
+    return h - 2**32 if h >= 2**31 else h
+
+
+def _hive_v1_string_hash_ref(s: str) -> int:
+    """Independent Hive bucketing-v1 string hash: 31-polynomial over the
+    SIGNED UTF-8 bytes (Hive's ObjectInspectorUtils.hashCode folds the
+    Text writable's bytes — equal to String.hashCode only for ASCII)."""
+    h = 0
+    for b in s.encode("utf-8"):
+        sb = b - 256 if b >= 128 else b
+        h = (31 * h + sb) & 0xFFFFFFFF
     return h - 2**32 if h >= 2**31 else h
 
 
@@ -60,10 +72,34 @@ def test_java_string_hashcode_matches_spec(spark):
         assert got[v] == _java_string_hash_ref(v), v
 
 
+def test_hive_v1_string_hash_utf8_byte_fold(spark):
+    """Hive's v1 string hash folds SIGNED UTF-8 bytes: ASCII values equal
+    String.hashCode, non-ASCII values diverge exactly as Hive's byte fold
+    says — 'é' (UTF-8 C3 A9 → signed −61, −87) hashes to
+    31·(−61) + (−87) = −1978, NOT String.hashCode's 233."""
+    vals = ["", "a", "hello", "user-123e4567", "é", "café", "日本語", "naïve"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r.s: r.h
+        for r in df.select(
+            "s", hive_v1_string_hash(F.col("s")).alias("h")
+        ).collect()
+    }
+    assert got["é"] == -1978  # pinned: the advisor-verified Hive value
+    assert got["hello"] == 99162322  # ASCII: == String.hashCode
+    for v in vals:
+        assert got[v] == _hive_v1_string_hash_ref(v), v
+    # ASCII subset agrees with String.hashCode; non-ASCII must NOT.
+    assert got["café"] != _java_string_hash_ref("café")
+
+
 def test_bucket_v1_assignment(spark):
     """v1 bucket ids for int/long/string keys match
     (hashCode & MAX_INT) % n computed by the reference."""
-    rows = [(i, i * 1234567890123, f"user-{i}") for i in range(50)]
+    rows = [(i, i * 1234567890123, f"user-{i}") for i in range(48)] + [
+        (100, 100 * 1234567890123, "café-0"),
+        (101, 101 * 1234567890123, "日本語-1"),
+    ]
     df = spark.createDataFrame(rows, "i int, l long, s string")
     out = df.select(
         "i",
@@ -79,7 +115,7 @@ def test_bucket_v1_assignment(spark):
         jl = (u ^ (u >> 32)) & 0xFFFFFFFF
         jl = jl - 2**32 if jl >= 2**31 else jl
         assert r.bl == (jl & 0x7FFFFFFF) % 8
-        js = _java_string_hash_ref(r.s)
+        js = _hive_v1_string_hash_ref(r.s)
         assert r.bs == (js & 0x7FFFFFFF) % 8
 
 

@@ -542,3 +542,27 @@ def test_pagerank_iterations_stay_equi_join(spark):
         "ShuffledHashJoin" in final
     ), "edge/contrib joins must be hash/merge equi-joins"
     assert "partial_sum" in final, "iteration aggregate lost its partial phase"
+
+
+def test_embedding_queries_compile_under_wholestage_codegen(spark):
+    """Codegen-fallback gate (round-4 verdict nit): the embedding-heavy
+    queries used to blow past Janino's method limits (16 hyperplanes x 64
+    dims unrolled inside a Generate) and silently fall back to the
+    interpreter — correct results, real CPU cost at 100x. With
+    spark.sql.codegen.fallback=false a compile failure THROWS instead of
+    falling back, so this test fails the moment any of these plans stops
+    compiling. The fix: hyperplane projections are HOF folds
+    (textops._proj_col), never unrolled F.expr sums, on the Spark side."""
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for name in (
+            "s_near_dup_lsh_verified",
+            "s_ann_lsh_top1",
+            "s_semantic_dedup_rep",
+            "s_embedding_quantize_int8",
+            "q_embedding_covariance",
+        ):
+            assert QUERIES[name](spark, SF_SMALL).count() >= 0, name
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)

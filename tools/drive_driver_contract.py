@@ -36,6 +36,9 @@ def canon(pdf):
     return cols, out
 
 qs, osql = e.queries(), e.oracle_sql()
+if len(sys.argv) > 1:  # optional subset: names on argv
+    want = set(sys.argv[1:])
+    qs = {k: v for k, v in qs.items() if k in want}
 fails = []
 for name, fn in sorted(qs.items()):
     try:
