@@ -91,63 +91,57 @@ except ImportError:  # pragma: no cover
 
 
 #: Driver CORRECTNESS verification covers the first N registered queries in
-#: registration order (50-query window per round).  Rounds 1–3 verified 145
-#: queries (139 hash-green, 6 rows-only-by-design, 0 failures) — those keep
-#: their CORRECTNESS rows and do not need re-checking.  Round 4 executes the
-#: ROUND-4 ROTATION from the round-3 verdict: the 46 registered queries with
-#: no driver row yet, plus the four highest-risk re-verifications: the
-#: post-r3-freeze restructures (t_minhash_lsh_pairs: bucket-assembly
-#: candidate generation; q01_pricing_summary: integer-scaled cents sums,
-#: oracle in lockstep) and the two queries whose OUTPUT SCHEMA changed
-#: this round (q_cms_heavy_hitters / q_hll_sketch_users: est_if_deviant
-#: debuggability column — their r3 rows are stale).  Names missing from
-#: the registries are ignored; registered names missing from this list
-#: keep their module registration order after the priority block.  After
-#: round 4 every query registered through round 3 has a driver row, with
-#: four narrow exceptions deferred to round 5 below.
-#:
-#: ROUND-5 ROTATION (do this at the start of round 5, after CORRECTNESS_r04
-#: lands): front-load (a) the queries registered this round — the five
-#: streaming batch-replay parity queries (st_tumbling_counts_replay,
-#: st_session_window_replay, st_dedup_digest_replay,
-#: st_merge_dedup_replay, st_restart_recovery_replay), t_cdc_chunk_dedup,
-#: t_incremental_dedup_persisted, q_hive_bucket_histogram,
-#: q_graph_pagerank,
-#: q_embedding_covariance, and v_gram_matrix (rows-only) — plus
-#: q_approx_distinct, whose output schema gained *_est_if_deviant
-#: columns this round — (b) the deliberate
-#: deferrals: t_dedup_clusters (label-propagation logic unchanged since its
-#: r1-green row; its candidate input path is proven via t_minhash_lsh_pairs
-#: this round) and q_sessionize_events (plan-only adaptive-guard change;
-#: output pinned identical by the two-mode property test and local
-#: full-registry emulation), and (c) the BPE pair with their new oracles if
-#: this window could not run them.  Pad with the highest-value
-#: already-green queries.
+#: registration order (50-query window per round).  Rounds 1–4 recorded 191
+#: of the 202 queries registered through round 4 (184 hash-green, 7
+#: rows-only-by-design, 0 failures) — those keep their CORRECTNESS rows.
+#: Round 5 executes the ROUND-5 ROTATION from the round-4 verdict:
+#: (a) the 11 round-4 registrations with no driver row yet (st_* replay ×5,
+#: t_cdc_chunk_dedup, t_incremental_dedup_persisted, q_hive_bucket_histogram,
+#: q_graph_pagerank, q_embedding_covariance, v_gram_matrix rows-only),
+#: (b) q_approx_distinct (schema gained *_est_if_deviant columns in r4 —
+#: its r2 row is stale) and the two documented deferrals t_dedup_clusters
+#: and q_sessionize_events, (c) the three queries REGISTERED in round 5
+#: (st_late_drop_replay: finite-watermark late-drop semantics;
+#: q_sliding_distinct_hll + t_quality_percentile_filter_approx: the
+#: tolerance-oracle approx scale-twins), (d) the five queries whose
+#: implementation or oracle CHANGED in round 5 and therefore need fresh
+#: rows — q_session_window_batch (oracle boundary `>=`→`>`, matching
+#: Spark's merge-at-exact-gap), s_near_dup_lsh_verified / s_ann_lsh_top1 /
+#: s_semantic_dedup_rep (hyperplane projections rebuilt as HOF folds to
+#: stay inside whole-stage codegen), and q_hive_bucket_histogram (v1 hash
+#: now folds signed UTF-8 bytes; already in (a)) — padded to 50 with the
+#: highest-value already-green re-verifies (the 12 bench headliners and
+#: the dedup/training-prep workhorses).  Names missing from the registries
+#: are ignored; registered names missing from this list keep their module
+#: registration order after the priority block.
 _PRIORITY = [
-    # r2-overflow product analytics / time series / profiling (21)
-    "q_table_fingerprint", "q_embedding_dim_stats", "q_trending_event_types",
-    "q_mom_revenue_growth", "t_bigram_lm_top", "q_churned_users",
-    "t_length_band_filter", "t_dedup_keep_best", "q_rfm_segments",
-    "q_robust_outlier_stats", "q_histogram_2d", "q_gini_concentration",
-    "q_yoy_revenue_growth", "q_new_vs_returning", "q_cumulative_distinct_users",
-    "q_conversion_latency", "q_pareto_coverage", "t_vocab_growth",
-    "q_weekday_seasonality", "q_null_profile", "q_json_key_profile",
-    # round-3 training-data prep / statistics batch (11)
-    "t_deterministic_shuffle", "t_context_truncation_stats",
-    "t_quality_percentile_filter", "t_gopher_quality_rules",
-    "s_semantic_dedup_rep", "q_ols_daily_revenue_trend",
-    "q_chi2_priority_status", "t_mix_temperature_weights",
-    "t_char_class_profile", "t_token_coverage_topk", "t_pretrain_pipeline_e2e",
-    # round-3 corpusops / Spark-4 SQL surface batch (9)
-    "t_doc_entropy", "t_boilerplate_ngrams", "t_hashed_ngram_features",
-    "t_incremental_dedup", "q_bfs_reachable_parts", "q_sql_pipe_interface",
-    "q_collation_group_ci", "q_try_functions", "q_from_xml_events",
-    # round-3 stragglers (2) + rows-only trio (3)
-    "t_multimodal_manifest", "t_lang_id_confusion",
-    "v_pq_ann_topk", "t_bpe_learn_merges", "t_bpe_tokenize_stats",
-    # changed after the r3 window froze / schema changed this round (4)
-    "t_minhash_lsh_pairs", "q01_pricing_summary",
-    "q_cms_heavy_hitters", "q_hll_sketch_users",
+    # (a) round-4 registrations without driver rows (11)
+    "st_tumbling_counts_replay", "st_session_window_replay",
+    "st_dedup_digest_replay", "st_merge_dedup_replay",
+    "st_restart_recovery_replay", "t_cdc_chunk_dedup",
+    "t_incremental_dedup_persisted", "q_hive_bucket_histogram",
+    "q_graph_pagerank", "q_embedding_covariance", "v_gram_matrix",
+    # (b) stale schema + documented deferrals (3)
+    "q_approx_distinct", "t_dedup_clusters", "q_sessionize_events",
+    # (c) new round-5 registrations (4)
+    "st_late_drop_replay", "q_sliding_distinct_hll",
+    "t_quality_percentile_filter_approx", "q_hive_bucket_write_layout",
+    # (d) changed in round 5 (4)
+    "q_session_window_batch", "s_near_dup_lsh_verified", "s_ann_lsh_top1",
+    "s_semantic_dedup_rep",
+    # padding: bench headliners (11)
+    "q01_pricing_summary", "q03_shipping_priority", "q05_regional_revenue",
+    "q06_revenue_forecast", "q_top3_orders_per_customer", "q_asof_prior_view",
+    "q_hourly_event_counts", "q_pivot_user_event_values", "t_token_top20",
+    "t_minhash_lsh_pairs", "s_cosine_topk",
+    # padding: dedup / training-prep workhorses (12)
+    "t_exact_dedup_stats", "t_exact_dedup_groups", "t_dedup_keep_best",
+    "t_dup_spans", "t_simhash_fingerprint", "t_ngram_jaccard_pairs",
+    "t_incremental_dedup", "t_contamination_check", "t_pretrain_pipeline_e2e",
+    "t_pack_sequences", "t_gopher_quality_rules", "t_deterministic_shuffle",
+    # padding: sketches / analytics (6)
+    "q_hll_sketch_users", "q_cms_heavy_hitters", "q_sliding_distinct_users",
+    "q_graph_triangles", "q_dau_wau_mau",
 ]
 
 

@@ -74,6 +74,35 @@ def get_spark(
     return spark
 
 
+#: RocksDB state-store provider (SURVEY §9's answer for streaming state
+#: that outgrows executor heap: dedup key sets, giant session maps). Spark
+#: ships it in core — no extra jars — but it is opt-in per query restart,
+#: so it lives here as a profile rather than a get_spark default (the JVM
+#: heap provider is faster for the small local-test state spaces).
+ROCKSDB_STATE_CONF: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    # Changelog checkpointing ships per-batch deltas instead of full
+    # RocksDB snapshots — the 100 TB-state checkpoint posture.
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+}
+
+
+def rocksdb_state_profile(spark: SparkSession) -> None:
+    """Switch NEW streaming queries in this session to the RocksDB state
+    store (off-heap, spill-to-disk state with incremental changelog
+    checkpoints). Runtime SQL confs — existing running queries keep the
+    provider recorded in their checkpoint. tests/test_streaming.py runs a
+    stateful replay under this profile to prove the operators are
+    provider-agnostic."""
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Register every testdata parquet under ``sf_dir`` as a temp view and
     return {name: DataFrame}. Scans are lazy; Catalyst prunes columns and

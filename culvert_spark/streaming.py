@@ -717,3 +717,122 @@ def st_restart_recovery_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND checkpoint) — the restart already happened, nothing reads ck.
     shutil.rmtree(base, ignore_errors=True)
     return final
+
+
+def write_ordered_replay_files(
+    spark: SparkSession, frames: list, base: str
+) -> str:
+    """Write each DataFrame in ``frames`` as ONE parquet file into a single
+    source dir, with strictly increasing mtimes AND lexicographic names, so
+    a file stream with maxFilesPerTrigger=1 processes them as micro-batches
+    in exactly this order (FileStreamSource orders by (modTime, path)).
+    Returns the source dir path."""
+    import glob as _glob
+    import shutil
+
+    src = os.path.join(base, "in")
+    os.makedirs(src, exist_ok=True)
+    t0 = 1_700_000_000
+    for k, f in enumerate(frames):
+        tmp = os.path.join(base, f"tmp{k}")
+        f.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        dest = os.path.join(src, f"{k:02d}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (t0 + 100 * k, t0 + 100 * k))
+        shutil.rmtree(tmp, ignore_errors=True)
+    return src
+
+
+@register(
+    "st_late_drop_replay",
+    """
+    WITH ontime AS (
+      SELECT ts, event_id, event_type,
+             ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM events WHERE event_id % 7 <> 3),
+    wm AS (
+      SELECT max(epoch_us(ts)) - 1800000000 AS wm_us
+      FROM ontime WHERE rn <= (2 * n + 2) // 3),
+    late_kept AS (
+      SELECT ts, event_type FROM events, wm
+      WHERE event_id % 7 = 3
+        AND epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP))
+            + 3600000000 > wm_us),
+    allr AS (
+      SELECT ts, event_type FROM ontime
+      UNION ALL SELECT ts, event_type FROM late_kept)
+    SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS window_us,
+           event_type, COUNT(*) AS n
+    FROM allr GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def st_late_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data DROPPING under a real finite horizon, as a hash
+    row (the last streaming semantic that was pytest-only — round-4
+    verdict item 4). The on-time events (event_id % 7 != 3) are sorted by
+    event time and split into three CONTIGUOUS time chunks written as
+    files A,B,C; the held-out late set (event_id % 7 == 3, spanning the
+    whole timeline) arrives last as file D. A 30-minute watermark and
+    hourly tumbling counts run in UPDATE mode; the final count per window
+    is the MAX over its update rows (counts only grow while state is
+    live).
+
+    The oracle encodes Spark's measured late-filter contract (pinned by
+    tests/test_streaming.py::test_late_filter_uses_previous_batch_watermark):
+    the filter for batch k uses the watermark as of the END of batch k-1,
+    which was computed from data through batch k-2 — so file D's rows are
+    dropped iff window_end <= max_ts(A∪B) - 30min, with `<=` the measured
+    boundary. Crucially that SAME threshold governed state eviction at the
+    end of batch C, so every surviving late row finds its window's state
+    still live and the update-mode counts accumulate exactly — no
+    late-row-recreates-evicted-state ambiguity. The chunk boundary
+    ceil(2n/3) uses the identical integer formula (2n+2)//3 on both sides.
+
+    Harness note: the global sort + driver-side count() exist only to
+    build the deterministic replay files; the streaming operator itself is
+    the same watermark + tumbling aggregation a production job runs."""
+    import shutil
+
+    ev = t(spark, sf_dir, "events").select("ts", "event_id", "event_type")
+    is_late = F.col("event_id") % 7 == 3
+    ontime = ev.where(~is_late)
+    n = ontime.count()
+    c1, c2 = (n + 2) // 3, (2 * n + 2) // 3
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.orderBy("ts", "event_id"))
+    ranked = ontime.withColumn("rn", rn)
+    cols = ["ts", "event_id", "event_type"]
+    base = tempfile.mkdtemp(prefix="culvert_replay_late_")
+    src = write_ordered_replay_files(
+        spark,
+        [
+            ranked.where(F.col("rn") <= c1).select(cols),
+            ranked.where((F.col("rn") > c1) & (F.col("rn") <= c2)).select(cols),
+            ranked.where(F.col("rn") > c2).select(cols),
+            ev.where(is_late),
+        ],
+        base,
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = tumbling_counts(stream, "1 hour", watermark="30 minutes")
+    sink = "st_late_drop_replay_sink"
+    spark.catalog.dropTempView(sink)
+    q = run_to_memory_sink(agg, sink, os.path.join(base, "ck"), "update")
+    q.awaitTermination()
+    out = (
+        spark.table(sink)
+        .groupBy(
+            F.unix_micros("window_start").alias("window_us"), "event_type"
+        )
+        .agg(F.max("n").alias("n"))
+        .orderBy("window_us", "event_type")
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out

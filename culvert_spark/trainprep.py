@@ -196,6 +196,91 @@ def t_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_quality_percentile_filter_approx",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE pr <= 0.5) AS n_kept_exact,
+           1 AS within_tol,
+           CAST(NULL AS BIGINT) AS kept_if_deviant
+    FROM (
+      SELECT source, doc_id,
+             PERCENT_RANK() OVER (PARTITION BY source
+                                  ORDER BY qs DESC, doc_id) AS pr
+      FROM (
+        SELECT source, doc_id,
+               CAST(LENGTH(text)
+                    - 10 * len(list_filter({TOK_DUCK},
+                               x -> x = 'a' OR x = 'the')) AS DOUBLE)
+               / len({TOK_DUCK}) AS qs
+        FROM documents))
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def t_quality_percentile_filter_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB twin of t_quality_percentile_filter, registered as a
+    driver row (round-4 verdict item 5): instead of an exact per-source
+    percent_rank (an ordered window over every source's full score list),
+    the keep threshold is ``percentile_approx(qs, 0.5)`` — a mergeable
+    Greenwald-Khanna sketch aggregated per source (two shuffled numbers
+    per source) — followed by a NARROW broadcast-join filter
+    ``qs >= threshold``. Same contract, no ordered window, which is the
+    only formulation that survives a source with 10^10 documents.
+
+    Tolerance-oracle shape: the exact kept count per source is emitted
+    next to a flag that the approx-threshold kept count landed within
+    max(2% of n_docs, ±2 docs) of it (the floor absorbs tie/boundary
+    docs on small sources); kept_if_deviant surfaces the approx count in
+    any future mismatch diff."""
+    d = t(spark, sf_dir, "documents")
+    qs = (
+        F.length("text")
+        - 10
+        * F.expr(f"size(filter({TOK_SPARK}, x -> x = 'a' OR x = 'the'))")
+    ).cast("double") / F.expr(f"size({TOK_SPARK})")
+    scored = spread(d.select("source", "doc_id", qs.alias("qs")))
+    thr = scored.groupBy("source").agg(
+        F.percentile_approx("qs", 0.5, 10000).alias("thr")
+    )
+    n_kept_approx = (
+        scored.join(broadcast(thr), "source")
+        .where(F.col("qs") >= F.col("thr"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept_approx"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("qs"), "doc_id")
+    exact = (
+        scored.select("source", F.percent_rank().over(w).alias("pr"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("pr") <= 0.5, 1).otherwise(0)).alias(
+                "n_kept_exact"
+            ),
+        )
+    )
+    within = F.abs(
+        F.col("n_kept_approx") - F.col("n_kept_exact")
+    ) <= F.greatest(0.02 * F.col("n_docs"), F.lit(2.0))
+    return (
+        exact.join(n_kept_approx, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_kept_exact",
+            within.cast("int").alias("within_tol"),
+            F.when(~within, F.col("n_kept_approx"))
+            .cast("bigint")
+            .alias("kept_if_deviant"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "t_gopher_quality_rules",
     f"""
     SELECT doc_id, n_words,

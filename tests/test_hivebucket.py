@@ -155,3 +155,64 @@ def test_with_hive_bucket_routes_generated_stream_keys(spark):
     assert pdf["_hive_bucket"].nunique() > 32  # spread, not collapsed
     again = with_hive_bucket(df, "user_id", 64, version=2).toPandas()
     assert pdf["_hive_bucket"].tolist() == again["_hive_bucket"].tolist()
+
+
+def test_write_hive_bucketed_layout_v2(spark, tmp_path):
+    """End-to-end physical layout (reference README.md:62-66 parity): the
+    table dir holds EXACTLY num_buckets files under Hive's %06d_0 names,
+    and file i contains precisely the rows whose v2 (Murmur3 seed 104729)
+    bucket id is i — verified by re-hashing every key with the pure-Python
+    reference. Partition column is stripped (bucket files hold only data
+    columns, as Hive writes them)."""
+    import pyarrow.parquet as pq
+
+    from culvert_spark.generator import generate
+    from culvert_spark.hivebucket import write_hive_bucketed
+
+    df = generate(spark, num_rows=500, seed=7).select("user_id", "page_id")
+    out = str(tmp_path / "tbl")
+    files = write_hive_bucketed(df, out, "user_id", 8, version=2)
+    import os
+
+    assert [os.path.basename(f) for f in files] == [
+        f"{b:06d}_0" for b in range(8)
+    ]
+    assert sorted(os.listdir(out)) == [f"{b:06d}_0" for b in range(8)]
+    total = 0
+    for b, f in enumerate(files):
+        tbl = pq.read_table(f)
+        assert tbl.schema.names == ["user_id", "page_id"]  # no bucket col
+        for uid in tbl.column("user_id").to_pylist():
+            want = (
+                _murmur3_32(uid.encode("utf-8"), HIVE_MURMUR_SEED)
+                & 0x7FFFFFFF
+            ) % 8
+            assert want == b, (uid, want, b)
+        total += tbl.num_rows
+    assert total == 500
+
+
+def test_write_hive_bucketed_layout_v1_with_empty_buckets(spark, tmp_path):
+    """v1 routing plus the empty-bucket contract: 4 distinct keys into 64
+    buckets leaves most buckets empty — every one must still exist as a
+    schema-only parquet file (Hive's bucketed-map-join requires the full
+    file set), and non-empty files must hold exactly their key's rows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from culvert_spark.hivebucket import write_hive_bucketed
+
+    rows = [(f"user-{i % 4}", i) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = str(tmp_path / "tbl64")
+    files = write_hive_bucketed(df, out, "k", 64, version=1)
+    assert len(files) == 64 and len(os.listdir(out)) == 64
+    seen = 0
+    for b, f in enumerate(files):
+        tbl = pq.read_table(f)
+        for k in tbl.column("k").to_pylist():
+            assert (_hive_v1_string_hash_ref(k) & 0x7FFFFFFF) % 64 == b
+        seen += tbl.num_rows
+        assert tbl.schema.names == ["k", "v"]  # empty files keep schema
+    assert seen == 40

@@ -517,3 +517,123 @@ def test_replay_stream_parity_on_synthetic(spark):
         .collect()
     }
     assert got == want and len(got) > 10
+
+
+def test_late_filter_uses_previous_batch_watermark(spark, tmp_path):
+    """Pins the EXACT late-drop contract st_late_drop_replay's oracle
+    encodes (measured on this Spark): the late-event filter for batch k
+    uses the watermark computed from data through batch k-2 (one-batch
+    lag: Spark splits watermarkForLateEvents = previous batch's value from
+    watermarkForEviction = current), and the boundary is DROP iff
+    window_end <= wm. Batches: [03:30] -> [05:00] -> probes at 01:30
+    (end 02:00 < 03:00: drop), 02:10 (end 03:00 == wm: drop), 03:10
+    (end 04:00 > wm: keep)."""
+    import datetime as dt
+
+    T = dt.datetime(2020, 1, 1)
+    H, M = dt.timedelta(hours=1), dt.timedelta(minutes=1)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "ts timestamp, event_type string")
+
+    base = str(tmp_path / "late")
+    os.makedirs(base)
+    src = st.write_ordered_replay_files(
+        spark,
+        [
+            frame([(T + 3 * H + 30 * M, "a")]),
+            frame([(T + 5 * H, "a")]),
+            frame(
+                [
+                    (T + 1 * H + 30 * M, "b"),
+                    (T + 2 * H + 10 * M, "c"),
+                    (T + 3 * H + 10 * M, "d"),
+                ]
+            ),
+        ],
+        base,
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = st.tumbling_counts(stream, "1 hour", watermark="30 minutes")
+    spark.catalog.dropTempView("late_probe_sink")
+    q = st.run_to_memory_sink(
+        agg, "late_probe_sink", str(tmp_path / "ck"), "update"
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start.hour, r.event_type)
+        for r in spark.table("late_probe_sink").collect()
+    }
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    # b (end 02:00 < wm 03:00) and c (end 03:00 == wm) dropped; d kept.
+    assert dropped == 2
+    assert got == {(3, "a"), (5, "a"), (3, "d")}
+
+
+def test_stateful_replay_under_rocksdb_state_store(spark, tmp_path):
+    """The SURVEY §9 large-state profile actually runs: a windowed
+    aggregation replay executes under the RocksDB state-store provider
+    (spill-capable off-heap state + changelog checkpoints) and produces
+    byte-identical results to the default heap provider — proving the
+    stateful operators are provider-agnostic and the profile is wired
+    correctly (a typo'd providerClass fails the query start)."""
+    from culvert_spark.session import ROCKSDB_STATE_CONF, rocksdb_state_profile
+
+    prev = {
+        k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONF
+    }
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, h, m), f"t{h % 3}")
+        for h in range(6)
+        for m in (0, 15, 40)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    baseline = st.replay_stream(
+        spark,
+        df,
+        lambda s: st.tumbling_counts(s, "1 hour", watermark="3650 days"),
+        "rocks_base",
+        n_files=3,
+    )
+    base_rows = {
+        (r.window_start, r.event_type, r.n)
+        for r in baseline.select("window_start", "event_type", "n").collect()
+    }
+    rocksdb_state_profile(spark)
+    try:
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            .endswith("RocksDBStateStoreProvider")
+        )
+        out = st.replay_stream(
+            spark,
+            df,
+            lambda s: st.tumbling_counts(s, "1 hour", watermark="3650 days"),
+            "rocks_probe",
+            n_files=3,
+        )
+        got = {
+            (r.window_start, r.event_type, r.n)
+            for r in out.select("window_start", "event_type", "n").collect()
+        }
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # 6 hourly windows, one event_type per hour, 3 events each.
+    assert got == base_rows
+    assert got == {
+        (dt.datetime(2024, 1, 1, h), f"t{h % 3}", 3) for h in range(6)
+    }
