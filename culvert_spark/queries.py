@@ -68,6 +68,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamps regardless of host timezone (the driver calls these
     functions with its own SparkSession)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Align Spark's whole-stage-codegen bailout with HotSpot's JIT limit
+    # (-XX:-DontCompileHugeMethods kicks in at 8000 bytecodes): Spark's
+    # default of 65535 lets 8K-64K-bytecode fused stages compile but never
+    # JIT, leaving the hot loop in the JVM BYTECODE interpreter — measured
+    # 19 s vs 5 s on s_near_dup_lsh_verified at sf0.1, whose
+    # Generate→3-join→64-term-dot-residual probe stage fuses past 8K.
+    # At 8000 such stages fall back to per-operator compiled projections
+    # (each split into JIT-able submethods) — faster than BOTH the fused
+    # giant (not JIT'd) and full expression interpretation. Set here so
+    # the vanilla driver session gets the engine's execution contract.
+    spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -37,8 +37,10 @@ from culvert_spark.textops import (  # noqa: F401
     DIM,
     TOK_DUCK,
     TOK_SPARK,
-    _bucket_col,
+    _SIGNS,
     _bucket_expr,
+    bucket_from_projections,
+    with_hyperplane_projections,
     _hex60_duck,
     _hex60_spark,
 )
@@ -423,9 +425,18 @@ def s_semantic_dedup_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN"); the centroid table (<=256 rows) broadcasts back for scoring;
     the sorted member fold would become a decimal-sum partial aggregate
     at scale (documented trade: the fold keeps the oracle bit-exact)."""
-    e = spread(
-        t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ).withColumn("bucket", _bucket_col(F.col("embedding")))
+    e = (
+        with_hyperplane_projections(
+            spread(
+                t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+            ),
+            "embedding",
+            _SIGNS,
+            "_q",
+        )
+        .withColumn("bucket", bucket_from_projections("_q"))
+        .drop(*[f"_q{j}" for j in range(len(_SIGNS))])
+    )
     mem = e.select("bucket", "vec_id", F.posexplode("embedding"))
     cent = (
         mem.groupBy("bucket", "pos")
