@@ -123,9 +123,10 @@ _PRIORITY = [
     "q_graph_pagerank", "q_embedding_covariance", "v_gram_matrix",
     # (b) stale schema + documented deferrals (3)
     "q_approx_distinct", "t_dedup_clusters", "q_sessionize_events",
-    # (c) new round-5 registrations (4)
+    # (c) new round-5 registrations (6)
     "st_late_drop_replay", "q_sliding_distinct_hll",
     "t_quality_percentile_filter_approx", "q_hive_bucket_write_layout",
+    "st_sliding_counts_replay", "t_bm25_topk",
     # (d) changed in round 5 (4)
     "q_session_window_batch", "s_near_dup_lsh_verified", "s_ann_lsh_top1",
     "s_semantic_dedup_rep",
@@ -138,10 +139,10 @@ _PRIORITY = [
     "t_exact_dedup_stats", "t_exact_dedup_groups", "t_dedup_keep_best",
     "t_dup_spans", "t_simhash_fingerprint", "t_ngram_jaccard_pairs",
     "t_incremental_dedup", "t_contamination_check", "t_pretrain_pipeline_e2e",
-    "t_pack_sequences", "t_gopher_quality_rules", "t_deterministic_shuffle",
-    # padding: sketches / analytics (6)
+    "t_pack_sequences", "t_gopher_quality_rules",
+    # padding: sketches / analytics (5)
     "q_hll_sketch_users", "q_cms_heavy_hitters", "q_sliding_distinct_users",
-    "q_graph_triangles", "q_dau_wau_mau",
+    "q_graph_triangles",
 ]
 
 

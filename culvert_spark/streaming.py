@@ -508,6 +508,53 @@ def st_tumbling_counts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_sliding_counts_replay",
+    """
+    WITH assigned AS (
+      SELECT event_type, s.s AS w_s
+      FROM events,
+           UNNEST([
+             CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800,
+             CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800 - 1800
+           ]) AS s(s)
+      WHERE s.s > epoch(ts) - 3600)
+    SELECT w_s * 1000000 AS window_us, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned
+    GROUP BY w_s, event_type
+    ORDER BY window_us, event_type
+    """,
+)
+def st_sliding_counts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLIDING-window counts replayed over the events table —
+    the overlapping-window twin of st_tumbling_counts_replay (each event
+    lives in two 1-hour windows sliding every 30 minutes, so the state
+    store holds overlapping window rows and complete mode must re-emit
+    the union). The oracle replays the same two-window assignment from
+    pure epoch-integer arithmetic (no TIMESTAMPTZ anywhere — timezone-
+    proof); the horizon exceeds the data span because replay files are
+    not time-ordered (see st_tumbling_counts_replay; the finite-horizon
+    semantic has its own row: st_late_drop_replay)."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    out = replay_stream(
+        spark,
+        ev,
+        lambda s: sliding_counts(
+            s, "1 hour", "30 minutes", watermark="3650 days"
+        ),
+        "st_sliding",
+    )
+    return (
+        out.select(
+            F.unix_micros("window_start").alias("window_us"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .orderBy("window_us", "event_type")
+    )
+
+
+@register(
     "st_session_window_replay",
     """
     WITH seq AS (

@@ -369,6 +369,110 @@ def t_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("hash", "join", "vector")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "t_bm25_topk",
+    f"""
+    WITH lens AS (
+      SELECT doc_id, len({TOK_DUCK}) AS dl FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+      FROM lens),
+    toks AS (
+      SELECT doc_id, u.tok
+      FROM documents, UNNEST({TOK_DUCK}) AS u(tok)
+      WHERE u.tok IN ('hash', 'join', 'vector')),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    per_term AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * ({_BM25_K1} + 1.0))
+               / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                     + {_BM25_B} * dl / avgdl)),
+               10) AS DECIMAL(28,10)) AS ts
+      FROM tf
+      JOIN dft ON tf.tok = dft.tok
+      JOIN lens ON tf.doc_id = lens.doc_id, stats),
+    scored AS (
+      SELECT doc_id, ROUND(CAST(SUM(ts) AS DOUBLE), 6) AS bm25,
+             CAST(COUNT(*) AS INT) AS n_terms_hit
+      FROM per_term GROUP BY doc_id)
+    SELECT doc_id, bm25, n_terms_hit, rnk
+    FROM (SELECT doc_id, bm25, n_terms_hit,
+                 ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 20
+    ORDER BY rnk
+    """,
+)
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Robertson/Sparck-Jones, the Lucene
+    ``ln(1+(N-df+0.5)/(df+0.5))`` IDF form, k1=1.2 b=0.75): top-20
+    documents for a fixed 3-term query — the relevance-scoring primitive
+    a training-data pipeline uses to mine topical subsets or to rank
+    candidate documents against a quality probe query.
+
+    Determinism: each doc-term partial score is rounded to 10 places and
+    summed as DECIMAL(28,10) (order-free exact addition across the ≤3
+    terms), then the doc score rounds to 6 — the house pattern for
+    cross-engine float parity under any partitioning.
+
+    Scale shape: the explode is filtered to the query terms immediately
+    (Catalyst pushes ``tok IN (...)`` into the Generate's output filter),
+    so the per-term table is O(matching postings), not O(corpus tokens);
+    doc lengths are a narrow map; df and the (N, avgdl) scalars broadcast.
+    Per-query cost at 100 TB is one filtered scan — the batch equivalent
+    of an inverted-index postings walk."""
+    d = t(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id", F.size(F.expr(TOK_SPARK)).alias("dl")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.expr(TOK_SPARK)).alias("tok")
+    ).filter(F.col("tok").isin(*_BM25_TERMS))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dft = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    term_score = F.round(
+        F.log(
+            1.0
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        ),
+        10,
+    ).cast("decimal(28,10)")
+    per_term = (
+        tf.join(broadcast(dft), "tok")
+        .join(lens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select("doc_id", term_score.alias("ts"))
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.round(F.sum("ts").cast("double"), 6).alias("bm25"),
+        F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", "bm25", "n_terms_hit", "rnk")
+        .orderBy("rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fingerprinting & exact dedup
 # ---------------------------------------------------------------------------

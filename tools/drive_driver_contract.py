@@ -5,8 +5,14 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 import duckdb, pandas as pd
 
-spark = (SparkSession.builder.appName("driver-emulation")
-         .master("local[8]").getOrCreate())   # NO custom configs — vanilla, like the driver
+_b = (SparkSession.builder.appName("driver-emulation")
+      .master(os.environ.get("CONTRACT_MASTER", "local[8]")))
+# NO custom configs — vanilla, like the driver. CONTRACT_MASTER /
+# CONTRACT_SHUFFLE exist only for the robustness sweeps
+# (local[3]/7-partitions partition-invariance runs).
+if os.environ.get("CONTRACT_SHUFFLE"):
+    _b = _b.config("spark.sql.shuffle.partitions", os.environ["CONTRACT_SHUFFLE"])
+spark = _b.getOrCreate()
 import __spark_entry__ as e
 
 df = e.entry(spark)
