@@ -127,6 +127,7 @@ _PRIORITY = [
     "st_late_drop_replay", "q_sliding_distinct_hll",
     "t_quality_percentile_filter_approx", "q_hive_bucket_write_layout",
     "st_sliding_counts_replay", "t_bm25_topk",
+    "st_stream_stream_join_replay", "st_stateful_totals_replay",
     # (d) changed in round 5 (4)
     "q_session_window_batch", "s_near_dup_lsh_verified", "s_ann_lsh_top1",
     "s_semantic_dedup_rep",
@@ -138,11 +139,10 @@ _PRIORITY = [
     # padding: dedup / training-prep workhorses (12)
     "t_exact_dedup_stats", "t_exact_dedup_groups", "t_dedup_keep_best",
     "t_dup_spans", "t_simhash_fingerprint", "t_ngram_jaccard_pairs",
-    "t_incremental_dedup", "t_contamination_check", "t_pretrain_pipeline_e2e",
+    "t_incremental_dedup", "t_pretrain_pipeline_e2e",
     "t_pack_sequences", "t_gopher_quality_rules",
-    # padding: sketches / analytics (5)
-    "q_hll_sketch_users", "q_cms_heavy_hitters", "q_sliding_distinct_users",
-    "q_graph_triangles",
+    # padding: sketches / analytics (3)
+    "q_hll_sketch_users", "q_sliding_distinct_users", "q_graph_triangles",
 ]
 
 

@@ -507,6 +507,7 @@ def main() -> None:
         "q_sliding_distinct_hll",
         "t_quality_percentile_filter",
         "t_quality_percentile_filter_approx",
+        "t_bm25_topk",
     ]
 
     timings: dict[str, float] = {}

@@ -609,6 +609,161 @@ def st_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_stream_stream_join_replay",
+    """
+    SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+     AND epoch_us(b.ts) >= epoch_us(a.ts)
+     AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
+    ORDER BY a_id, b_id
+    """,
+)
+def st_stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join, driver-checked (previously pytest-only):
+    the events table is split by event_id parity into two independent
+    file streams (4 micro-batches each), joined on user_id with a
+    30-minute interval condition (right side follows left within 30 min)
+    — the conversion/attribution join shape. Each (left-row, right-row)
+    match is emitted EXACTLY ONCE by the join state store whatever the
+    batch interleaving, so the appended memory-sink rows form a
+    batch-order-invariant SET equal to the batch interval join — the
+    driver's order-insensitive hash compares it directly, and a
+    double-emission bug would surface as a row-count mismatch (no
+    defensive distinct hides it). Watermark horizon exceeds the data
+    span (replay files are not time-ordered; see
+    st_tumbling_counts_replay)."""
+    import shutil
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    base = tempfile.mkdtemp(prefix="culvert_replay_ssjoin_")
+    sides = {}
+    for side, par in (("left", 0), ("right", 1)):
+        src = os.path.join(base, side)
+        ev.where(F.col("event_id") % 2 == par).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        sides[side] = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+    left = (
+        sides["left"]
+        .withWatermark("ts", "3650 days")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("a_id"),
+        )
+    )
+    right = (
+        sides["right"]
+        .withWatermark("ts", "3650 days")
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("b_id"),
+        )
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "a_id",
+        "b_id",
+        "user_id",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_us"),
+    )
+    sink = "st_ssjoin_replay_sink"
+    spark.catalog.dropTempView(sink)
+    q = run_to_memory_sink(
+        joined, sink, os.path.join(base, "ck"), output_mode="append"
+    )
+    q.awaitTermination()
+    out = spark.table(sink).orderBy("a_id", "b_id")
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@register(
+    "st_stateful_totals_replay",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def st_stateful_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful API (applyInPandasWithState), driver-checked
+    (previously pytest-only): a running (count, integer-cents sum) per
+    user maintained in explicit GroupState across 4 replayed
+    micro-batches. Each batch that touches a user emits that user's
+    cumulative row; the final state per user is the update row with the
+    maximal n_events (strictly increasing per emission), recovered with
+    max_by — and must equal the batch GROUP BY. Values are folded as
+    ``floor(value*100)`` int64 INSIDE the pandas update function, so the
+    cross-batch accumulation is exact integer arithmetic — immune to the
+    arrival-order float-sum nondeterminism that a raw double total would
+    leak into the hash compare (both engines compute floor on the same
+    IEEE double product).
+
+    Scale: state is one 2-tuple per user partitioned by key; Arrow moves
+    batches; the RocksDB profile (session.rocksdb_state_profile) is the
+    large-key-space posture."""
+    import pandas as pd
+    import shutil
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = t(spark, sf_dir, "events").select("user_id", "value")
+
+    def update(key, pdf_iter, state):
+        import numpy as np
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int(
+                np.floor(pdf["value"].to_numpy() * 100).astype("int64").sum()
+            )
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    def build(stream):
+        return stream.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, "
+            "total_cents bigint",
+            stateStructType="n bigint, cents bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    out = replay_stream(spark, ev, build, "st_stateful_totals",
+                        output_mode="update")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_cents", "n_events").alias("total_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "st_dedup_digest_replay",
     """
     SELECT DISTINCT md5(text) AS digest FROM documents ORDER BY digest

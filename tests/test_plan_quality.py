@@ -566,3 +566,29 @@ def test_embedding_queries_compile_under_wholestage_codegen(spark):
             assert QUERIES[name](spark, SF_SMALL).count() >= 0, name
     finally:
         spark.conf.set("spark.sql.codegen.fallback", prev)
+
+
+def test_bm25_filters_postings_before_aggregation(spark):
+    """BM25's plan must be a postings walk, not a corpus-token pipeline:
+    the query-term IN-filter has to sit directly on the token Generate's
+    output (so only matching postings reach the tf/df aggregates), the
+    df and corpus-stats sides must broadcast, and nothing may cartesian
+    except the 1-row stats scalar."""
+    plan = executed_plan(spark, "t_bm25_topk")
+    final = plan.split("== Initial Plan ==")[0]
+    import re
+
+    # Both token explodes (the tf branch and the df branch) must be
+    # capped by the query-term IN filter sitting directly on the
+    # Generate's output column.
+    in_filters = re.findall(
+        r"Filter tok#\d+ IN \(hash,join,vector\)", final
+    )
+    assert len(in_filters) >= 2, (
+        "query-term IN filter missing above a token Generate",
+        final[:2000],
+    )
+    assert "BroadcastHashJoin" in final, "df/stats sides must broadcast"
+    # The only nested-loop join allowed is the broadcast of the 1-row
+    # (n_docs, avgdl) scalar.
+    assert "CartesianProduct" not in final
