@@ -128,6 +128,7 @@ _PRIORITY = [
     "t_quality_percentile_filter_approx", "q_hive_bucket_write_layout",
     "st_sliding_counts_replay", "t_bm25_topk",
     "st_stream_stream_join_replay", "st_stateful_totals_replay",
+    "st_dedup_expiry_replay",
     # (d) changed in round 5 (4)
     "q_session_window_batch", "s_near_dup_lsh_verified", "s_ann_lsh_top1",
     "s_semantic_dedup_rep",
@@ -141,8 +142,8 @@ _PRIORITY = [
     "t_dup_spans", "t_simhash_fingerprint", "t_ngram_jaccard_pairs",
     "t_incremental_dedup", "t_pretrain_pipeline_e2e",
     "t_pack_sequences", "t_gopher_quality_rules",
-    # padding: sketches / analytics (3)
-    "q_hll_sketch_users", "q_sliding_distinct_users", "q_graph_triangles",
+    # padding: sketches / analytics (2)
+    "q_hll_sketch_users", "q_graph_triangles",
 ]
 
 

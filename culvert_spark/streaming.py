@@ -764,6 +764,102 @@ def st_stateful_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_dedup_expiry_replay",
+    """
+    WITH ordered AS (
+      SELECT event_id, ts, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM events),
+    wm AS (SELECT max(epoch_us(ts)) - 1800000000 AS wm_us
+           FROM ordered WHERE rn <= (2 * n + 2) // 3),
+    gmax AS (SELECT max(epoch_us(ts)) AS gm FROM events),
+    originals AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+    copies AS (
+      SELECT e.event_id,
+             gm + ((e.event_id % 7919) + 1) * 1000000 AS ts_us
+      FROM events e, wm, gmax
+      WHERE e.event_id % 20 = 0
+        AND epoch_us(e.ts) + 1800000000 <= wm_us)
+    SELECT event_id, ts_us FROM originals
+    UNION ALL SELECT event_id, ts_us FROM copies
+    ORDER BY event_id, ts_us
+    """,
+)
+def st_dedup_expiry_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark STATE EXPIRY as a hash row — the
+    semantic that distinguishes it from unbounded dropDuplicates: a
+    duplicate arriving AFTER its key's state has been evicted is
+    re-admitted as new. The on-time events stream in three contiguous
+    time-ordered files; a fourth file re-delivers every 20th event_id
+    with a far-future timestamp (global max + key-jittered seconds, so
+    re-deliveries are never late-filtered). The oracle encodes the
+    MEASURED eviction contract (pinned in
+    tests/test_streaming.py::test_dedup_within_watermark_expiry):
+    end-of-batch-k eviction uses the watermark from data through batch
+    k-1, removal is INCLUSIVE at expiry == watermark, and a duplicate
+    arriving while state exists is dropped regardless of expiry — so a
+    re-delivery in batch 3 is emitted iff
+    first_ts + 30min <= max_ts(files 0..1) - 30min. At sf0.01 both
+    classes are populated (most keys expire; keys first seen near the
+    end of the timeline are still live and their re-deliveries drop).
+
+    Scale: this is the bounded-state dedup the 100 TB stream runs —
+    state size tracks keys inside the horizon, not the stream."""
+    import shutil
+
+    ev = t(spark, sf_dir, "events").select("ts", "event_id")
+    n = ev.count()
+    c1, c2 = (n + 2) // 3, (2 * n + 2) // 3
+    from pyspark.sql import Window
+
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    gm = ev.agg(F.max(F.unix_micros("ts")).alias("gm"))
+    copies = (
+        ev.where(F.col("event_id") % 20 == 0)
+        .crossJoin(F.broadcast(gm))
+        .select(
+            F.timestamp_micros(
+                F.col("gm") + ((F.col("event_id") % 7919) + 1) * 1_000_000
+            ).alias("ts"),
+            "event_id",
+        )
+    )
+    cols = ["ts", "event_id"]
+    base = tempfile.mkdtemp(prefix="culvert_replay_expiry_")
+    src = write_ordered_replay_files(
+        spark,
+        [
+            ranked.where(F.col("rn") <= c1).select(cols),
+            ranked.where((F.col("rn") > c1) & (F.col("rn") <= c2)).select(cols),
+            ranked.where(F.col("rn") > c2).select(cols),
+            copies.select(cols),
+        ],
+        base,
+    )
+    stream = (
+        spark.readStream.schema(ev.select(cols).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ded = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = "st_dedup_expiry_sink"
+    spark.catalog.dropTempView(sink)
+    q = run_to_memory_sink(ded, sink, os.path.join(base, "ck"), "append")
+    q.awaitTermination()
+    out = (
+        spark.table(sink)
+        .select("event_id", F.unix_micros("ts").alias("ts_us"))
+        .orderBy("event_id", "ts_us")
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@register(
     "st_dedup_digest_replay",
     """
     SELECT DISTINCT md5(text) AS digest FROM documents ORDER BY digest

@@ -637,3 +637,58 @@ def test_stateful_replay_under_rocksdb_state_store(spark, tmp_path):
     assert got == {
         (dt.datetime(2024, 1, 1, h), f"t{h % 3}", 3) for h in range(6)
     }
+
+
+def test_dedup_within_watermark_expiry(spark, tmp_path):
+    """Pins the dropDuplicatesWithinWatermark eviction contract
+    st_dedup_expiry_replay's oracle encodes: (a) a duplicate arriving
+    while the key's state exists is DROPPED regardless of expiry; (b)
+    state is evicted at end of batch k using the watermark from data
+    through batch k-1; (c) removal is INCLUSIVE at expiry == watermark
+    (key G: first 01:00 + 30min delay -> expiry 01:30; every pre-dup
+    eviction sees wm = 02:00 - 30min = 01:30 exactly; G's re-delivery
+    IS re-emitted); (d) a re-delivery after eviction is re-admitted as
+    a new row (key E), while a key whose expiry has not been crossed by
+    the lagged watermark stays deduped (key F)."""
+    import datetime as dt
+
+    T = dt.datetime(2020, 1, 1)
+    H, M = dt.timedelta(hours=1), dt.timedelta(minutes=1)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "ts timestamp, k string")
+
+    base = str(tmp_path / "ddw")
+    os.makedirs(base)
+    src = st.write_ordered_replay_files(
+        spark,
+        [
+            # E expiry 01:30; F expiry 02:00; G expiry 01:30.
+            frame([(T + 1 * H, "E"), (T + 1 * H, "G"),
+                   (T + 1 * H + 30 * M, "F"), (T + 2 * H, "W1")]),
+            frame([(T + 2 * H, "W2")]),   # wm stays 01:30 for evictions
+            frame([(T + 20 * H, "E"), (T + 20 * H, "F"),
+                   (T + 20 * H, "G")]),
+        ],
+        base,
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ded = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["k"]
+    )
+    spark.catalog.dropTempView("ddw_expiry_sink")
+    q = st.run_to_memory_sink(
+        ded, "ddw_expiry_sink", str(tmp_path / "ck"), "append"
+    )
+    q.awaitTermination()
+    got = {(r.ts.hour, r.k) for r in spark.table("ddw_expiry_sink").collect()}
+    # E and G re-admitted at 20:00 (expiry 01:30 <= lagged wm 01:30 —
+    # inclusive); F still deduped (expiry 02:00 > 01:30).
+    assert got == {
+        (1, "E"), (1, "G"), (1, "F"), (2, "W1"), (2, "W2"),
+        (20, "E"), (20, "G"),
+    }
