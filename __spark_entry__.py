@@ -89,6 +89,13 @@ try:  # Hive-compatible bucket ids (round 4)
 except ImportError:  # pragma: no cover
     pass
 
+try:  # skew-mitigation parity rows (round 5)
+    from culvert_spark import skew as _sk
+
+    _REGISTRIES.append(_sk)
+except ImportError:  # pragma: no cover
+    pass
+
 
 #: Driver CORRECTNESS verification covers the first N registered queries in
 #: registration order (50-query window per round).  Rounds 1–4 recorded 191
@@ -142,8 +149,10 @@ _PRIORITY = [
     "t_dup_spans", "t_simhash_fingerprint", "t_ngram_jaccard_pairs",
     "t_incremental_dedup", "t_pretrain_pipeline_e2e",
     "t_pack_sequences", "t_gopher_quality_rules",
-    # padding: sketches / analytics (2)
-    "q_hll_sketch_users", "q_graph_triangles",
+    # new round-5 registration (late): salting parity
+    "q_salted_join_parity",
+    # padding: sketches / analytics (1)
+    "q_graph_triangles",
 ]
 
 

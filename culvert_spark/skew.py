@@ -68,3 +68,63 @@ def salted_count(df: DataFrame, key: str, salts: int = 16) -> DataFrame:
         .groupBy(key)
         .agg(F.sum("_partial").cast("bigint").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-checked surface: salting correctness as oracle rows (round 5 —
+# skew.py was pytest-only; salting preserves results EXACTLY, so the plain
+# un-salted SQL is a full value-hash oracle for the salted plan).
+# ---------------------------------------------------------------------------
+
+from culvert_spark.queries import (  # noqa: E402
+    ORACLE,
+    QUERIES,
+    register,
+    t,
+)
+
+
+@register(
+    "q_salted_join_parity",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q_salted_join_parity(spark, sf_dir: str):
+    """The salted hot-key join, driver-checked: lineitem⋈orders runs
+    through :func:`salted_join` (16 salts — lineitem's deterministic
+    row-hash salt, orders replicated per salt, join key widened to
+    (l_orderkey, _salt)) and aggregates per order priority; the oracle is
+    the PLAIN un-salted join, because salting's whole contract is exact
+    result preservation. A driver mismatch would mean replica
+    duplication, salt skew into the key, or a dropped unmatched row —
+    precisely the bugs hand-rolled salting produces.
+
+    Scale shape: the salt spreads any single hot l_orderkey over 16
+    tasks at the cost of a 16x replication of the (smaller) orders side
+    — the documented trade for shuffled joins AQE's skew splitting
+    cannot rescue (e.g. when the downstream op needs the co-partitioned
+    layout). DECIMAL sums keep the aggregate order-free (exact; the final
+    cast to DOUBLE is lossless for integral quantities)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "l_orderkey", salts=16)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

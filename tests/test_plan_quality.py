@@ -592,3 +592,19 @@ def test_bm25_filters_postings_before_aggregation(spark):
     # The only nested-loop join allowed is the broadcast of the 1-row
     # (n_docs, avgdl) scalar.
     assert "CartesianProduct" not in final
+
+
+def test_query_path_sets_jit_aligned_codegen_limit(spark):
+    """The engine's execution contract pins
+    spark.sql.codegen.hugeMethodLimit=8000 (HotSpot's
+    DontCompileHugeMethods threshold): fused stages past it compile but
+    never JIT and run in the JVM bytecode interpreter — measured 3.7x
+    slower on the LSH probe stage. The driver uses a VANILLA session, so
+    the limit must be self-configured by the query path (queries.t), not
+    only by session.get_spark; this gate fails if that self-configuration
+    is ever dropped."""
+    from culvert_spark.queries import t as _t
+
+    spark.conf.unset("spark.sql.codegen.hugeMethodLimit")
+    _t(spark, SF_SMALL, "region")
+    assert spark.conf.get("spark.sql.codegen.hugeMethodLimit") == "8000"
