@@ -121,6 +121,18 @@ except ImportError:  # pragma: no cover
 #: the dedup/training-prep workhorses).  Names missing from the registries
 #: are ignored; registered names missing from this list keep their module
 #: registration order after the priority block.
+#:
+#: ROUND-6 ROTATION (do this at the start of round 6, after CORRECTNESS_r05
+#: lands): no round-5 change is left without a scheduled row — the r5
+#: window covers every new registration and every output-affecting change
+#: (the hugeMethodLimit=8000 execution-contract change is perf-only; no
+#: output changed outside this window).  Round 6 should therefore rotate
+#: for FRESHNESS: front-load any query whose round-5 row failed (expected:
+#: none), then the ~50 queries with the OLDEST driver rows (r1/r2
+#: vintage — the TPC-H Q2–Q22 block, window-rank suite, set ops, scalar
+#: functions), then any round-6 registrations/changes.  Keep the invariant:
+#: every query whose implementation or oracle changes in a round gets a
+#: fresh row in that round's window.
 _PRIORITY = [
     # (a) round-4 registrations without driver rows (11)
     "st_tumbling_counts_replay", "st_session_window_replay",
