@@ -114,8 +114,10 @@ except ImportError:  # pragma: no cover
 #: implementation or oracle CHANGED in round 5 and therefore need fresh
 #: rows — q_session_window_batch (oracle boundary `>=`→`>`, matching
 #: Spark's merge-at-exact-gap), s_near_dup_lsh_verified / s_ann_lsh_top1 /
-#: s_semantic_dedup_rep (hyperplane projections rebuilt as HOF folds to
-#: stay inside whole-stage codegen), and q_hive_bucket_histogram (v1 hash
+#: s_semantic_dedup_rep (hyperplane projections rebuilt as unrolled
+#: signed-sum F.expr columns in a dedicated Project stage —
+#: textops.with_hyperplane_projections — so whole-stage codegen splits
+#: them into JIT-able submethods), and q_hive_bucket_histogram (v1 hash
 #: now folds signed UTF-8 bytes; already in (a)) — padded to 50 with the
 #: highest-value already-green re-verifies (the 12 bench headliners and
 #: the dedup/training-prep workhorses).  Names missing from the registries

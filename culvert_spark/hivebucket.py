@@ -234,9 +234,13 @@ def write_hive_bucketed(
     Mechanics: ``repartition(num_buckets, '_hive_bucket')`` puts each
     bucket id's rows into a single partition (several ids may share one —
     irrelevant), then ``partitionBy('_hive_bucket')`` splits the write so
-    each bucket value is emitted by exactly one task → exactly one part
-    file per non-empty bucket; the part files are then MOVED to Hive's
-    ``%06d_0`` names at the table root and the scratch dirs removed.
+    each bucket value is emitted by exactly one task → normally exactly
+    one part file per non-empty bucket; the part files are then MOVED to
+    Hive's ``%06d_0`` names at the table root and the scratch dirs
+    removed. If the writer split a bucket into several parts (e.g. under
+    ``spark.sql.files.maxRecordsPerFile``) the parts are concatenated
+    driver-side via pyarrow into the single bucket file — correct but
+    driver-memory-bound, so unset maxRecordsPerFile for huge buckets.
     Missing (empty) buckets are filled with schema-only parquet written
     via pyarrow on the driver — no Spark job per empty bucket.
 
@@ -267,9 +271,18 @@ def write_hive_bucketed(
         parts = sorted(
             _glob.glob(os.path.join(scratch, f"_hive_bucket={b}", "*.parquet"))
         )
-        if len(parts) > 1:  # can't happen: one task per bucket value
-            raise RuntimeError(f"bucket {b} split across {len(parts)} files")
-        if parts:
+        if len(parts) > 1:
+            # partitionBy normally emits ONE part per bucket value (one
+            # task per value after the repartition), but the writer is
+            # allowed to split a task's output — e.g. when
+            # spark.sql.files.maxRecordsPerFile is set, or a future
+            # writer rolls files by size. Hive's contract is one file
+            # per bucket, so concatenate the parts (driver-side pyarrow,
+            # row-group-preserving) into the single %06d_0 file.
+            pq.write_table(
+                pa.concat_tables([pq.read_table(p) for p in parts]), dest
+            )
+        elif parts:
             shutil.move(parts[0], dest)
         else:
             if empty_schema is None:

@@ -76,9 +76,14 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Generate→3-join→64-term-dot-residual probe stage fuses past 8K.
     # At 8000 such stages fall back to per-operator compiled projections
     # (each split into JIT-able submethods) — faster than BOTH the fused
-    # giant (not JIT'd) and full expression interpretation. Set here so
-    # the vanilla driver session gets the engine's execution contract.
-    spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
+    # giant (not JIT'd) and full expression interpretation. DELIBERATE
+    # session mutation: the driver hands these functions its own vanilla
+    # SparkSession, and this read helper is the engine's only guaranteed
+    # entry point, so the execution contract is applied here — but only
+    # once (guarded), so a co-resident workload that explicitly chose a
+    # different limit after the first culvert read keeps its choice.
+    if spark.conf.get("spark.sql.codegen.hugeMethodLimit", "65535") == "65535":
+        spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -242,47 +242,70 @@ def run_to_memory_sink(
     )
 
 
-def running_totals_tws(events: DataFrame) -> DataFrame:
+def running_totals_tws(events: DataFrame, cents: bool = False) -> DataFrame:
     """The same running (count, sum(value)) per user as
     running_totals_stateful, on Spark 4's transformWithStateInPandas —
     the successor stateful API (SPARK-49768 family): typed state handles
     (value/list/map state), timers, and state-TTL replace the single
     GroupState tuple of applyInPandasWithState.
 
+    ``cents=True`` switches the accumulator to exact integer cents
+    (``floor(value*100)`` per row, as in st_stateful_totals_replay) so a
+    cross-batch total is immune to float-sum ordering — the form the
+    driver hash row needs. The key column keeps the input's type.
+
     Scale: identical to the older API — state partitioned by the grouping
     key, Arrow-batched input, RocksDB-backed state store on a cluster.
 
     Runtime requirements: the RocksDB state-store provider
-    (``spark.sql.streaming.stateStore.providerClass``) and the
-    ``protobuf`` Python package (the state-server protocol is protobuf —
-    absent from this container, so the pytest for this operator skips
-    when the import fails; the applyInPandasWithState twin above is the
-    fully-exercised path here)."""
+    (``spark.sql.streaming.stateStore.providerClass``) and the public
+    ``google.protobuf`` runtime (the state-server protocol is protobuf).
+    The runtime is not pip-installed in this container —
+    :mod:`culvert_spark.pbshim` discovers a host-bundled pure-Python copy
+    and exposes it to driver and workers; when none exists the pytest for
+    this operator skips and st_stateful_totals_tws is not registered (the
+    applyInPandasWithState twin above remains the fully-proven path)."""
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
     from pyspark.sql import types as T
+
+    key_t = events.schema["user_id"].dataType.simpleString()
+    val_field = "total_cents bigint" if cents else "total_value double"
+    out_type = f"user_id {key_t}, n_events bigint, {val_field}"
+    val_name = "total_cents" if cents else "total_value"
 
     class RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             schema = T.StructType(
                 [
                     T.StructField("n", T.LongType()),
-                    T.StructField("total", T.DoubleType()),
+                    T.StructField(
+                        "total", T.LongType() if cents else T.DoubleType()
+                    ),
                 ]
             )
             self._state = handle.getValueState("totals", schema)
 
         def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
             if self._state.exists():
                 n, total = self._state.get()
             else:
-                n, total = 0, 0.0
+                n, total = 0, (0 if cents else 0.0)
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
+                if cents:
+                    total += int(
+                        np.floor(pdf["value"].to_numpy() * 100)
+                        .astype("int64")
+                        .sum()
+                    )
+                else:
+                    total += float(pdf["value"].sum())
             self._state.update((n, total))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+                {"user_id": [key[0]], "n_events": [n], val_name: [total]}
             )
 
         def close(self) -> None:
@@ -293,7 +316,7 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .transformWithStateInPandas(
             statefulProcessor=RunningTotals(),
-            outputStructType="user_id string, n_events bigint, total_value double",
+            outputStructType=out_type,
             outputMode="Update",
             timeMode="None",
         )
@@ -426,6 +449,16 @@ import tempfile
 from pyspark.sql import SparkSession
 
 from culvert_spark.queries import QUERIES, ORACLE, register, t  # noqa: F401,E402
+from culvert_spark import pbshim as _pbshim  # noqa: E402
+
+#: Whether the transformWithStateInPandas protocol can run here. Resolved
+#: at module import DELIBERATELY: workers inherit the JVM's environment
+#: captured at SparkSession launch, so the PYTHONPATH shim must be in
+#: os.environ before any session exists — and importing this module (the
+#: driver contract does, via __spark_entry__) is the earliest hook we
+#: own. Guarded + idempotent: a host with a real google.protobuf, or
+#: none at all, is left untouched (see culvert_spark/pbshim.py).
+HAS_PROTOBUF = _pbshim.ensure_protobuf(worker_env=True)
 
 
 def replay_stream(
@@ -761,6 +794,71 @@ def st_stateful_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def st_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_stateful_totals_replay on Spark 4's SUCCESSOR stateful API:
+    the same running (count, integer-cents sum) per user replayed across
+    4 micro-batches, but maintained in a transformWithStateInPandas
+    typed ValueState (running_totals_tws above) instead of the
+    applyInPandasWithState GroupState tuple — so a user migrating to the
+    new API gets the identical cross-batch accumulation contract as a
+    hash row against the same batch GROUP BY oracle.
+
+    Registered only when the protobuf runtime is available
+    (HAS_PROTOBUF): the TWS state-server protocol needs it in driver AND
+    workers (culvert_spark/pbshim.py). The RocksDB state-store provider
+    is required by the API; it is set for this replay and restored
+    after (provider choice binds at query start, so concurrent replays
+    in the same session are unaffected)."""
+    ev = t(spark, sf_dir, "events").select("user_id", "value")
+    # The state-server worker needs google.protobuf too; forward the
+    # sitecustomize shim through sc.environment (reaches workers even
+    # when the session predates the shim import — see pbshim).
+    _pbshim.ensure_worker_env(spark)
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = replay_stream(
+            spark,
+            ev,
+            lambda s: running_totals_tws(s, cents=True),
+            "st_stateful_tws",
+            output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_cents", "n_events").alias("total_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+if HAS_PROTOBUF:
+    register(
+        "st_stateful_totals_tws",
+        """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+        """,
+    )(st_stateful_totals_tws)
 
 
 @register(

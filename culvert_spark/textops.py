@@ -1183,12 +1183,29 @@ def s_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract is s_near_dup_lsh_verified (multi-band LSH candidates + exact
     cosine verify, recall pinned by pytest)."""
     e = spread(t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    # Norms are per-ROW: compute them ONCE per side in a dedicated
+    # pre-join Project (O(n), and codegen splits a Project's unrolled
+    # sums into JIT-able submethods). Leaving all three 64-term dots in
+    # the post-join cos meant the `cos >= 0.4` filter — which references
+    # both sides — was pushed into the BroadcastNestedLoopJoin CONDITION,
+    # where codegen cannot split: the generated bnlj_doConsume blew the
+    # JVM's 64 KB method limit (hard Janino failure → whole stage
+    # silently interpreted). One dot in the pair stage compiles clean
+    # (same shape as s_near_dup_lsh_verified's verify join, gated under
+    # spark.sql.codegen.fallback=false).
+    e = e.withColumn("nrm", F.sqrt(F.expr(_dot_spark("embedding", "embedding"))))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     dot = F.expr(_dot_spark("va", "vb"))
-    na = F.expr(_dot_spark("va", "va"))
-    nb = F.expr(_dot_spark("vb", "vb"))
-    cos = dot / (F.sqrt(na) * F.sqrt(nb))
+    cos = dot / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cos_raw"))

@@ -214,7 +214,8 @@ def t_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(LENGTH(text)
                     - 10 * len(list_filter({TOK_DUCK},
                                x -> x = 'a' OR x = 'the')) AS DOUBLE)
-               / len({TOK_DUCK}) AS qs
+               / len({TOK_DUCK})
+               + CAST(doc_id % 100003 AS DOUBLE) * 1e-13 AS qs
         FROM documents))
     GROUP BY source
     ORDER BY source
@@ -234,15 +235,28 @@ def t_quality_percentile_filter_approx(
 
     Tolerance-oracle shape: the exact kept count per source is emitted
     next to a flag that the approx-threshold kept count landed within
-    max(2% of n_docs, ±2 docs) of it (the floor absorbs tie/boundary
-    docs on small sources); kept_if_deviant surfaces the approx count in
-    any future mismatch diff."""
+    max(2% of n_docs, ±2 docs) of it (the floor absorbs boundary docs on
+    small sources); kept_if_deviant surfaces the approx count in any
+    future mismatch diff.
+
+    Tie robustness (round-5 ADVICE): a raw score has ties (many docs
+    share a length/token profile), and around the median a tie group
+    makes ``qs >= threshold`` (counts the whole group) and
+    ``percent_rank <= 0.5`` (counts to the group's first rank) diverge
+    by the group size — a data change could then blow the ±2 floor. The
+    score is therefore made UNIQUE with a deterministic doc_id-derived
+    epsilon, ``+ (doc_id % 100003) * 1e-13`` — far below any meaningful
+    score gap (scores are O(1)), identical IEEE arithmetic on both
+    engines, so both sides count the same strictly-ordered set and the
+    only remaining divergence is genuine sketch error."""
     d = t(spark, sf_dir, "documents")
     qs = (
         F.length("text")
         - 10
         * F.expr(f"size(filter({TOK_SPARK}, x -> x = 'a' OR x = 'the'))")
-    ).cast("double") / F.expr(f"size({TOK_SPARK})")
+    ).cast("double") / F.expr(f"size({TOK_SPARK})") + (
+        F.col("doc_id") % 100003
+    ).cast("double") * F.lit(1e-13)
     scored = spread(d.select("source", "doc_id", qs.alias("qs")))
     thr = scored.groupBy("source").agg(
         F.percentile_approx("qs", 0.5, 10000).alias("thr")

@@ -551,8 +551,13 @@ def test_embedding_queries_compile_under_wholestage_codegen(spark):
     interpreter — correct results, real CPU cost at 100x. With
     spark.sql.codegen.fallback=false a compile failure THROWS instead of
     falling back, so this test fails the moment any of these plans stops
-    compiling. The fix: hyperplane projections are HOF folds
-    (textops._proj_col), never unrolled F.expr sums, on the Spark side."""
+    compiling. The fix: hyperplane projections are unrolled signed-sum
+    F.expr columns materialized in a DEDICATED Project stage
+    (textops.with_hyperplane_projections) — codegen splits a plain
+    Project's expression list into JIT-able submethods — never inlined
+    into a Generate input or join residual, where they would fuse into
+    one giant method. (HOF aggregate/zip_with folds were measured 8x
+    slower — two array allocations per row — and rejected.)"""
     prev = spark.conf.get("spark.sql.codegen.fallback", "true")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try:
@@ -562,6 +567,10 @@ def test_embedding_queries_compile_under_wholestage_codegen(spark):
             "s_semantic_dedup_rep",
             "s_embedding_quantize_int8",
             "q_embedding_covariance",
+            # r6: its 3-dot cos filter used to be pushed into the BNLJ
+            # join condition and hard-fail Janino's 64 KB method limit
+            # (norms now precomputed per side — one dot in the pair stage)
+            "s_embedding_near_dup",
         ):
             assert QUERIES[name](spark, SF_SMALL).count() >= 0, name
     finally:
