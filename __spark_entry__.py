@@ -96,6 +96,13 @@ try:  # skew-mitigation parity rows (round 5)
 except ImportError:  # pragma: no cover
     pass
 
+try:  # custom Python DataSource connector row (round 6)
+    from culvert_spark import pydatasource as _pds
+
+    _REGISTRIES.append(_pds)
+except ImportError:  # pragma: no cover
+    pass
+
 
 #: Driver CORRECTNESS verification covers the first N registered queries in
 #: registration order (50-query window per round).  Rounds 1–4 recorded 191

@@ -301,6 +301,91 @@ def write_hive_bucketed(
     return files
 
 
+def write_hive_bucketed_partitioned(
+    df: DataFrame,
+    path: str,
+    part_cols: list,
+    key: str,
+    num_buckets: int,
+    version: int = 2,
+) -> dict:
+    """The reference table's FULL DDL shape — partitioned AND clustered
+    (`/root/reference/README.md:51-66`: ``partitioned by (year, month)
+    clustered by (user_id) into N buckets``): every partition directory
+    ``year=Y/month=M/`` holds the complete ``%06d_0`` bucket file set
+    over the DATA columns (partition and routing columns stripped, as
+    Hive stores them), empty buckets included per partition — the layout
+    Hive's bucketed map join and sort-merge-bucket readers require
+    within each pruned partition.
+
+    Mechanics: one shuffle on ``(part_cols…, _hive_bucket)`` so each
+    (partition, bucket) combination lands wholly in one task, then a
+    single ``partitionBy(part_cols…, _hive_bucket)`` write → one part
+    file per combination; the driver then renames per partition dir and
+    fills missing buckets with schema-only files.
+
+    Scale: combinations spread over P×B tasks (vs one task per bucket
+    in the flat writer) so the write runs wide; driver-side work is
+    P×B renames — metadata ops, no data movement. Multi-part
+    combinations (maxRecordsPerFile) are concatenated like
+    :func:`write_hive_bucketed`.
+
+    Returns ``{relative_partition_dir: [bucket file paths]}``."""
+    import glob as _glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    scratch = path.rstrip("/") + "__scratch"
+    routed = with_hive_bucket(df, key, num_buckets, version)
+    (
+        routed.repartition(*part_cols, "_hive_bucket")
+        .write.mode("overwrite")
+        .partitionBy(*part_cols, "_hive_bucket")
+        .parquet(scratch)
+    )
+    data_schema = to_arrow_schema(df.drop(*part_cols).schema)
+    # Discover partition dirs: any directory that holds _hive_bucket=*
+    # children (handles arbitrary partition-column depth).
+    part_dirs = sorted(
+        {
+            os.path.relpath(os.path.dirname(d), scratch)
+            for d in _glob.glob(
+                os.path.join(scratch, *["*=*"] * len(part_cols),
+                             "_hive_bucket=*")
+            )
+        }
+    )
+    out: dict = {}
+    for rel in part_dirs:
+        dest_dir = os.path.join(path, rel)
+        os.makedirs(dest_dir, exist_ok=True)
+        files = []
+        for b in range(num_buckets):
+            dest = os.path.join(dest_dir, f"{b:06d}_0")
+            parts = sorted(
+                _glob.glob(
+                    os.path.join(scratch, rel, f"_hive_bucket={b}",
+                                 "*.parquet")
+                )
+            )
+            if len(parts) > 1:
+                pq.write_table(
+                    pa.concat_tables([pq.read_table(p) for p in parts]), dest
+                )
+            elif parts:
+                shutil.move(parts[0], dest)
+            else:
+                pq.write_table(data_schema.empty_table(), dest)
+            files.append(dest)
+        out[rel] = files
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver-checked surface: v1 bucket histogram with a cross-engine oracle
 # ---------------------------------------------------------------------------

@@ -128,3 +128,81 @@ def q_salted_join_parity(spark, sf_dir: str):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_salted_count_parity",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_salted_count_parity(spark, sf_dir: str):
+    """:func:`salted_count`'s explicit two-phase aggregation as a driver
+    row (round-5 verdict item 6 — it was pytest-only): COUNT(*) per
+    event_type computed as (event_type, salt) partials summed per key,
+    against the plain one-phase GROUP BY oracle. Exact parity is the
+    whole contract — a mismatch means the salt leaked into the key or a
+    partial was double-counted.
+
+    Scale shape: event_type has single-digit cardinality, i.e. EVERY key
+    is hot — exactly the profile where a holistic aggregate (collect_*,
+    exact percentile) cannot rely on map-side combine and needs the
+    explicit (key, salt) pre-shuffle. For the algebraic COUNT shown here
+    Spark's own partial aggregation already does this; the row pins the
+    explicit formulation a user must reach for when it doesn't."""
+    ev = t(spark, sf_dir, "events").select("event_type")
+    return salted_count(ev, "event_type", salts=16).orderBy("event_type")
+
+
+@register(
+    "q_salted_left_join_parity",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(c.c_acctbal) AS BIGINT) AS n_matched,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS matched_bal
+    FROM orders o
+    LEFT JOIN (SELECT * FROM customer
+               WHERE c_mktsegment = 'BUILDING') c
+      ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q_salted_left_join_parity(spark, sf_dir: str):
+    """The LEFT branch of :func:`salted_join`, driver-checked (round-5
+    verdict item 6 — only the inner branch had a row): orders LEFT JOIN
+    the BUILDING-segment slice of customer through the salted plan, so a
+    large share of orders rows are UNMATCHED and must survive exactly
+    once each. That is the branch's specific hazard: an unmatched big
+    row exists in exactly one (key, salt) partition, but a bug that
+    salted the replicated side independently (or joined on the key
+    alone) would emit it once per salt. n_orders pins row preservation,
+    n_matched/matched_bal pin that matches still land (DECIMAL sum keeps
+    the total order-free; NULL for match-free groups is identical in
+    both engines).
+
+    Scale shape: same 16-way hot-key spread as q_salted_join_parity with
+    the filtered dimension replicated 16x — the documented trade."""
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_acctbal")
+    )
+    joined = salted_join(orders, cust, "o_custkey", salts=16, how="left")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("c_acctbal").alias("n_matched"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("matched_bal"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -249,3 +249,51 @@ def test_write_hive_bucketed_multipart_concat(spark, tmp_path):
         got.extend(zip(tbl.column("k").to_pylist(),
                        tbl.column("v").to_pylist()))
     assert sorted(got) == sorted(rows)  # no row lost or duplicated
+
+def test_write_hive_bucketed_partitioned_layout(spark, tmp_path):
+    """The composed reference DDL (partitioned by (year, month) AND
+    clustered by (user_id) into 8 buckets, README.md:51-66): every
+    partition directory must hold the COMPLETE %06d_0 bucket file set
+    over the data columns only (partition + routing cols stripped), with
+    file i containing exactly that partition's rows whose v2 bucket id
+    is i, and empty buckets present as schema-only files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from culvert_spark.hivebucket import write_hive_bucketed_partitioned
+
+    rows = [
+        (2018, m, f"user-{i}", m * 100 + i) for m in (1, 2) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "year int, month int, user_id string, v long"
+    )
+    out = str(tmp_path / "ptbl")
+    layout = write_hive_bucketed_partitioned(
+        df, out, ["year", "month"], "user_id", 8, version=2
+    )
+    assert sorted(layout) == ["year=2018/month=1", "year=2018/month=2"]
+    total = 0
+    for rel, files in layout.items():
+        month = int(rel.split("month=")[1])
+        assert [os.path.basename(f) for f in files] == [
+            f"{b:06d}_0" for b in range(8)
+        ]
+        assert sorted(os.listdir(os.path.join(out, rel))) == [
+            f"{b:06d}_0" for b in range(8)
+        ]
+        for b, f in enumerate(files):
+            tbl = pq.read_table(f)
+            assert tbl.schema.names == ["user_id", "v"]  # data cols only
+            for uid, v in zip(
+                tbl.column("user_id").to_pylist(), tbl.column("v").to_pylist()
+            ):
+                want = (
+                    _murmur3_32(uid.encode("utf-8"), HIVE_MURMUR_SEED)
+                    & 0x7FFFFFFF
+                ) % 8
+                assert want == b, (uid, want, b)
+                assert v // 100 == month  # no cross-partition leakage
+            total += tbl.num_rows
+    assert total == 80
