@@ -105,75 +105,63 @@ except ImportError:  # pragma: no cover
 
 
 #: Driver CORRECTNESS verification covers the first N registered queries in
-#: registration order (50-query window per round).  Rounds 1–4 recorded 191
-#: of the 202 queries registered through round 4 (184 hash-green, 7
-#: rows-only-by-design, 0 failures) — those keep their CORRECTNESS rows.
-#: Round 5 executes the ROUND-5 ROTATION from the round-4 verdict:
-#: (a) the 11 round-4 registrations with no driver row yet (st_* replay ×5,
-#: t_cdc_chunk_dedup, t_incremental_dedup_persisted, q_hive_bucket_histogram,
-#: q_graph_pagerank, q_embedding_covariance, v_gram_matrix rows-only),
-#: (b) q_approx_distinct (schema gained *_est_if_deviant columns in r4 —
-#: its r2 row is stale) and the two documented deferrals t_dedup_clusters
-#: and q_sessionize_events, (c) the three queries REGISTERED in round 5
-#: (st_late_drop_replay: finite-watermark late-drop semantics;
-#: q_sliding_distinct_hll + t_quality_percentile_filter_approx: the
-#: tolerance-oracle approx scale-twins), (d) the five queries whose
-#: implementation or oracle CHANGED in round 5 and therefore need fresh
-#: rows — q_session_window_batch (oracle boundary `>=`→`>`, matching
-#: Spark's merge-at-exact-gap), s_near_dup_lsh_verified / s_ann_lsh_top1 /
-#: s_semantic_dedup_rep (hyperplane projections rebuilt as unrolled
-#: signed-sum F.expr columns in a dedicated Project stage —
-#: textops.with_hyperplane_projections — so whole-stage codegen splits
-#: them into JIT-able submethods), and q_hive_bucket_histogram (v1 hash
-#: now folds signed UTF-8 bytes; already in (a)) — padded to 50 with the
-#: highest-value already-green re-verifies (the 12 bench headliners and
-#: the dedup/training-prep workhorses).  Names missing from the registries
-#: are ignored; registered names missing from this list keep their module
-#: registration order after the priority block.
+#: registration order (50-query window per round).  Rounds 1–5 recorded a
+#: COMPLETE ledger: all 212 queries registered through round 5 have driver
+#: rows (204 hash-green, 8 rows-only by design, 0 failures) — CORRECTNESS_r05
+#: landed exactly on the documented ROUND-5 ROTATION (49 hash-green + 1
+#: rows-only v_gram_matrix).
 #:
-#: ROUND-6 ROTATION (do this at the start of round 6, after CORRECTNESS_r05
-#: lands): no round-5 change is left without a scheduled row — the r5
-#: window covers every new registration and every output-affecting change
-#: (the hugeMethodLimit=8000 execution-contract change is perf-only; no
-#: output changed outside this window).  Round 6 should therefore rotate
-#: for FRESHNESS: front-load any query whose round-5 row failed (expected:
-#: none), then the ~50 queries with the OLDEST driver rows (r1/r2
-#: vintage — the TPC-H Q2–Q22 block, window-rank suite, set ops, scalar
-#: functions), then any round-6 registrations/changes.  Keep the invariant:
-#: every query whose implementation or oracle changes in a round gets a
-#: fresh row in that round's window.
+#: Round 6 executes the ROUND-6 FRESHNESS ROTATION from the round-5 verdict:
+#: (a) the 4 queries REGISTERED in round 6 — st_stateful_totals_tws (the
+#: transformWithStateInPandas replay twin, runnable now that pbshim
+#: discovers a protobuf runtime), q_salted_count_parity +
+#: q_salted_left_join_parity (the two salted shapes that were pytest-only),
+#: and pds_synth_docs (the Python DataSource connector, value-hash oracle
+#: that regenerates the rows in DuckDB);
+#: (b) the 2 queries whose implementation or oracle CHANGED in round 6 —
+#: t_quality_percentile_filter_approx (doc_id-epsilon tie-break added to
+#: BOTH engines' score so the tolerance bound is tie-proof) and
+#: s_embedding_near_dup (per-side norms hoisted into a pre-join Project;
+#: the 3-dot cos in the BNLJ condition used to hard-fail Janino's 64 KB
+#: method limit — values unchanged, plan recompiled);
+#: (c) FRESHNESS: all 38 queries whose only driver row is round-1 vintage
+#: (TPC-H Q2/Q4/Q7–Q12 block, joins/set-ops/scalar-function/window rows),
+#: then the 6 oldest round-2 rows (window-rank suite, TPC-H Q13–Q17) — so
+#: after this round no registered query's newest row predates round 2, and
+#: the remaining ~31 round-2-vintage rows (TPC-H Q18–Q22, agg/scalar
+#: variants, t_* text-analysis, v_* vectorops, multimodal rows-only,
+#: y_ysb) are the ROUND-7 ROTATION, after any round-7 registrations and
+#: changes.  Keep the invariant: every query whose implementation or
+#: oracle changes in a round gets a fresh row in that round's window.
+#: Names missing from the registries are ignored; registered names missing
+#: from this list keep their module registration order after the priority
+#: block.
 _PRIORITY = [
-    # (a) round-4 registrations without driver rows (11)
-    "st_tumbling_counts_replay", "st_session_window_replay",
-    "st_dedup_digest_replay", "st_merge_dedup_replay",
-    "st_restart_recovery_replay", "t_cdc_chunk_dedup",
-    "t_incremental_dedup_persisted", "q_hive_bucket_histogram",
-    "q_graph_pagerank", "q_embedding_covariance", "v_gram_matrix",
-    # (b) stale schema + documented deferrals (3)
-    "q_approx_distinct", "t_dedup_clusters", "q_sessionize_events",
-    # (c) new round-5 registrations (6)
-    "st_late_drop_replay", "q_sliding_distinct_hll",
-    "t_quality_percentile_filter_approx", "q_hive_bucket_write_layout",
-    "st_sliding_counts_replay", "t_bm25_topk",
-    "st_stream_stream_join_replay", "st_stateful_totals_replay",
-    "st_dedup_expiry_replay",
-    # (d) changed in round 5 (4)
-    "q_session_window_batch", "s_near_dup_lsh_verified", "s_ann_lsh_top1",
-    "s_semantic_dedup_rep",
-    # padding: bench headliners (11)
-    "q01_pricing_summary", "q03_shipping_priority", "q05_regional_revenue",
-    "q06_revenue_forecast", "q_top3_orders_per_customer", "q_asof_prior_view",
-    "q_hourly_event_counts", "q_pivot_user_event_values", "t_token_top20",
-    "t_minhash_lsh_pairs", "s_cosine_topk",
-    # padding: dedup / training-prep workhorses (12)
-    "t_exact_dedup_stats", "t_exact_dedup_groups", "t_dedup_keep_best",
-    "t_dup_spans", "t_simhash_fingerprint", "t_ngram_jaccard_pairs",
-    "t_incremental_dedup", "t_pretrain_pipeline_e2e",
-    "t_pack_sequences", "t_gopher_quality_rules",
-    # new round-5 registration (late): salting parity
-    "q_salted_join_parity",
-    # padding: sketches / analytics (1)
-    "q_graph_triangles",
+    # (a) new round-6 registrations (4)
+    "st_stateful_totals_tws", "q_salted_count_parity",
+    "q_salted_left_join_parity", "pds_synth_docs",
+    # (b) changed in round 6 (2)
+    "t_quality_percentile_filter_approx", "s_embedding_near_dup",
+    # (c) freshness: every round-1-vintage row (38)
+    "q02_cheapest_part_per_type", "q04_priority_exists",
+    "q07_nation_volume", "q08_market_share", "q09_profit_by_nation_year",
+    "q10_returned_items", "q11_supplier_concentration",
+    "q12_priority_case_agg", "q_anti_join_no_big_order",
+    "q_cross_join_region_status", "q_cube_lineitem",
+    "q_date_math_shipping", "q_distinct_users_per_type", "q_except_all",
+    "q_from_json_struct", "q_grouping_sets_events",
+    "q_higher_order_array_funcs", "q_json_props",
+    "q_latest_event_per_user", "q_map_functions", "q_math_funcs",
+    "q_order_status_dist", "q_outer_join_order_counts", "q_percentiles",
+    "q_range_frame_window", "q_range_pred_join", "q_rollup_orders",
+    "q_running_customer_total", "q_semi_join_urgent", "q_set_except",
+    "q_set_intersect", "q_set_ops_all", "q_sliding_window_counts",
+    "q_stats_corr", "q_string_funcs_parts", "q_top_customer_per_nation",
+    "q_union_active_parties", "q_unpivot_rates",
+    # (c) freshness: the 6 oldest round-2-vintage rows (6)
+    "q_window_rank_suite", "q13_order_count_distribution",
+    "q14_promo_share", "q15_top_supplier", "q16_supplier_variety",
+    "q17_below_avg_quantity",
 ]
 
 

@@ -323,6 +323,85 @@ def running_totals_tws(events: DataFrame, cents: bool = False) -> DataFrame:
     )
 
 
+def last_k_events_tws(events: DataFrame, k: int = 3) -> DataFrame:
+    """Typed LIST + MAP state on transformWithStateInPandas — the two
+    state shapes the successor API adds over applyInPandasWithState's
+    single GroupState tuple (which forces hand-rolled encodings for
+    collections):
+
+    - ``ListState``: the last ``k`` event_ids per user, appended per
+      batch and truncated with ``put`` — a bounded recent-history buffer
+      (the "last N actions" feature every personalization pipeline
+      keeps).
+    - ``MapState``: per-event_type counts for the same user, updated
+      key-wise with ``updateValue`` — no read-modify-write of a whole
+      collection blob.
+
+    Emits one row per (user, batch): the current last-k ids (ascending)
+    and the total tracked across all event types. Same availableNow
+    replay determinism as the other stateful ops: state is partitioned
+    by user_id; each handle is RocksDB-backed at scale.
+
+    Runtime requirements: as :func:`running_totals_tws` (protobuf via
+    pbshim + the RocksDB state-store provider)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql import types as T
+
+    class LastK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._recent = handle.getListState(
+                "recent",
+                T.StructType([T.StructField("event_id", T.LongType())]),
+            )
+            self._by_type = handle.getMapState(
+                "by_type",
+                T.StructType([T.StructField("event_type", T.StringType())]),
+                T.StructType([T.StructField("n", T.LongType())]),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            ids = [r[0] for r in self._recent.get()]
+            for pdf in rows:
+                ids.extend(int(i) for i in pdf["event_id"])
+                for et, n in pdf.groupby("event_type").size().items():
+                    prev = (
+                        self._by_type.getValue((et,))[0]
+                        if self._by_type.containsKey((et,))
+                        else 0
+                    )
+                    self._by_type.updateValue((et,), (prev + int(n),))
+            ids = sorted(ids)[-k:]
+            self._recent.put([(i,) for i in ids])
+            total = sum(
+                self._by_type.getValue(mk)[0] for mk in self._by_type.keys()
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "recent_ids": [ids],
+                    "n_total": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    key_t = events.schema["user_id"].dataType.simpleString()
+    return (
+        events.select("user_id", "event_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=LastK(),
+            outputStructType=(
+                f"user_id {key_t}, recent_ids array<bigint>, n_total bigint"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def _minhash_band_cols():
     """Per-ROW MinHash band signatures (no explode/groupBy): shingle the
     text with array expressions, take array_min of md5('i|'||shingle) per

@@ -350,6 +350,63 @@ def test_running_totals_transform_with_state(spark, tmp_path):
     assert final["u2"]["total_value"] == pytest.approx(5.0)
 
 
+def test_last_k_events_tws_list_and_map_state(spark, tmp_path):
+    """ListState + MapState on transformWithStateInPandas — the typed
+    collection handles the successor API adds over the single GroupState
+    tuple: a bounded last-k buffer (ListState.put after truncate) and
+    key-wise per-event-type counts (MapState.updateValue, no whole-blob
+    rewrite). Two replayed micro-batches; the second must see the
+    first's list and map contents."""
+    from culvert_spark import pbshim
+
+    if not pbshim.ensure_protobuf():
+        pytest.skip("no google.protobuf runtime available on this host")
+    pbshim.ensure_worker_env(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    src = str(tmp_path / "src")
+    write_batch(src, 1, [
+        ("u1", 1, ts("2024-01-01 10:00:00"), "view", 1.0),
+        ("u1", 2, ts("2024-01-01 10:01:00"), "click", 1.0),
+        ("u1", 5, ts("2024-01-01 10:02:00"), "view", 1.0),
+    ])
+    write_batch(src, 2, [
+        ("u1", 9, ts("2024-01-01 10:10:00"), "view", 1.0),
+        ("u1", 3, ts("2024-01-01 10:11:00"), "buy", 1.0),
+        ("u2", 7, ts("2024-01-01 10:12:00"), "view", 1.0),
+    ])
+    sdf = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        st.last_k_events_tws(sdf, k=3)
+        .writeStream.format("memory")
+        .queryName("lastk_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pdf = spark.sql("SELECT * FROM lastk_sink").toPandas()
+    rows = sorted(
+        (r.user_id, list(r.recent_ids), r.n_total)
+        for r in pdf.itertuples()
+    )
+    # u1 batch 1: ids [1,2,5]; batch 2 folds in {9,3} → last-3 = [3,5,9]
+    # and the MapState total spans view=3, click=1, buy=1.
+    assert rows == [
+        ("u1", [1, 2, 5], 3),
+        ("u1", [3, 5, 9], 5),
+        ("u2", [7], 1),
+    ]
+
+
 def test_rocksdb_state_store_windowed_agg(spark, tmp_path):
     """The RocksDB state-store provider (the large-state path at scale:
     state spills to local disk instead of living on the JVM heap) must
