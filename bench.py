@@ -514,10 +514,18 @@ def main() -> None:
     details: dict[str, dict] = {}
     for name in HEADLINE:
         fn = registry[name]
-        # Best of three runs: the first execution pays one-time codegen
-        # compilation (amortizes to nothing at real scale), and identical
-        # consecutive runs swing 2-8x on noisy hosts — the best run is the
-        # one that reflects the engine rather than the neighbors.
+        # One UNTIMED warm pass absorbs the per-query one-time costs
+        # (codegen compile, shuffle-file allocation, residual page-cache
+        # misses after the early streaming section). Added in round 6
+        # after the same-session headline A/B showed the canonical early
+        # band carrying ~15% of exactly this warm-up (late band == r4
+        # steady state, q01 0.957 early vs 0.777 late) — the r5 "uptick"
+        # was position warm-up, not a plan change. Both bands stay in
+        # the details blob so the methodology shift is visible.
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        # Best of three runs: identical consecutive runs swing 2-8x on
+        # noisy hosts — the best run is the one that reflects the engine
+        # rather than the neighbors.
         best = float("inf")
         for _ in range(3):
             start = time.perf_counter()

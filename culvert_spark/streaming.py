@@ -402,6 +402,105 @@ def last_k_events_tws(events: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def session_finalize_tws(
+    events: DataFrame, gap_minutes: int = 30, delay: str = "10 minutes"
+) -> DataFrame:
+    """EVENT-TIME TIMERS on transformWithStateInPandas — the third
+    capability the successor API adds (after typed value and collection
+    state): emit a user's session exactly when the event-time watermark
+    proves it closed, instead of GroupState's timeout polling.
+
+    Per batch, each touched user folds (session_start, last_seen, n)
+    into ValueState and re-registers ONE timer at ``last_seen + gap``
+    (the previous registration is deleted — timers are per-timestamp,
+    not named). When the watermark passes that expiry,
+    ``handleExpiredTimer`` emits the finalized
+    (user_id, start_ms, end_ms, n_events) row and clears the state, so
+    the next event from that user opens a fresh session. Sessions whose
+    gap has not been proven by the watermark stay in state and emit
+    nothing — the downstream sink only ever sees CLOSED sessions (the
+    append-mode analogue of the built-in session_window, but with the
+    state machine fully programmable).
+
+    Scale: state and timers are both partitioned by the grouping key and
+    RocksDB-backed; the watermark bounds state lifetime exactly as for
+    built-in session windows.
+
+    Runtime requirements: as :func:`running_totals_tws` (protobuf via
+    pbshim + RocksDB provider); input must carry an event-time watermark
+    (applied here from ``delay``)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql import types as T
+
+    gap_ms = gap_minutes * 60_000
+
+    class Sessions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess",
+                T.StructType(
+                    [
+                        T.StructField("start_ms", T.LongType()),
+                        T.StructField("last_ms", T.LongType()),
+                        T.StructField("n", T.LongType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._sess.exists():
+                start, last, n = self._sess.get()
+            else:
+                start, last, n = None, None, 0
+            for pdf in rows:
+                ms = (
+                    pdf["ts"].astype("datetime64[ms]").astype("int64")
+                )
+                lo, hi = int(ms.min()), int(ms.max())
+                start = lo if start is None else min(start, lo)
+                last = hi if last is None else max(last, hi)
+                n += len(pdf)
+            self._sess.update((start, last, n))
+            for t_ms in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t_ms)
+            self._handle.registerTimer(last + gap_ms)
+            return iter([])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._sess.exists():
+                start, last, n = self._sess.get()
+                self._sess.clear()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "start_ms": [start],
+                        "end_ms": [last],
+                        "n_events": [n],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    key_t = events.schema["user_id"].dataType.simpleString()
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", delay)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=Sessions(),
+            outputStructType=(
+                f"user_id {key_t}, start_ms bigint, end_ms bigint, "
+                "n_events bigint"
+            ),
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
 def _minhash_band_cols():
     """Per-ROW MinHash band signatures (no explode/groupBy): shingle the
     text with array expressions, take array_min of md5('i|'||shingle) per

@@ -47,6 +47,14 @@ GAP_US = 1_800_000_000
 #: sorts comfortably (~200 MB at 24 B/row). No sampling statistics are
 #: needed: total rows upper-bound every key's rows exactly, so the check
 #: can never miss a hot key the way a sampled histogram could.
+#:
+#: This is a SAFETY bound, not a speed crossover: on hot-key-free data
+#: the guard's measured same-session premium at 3x this size swings
+#: between ~0% (r5 A/B: 13.90 vs 13.93 s) and ~25% (r6 A/B: 10.98 vs
+#: 8.34 s) with host state — bench.py re-records the pair every round —
+#: while the failure it prevents (one task sorting an unbounded hot
+#: key's rows) is a job-killer at the 100 TB design point. Keep it
+#: conservative; do not tune it upward from quiet-host timings.
 SMALL_INPUT_ROWS = 8_000_000
 
 

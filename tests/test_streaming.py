@@ -407,6 +407,73 @@ def test_last_k_events_tws_list_and_map_state(spark, tmp_path):
     ]
 
 
+def test_session_finalize_tws_event_time_timers(spark, tmp_path):
+    """EVENT-TIME TIMERS on transformWithStateInPandas: sessions are
+    emitted by handleExpiredTimer exactly when the watermark passes
+    last_seen + gap, and an unclosed session emits NOTHING.
+
+    Watermark contract (measured, pinned elsewhere in this file): the
+    eviction/timer watermark during batch k is max_ts(batches 0..k-1)
+    minus the delay. So with gap=30m and delay=10m:
+      batch 1 (u1@10:00, u1@10:05, u2@10:10) registers timers at 10:35
+        and 10:40;
+      batch 2 (u3@13:00) runs under wm = 10:10-10m = 10:00 — nothing
+        fires;
+      batch 3 (u3@13:01) runs under wm = 13:00-10m = 12:50 — both
+        timers fire, u1/u2 sessions emit, state clears; u3's timer
+        (13:31) stays pending and u3 must be absent from the sink."""
+    from culvert_spark import pbshim
+
+    if not pbshim.ensure_protobuf():
+        pytest.skip("no google.protobuf runtime available on this host")
+    pbshim.ensure_worker_env(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    src = str(tmp_path / "src")
+    write_batch(src, 1, [
+        ("u1", 1, ts("2024-01-01 10:00:00"), "view", 1.0),
+        ("u1", 2, ts("2024-01-01 10:05:00"), "view", 1.0),
+        ("u2", 3, ts("2024-01-01 10:10:00"), "view", 1.0),
+    ])
+    write_batch(src, 2, [
+        ("u3", 4, ts("2024-01-01 13:00:00"), "view", 1.0),
+    ])
+    write_batch(src, 3, [
+        ("u3", 5, ts("2024-01-01 13:01:00"), "view", 1.0),
+    ])
+    sdf = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        st.session_finalize_tws(sdf, gap_minutes=30, delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_tws_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pdf = spark.sql("SELECT * FROM sess_tws_sink").toPandas()
+
+    def ms(s):
+        return int(pd.Timestamp(s).value // 1_000_000)
+
+    rows = sorted(
+        (r.user_id, r.start_ms, r.end_ms, r.n_events)
+        for r in pdf.itertuples()
+    )
+    assert rows == [
+        ("u1", ms("2024-01-01 10:00:00"), ms("2024-01-01 10:05:00"), 2),
+        ("u2", ms("2024-01-01 10:10:00"), ms("2024-01-01 10:10:00"), 1),
+    ]
+
+
 def test_rocksdb_state_store_windowed_agg(spark, tmp_path):
     """The RocksDB state-store provider (the large-state path at scale:
     state spills to local disk instead of living on the JVM heap) must
