@@ -37,12 +37,22 @@ def salted_join(
     key: str,
     salts: int = 16,
     how: str = "inner",
+    join_hint: str | None = None,
 ) -> DataFrame:
     """Equi-join on ``key`` with the hot-key pressure spread over ``salts``
     buckets. Result is identical to ``big.join(small, key, how)``.
 
     Only joins that preserve the big side are supported: right/full joins
-    would emit every unmatched small-side row once per salt replica."""
+    would emit every unmatched small-side row once per salt replica.
+
+    ``join_hint`` (e.g. ``"shuffle_hash"``/``"merge"``) is applied to the
+    replicated small side: at test SF Catalyst happily BROADCASTS it,
+    which is correct but skips the shuffled (key, salt) exchange that
+    salting exists for — the parity driver rows pass a hint so the
+    verified plan is the one a hot key actually runs at scale. Leave it
+    None in library use: when the small side fits the broadcast
+    threshold, broadcasting is strictly better and the salt columns are
+    harmless."""
     if how not in ("inner", "left", "left_outer", "left_semi"):
         raise ValueError(
             f"salted_join supports inner/left/left_semi, not {how!r}: "
@@ -54,6 +64,8 @@ def salted_join(
         F.sequence(F.lit(0), F.lit(salts - 1))
     ).alias("_salt")
     small_s = small.select("*", salt_values)
+    if join_hint:
+        small_s = small_s.hint(join_hint)
     out = big_s.join(small_s, on=[key, "_salt"], how=how)
     return out.drop("_salt")
 
@@ -117,7 +129,9 @@ def q_salted_join_parity(spark, sf_dir: str):
     orders = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    joined = salted_join(li, orders, "l_orderkey", salts=16)
+    joined = salted_join(
+        li, orders, "l_orderkey", salts=16, join_hint="shuffle_hash"
+    )
     return (
         joined.groupBy("o_orderpriority")
         .agg(
@@ -194,7 +208,10 @@ def q_salted_left_join_parity(spark, sf_dir: str):
         .where(F.col("c_mktsegment") == "BUILDING")
         .select(F.col("c_custkey").alias("o_custkey"), "c_acctbal")
     )
-    joined = salted_join(orders, cust, "o_custkey", salts=16, how="left")
+    joined = salted_join(
+        orders, cust, "o_custkey", salts=16, how="left",
+        join_hint="shuffle_hash",
+    )
     return (
         joined.groupBy("o_orderpriority")
         .agg(

@@ -617,3 +617,20 @@ def test_query_path_sets_jit_aligned_codegen_limit(spark):
     spark.conf.unset("spark.sql.codegen.hugeMethodLimit")
     _t(spark, SF_SMALL, "region")
     assert spark.conf.get("spark.sql.codegen.hugeMethodLimit") == "8000"
+
+
+def test_salted_parity_rows_exercise_shuffled_join(spark):
+    """The salted parity driver rows must run the SHUFFLED (key, salt)
+    join — the plan salting exists for. Without the shuffle_hash hint
+    Catalyst broadcasts the 16x-replicated dimension at test SF, which
+    is correct but verifies only the salting algebra, not the exchange
+    the hot key actually takes at scale."""
+    for name in ("q_salted_join_parity", "q_salted_left_join_parity"):
+        plan = (
+            QUERIES[name](spark, SF_SMALL)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" not in plan, name
+        assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan), name
