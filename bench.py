@@ -501,8 +501,12 @@ def main() -> None:
         "t_cdc_chunk_dedup",
         "q_embedding_covariance",
         "q_graph_pagerank",
-        # round-5: exact vs approx scale-twin pairs — the recorded delta
-        # is the price of exactness the approx twin exists to avoid.
+        # round-5: exact vs approx scale-twin pairs. NOTE the *_hll /
+        # *_approx rows are the DRIVER-ROW shape: they compute the exact
+        # side AND the approx side AND the tolerance compare, so their
+        # time is an upper bound strictly above the exact twin's — the
+        # bare approx path (sketch only, no ordered window) is what wins
+        # at scale, not what this pair times.
         "q_sliding_distinct_users",
         "q_sliding_distinct_hll",
         "t_quality_percentile_filter",

@@ -50,11 +50,13 @@ GAP_US = 1_800_000_000
 #:
 #: This is a SAFETY bound, not a speed crossover: on hot-key-free data
 #: the guard's measured same-session premium at 3x this size swings
-#: between ~0% (r5 A/B: 13.90 vs 13.93 s) and ~25% (r6 A/B: 10.98 vs
-#: 8.34 s) with host state — bench.py re-records the pair every round —
-#: while the failure it prevents (one task sorting an unbounded hot
-#: key's rows) is a job-killer at the 100 TB design point. Keep it
-#: conservative; do not tune it upward from quiet-host timings.
+#: with host state — ~0% (loaded host: 13.90 vs 13.93 s), ~25% (r6
+#: quiet preview: 10.98 vs 8.34 s), ~41% (r5 driver run: 11.19 vs
+#: 7.93 s); bench.py re-records the pair every round — while the
+#: failure it prevents (one task sorting an unbounded hot key's rows)
+#: is a job-killer at the 100 TB design point. The premium is the
+#: insurance price of not knowing the key histogram; keep the bound
+#: conservative and do not tune it upward from quiet-host timings.
 SMALL_INPUT_ROWS = 8_000_000
 
 
