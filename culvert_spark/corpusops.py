@@ -282,10 +282,15 @@ _BFS_DEPTH = 3
 )
 def q_bfs_reachable_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-hop reachability over the co-purchase graph — the recursive-
-    CTE workload (org charts, dependency closures, fraud rings) that
-    Spark SQL has no WITH RECURSIVE for, expressed as the idiomatic
-    Spark equivalent: a driver-side LOOP of frontier equi-joins with no
-    driver-side DATA. Starting from seed parts (key <= 3), each round
+    CTE workload (org charts, dependency closures, fraud rings) — as a
+    driver-side LOOP of frontier equi-joins with no driver-side DATA.
+    Spark 4.0 added native WITH RECURSIVE (see
+    sqlrunner.q_recursive_cte_chain), but UNION ALL-only: on a DENSE
+    graph like this one, recursion would enumerate paths, not visited
+    nodes, and blow up combinatorially — the loop form's per-round
+    distinct + anti-join IS the node-level dedup the native CTE can't
+    express yet, so this remains the scale path for dense graphs (and
+    the pre-4.x pattern). Starting from seed parts (key <= 3), each round
     joins the frontier to the edge list, anti-joins out already-visited
     nodes, and unions the survivors at depth d — textbook distributed
     BFS, whose min-depth labels the DuckDB recursive CTE reproduces.

@@ -1135,6 +1135,147 @@ def st_dedup_expiry_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_TWS_SESSION_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000 AS ts_ms,
+         ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM events WHERE event_id % 20 = 0),
+chunked AS (
+  SELECT *, 1 + (4 * (rn - 1)) // n AS chunk FROM ev),
+cm AS (
+  SELECT MAX(CASE WHEN chunk <= 1 THEN ts_ms END) AS m1,
+         MAX(CASE WHEN chunk <= 2 THEN ts_ms END) AS m2,
+         MAX(ts_ms) AS m4
+  FROM chunked),
+flagged AS (
+  SELECT c.user_id, c.event_id, c.ts_ms, c.chunk,
+         CASE WHEN prev_ts IS NULL THEN 0
+              WHEN c.chunk = 3 AND cm.m1 - 1800000 >= prev_ts + 1800000
+                THEN 1
+              WHEN c.chunk = 4 AND cm.m2 - 1800000 >= prev_ts + 1800000
+                THEN 1
+              ELSE 0 END AS new_sess
+  FROM (SELECT *, LAG(ts_ms) OVER (PARTITION BY user_id
+                                   ORDER BY ts_ms, event_id) AS prev_ts
+        FROM chunked) c, cm),
+sess AS (
+  SELECT user_id, ts_ms,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged),
+grouped AS (
+  SELECT user_id, sid,
+         MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+  FROM sess GROUP BY user_id, sid)
+SELECT user_id, start_ms, end_ms, n_events
+FROM grouped, cm
+WHERE sid < max_sid OR end_ms + 1800000 <= m4 - 1800000
+ORDER BY user_id, start_ms
+"""
+
+
+def st_session_finalize_tws_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME TIMERS as a driver hash row: every 20th event (the
+    thinning opens real >chunk-length quiet periods, so the SPLIT branch
+    is exercised — 49 timer-split sessions at sf0.01, 5 at sf0.001 —
+    alongside merging and trailing-session suppression), sorted by event
+    time and split into 4 contiguous chunks replayed as micro-batches,
+    runs through :func:`session_finalize_tws` (gap 30 min, watermark
+    delay 30 min) — and the oracle reproduces the emitted session set
+    from the MEASURED timer contract, in exact integer milliseconds on
+    both engines:
+
+    - intermediate firing uses the ONE-BATCH-LAG watermark (during batch
+      k the watermark reflects chunks 1..k-1 minus the delay — same lag
+      as state eviction), INCLUSIVE at equality (probed: a timer with
+      expiry == watermark fires);
+    - input is processed BEFORE expired timers within a batch, and the
+      re-registration cancels the pending timer (probed: a user whose
+      timer expired in the same batch their next event arrives MERGES —
+      sessions split only when the timer fires in a strictly earlier
+      batch). Hence for consecutive events of a user with the earlier one
+      at L and the later one in chunk b, a new session starts iff
+      max_ts(chunks 1..b-2) - delay >= L + gap;
+    - after the last data batch, availableNow runs one more batch whose
+      watermark includes ALL data (probed), so the trailing session of
+      each user emits iff last_ts + gap <= max_ts(all) - delay; unclosed
+      sessions emit NOTHING (append-mode contract: the sink only ever
+      holds closed sessions).
+
+    Spark's watermark arithmetic is millisecond floor division of the
+    microsecond event time; both engines compute every comparison on the
+    same integers, so the hash row is exact — no tolerance needed.
+
+    Registered only when the protobuf runtime is available (HAS_PROTOBUF;
+    see st_stateful_totals_tws)."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_id") % 20 == 0)
+        .select("user_id", "ts", "event_id")
+    )
+    _pbshim.ensure_worker_env(spark)
+    n = ev.count()
+    rn = F.row_number().over(Window.orderBy("ts", "event_id"))
+    ranked = ev.withColumn("rn", rn).withColumn(
+        "chunk", F.expr(f"cast((4 * (rn - 1)) div {n} as int) + 1")
+    )
+    base = tempfile.mkdtemp(prefix="culvert_replay_tws_sess_")
+    src = write_ordered_replay_files(
+        spark,
+        [
+            ranked.where(F.col("chunk") == k).select("user_id", "ts",
+                                                     "event_id")
+            for k in (1, 2, 3, 4)
+        ],
+        base,
+    )
+    stream = (
+        spark.readStream.schema(
+            ev.select("user_id", "ts", "event_id").schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    sink = "st_tws_sess_replay_sink"
+    spark.catalog.dropTempView(sink)
+    try:
+        q = run_to_memory_sink(
+            session_finalize_tws(stream, gap_minutes=30, delay="30 minutes"),
+            sink,
+            os.path.join(base, "ck"),
+            output_mode="append",
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    out = spark.table(sink).orderBy("user_id", "start_ms")
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+if HAS_PROTOBUF:
+    register("st_session_finalize_tws_replay", _TWS_SESSION_ORACLE)(
+        st_session_finalize_tws_replay
+    )
+
+
 @register(
     "st_dedup_digest_replay",
     """
