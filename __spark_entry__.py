@@ -120,11 +120,14 @@ except ImportError:  # pragma: no cover
 #: that regenerates the rows in DuckDB), st_session_finalize_tws_replay
 #: (EVENT-TIME TIMERS: emitted-session set reproduced from the measured
 #: one-batch-lag/input-first/final-pass timer contract in exact integer
-#: milliseconds), and the four Spark-4 SQL-surface rows
-#: q_recursive_cte_chain (WITH RECURSIVE, UNION ALL-only constraint
-#: pinned via an out-degree-1 graph), q_listagg_members (listagg WITHIN
-#: GROUP vs DuckDB string_agg), q_group_by_all, q_sql_udf_revenue
-#: (CREATE FUNCTION inlined by Catalyst);
+#: milliseconds), st_outer_join_expiry_replay (stream-stream LEFT OUTER
+#: join under a finite watermark: outer-null emission on provable state
+#: expiry — strict boundary, min-of-sources watermark, all probed), and
+#: the four Spark-4 SQL-surface rows q_recursive_cte_chain
+#: (WITH RECURSIVE, UNION ALL-only constraint pinned via an out-degree-1
+#: graph), q_listagg_members (listagg WITHIN GROUP vs DuckDB string_agg),
+#: q_group_by_all, q_sql_udf_revenue (CREATE FUNCTION inlined by
+#: Catalyst);
 #: (b) the 2 queries whose implementation or oracle CHANGED in round 6 —
 #: t_quality_percentile_filter_approx (doc_id-epsilon tie-break added to
 #: BOTH engines' score so the tolerance bound is tie-proof) and
@@ -132,24 +135,24 @@ except ImportError:  # pragma: no cover
 #: the 3-dot cos in the BNLJ condition used to hard-fail Janino's 64 KB
 #: method limit — values unchanged, plan recompiled);
 #: (c) FRESHNESS: all 38 queries whose only driver row is round-1 vintage
-#: (TPC-H Q2/Q4/Q7–Q12 block, joins/set-ops/scalar-function/window rows),
-#: then the single oldest round-2 row that still fits (q_window_rank_suite)
+#: (TPC-H Q2/Q4/Q7–Q12 block, joins/set-ops/scalar-function/window rows)
 #: — so after this round no registered query's newest row predates round
-#: 2, and the remaining 36 round-2-vintage rows (TPC-H Q13–Q22,
-#: agg/scalar variants, t_* text-analysis, v_* vectorops, multimodal
-#: rows-only, y_ysb) are the ROUND-7 ROTATION, after any round-7
-#: registrations and changes.  Keep the invariant: every query whose
-#: implementation or oracle changes in a round gets a fresh row in that
-#: round's window.
+#: 2, and the 37 remaining round-2-vintage rows (q_window_rank_suite,
+#: TPC-H Q13–Q22, agg/scalar variants, t_* text-analysis, v_* vectorops,
+#: multimodal rows-only, y_ysb) are the ROUND-7 ROTATION, after any
+#: round-7 registrations and changes.  Keep the invariant: every query
+#: whose implementation or oracle changes in a round gets a fresh row in
+#: that round's window.
 #: Names missing from the registries are ignored; registered names missing
 #: from this list keep their module registration order after the priority
 #: block.
 _PRIORITY = [
-    # (a) new round-6 registrations (9)
+    # (a) new round-6 registrations (10)
     "st_stateful_totals_tws", "q_salted_count_parity",
     "q_salted_left_join_parity", "pds_synth_docs",
-    "st_session_finalize_tws_replay", "q_recursive_cte_chain",
-    "q_listagg_members", "q_group_by_all", "q_sql_udf_revenue",
+    "st_session_finalize_tws_replay", "st_outer_join_expiry_replay",
+    "q_recursive_cte_chain", "q_listagg_members", "q_group_by_all",
+    "q_sql_udf_revenue",
     # (b) changed in round 6 (2)
     "t_quality_percentile_filter_approx", "s_embedding_near_dup",
     # (c) freshness: every round-1-vintage row (38)
@@ -168,8 +171,6 @@ _PRIORITY = [
     "q_set_intersect", "q_set_ops_all", "q_sliding_window_counts",
     "q_stats_corr", "q_string_funcs_parts", "q_top_customer_per_nation",
     "q_union_active_parties", "q_unpivot_rates",
-    # (c) freshness: the oldest round-2-vintage row that fits (1)
-    "q_window_rank_suite",
 ]
 
 

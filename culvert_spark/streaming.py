@@ -903,6 +903,134 @@ def st_stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_outer_join_expiry_replay",
+    """
+    WITH l AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_id % 2 = 0),
+    r AS (SELECT user_id, ts, event_id FROM events
+          WHERE event_id % 2 = 1),
+    wm AS (SELECT LEAST((SELECT max(epoch_us(ts)) // 1000 FROM l),
+                        (SELECT max(epoch_us(ts)) // 1000 FROM r))
+                  - 1800000 AS wm_ms),
+    matched AS (
+      SELECT l.event_id AS a_id, r.event_id AS b_id, l.user_id,
+             epoch_us(r.ts) - epoch_us(l.ts) AS lag_us
+      FROM l JOIN r ON l.user_id = r.user_id
+           AND r.ts >= l.ts
+           AND r.ts <= l.ts + INTERVAL 30 MINUTE),
+    expired_unmatched AS (
+      SELECT l.event_id AS a_id, CAST(NULL AS BIGINT) AS b_id, l.user_id,
+             CAST(NULL AS BIGINT) AS lag_us
+      FROM l, wm
+      WHERE NOT EXISTS (SELECT 1 FROM r
+                        WHERE r.user_id = l.user_id
+                          AND r.ts >= l.ts
+                          AND r.ts <= l.ts + INTERVAL 30 MINUTE)
+        AND epoch_us(l.ts) < (wm_ms - 1800000) * 1000)
+    SELECT a_id, b_id, user_id, lag_us FROM matched
+    UNION ALL SELECT a_id, b_id, user_id, lag_us FROM expired_unmatched
+    ORDER BY a_id, b_id
+    """,
+)
+def st_outer_join_expiry_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join under a FINITE watermark — the
+    outer-null-emission-on-state-expiry semantic that distinguishes it
+    from the inner replay above (which runs an effectively infinite
+    horizon): an unmatched left row may only surface with right-side
+    NULLs once the watermark PROVES no partner can still arrive.
+
+    The oracle encodes the measured contract (each clause probed this
+    round):
+
+    - the global watermark is the MIN over both sources' event-time
+      maxima minus the delay (multipleWatermarkPolicy=min default);
+    - the null-extended row for left row l emits iff
+      ``l_ts < wm - join_interval`` — STRICT (probed: at exact equality
+      the row stays in state and emits nothing), compared in Spark's
+      millisecond watermark arithmetic ((wm_ms - interval_ms) * 1000 vs
+      the microsecond event time);
+    - availableNow runs a final batch with the full watermark, flushing
+      every provably-expired unmatched left row;
+    - NO match is ever lost to eviction: each side's replay files are
+      event-TIME-ordered chunks, so a partner (within +30 min) always
+      arrives before the lagging min-watermark can pass the left row's
+      horizon, and no input row is ever late to its own side's filter —
+      the matched set equals the batch interval join exactly.
+
+    Scale: both state stores are bounded by keys x the 30-minute horizon
+    (the finite watermark is what makes outer joins feasible at all —
+    without it unmatched state is immortal)."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    base = tempfile.mkdtemp(prefix="culvert_replay_ojoin_")
+    srcs = {}
+    for side, par in (("left", 0), ("right", 1)):
+        sdf = ev.where(F.col("event_id") % 2 == par)
+        n = sdf.count()
+        rn = F.row_number().over(Window.orderBy("ts", "event_id"))
+        ranked = sdf.withColumn("rn", rn).withColumn(
+            "chunk", F.expr(f"cast((4 * (rn - 1)) div {n} as int) + 1")
+        )
+        srcs[side] = write_ordered_replay_files(
+            spark,
+            [
+                ranked.where(F.col("chunk") == k).select(
+                    "user_id", "ts", "event_id"
+                )
+                for k in (1, 2, 3, 4)
+            ],
+            os.path.join(base, side),
+        )
+    schema = ev.schema
+    left = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcs["left"])
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("a_id"),
+        )
+    )
+    right = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcs["right"])
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("b_id"),
+        )
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        "a_id",
+        "b_id",
+        "user_id",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_us"),
+    )
+    sink = "st_ojoin_replay_sink"
+    spark.catalog.dropTempView(sink)
+    q = run_to_memory_sink(
+        joined, sink, os.path.join(base, "ck"), output_mode="append"
+    )
+    q.awaitTermination()
+    out = spark.table(sink).orderBy("a_id", "b_id")
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@register(
     "st_stateful_totals_replay",
     """
     SELECT user_id,
