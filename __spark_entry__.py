@@ -112,12 +112,13 @@ except ImportError:  # pragma: no cover
 #: rows-only v_gram_matrix).
 #:
 #: Round 6 executes the ROUND-6 FRESHNESS ROTATION from the round-5 verdict:
-#: (a) the 9 queries REGISTERED in round 6 — st_stateful_totals_tws (the
+#: (a) the 11 queries REGISTERED in round 6 — st_stateful_totals_tws (the
 #: transformWithStateInPandas replay twin, runnable now that pbshim
 #: discovers a protobuf runtime), q_salted_count_parity +
 #: q_salted_left_join_parity (the two salted shapes that were pytest-only),
-#: pds_synth_docs (the Python DataSource connector, value-hash oracle
-#: that regenerates the rows in DuckDB), st_session_finalize_tws_replay
+#: pds_synth_docs + pds_synth_stream (the Python DataSource connector's
+#: batch AND micro-batch-stream readers, value-hash oracles that
+#: regenerate the rows in DuckDB), st_session_finalize_tws_replay
 #: (EVENT-TIME TIMERS: emitted-session set reproduced from the measured
 #: one-batch-lag/input-first/final-pass timer contract in exact integer
 #: milliseconds), st_outer_join_expiry_replay (stream-stream LEFT OUTER
@@ -134,22 +135,23 @@ except ImportError:  # pragma: no cover
 #: s_embedding_near_dup (per-side norms hoisted into a pre-join Project;
 #: the 3-dot cos in the BNLJ condition used to hard-fail Janino's 64 KB
 #: method limit — values unchanged, plan recompiled);
-#: (c) FRESHNESS: all 38 queries whose only driver row is round-1 vintage
-#: (TPC-H Q2/Q4/Q7–Q12 block, joins/set-ops/scalar-function/window rows)
-#: — so after this round no registered query's newest row predates round
-#: 2, and the 37 remaining round-2-vintage rows (q_window_rank_suite,
-#: TPC-H Q13–Q22, agg/scalar variants, t_* text-analysis, v_* vectorops,
-#: multimodal rows-only, y_ysb) are the ROUND-7 ROTATION, after any
-#: round-7 registrations and changes.  Keep the invariant: every query
-#: whose implementation or oracle changes in a round gets a fresh row in
-#: that round's window.
+#: (c) FRESHNESS: 37 of the 38 queries whose only driver row is round-1
+#: vintage (TPC-H Q2/Q4/Q7–Q12 block, joins/set-ops/scalar-function/
+#: window rows) — after this round only ONE r1-vintage row remains
+#: (q_unpivot_rates, displaced by the last registration), and the
+#: ROUND-7 ROTATION is exactly: q_unpivot_rates + the 37 remaining
+#: round-2-vintage rows (q_window_rank_suite, TPC-H Q13–Q22, agg/scalar
+#: variants, t_* text-analysis, v_* vectorops, multimodal rows-only,
+#: y_ysb), after any round-7 registrations and changes.  Keep the
+#: invariant: every query whose implementation or oracle changes in a
+#: round gets a fresh row in that round's window.
 #: Names missing from the registries are ignored; registered names missing
 #: from this list keep their module registration order after the priority
 #: block.
 _PRIORITY = [
-    # (a) new round-6 registrations (10)
+    # (a) new round-6 registrations (11)
     "st_stateful_totals_tws", "q_salted_count_parity",
-    "q_salted_left_join_parity", "pds_synth_docs",
+    "q_salted_left_join_parity", "pds_synth_docs", "pds_synth_stream",
     "st_session_finalize_tws_replay", "st_outer_join_expiry_replay",
     "q_recursive_cte_chain", "q_listagg_members", "q_group_by_all",
     "q_sql_udf_revenue",
@@ -170,7 +172,7 @@ _PRIORITY = [
     "q_running_customer_total", "q_semi_join_urgent", "q_set_except",
     "q_set_intersect", "q_set_ops_all", "q_sliding_window_counts",
     "q_stats_corr", "q_string_funcs_parts", "q_top_customer_per_nation",
-    "q_union_active_parties", "q_unpivot_rates",
+    "q_union_active_parties",
 ]
 
 

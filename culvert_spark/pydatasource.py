@@ -249,10 +249,11 @@ from culvert_spark.queries import (  # noqa: E402
 _WORDS_SQL = ",".join(f"'{w}'" for w in _WORDS)
 
 
-@_register_query(
-    "pds_synth_docs",
-    f"""
-    WITH ids AS (SELECT range AS doc_id FROM range(300)),
+def _synth_oracle(n_rows: int) -> str:
+    """DuckDB SQL regenerating the first ``n_rows`` connector rows exactly
+    (md5 bytes extracted as hex substrings — see _doc_row)."""
+    return f"""
+    WITH ids AS (SELECT range AS doc_id FROM range({n_rows})),
     b AS (
       SELECT doc_id,
         CAST(('0x' || substr(md5('culvert_synth:' || doc_id),1,2)) AS INT)
@@ -275,8 +276,10 @@ _WORDS_SQL = ",".join(f"'{w}'" for w in _WORDS)
            CAST(length(text) AS BIGINT) AS n_chars
     FROM txt
     ORDER BY doc_id
-    """,
-)
+    """
+
+
+@_register_query("pds_synth_docs", _synth_oracle(300))
 def pds_synth_docs(spark, sf_dir: str):
     """The custom Python DataSource as a driver hash row (round-5 verdict
     item 4): 300 documents read through ``format("culvert_synth")`` — the
@@ -301,3 +304,49 @@ def pds_synth_docs(spark, sf_dir: str):
         .load()
         .orderBy("doc_id")
     )
+
+
+@_register_query("pds_synth_stream", _synth_oracle(240))
+def pds_synth_stream(spark, sf_dir: str):
+    """The connector's STREAM reader as a driver hash row — the batch row
+    above leaves the DataSourceStreamReader path (initialOffset /
+    latestOffset / partitions-per-offset-range / read / commit, with
+    plain-dict offsets JSON'd into the checkpoint log) proven only by
+    pytest. Here the source is drained live: 240 rows at 60 rows per
+    micro-batch (>= 4 triggers), appended to a memory sink, and the
+    accumulated table must hash-equal the regenerated oracle rows —
+    exactly-once delivery across micro-batches included (a re-delivered
+    or skipped offset range duplicates or loses ids and breaks the hash).
+
+    The drain loop polls the sink until max_rows arrive, then stops the
+    query; the source rate-limits itself (latestOffset advances one
+    batch per trigger and clamps at max_rows), so termination is
+    deterministic. ``sf_dir`` is unused — synthetic by contract."""
+    import shutil
+    import tempfile
+    import time
+
+    register(spark)
+    ck = tempfile.mkdtemp(prefix="culvert_pds_stream_")
+    sink = "pds_synth_stream_sink"
+    spark.catalog.dropTempView(sink)
+    q = (
+        spark.readStream.format("culvert_synth")
+        .option("rows_per_batch", 60)
+        .option("max_rows", 240)
+        .option("parts", 2)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline and spark.table(sink).count() < 240:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    shutil.rmtree(ck, ignore_errors=True)
+    return spark.table(sink).orderBy("doc_id")
