@@ -173,6 +173,32 @@ def test_streaming_ingest_smoke(spark, tmp_path):
     assert back.count() >= report.total_rows_committed
     months = {r.month for r in back.select("month").distinct().collect()}
     assert months <= {0, 1}  # static mode: month = stream id
+    # Default sink is the native streaming file sink: batch visibility is
+    # the _spark_metadata manifest (the Hive-txn atomicity analog), not
+    # FileOutputCommitter renames.
+    assert os.path.isdir(os.path.join(out, "_spark_metadata"))
+
+
+def test_streaming_ingest_foreachbatch_fallback(spark, tmp_path):
+    """sink="foreachBatch" keeps the explicit batch-write body (for formats
+    with no streaming file sink); same report contract, no manifest dir."""
+    out = str(tmp_path / "stream_out_fb")
+    ckpt = str(tmp_path / "ckpt_fb")
+    report = ingest.run_streaming_ingest(
+        spark,
+        output_path=out,
+        checkpoint_root=ckpt,
+        num_streams=2,
+        commit_after_rows=2_000,
+        events_per_second=10_000,
+        timeout_ms=6_000,
+        quiet=True,
+        sink="foreachBatch",
+    )
+    assert report.total_rows_committed > 0
+    back = spark.read.orc(out)
+    assert back.count() >= report.total_rows_committed
+    assert not os.path.isdir(os.path.join(out, "_spark_metadata"))
 
 
 def test_bucketed_managed_table(spark):
