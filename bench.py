@@ -314,7 +314,7 @@ def _bench_sessionize_ab(spark) -> dict:
 
 def _stream_warm(spark, n_streams: int) -> None:
     """Untimed warm run for the streaming-ingest path (source init +
-    foreachBatch codegen + tiered JIT over the 3M-row batch shape)."""
+    sink/codegen warm-up + tiered JIT over the 3M-row batch shape)."""
     import shutil
     import tempfile
 
@@ -669,7 +669,8 @@ def main() -> None:
                 ),
                 "streaming_mode": (
                     f"rate source, {n_streams} streams, micro-batch "
-                    "txns to partitioned ORC; rows_per_sec = median of "
+                    "txns committed via the streaming file sink's "
+                    "manifest log to partitioned ORC; rows_per_sec = median of "
                     "3 steady-state sub-windows (ramp-up excluded); "
                     "best_window = peak sustained 15s span — the "
                     "like-for-like number vs BASELINE.md's dedicated-"
