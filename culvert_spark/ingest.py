@@ -323,7 +323,11 @@ def run_streaming_ingest(
     stats = [StreamStats(name=f"stream-{i}") for i in range(num_streams)]
     # Micro-batch ≈ commit_after_rows PER STREAM: trigger = N / eps seconds
     # (bounded so tiny test configs still commit several batches).
-    trigger_s = min(10.0, max(0.2, commit_after_rows / max(1, events_per_second)))
+    # Millisecond-rounded: Spark's interval parser rejects repeating
+    # decimals like "0.3333333333333333 seconds" (nanosecond precision cap).
+    trigger_s = round(
+        min(10.0, max(0.2, commit_after_rows / max(1, events_per_second))), 3
+    )
 
     cols = columns or default_event_columns(dynamic_partition=dynamic_partitioning)
     src = generate_stream(
@@ -490,11 +494,13 @@ def run_streaming_ingest_multi(
     use to ingest P genuinely unrelated topics/tables.
 
     Isolation notes:
-    - separate output dirs per stream (``stream-i/``): concurrent batch
-      writers into ONE directory race on FileOutputCommitter's shared
-      ``_temporary/0`` staging dir — distinct roots make every commit
-      private (on a cluster, a DSv2/table-format sink would serialize
-      commits instead);
+    - separate output dirs per stream (``stream-i/``): each query commits
+      through its own ``_spark_metadata`` manifest log, which is
+      single-writer by design — two queries sharing one directory would
+      collide on batch ids in the shared log (and the foreachBatch
+      fallback's FileOutputCommitter races on the shared ``_temporary/0``
+      staging dir) — distinct roots make every commit private (on a
+      cluster, a DSv2/table-format sink would serialize commits instead);
     - separate checkpoints: each query's commit log is its own exactly-once
       domain, so one stream restarting never replays another's batches;
     - per-stream seed offset keeps generated rows globally distinct
@@ -502,26 +508,15 @@ def run_streaming_ingest_multi(
       writer thread with its own RNG).
     """
     stats = [StreamStats(name=f"stream-{i}") for i in range(num_streams)]
-    trigger_s = min(10.0, max(0.2, commit_after_rows / max(1, events_per_second)))
+    # Millisecond-rounded: Spark's interval parser rejects repeating
+    # decimals like "0.3333333333333333 seconds" (nanosecond precision cap).
+    trigger_s = round(
+        min(10.0, max(0.2, commit_after_rows / max(1, events_per_second))), 3
+    )
     cols = columns or default_event_columns()
 
     queries = []
     seen: list[set[int]] = [set() for _ in range(num_streams)]
-
-    def make_writer(i: int):
-        stream_dir = os.path.join(output_path, f"stream-{i}")
-
-        def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-            (
-                batch_df.withColumn("year", F.lit(STATIC_YEAR))
-                .withColumn("month", F.lit(i))
-                .write.format(fmt)
-                .mode("append")
-                .partitionBy("year", "month")
-                .save(stream_dir)
-            )
-
-        return write_batch
 
     def drain(i: int, q) -> None:
         for p in q.recentProgress:
@@ -542,19 +537,26 @@ def run_streaming_ingest_multi(
                 )
 
     for i in range(num_streams):
-        src = generate_stream(
-            spark,
-            rows_per_second=events_per_second,
-            columns=cols,
-            seed=seed + i,
-            num_partitions=1,
-        ).observe("committed", F.count(F.lit(1)).alias("n"))
+        src = (
+            generate_stream(
+                spark,
+                rows_per_second=events_per_second,
+                columns=cols,
+                seed=seed + i,
+                num_partitions=1,
+            )
+            .observe("committed", F.count(F.lit(1)).alias("n"))
+            .withColumn("year", F.lit(STATIC_YEAR))
+            .withColumn("month", F.lit(i))
+        )
         q = (
-            src.writeStream.foreachBatch(make_writer(i))
+            src.writeStream.format(fmt)
+            .option("path", os.path.join(output_path, f"stream-{i}"))
             .option(
                 "checkpointLocation",
                 os.path.join(checkpoint_root, f"stream-{i}"),
             )
+            .partitionBy("year", "month")
             .trigger(processingTime=f"{trigger_s} seconds")
             .queryName(f"culvert-stream-{i}")
             .start()
