@@ -39,11 +39,13 @@ The final report mirrors the reference's output contract
 
 Concurrency note: the reference runs P independent writer threads against
 one Hive table; Spark's analog is ONE streaming query whose source has P
-partitions (SURVEY §1.1 "Stream" row), NOT P concurrent queries — concurrent
-batch jobs appending to one directory race in FileOutputCommitter's shared
-``_temporary/0`` staging dir (observed: one job's cleanup deletes the
-other's task attempts). Stream i of the reference maps to the rows with
-``row_id % P == i``; per-stream committed counts are reported per
+partitions (SURVEY §1.1 "Stream" row), NOT P concurrent queries — a
+streaming table directory has ONE ``_spark_metadata`` manifest log, which
+is single-writer by design (concurrent queries would collide on batch ids
+in it; the foreachBatch fallback likewise races on FileOutputCommitter's
+shared ``_temporary/0`` staging dir — observed: one job's cleanup deletes
+the other's task attempts). Stream i of the reference maps to the rows
+with ``row_id % P == i``; per-stream committed counts are reported per
 micro-batch exactly like Stream.java:199-200.
 """
 
