@@ -314,7 +314,7 @@ def _bench_sessionize_ab(spark) -> dict:
 
 def _stream_warm(spark, n_streams: int) -> None:
     """Untimed warm run for the streaming-ingest path (source init +
-    sink/codegen warm-up + tiered JIT over the 3M-row batch shape)."""
+    sink/codegen warm-up + tiered JIT over the 6M-row batch shape)."""
     import shutil
     import tempfile
 
@@ -328,15 +328,15 @@ def _stream_warm(spark, n_streams: int) -> None:
             output_path=warm_out,
             checkpoint_root=warm_ckpt,
             num_streams=n_streams,
-            commit_after_rows=3_000_000,
-            events_per_second=3_000_000,
-            # 30s: tiered JIT over the 3M-row batch path takes ~8-10
+            commit_after_rows=6_000_000,
+            events_per_second=6_000_000,
+            # 30s: tiered JIT over the 6M-row batch path takes several
             # batches across 32 threads to reach C2 steady state — a short
             # warm leaves the first two measured windows 2x slow (measured
             # band [0.6M, 0.63M, 1.63M] with a 12s warm).
             timeout_ms=30_000,
             quiet=True,
-            fixed_rows_per_batch=3_000_000,
+            fixed_rows_per_batch=6_000_000,
         )
     finally:
         shutil.rmtree(warm_ckpt, ignore_errors=True)
@@ -361,23 +361,27 @@ def _one_stream_run(spark, n_streams: int) -> tuple[int, int, int, list[int]]:
             output_path=stream_out,
             checkpoint_root=stream_ckpt,
             num_streams=n_streams,
-            # Fixed 3M-row micro-batches (the reference's
+            # Fixed 6M-row micro-batches (the reference's
             # commitAfterNRows shape) running back-to-back: the sink
             # paces commits, so committed rows/s IS sustained sink
             # throughput. A time-based offer instead snowballs any
             # backlog into one giant in-flight batch that can outlive
             # the deadline with zero commits (measured: 24M rows
-            # committed vs 1.8M on consecutive runs). 3M per batch
-            # amortizes per-batch planning/commit overhead to
-            # ~batch-write throughput (measured 1.9M rows/s vs 0.8M at
-            # 1.5M-row batches); 6M regresses (writeback pressure).
-            commit_after_rows=3_000_000,
-            events_per_second=3_000_000,
+            # committed vs 1.8M on consecutive runs). Batch-size curve
+            # under the manifest file sink (in-session A/B, r6): 1.5M
+            # 0.8M rows/s → 3M ~3.2M → 6M ~3.65-3.95M (stable) → 12M
+            # ~3.9M but with a 45s-window quantization artifact (first
+            # steady window 1.2M: too few batches per window). The old
+            # "6M regresses (writeback pressure)" was a
+            # FileOutputCommitter-era artifact — direct manifest-sink
+            # writes keep scaling past it; 6M is the knee.
+            commit_after_rows=6_000_000,
+            events_per_second=6_000_000,
             # 45s: long enough that the steady-state majority outweighs
             # any residual first-batch ramp in the 3-window median.
             timeout_ms=45_000,
             quiet=True,
-            fixed_rows_per_batch=3_000_000,
+            fixed_rows_per_batch=6_000_000,
         )
         rows = report.total_rows_committed
         rps = report.rows_per_second
@@ -616,7 +620,7 @@ def main() -> None:
     time.sleep(2)
 
     # Streaming ingest throughput (the reference's actual mode): rate
-    # source at an aggressive rate, fixed 3M-row micro-batches, committed
+    # source at an aggressive rate, fixed 6M-row micro-batches, committed
     # rows counted over a 45 s window. Two measured runs, keep the one
     # with the better median (see _measure_streaming); the early
     # quiet-state measurement above is the same code at the other session
