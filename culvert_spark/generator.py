@@ -111,13 +111,28 @@ def _pick(values: list[str], idx: Column) -> Column:
     return F.element_at(arr, (F.pmod(idx, F.lit(len(values))) + 1).cast("int"))
 
 
-def _uuid_shaped(idx: Column, seed: int) -> Column:
-    """Deterministic UUID-shaped string from md5 of the pool index.
+def _uuid_shaped(idx: Column, seed: int, salt: str) -> Column:
+    """Deterministic UUID-shaped string: md5 of ``uuid<seed>|<salt>|<idx>``
+    reshaped 8-4-4-4-12.
 
-    The reference's UUID pool is explicitly UNSEEDED (Column.java:58 uses
+    The reference's UUID pools are explicitly UNSEEDED (Column.java:58 uses
     UUID.randomUUID()) so run-to-run parity is impossible by design; we make
-    it deterministic while keeping the 1M-value pool cardinality."""
-    hx = F.md5(F.concat(F.lit(f"uuid{seed}|"), idx.cast("string")).cast("binary"))
+    them deterministic while keeping the 1M-value pool cardinality. ``salt``
+    is the column name: each UUID column draws from its OWN pool exactly
+    like each reference Column owns its pool (an earlier seed-only
+    derivation made user_id/page_id/ad_id byte-identical per row — one
+    shared pool — which no reference workload would ever see). Derivation
+    A/B at 3 columns × 16M rows, local[32]: salted md5-of-string 1.69 s
+    beats xxhash64+lpad(lower(hex())) 2.22 s and xxhash64+format_string
+    2.65 s — md5 emits the 32-hex string directly, while the 64-bit-hash
+    routes pay more in hex/pad/format string ops than they save in
+    hashing (a long→binary cast that would feed md5 8 raw bytes is
+    blocked under ANSI mode)."""
+    hx = F.md5(
+        F.concat(F.lit(f"uuid{seed}|{salt}|"), idx.cast("string")).cast(
+            "binary"
+        )
+    )
     return F.concat_ws(
         "-",
         F.substring(hx, 1, 8),
@@ -166,7 +181,7 @@ def expr_for(spec: ColumnSpec, id_col: Column, seed: int) -> Column:
         ]
         return F.concat_ws(".", *octets).alias(spec.name)
     if ct is ColumnType.STRING_UUID_DICT:
-        return _uuid_shaped(_pool_idx(id_col), seed).alias(spec.name)
+        return _uuid_shaped(_pool_idx(id_col), seed, salt).alias(spec.name)
     if ct is ColumnType.INT_YEAR:
         # 2000 + (pooled % 50) → [2000, 2050) (Column.java:61,126-127).
         return (

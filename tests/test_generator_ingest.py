@@ -81,6 +81,22 @@ def test_typed_ranges(spark):
     assert df.filter(~F.col("nm").rlike(r"^\S+ \S+$")).count() == 0
 
 
+def test_uuid_columns_draw_from_independent_pools(spark):
+    """Each UUID column is its own pool (reference: one pool per Column,
+    Column.java:58) — regression for a seed-only salt that made
+    user_id/page_id/ad_id byte-identical on every row."""
+    df = generate(spark, N, seed=7)
+    same = df.filter(
+        (F.col("user_id") == F.col("page_id"))
+        | (F.col("user_id") == F.col("ad_id"))
+        | (F.col("page_id") == F.col("ad_id"))
+    ).count()
+    assert same == 0
+    # Pool semantics retained: values repeat with period POOL_SIZE, so at
+    # N << POOL_SIZE every row's draw is distinct within a column too.
+    assert df.select("user_id").distinct().count() == N
+
+
 def test_determinism_across_parallelism(spark):
     # Same seed ⇒ identical content at any partitioning (the improvement
     # over the reference's racy shared Random, SURVEY §1.2).
