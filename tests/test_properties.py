@@ -363,3 +363,27 @@ def test_cdc_chunks_tile_and_localize_edits(spark):
         f"front insertion reshaped {len(by_doc[1]) - shared} chunks; "
         "CDC should localize the edit"
     )
+
+
+@given(
+    lo=st.integers(min_value=0, max_value=10**12),
+    n=st.integers(min_value=0, max_value=50_000),
+    p=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_ingest_residue_split_is_exact(lo, n, p):
+    """The ingest drain splits a committed batch's row count across P
+    streams arithmetically (stream i owns value ≡ i mod P over the
+    batch's contiguous value range [lo, lo+n) — rate sources are
+    round-robin). The closed form must equal brute force for every
+    interval and stream count, and the shares must sum to the total."""
+    hi = lo + n
+    counts = [
+        (hi - i + p - 1) // p - (lo - i + p - 1) // p for i in range(p)
+    ]
+    assert sum(counts) == n
+    if n <= 5_000:  # brute-force check on small intervals
+        brute = [0] * p
+        for v in range(lo, hi):
+            brute[v % p] += 1
+        assert counts == brute
