@@ -274,6 +274,27 @@ class IngestReport:
         return "\n".join(lines)
 
 
+def _trigger_seconds(commit_after_rows: int, events_per_second: int) -> float:
+    """Micro-batch ≈ ``commit_after_rows`` per stream: trigger = N / eps
+    seconds, bounded so tiny test configs still commit several batches, and
+    millisecond-rounded — Spark's interval parser rejects repeating decimals
+    like ``0.3333333333333333 seconds`` (nanosecond precision cap)."""
+    return round(
+        min(10.0, max(0.2, commit_after_rows / max(1, events_per_second))), 3
+    )
+
+
+def _residue_counts(lo: int, hi: int, p: int) -> list[int]:
+    """``|{v ∈ [lo, hi) : v ≡ i (mod p)}|`` for each stream i — the
+    per-stream split of a committed batch's contiguous value range
+    (stream i ↔ value ≡ i mod p; property-tested against brute force in
+    tests/test_properties.py)."""
+    return [(hi - i + p - 1) // p - (lo - i + p - 1) // p for i in range(p)]
+
+
+_SINKS = ("file", "foreachBatch")
+
+
 def run_streaming_ingest(
     spark: SparkSession,
     output_path: str,
@@ -322,14 +343,10 @@ def run_streaming_ingest(
     # partitions of one query. For reference-shaped P *independent* queries
     # with staggered launches (CLI -l), see run_streaming_ingest_multi.
     del stream_launch_delay_ms
+    if sink not in _SINKS:
+        raise ValueError(f"unknown sink {sink!r}: expected one of {_SINKS}")
     stats = [StreamStats(name=f"stream-{i}") for i in range(num_streams)]
-    # Micro-batch ≈ commit_after_rows PER STREAM: trigger = N / eps seconds
-    # (bounded so tiny test configs still commit several batches).
-    # Millisecond-rounded: Spark's interval parser rejects repeating
-    # decimals like "0.3333333333333333 seconds" (nanosecond precision cap).
-    trigger_s = round(
-        min(10.0, max(0.2, commit_after_rows / max(1, events_per_second))), 3
-    )
+    trigger_s = _trigger_seconds(commit_after_rows, events_per_second)
 
     cols = columns or default_event_columns(dynamic_partition=dynamic_partitioning)
     src = generate_stream(
@@ -347,21 +364,27 @@ def run_streaming_ingest(
         # Fixed-size batches run back-to-back: the sink's sustained
         # throughput, not the offer, paces commits (see generate_stream).
         trigger_s = 0.0
-    # Reference stream i ↔ rows with row_id % P == i.
-    src = src.withColumn(
-        "stream_id", F.pmod(F.col("row_id"), F.lit(num_streams)).cast("int")
-    ).drop("row_id")
-    # Committed-row counter (Stream.java:199-200) rides along with the
-    # write via ONE observed metric folded into the same pass that writes
-    # the batch (the old groupBy-count second pass cost ~30% of the batch).
-    # The per-stream split is NOT measured per row: stream i ↔ value ≡ i
-    # (mod P) over the batch's contiguous value range, so drain_progress
-    # splits the measured total arithmetically. A 32-expression
+    # Committed-row counters (Stream.java:199-200) ride along with the
+    # write via TWO observed metrics folded into the same pass that writes
+    # the batch (the old groupBy-count second pass cost ~30% of the batch):
+    # the batch's row count and its MEASURED base offset (min row id — a
+    # checkpoint resume continues values from the prior run's offset, so a
+    # tracked "starts at 0" base would misattribute rows after a restart).
+    # The per-stream split is then arithmetic: stream i ↔ value ≡ i (mod P)
+    # over the batch's contiguous value range [lo, lo + n). A 32-expression
     # count_if-per-stream observe was measured costing ~15% of steady
     # throughput (2.86-2.91M vs 3.09-3.34M rows/s, addBatch 887-1057 ms vs
     # 840-853 ms, same session) for information the source contract
     # already determines.
-    src = src.observe("stream_counts", F.count(F.lit(1)).alias("n"))
+    src = src.observe(
+        "stream_counts",
+        F.count(F.lit(1)).alias("n"),
+        F.min("row_id").alias("lo"),
+    )
+    # Reference stream i ↔ rows with row_id % P == i.
+    src = src.withColumn(
+        "stream_id", F.pmod(F.col("row_id"), F.lit(num_streams)).cast("int")
+    ).drop("row_id")
 
     if dynamic_partitioning:
         out = src.drop("stream_id")
@@ -386,33 +409,26 @@ def run_streaming_ingest(
         )
 
     seen_batches: set[int] = set()
-    # Running start of the next batch's value range: both rate sources
-    # emit consecutive values from 0 across batches, so batch k covers
-    # [cum, cum + rows_k) and stream i's share is the count of residues
-    # ≡ i (mod P) in that interval — exact, zero per-row cost.
-    cum = 0
 
     def drain_progress(q) -> None:
-        # A batch's progress (with its observed metric) is published only
+        # A batch's progress (with its observed metrics) is published only
         # after its sink commit — counting from progress is therefore
         # committed-rows semantics, same as the reference.
-        nonlocal cum
         for p in sorted(q.recentProgress, key=lambda p: p["batchId"]):
             bid = p["batchId"]
             if bid in seen_batches:
                 continue
             seen_batches.add(bid)
             row = (p.get("observedMetrics") or {}).get("stream_counts")
+            # The observe node always publishes for a data batch; the
+            # numInputRows/0-base fallback is defensive only.
             n_total = row["n"] if row is not None else p["numInputRows"]
             if not n_total:
                 continue
-            lo, hi = cum, cum + n_total
-            cum = hi
-            for i in range(num_streams):
-                # |{v ∈ [lo, hi) : v ≡ i (mod P)}|
-                n = (hi - i + num_streams - 1) // num_streams - (
-                    lo - i + num_streams - 1
-                ) // num_streams
+            lo = row["lo"] if row is not None else 0
+            for i, n in enumerate(
+                _residue_counts(lo, lo + n_total, num_streams)
+            ):
                 if n:
                     s = stats[i]
                     s.rows_committed += n
@@ -482,6 +498,7 @@ def run_streaming_ingest_multi(
     seed: int = 42,
     fmt: str = "orc",
     quiet: bool = False,
+    sink: str = "file",
 ) -> IngestReport:
     """Reference-shaped parallel ingest: P *independent* streaming queries,
     launched with a stagger of ``stream_launch_delay_ms`` between starts —
@@ -509,12 +526,10 @@ def run_streaming_ingest_multi(
       (stream i generates the same deterministic stream as a reference
       writer thread with its own RNG).
     """
+    if sink not in _SINKS:
+        raise ValueError(f"unknown sink {sink!r}: expected one of {_SINKS}")
     stats = [StreamStats(name=f"stream-{i}") for i in range(num_streams)]
-    # Millisecond-rounded: Spark's interval parser rejects repeating
-    # decimals like "0.3333333333333333 seconds" (nanosecond precision cap).
-    trigger_s = round(
-        min(10.0, max(0.2, commit_after_rows / max(1, events_per_second))), 3
-    )
+    trigger_s = _trigger_seconds(commit_after_rows, events_per_second)
     cols = columns or default_event_columns()
 
     queries = []
@@ -551,14 +566,31 @@ def run_streaming_ingest_multi(
             .withColumn("year", F.lit(STATIC_YEAR))
             .withColumn("month", F.lit(i))
         )
+        stream_dir = os.path.join(output_path, f"stream-{i}")
+        if sink == "file":
+            writer = (
+                src.writeStream.format(fmt)
+                .option("path", stream_dir)
+                .partitionBy("year", "month")
+            )
+        else:  # foreachBatch: formats with no streaming file sink
+
+            def write_batch(
+                batch_df: DataFrame, epoch_id: int, _dest: str = stream_dir
+            ) -> None:
+                (
+                    batch_df.write.format(fmt)
+                    .mode("append")
+                    .partitionBy("year", "month")
+                    .save(_dest)
+                )
+
+            writer = src.writeStream.foreachBatch(write_batch)
         q = (
-            src.writeStream.format(fmt)
-            .option("path", os.path.join(output_path, f"stream-{i}"))
-            .option(
+            writer.option(
                 "checkpointLocation",
                 os.path.join(checkpoint_root, f"stream-{i}"),
             )
-            .partitionBy("year", "month")
             .trigger(processingTime=f"{trigger_s} seconds")
             .queryName(f"culvert-stream-{i}")
             .start()

@@ -375,15 +375,15 @@ def test_ingest_residue_split_is_exact(lo, n, p):
     """The ingest drain splits a committed batch's row count across P
     streams arithmetically (stream i owns value ≡ i mod P over the
     batch's contiguous value range [lo, lo+n) — rate sources are
-    round-robin). The closed form must equal brute force for every
-    interval and stream count, and the shares must sum to the total."""
-    hi = lo + n
-    counts = [
-        (hi - i + p - 1) // p - (lo - i + p - 1) // p for i in range(p)
-    ]
+    round-robin). The production closed form must equal brute force for
+    every interval and stream count, and the shares must sum to the
+    total."""
+    from culvert_spark.ingest import _residue_counts
+
+    counts = _residue_counts(lo, lo + n, p)
     assert sum(counts) == n
     if n <= 5_000:  # brute-force check on small intervals
         brute = [0] * p
-        for v in range(lo, hi):
+        for v in range(lo, lo + n):
             brute[v % p] += 1
         assert counts == brute
