@@ -337,6 +337,14 @@ def run_streaming_ingest(
     addBatch 1013-1541 ms — +27-45%; committer v2 and
     spark.sql.maxConcurrentOutputFileWriters moved nothing, so the cost is
     the commit protocol itself, not the dynamic-partition sort).
+
+    Scale posture: committed throughput tracks source parallelism —
+    in-session sweep at a constant 187.5k rows per stream-txn measured
+    steady medians 0.46M / 1.04M / 1.72M / 2.94M rows/s at 4 / 8 / 16 / 32
+    streams (near-linear until the 32 local cores saturate). Parallelism
+    is P source partitions of ONE query, so on a cluster P scales with
+    executors while the per-batch driver work stays one manifest append +
+    two WAL writes (~75 ms measured) regardless of P.
     """
     del enable_auto_flush, streaming_optimizations, transaction_batch_size
     # Fused single-query design: nothing to stagger — P streams are P source
