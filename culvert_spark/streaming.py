@@ -970,6 +970,11 @@ def st_outer_join_expiry_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     for side, par in (("left", 0), ("right", 1)):
         sdf = ev.where(F.col("event_id") % 2 == par)
         n = sdf.count()
+        # Harness-only global sort (unpartitioned row_number over the tiny
+        # sf0.01 fixture): cuts deterministic, time-ordered micro-batch
+        # files for the replay. Not a query plan — the WindowExec
+        # "No Partition Defined" warning it triggers is expected here and
+        # never appears in a production path.
         rn = F.row_number().over(Window.orderBy("ts", "event_id"))
         ranked = sdf.withColumn("rn", rn).withColumn(
             "chunk", F.expr(f"cast((4 * (rn - 1)) div {n} as int) + 1")
@@ -1216,6 +1221,8 @@ def st_dedup_expiry_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1, c2 = (n + 2) // 3, (2 * n + 2) // 3
     from pyspark.sql import Window
 
+    # Harness-only global sort over the sf0.01 fixture (cuts ordered
+    # replay chunks); expected WindowExec warning, not a query plan.
     ranked = ev.withColumn(
         "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
     )
@@ -1350,6 +1357,8 @@ def st_session_finalize_tws_replay(spark: SparkSession, sf_dir: str) -> DataFram
     )
     _pbshim.ensure_worker_env(spark)
     n = ev.count()
+    # Harness-only global sort over the sf0.01 fixture (cuts ordered
+    # replay chunks); expected WindowExec warning, not a query plan.
     rn = F.row_number().over(Window.orderBy("ts", "event_id"))
     ranked = ev.withColumn("rn", rn).withColumn(
         "chunk", F.expr(f"cast((4 * (rn - 1)) div {n} as int) + 1")
@@ -1645,6 +1654,8 @@ def st_late_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1, c2 = (n + 2) // 3, (2 * n + 2) // 3
     from pyspark.sql import Window
 
+    # Harness-only global sort over the sf0.01 fixture (cuts ordered
+    # replay chunks); expected WindowExec warning, not a query plan.
     rn = F.row_number().over(Window.orderBy("ts", "event_id"))
     ranked = ontime.withColumn("rn", rn)
     cols = ["ts", "event_id", "event_type"]

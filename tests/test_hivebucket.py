@@ -58,6 +58,34 @@ def test_murmur3_published_vectors():
     )
 
 
+def test_murmur3_batch_matches_scalar():
+    """The numpy-vectorized batch Murmur3 (_murmur3_32_batch, the pandas
+    UDF's engine) agrees bit-for-bit with the scalar reference across
+    every tail-length class (len % 4 ∈ {0,1,2,3}), empty keys,
+    non-ASCII multi-byte UTF-8, and randomized lengths 0–67 — including
+    a mixed batch, which exercises the row-masked word-lane loop."""
+    import random
+
+    from culvert_spark.hivebucket import _murmur3_32_batch
+
+    rng = random.Random(4242)
+    vals = [b"", b"a", b"ab", b"abc", b"abcd", b"hello, world"]
+    vals += ["café".encode(), "übergrößenträger".encode(),
+             "日本語テキスト".encode()]
+    vals += [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(68)))
+        for _ in range(200)
+    ]
+    rng.shuffle(vals)
+    for seed in (0, HIVE_MURMUR_SEED):
+        got = _murmur3_32_batch(vals, seed=seed)
+        assert got.dtype.name == "uint32"
+        for v, g in zip(vals, got):
+            signed = _murmur3_32(v, seed=seed)
+            assert int(g) == signed & 0xFFFFFFFF, v
+    assert len(_murmur3_32_batch([])) == 0
+
+
 def test_java_string_hashcode_matches_spec(spark):
     """Spark-side String.hashCode == the Java spec for known values
     ("hello".hashCode() == 99162322 per the JDK) and arbitrary ASCII."""
