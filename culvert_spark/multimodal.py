@@ -2,13 +2,16 @@
 
 Media are opaque ``binary`` payload columns plus typed metadata — the
 standard large-scale layout (payload bytes + struct metadata in parquet,
-processed by Arrow-batched Python UDFs). Uncompressed containers are
-decoded FOR REAL in pure numpy (PGM/PPM images via ``_decode_pnm``,
-RIFF/WAV PCM16 audio via ``_decode_wav_pcm16`` — real image and audio
-bytes pass through the full pipeline, exercised by tests). Compressed
-formats (JPEG/PNG/MP3/H.264) fall back to a clearly-marked deterministic
-stub because their codec libraries are not in this container; everything
-Spark-side is identical either way and tested:
+processed by Arrow-batched Python UDFs). Real decoders, no codec
+library needed: uncompressed containers in pure numpy (PGM/PPM images
+via ``_decode_pnm``, RIFF/WAV PCM16 audio via ``_decode_wav_pcm16``)
+AND compressed 8-bit PNG via ``_decode_png`` (stdlib zlib inflate +
+numpy scanline-filter inversion, per-chunk CRC verified) — real image
+and audio bytes pass through the full pipeline, exercised by tests.
+The remaining compressed formats (JPEG/MP3/H.264) fall back to a
+clearly-marked deterministic stub because their codec libraries are not
+in this container; everything Spark-side is identical either way and
+tested:
 
 - schema (binary payload + typed metadata struct),
 - partitioning (mapInPandas preserves the input partitioning; no shuffle),
@@ -80,11 +83,11 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Decoders. Uncompressed container formats (PGM/PPM images, RIFF/WAV PCM16
-# audio) are decoded FOR REAL in pure numpy — no codec library needed.
-# Compressed formats (JPEG/PNG/MP3/H.264) fall back to a clearly-marked
-# deterministic stub: their codecs (PIL / soundfile / ffmpeg) are not in
-# this container.
+# Decoders. PGM/PPM images, RIFF/WAV PCM16 audio AND compressed 8-bit
+# PNG (stdlib zlib + numpy) are decoded FOR REAL — no codec library
+# needed. The remaining compressed formats (JPEG/MP3/H.264) fall back to
+# a clearly-marked deterministic stub: their codecs (PIL / soundfile /
+# ffmpeg) are not in this container.
 # ---------------------------------------------------------------------------
 
 
@@ -122,6 +125,138 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
         0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
     )
     return np.round(luma).astype(np.uint8)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_luma(rgb: np.ndarray) -> np.ndarray:
+    """BT.601 luma (same rounding as the PPM path) from an (h, w, 3)
+    uint8 array."""
+    luma = (
+        0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    )
+    return np.round(luma).astype(np.uint8)
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """REAL decoder for non-interlaced 8-bit PNG (the first compressed
+    image codec decoded for real here — no codec library needed: the
+    DEFLATE stream is stdlib ``zlib``, the rest is the public PNG spec
+    in numpy). Supports color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA) and all five scanline filters; per-chunk
+    CRC32 is verified so corrupt payloads raise like any real decoder.
+    Returns the (height, width) uint8 luma plane (BT.601 for color;
+    alpha ignored — features describe the stored pixels).
+
+    Filter inversion is row-sequential by spec (each row predicts from
+    the reconstruction above), but within a row: None/Up are whole-row
+    numpy ops and Sub is an exact per-channel-lane ``cumsum mod 256``;
+    only Average/Paeth (left-neighbor feedback through a rounded/branchy
+    predictor) fall back to a per-byte loop. 16-bit depth and Adam7
+    interlacing raise — rare in training corpora and a deployment's
+    PIL route handles them.
+
+    Scale: decode stays O(payload bytes) per image inside the Arrow
+    batch, exactly like the PNM path — nothing about the mapInPandas
+    plumbing changes."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    seen_iend = False
+    pos = 8
+    while pos + 12 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        cid = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(payload[pos + 8 + size : pos + 12 + size], "big")
+        if zlib.crc32(payload[pos + 4 : pos + 8 + size]) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {cid!r}")
+        if cid == b"IHDR":
+            ihdr = body
+        elif cid == b"PLTE":
+            plte = body
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + size
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    if not seen_iend:
+        raise ValueError("truncated PNG: no IEND chunk")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, compression, filter_method, interlace = ihdr[8:13]
+    if bit_depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+    if compression != 0 or filter_method != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlacing unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    raster = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raster) != height * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    raw = np.frombuffer(raster, dtype=np.uint8).reshape(height, stride + 1)
+    bpp = channels  # bytes per pixel at depth 8
+    recon = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:]
+        if ftype == 0:  # None
+            cur = line.copy()
+        elif ftype == 1:  # Sub == per-lane running sum, wraps at 256
+            cur = (
+                np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.uint64)
+                .astype(np.uint8)
+                .reshape(-1)
+            )
+        elif ftype == 2:  # Up
+            cur = line + prev  # uint8 wrap
+        elif ftype == 3:  # Average (left feedback → per-byte)
+            cur = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(line[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth (left feedback → per-byte)
+            cur = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (
+                    a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                )
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        recon[y] = cur
+        prev = cur
+    px = recon.reshape(height, width, channels)
+    if color_type == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette image missing a valid PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(px.max()) >= len(pal):
+            raise ValueError("palette index out of range")
+        return _png_luma(pal[px[:, :, 0]])
+    if color_type in (0, 4):  # gray / gray+alpha
+        return px[:, :, 0].copy()
+    return _png_luma(px[:, :, :3])  # RGB / RGBA
 
 
 def _decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
@@ -164,10 +299,14 @@ def _decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
 
 def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """Dispatching decoder: real PNM parse when the payload is PGM/PPM,
-    else the deterministic tiling STUB (compressed codecs unavailable —
-    a deployment would route those through PIL here)."""
+    real PNG decode (stdlib zlib + numpy) on the 8-byte PNG signature,
+    else the deterministic tiling STUB (remaining compressed codecs —
+    JPEG — unavailable; a deployment would route those through PIL
+    here)."""
     if not payload:
         raise ValueError("corrupt image payload")  # mirrors real decoder
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     # Magic + following whitespace: a 2-byte magic alone has ~3e-5 odds of
     # appearing in arbitrary binary, which would mis-dispatch synthetic
     # payloads into the strict parser.

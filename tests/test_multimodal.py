@@ -125,6 +125,149 @@ def _wav_bytes(samples, sr):
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+def _png_bytes(img, color_type, filters=None, palette=None):
+    """Encode an 8-bit image as PNG with an EXPLICIT per-row filter
+    choice (the forward transform of each spec filter; the decoder must
+    invert every one). ``img`` is (h, w) for gray/palette or (h, w, c)
+    for RGB(A)/gray+alpha; ``filters`` cycles over the rows."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    bpp = c
+    filters = filters or [0]
+    raster = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+        if f == 0:
+            out = cur
+        elif f == 1:
+            out = cur - left
+        elif f == 2:
+            out = cur - prev
+        elif f == 3:
+            out = cur - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            out = cur - pred
+        raster += bytes([f]) + (out % 256).astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(cid, body):
+        return (
+            len(body).to_bytes(4, "big")
+            + cid
+            + body
+            + (zlib.crc32(cid + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    comp = zlib.compress(bytes(raster))
+    # Split IDAT in two to prove multi-chunk reassembly.
+    out += chunk(b"IDAT", comp[:7]) + chunk(b"IDAT", comp[7:])
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_decode_all_filters_gray():
+    """Gray PNG whose rows cycle through all five scanline filters: the
+    decoder must invert each (Sub's lane-cumsum, Up, Average's rounded
+    left feedback, Paeth's branchy predictor) bit-for-bit."""
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(11, 13), dtype=np.uint8)
+    payload = _png_bytes(img, color_type=0, filters=[0, 1, 2, 3, 4])
+    got = mm._decode_png(payload)
+    assert got.dtype == np.uint8 and got.shape == (11, 13)
+    assert (got == img).all()
+
+
+def test_png_decode_color_types():
+    """RGB luma matches the PPM path's BT.601 rounding; RGBA ignores
+    alpha; gray+alpha returns the gray plane; palette maps through PLTE
+    before luma."""
+    rng = np.random.default_rng(32)
+    rgb = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    expected = mm._png_luma(rgb)
+    assert (
+        mm._decode_png(_png_bytes(rgb, 2, filters=[4, 3, 1])) == expected
+    ).all()
+    rgba = np.dstack([rgb, rng.integers(0, 256, size=(5, 4), dtype=np.uint8)])
+    assert (
+        mm._decode_png(_png_bytes(rgba, 6, filters=[2, 4])) == expected
+    ).all()
+    gray = rng.integers(0, 256, size=(6, 3), dtype=np.uint8)
+    ga = np.dstack([gray, np.full((6, 3), 9, dtype=np.uint8)])
+    assert (mm._decode_png(_png_bytes(ga, 4, filters=[1])) == gray).all()
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(3, 7), dtype=np.uint8)
+    got = mm._decode_png(_png_bytes(idx, 3, filters=[0, 2], palette=pal))
+    assert (got == mm._png_luma(pal[idx])).all()
+
+
+def test_png_decode_rejects_corruption():
+    """A real decoder raises on damage: CRC flips, truncation, Adam7,
+    non-8-bit depth, bad filter bytes."""
+    img = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    good = _png_bytes(img, color_type=0, filters=[1])
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        mm._decode_png(bytes(bad_crc))
+    with pytest.raises(ValueError):
+        mm._decode_png(good[: len(good) - 9])  # truncated: IEND lost
+    interlaced = bytearray(good)
+    # IHDR body starts at offset 16; interlace flag is its 13th byte.
+    interlaced[16 + 12] = 1
+    with pytest.raises(ValueError, match="[Ii]nterlac"):
+        import zlib
+
+        body = bytes(interlaced[16 : 16 + 13])
+        fixed = (
+            good[:12]
+            + b"IHDR"
+            + body
+            + (zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF).to_bytes(4, "big")
+            + good[33:]
+        )
+        mm._decode_png(fixed)
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm._decode_png(b"\x89PNJ" + good[4:])
+
+
+def test_real_png_through_pipeline(spark):
+    """REAL compressed image bytes (PNG: zlib DEFLATE + filters) through
+    the same Spark operators — header dimensions win over metadata and
+    features match a hand computation, exactly like the PPM path."""
+    rng = np.random.default_rng(33)
+    rgb = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    payload = _png_bytes(rgb, color_type=2, filters=[0, 1, 2, 3, 4])
+    expected = mm._png_luma(rgb)
+    df = spark.createDataFrame(
+        [(3, "image", bytearray(payload), (99, 99, 16000, 4))],
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    r = mm.image_features(df).collect()[0]
+    assert (r.width, r.height) == (5, 6)  # from the PNG header, not meta
+    assert r.mean_luma == pytest.approx(float(expected.mean()))
+    assert r.max_luma == int(expected.max())
+
+
 def test_real_ppm_through_pipeline(spark):
     """REAL image bytes (binary PPM, decoded in pure numpy) through the
     same Spark operators: header dimensions win over metadata, and the
