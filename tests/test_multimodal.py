@@ -294,6 +294,142 @@ def test_real_ppm_through_pipeline(spark):
     assert (got == expected[yi, xi]).all()
 
 
+def _wav_bytes_fmt(data, sr, fmt_tag, bits, block_align, n_channels=1):
+    """Encode raw codec bytes as a RIFF/WAVE container with an arbitrary
+    format tag (PCM=1, A-law=6, µ-law=7, IMA ADPCM=0x11)."""
+    fmt = (
+        fmt_tag.to_bytes(2, "little")
+        + n_channels.to_bytes(2, "little")
+        + sr.to_bytes(4, "little")
+        + (sr * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        body += b"\x00"  # chunk word alignment
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_g711_tables_anchors_and_symmetry():
+    """The G.711 LUTs hit the published anchor values (µ-law 0x00 →
+    -32124, 0xFF/0x7F → ±0; A-law 0xD5/0x55 → ±8) and satisfy the
+    codec's structural properties: sign antisymmetry under the sign-bit
+    flip and strictly monotone magnitude within each sign half."""
+    u = mm._g711_ulaw_table()
+    assert u[0x00] == -32124 and u[0x80] == 32124
+    assert u[0xFF] == 0 and u[0x7F] == 0
+    a = mm._g711_alaw_table()
+    assert a[0xD5] == 8 and a[0x55] == -8
+    codes = np.arange(256)
+    assert (u[codes] == -u[codes ^ 0x80]).all()
+    assert (a[codes] == -a[codes ^ 0x80]).all()
+    # µ-law: 0x00..0x7F decode to increasing (toward 0) negatives.
+    assert (np.diff(u[:128].astype(np.int32)) > 0).all()
+    assert (np.diff(u[128:].astype(np.int32)) < 0).all()
+
+
+def _ima_encode_mono(samples, block_align):
+    """Standard IMA ADPCM mono encoder (test-side): returns the encoded
+    block bytes AND the encoder's internal reconstruction trace — by the
+    codec's design the decoder must reproduce that trace EXACTLY."""
+    step_table = mm._IMA_STEP_TABLE
+    index_table = mm._IMA_INDEX_TABLE
+    spb = (block_align - 4) * 2 + 1
+    data = bytearray()
+    recon = []
+    idx = 0
+    for start in range(0, len(samples) - spb + 1, spb):
+        chunk = samples[start : start + spb]
+        pred = int(chunk[0])
+        data += int(pred).to_bytes(2, "little", signed=True)
+        data += bytes([idx, 0])
+        recon.append(pred)
+        nibbles = []
+        for s in chunk[1:]:
+            step = int(step_table[idx])
+            delta = int(s) - pred
+            n = 8 if delta < 0 else 0
+            delta = abs(delta)
+            mask, temp = 4, step
+            for _ in range(3):
+                if delta >= temp:
+                    n |= mask
+                    delta -= temp
+                temp >>= 1
+                mask >>= 1
+            d = step >> 3
+            if n & 1:
+                d += step >> 2
+            if n & 2:
+                d += step >> 1
+            if n & 4:
+                d += step
+            pred = pred - d if n & 8 else pred + d
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + int(index_table[n & 7])))
+            recon.append(pred)
+            nibbles.append(n)
+        for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+            data.append(lo | (hi << 4))
+    return bytes(data), np.array(recon, dtype=np.int16)
+
+
+def test_ima_adpcm_decode_matches_encoder_reconstruction():
+    """Encode a sine sweep with the standard IMA algorithm; the module
+    decoder must reproduce the encoder's reconstruction trace exactly
+    (that equality IS the codec contract), and the lossy output must
+    still track the original signal."""
+    t = np.arange(1025, dtype=np.float64)
+    sig = (8000 * np.sin(2 * np.pi * t / 64)).astype(np.int16)
+    block_align = 132  # 4-byte header + 128 nibble bytes → 257 samples/block
+    data, recon = _ima_encode_mono(sig, block_align)
+    got = mm._decode_ima_adpcm_mono(data, block_align)
+    assert (got == recon).all()
+    n = len(got)
+    assert n == 257 * 3  # three full blocks; the ragged tail is dropped
+    assert float(np.abs(got.astype(np.int32) - sig[:n])
+                 .mean()) < 500  # tracks the waveform
+    with pytest.raises(ValueError, match="step index"):
+        bad = bytearray(data)
+        bad[2] = 99
+        mm._decode_ima_adpcm_mono(bytes(bad), block_align)
+
+
+def test_compressed_wav_through_pipeline(spark):
+    """REAL compressed audio bytes (G.711 µ-law and IMA ADPCM WAV)
+    through audio_features: sample counts, container rate, and RMS all
+    match a hand decode."""
+    codes = bytes(range(256)) * 4
+    ulaw_payload = _wav_bytes_fmt(codes, 8_000, fmt_tag=7, bits=8,
+                                  block_align=1)
+    expected_u = mm._g711_ulaw_table()[np.frombuffer(codes, np.uint8)]
+    sig = (5000 * np.sin(np.arange(513) / 9.0)).astype(np.int16)
+    adpcm_data, recon = _ima_encode_mono(sig, 132)
+    adpcm_payload = _wav_bytes_fmt(adpcm_data, 16_000, fmt_tag=0x11,
+                                   bits=4, block_align=132)
+    df = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(ulaw_payload), (0, 0, 44_100, 0)),
+            (2, "audio", bytearray(adpcm_payload), (0, 0, 44_100, 0)),
+        ],
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    rows = {r.media_id: r for r in mm.audio_features(df).collect()}
+    assert rows[1].n_samples == 1024
+    assert rows[1].duration_s == pytest.approx(1024 / 8_000)
+    assert rows[1].rms == pytest.approx(
+        float(np.sqrt(np.mean(expected_u.astype(np.float64) ** 2)))
+    )
+    assert rows[2].n_samples == len(recon)
+    assert rows[2].duration_s == pytest.approx(len(recon) / 16_000)
+    assert rows[2].rms == pytest.approx(
+        float(np.sqrt(np.mean(recon.astype(np.float64) ** 2)))
+    )
+
+
 def test_real_wav_through_pipeline(spark):
     """REAL audio bytes (RIFF/WAV PCM16) through audio_features: the
     sample rate comes from the container and RMS matches the known
