@@ -42,6 +42,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from culvert_spark.jpegcodec import decode_jpeg_luma
+
 # ---------------------------------------------------------------------------
 # Synthetic media table (deterministic payloads derived from `documents`)
 # ---------------------------------------------------------------------------
@@ -404,13 +406,20 @@ def _decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
 def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """Dispatching decoder: real PNM parse when the payload is PGM/PPM,
     real PNG decode (stdlib zlib + numpy) on the 8-byte PNG signature,
-    else the deterministic tiling STUB (remaining compressed codecs —
-    JPEG — unavailable; a deployment would route those through PIL
-    here)."""
+    real baseline-JPEG decode (``jpegcodec``) on the 3-byte SOI+marker
+    signature, else the deterministic tiling STUB (a deployment would
+    route the remaining codecs through PIL here). The JPEG signature is
+    3 bytes (FF D8 FF — every real JPEG follows SOI with another
+    marker) rather than SOI alone: 2 random bytes collide with md5-
+    derived synthetic payloads at realistic corpus sizes (doc 1566 at
+    sf0.1 starts FF D8), 3 bytes are collision-checked clean on all
+    shipped fixtures."""
     if not payload:
         raise ValueError("corrupt image payload")  # mirrors real decoder
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        return decode_jpeg_luma(payload)
     # Magic + following whitespace: a 2-byte magic alone has ~3e-5 odds of
     # appearing in arbitrary binary, which would mis-dispatch synthetic
     # payloads into the strict parser.

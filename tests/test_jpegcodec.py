@@ -1,0 +1,368 @@
+"""Tests for the pure-numpy baseline JPEG decoder (``culvert_spark.jpegcodec``).
+
+The proof technique is the same as the IMA-ADPCM tests
+(``test_multimodal.py``): a test-side INDEPENDENT baseline ENCODER —
+forward DCT, quantizer, canonical Huffman writer, byte stuffing, restart
+markers — produces both the compressed payload and its own
+dequantize→IDCT reconstruction.  The decoder must reproduce that
+reconstruction EXACTLY (that equality is the lossy codec's defining
+contract: decode(encode(x)) == encoder's own reconstruction of x, not x).
+
+The encoder shares nothing with the decoder but the public T.81 spec:
+its zigzag order is derived by diagonal sort (the decoder generates it
+by diagonal walk), its DCT basis is built from the closed-form cosine
+formula, its Huffman tables are canonical-coded from (bits, vals) with a
+symbol→code map (the decoder builds (length,code)→symbol).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from culvert_spark import jpegcodec as jc
+from culvert_spark import multimodal as mm
+
+
+# --------------------------------------------------------------------------
+# Independent encoder-side primitives
+# --------------------------------------------------------------------------
+
+#: Coded-order -> block-position, by diagonal sort: diagonal s = r + c,
+#: odd diagonals walk row-increasing, even diagonals row-decreasing.
+_ZIG = sorted(
+    range(64),
+    key=lambda i: ((i // 8 + i % 8),
+                   (i // 8) if (i // 8 + i % 8) % 2 else -(i // 8)),
+)
+
+#: DCT-II basis from the closed form (same math as the decoder's, built
+#: from an independently written expression).
+_B = np.array(
+    [
+        [
+            (np.sqrt(0.125) if u == 0 else 0.5)
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for u in range(8)
+        ]
+        for x in range(8)
+    ]
+)
+
+
+def _fdct(block):
+    """Forward 8x8 DCT-II of a centered block (float64)."""
+    return _B.T @ block @ _B
+
+
+def _idct(coef):
+    return _B @ coef @ _B.T
+
+
+def _canonical(bits, vals):
+    """symbol -> (code, length) from a DHT (bits, vals) pair."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+# Variable-length DC table (12 symbols over lengths 2..5) and a two-length
+# AC table (EOB and 0x01 at 4 bits, the other 160 symbols at 9) — chosen to
+# exercise multi-length canonical decode, not to compress well.
+_DC_BITS = [0, 1, 2, 3, 6] + [0] * 11
+_DC_VALS = bytes(range(12))
+_AC_BITS = [0, 0, 0, 2, 0, 0, 0, 0, 160] + [0] * 7
+_AC_VALS = bytes([0x00, 0x01]) + bytes(
+    sorted(({(r << 4) | s for r in range(16) for s in range(1, 11)}
+            - {0x01}) | {0xF0})
+)
+_DC_ENC = _canonical(_DC_BITS, _DC_VALS)
+_AC_ENC = _canonical(_AC_BITS, _AC_VALS)
+
+#: Quantization tables (natural order), small enough that every AC
+#: magnitude stays within size<=10 for 8-bit input.
+_QL = np.array([[2 + ((r + c) % 7) for c in range(8)] for r in range(8)],
+               dtype=np.float64)
+_QC = np.array([[3 + ((2 * r + c) % 5) for c in range(8)] for r in range(8)],
+               dtype=np.float64)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def pad(self):
+        while self.n:
+            self.write(1, 1)
+
+
+def _mag(v):
+    """(size, appended-bits) per T.81 magnitude coding."""
+    v = int(v)
+    size = abs(v).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _encode_block(bw, zz, pred):
+    """Huffman-encode one quantized block (zigzag order); returns new pred."""
+    size, bits = _mag(zz[0] - pred)
+    bw.write(*_DC_ENC[size])
+    if size:
+        bw.write(bits, size)
+    nz = [k for k in range(1, 64) if zz[k]]
+    last = nz[-1] if nz else 0
+    run, k = 0, 1
+    while k <= last:
+        if zz[k] == 0:
+            run += 1
+            k += 1
+            continue
+        while run >= 16:
+            bw.write(*_AC_ENC[0xF0])
+            run -= 16
+        size, bits = _mag(zz[k])
+        bw.write(*_AC_ENC[(run << 4) | size])
+        bw.write(bits, size)
+        run, k = 0, 1 + k
+    if last < 63:
+        bw.write(*_AC_ENC[0x00])
+    return zz[0]
+
+
+def _pad_edge(plane, ph, pw):
+    return np.pad(plane.astype(np.float64),
+                  ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+                  mode="edge")
+
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _zz_bytes(q):
+    return bytes(int(q.flat[_ZIG[k]]) for k in range(64))
+
+
+def _dht_body():
+    body = b""
+    for tc_th, bits, vals in ((0x00, _DC_BITS, _DC_VALS),
+                              (0x10, _AC_BITS, _AC_VALS),
+                              (0x01, _DC_BITS, _DC_VALS),
+                              (0x11, _AC_BITS, _AC_VALS)):
+        body += bytes([tc_th]) + bytes(bits) + vals
+    return body
+
+
+def encode_jpeg(y, cb=None, cr=None, sampling=(1, 1), restart=0):
+    """Baseline-JPEG encode ``y`` (uint8 HxW) with optional chroma planes;
+    returns (payload, expected_luma) where expected_luma is the encoder's
+    own dequantize→IDCT reconstruction cropped to the input size."""
+    h, w = y.shape
+    gray = cb is None
+    hmax, vmax = sampling if not gray else (1, 1)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    ypad = _pad_edge(y, mcus_y * vmax * 8, mcus_x * hmax * 8)
+    recon = np.zeros_like(ypad)
+    if not gray:
+        cpad = [_pad_edge(c, mcus_y * 8, mcus_x * 8) for c in (cb, cr)]
+
+    # components: (cid, h, v, qtable, plane or None-for-discarded-recon)
+    comps = [(1, hmax, vmax, _QL, ypad)]
+    if not gray:
+        comps += [(2, 1, 1, _QC, cpad[0]), (3, 1, 1, _QC, cpad[1])]
+
+    bw = _BitWriter()
+    chunks = []  # entropy segments split at restart boundaries
+    preds = {cid: 0 for cid, *_ in comps}
+    n_mcus = mcus_x * mcus_y
+    for mcu in range(n_mcus):
+        if restart and mcu and mcu % restart == 0:
+            bw.pad()
+            chunks.append(bytes(bw.out))
+            bw = _BitWriter()
+            preds = {cid: 0 for cid, *_ in comps}
+        my, mx = divmod(mcu, mcus_x)
+        for cid, ch, cv, q, plane in comps:
+            for by in range(cv):
+                for bx in range(ch):
+                    y0, x0 = (my * cv + by) * 8, (mx * ch + bx) * 8
+                    block = plane[y0:y0 + 8, x0:x0 + 8] - 128.0
+                    qz = np.round(_fdct(block) / q)
+                    zz = [int(qz.flat[_ZIG[k]]) for k in range(64)]
+                    preds[cid] = _encode_block(bw, zz, preds[cid])
+                    if cid == 1:
+                        recon[y0:y0 + 8, x0:x0 + 8] = _idct(qz * q)
+    bw.pad()
+    chunks.append(bytes(bw.out))
+    entropy = chunks[0]
+    for i, c in enumerate(chunks[1:]):
+        entropy += bytes([0xFF, 0xD0 + (i % 8)]) + c
+
+    ncomp = len(comps)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([ncomp])
+    sos = bytes([ncomp])
+    for cid, ch, cv, q, _ in comps:
+        tq = 0 if q is _QL else 1
+        sof += bytes([cid, (ch << 4) | cv, tq])
+        sos += bytes([cid, (tq << 4) | tq])  # luma->tables 0, chroma->1
+    sos += bytes([0, 63, 0])
+
+    payload = b"\xff\xd8"
+    payload += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    payload += _seg(0xFE, b"test-side encoder")  # COM: exercises skip
+    payload += _seg(0xDB, bytes([0x00]) + _zz_bytes(_QL)
+                    + bytes([0x01]) + _zz_bytes(_QC))
+    payload += _seg(0xC0, sof)
+    payload += _seg(0xC4, _dht_body())
+    if restart:
+        payload += _seg(0xDD, restart.to_bytes(2, "big"))
+    payload += _seg(0xDA, sos) + entropy + b"\xff\xd9"
+
+    expected = np.clip(np.round(recon) + 128, 0, 255)[:h, :w].astype(np.uint8)
+    return payload, expected
+
+
+# --------------------------------------------------------------------------
+# Tests
+# --------------------------------------------------------------------------
+
+def test_jpeg_grayscale_exact_reconstruction():
+    """Random grayscale, non-multiple-of-8 dims: decode must equal the
+    encoder's own reconstruction bit-for-bit, and track the source."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(17, 26), dtype=np.uint8)
+    payload, expected = encode_jpeg(img)
+    got = jc.decode_jpeg_luma(payload)
+    assert got.shape == (17, 26)
+    assert got.dtype == np.uint8
+    assert (got == expected).all()
+    # lossy but must track the original (quant tables are mild)
+    assert float(np.abs(got.astype(int) - img.astype(int)).mean()) < 16
+
+
+def test_jpeg_444_and_422_and_420_luma():
+    """Color images at 4:4:4, 4:2:2 and 4:2:0: chroma blocks interleave in
+    the bitstream and must be entropy-consumed for the luma to land, even
+    though only luma is rendered."""
+    rng = np.random.default_rng(11)
+    y = rng.integers(0, 256, size=(21, 19), dtype=np.uint8)
+    for sampling in ((1, 1), (2, 1), (2, 2)):
+        ch = -(-y.shape[0] // sampling[1]), -(-y.shape[1] // sampling[0])
+        cb = rng.integers(0, 256, size=ch, dtype=np.uint8)
+        cr = rng.integers(0, 256, size=ch, dtype=np.uint8)
+        payload, expected = encode_jpeg(y, cb, cr, sampling=sampling)
+        got = jc.decode_jpeg_luma(payload)
+        assert got.shape == y.shape, sampling
+        assert (got == expected).all(), sampling
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn: DC predictors reset per restart interval; a missing
+    restart segment is detected."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)  # 15 MCUs
+    payload, expected = encode_jpeg(img, restart=2)
+    assert b"\xff\xd0" in payload or b"\xff\xd1" in payload
+    got = jc.decode_jpeg_luma(payload)
+    assert (got == expected).all()
+
+    # Amputate the entropy tail from the last restart marker on: the
+    # decoder must notice the missing segment, not return garbage.
+    cut = payload.rfind(b"\xff\xd0")
+    for m in range(1, 8):
+        cut = max(cut, payload.rfind(bytes([0xFF, 0xD0 + m])))
+    with pytest.raises(ValueError,
+                       match="restart segment|truncated JPEG entropy"):
+        jc.decode_jpeg_luma(payload[:cut] + b"\xff\xd9")
+
+
+def test_jpeg_rejects_unsupported_variants():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    payload, _ = encode_jpeg(img)
+
+    # progressive: flip SOF0 -> SOF2
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        jc.decode_jpeg_luma(prog)
+
+    # 16-bit quantization table
+    i = payload.index(b"\xff\xdb") + 4
+    deep = bytearray(payload)
+    deep[i] = 0x10 | (deep[i] & 0x0F)
+    with pytest.raises(ValueError, match="16-bit quantization"):
+        jc.decode_jpeg_luma(bytes(deep))
+
+    # truncated entropy data
+    with pytest.raises(ValueError, match="truncated JPEG entropy"):
+        jc.decode_jpeg_luma(payload[:-12])
+
+    # not a JPEG at all
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jc.decode_jpeg_luma(b"\xff\xd8\x00" + payload[3:])
+
+    # scan before frame: strip the SOF segment entirely
+    s = payload.index(b"\xff\xc0")
+    ln = int.from_bytes(payload[s + 2:s + 4], "big")
+    with pytest.raises(ValueError, match="SOS before SOF"):
+        jc.decode_jpeg_luma(payload[:s] + payload[s + 2 + ln:])
+
+
+def test_real_jpeg_through_pipeline(spark):
+    """REAL compressed JPEG bytes through the Spark feature operators:
+    the 3-byte SOI+marker signature dispatches to the codec, header
+    dimensions win over metadata, features match the encoder's own
+    reconstruction — same shape as the PNG/PPM pipeline tests."""
+    rng = np.random.default_rng(29)
+    y = rng.integers(0, 256, size=(14, 11), dtype=np.uint8)
+    cb = rng.integers(0, 256, size=(7, 6), dtype=np.uint8)
+    cr = rng.integers(0, 256, size=(7, 6), dtype=np.uint8)
+    payload, expected = encode_jpeg(y, cb, cr, sampling=(2, 2))
+    assert payload[:3] == b"\xff\xd8\xff"
+    df = spark.createDataFrame(
+        [(7, "image", bytearray(payload), (99, 99, 16000, 4))],
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    r = mm.image_features(df).collect()[0]
+    assert (r.width, r.height) == (11, 14)  # from the SOF header, not meta
+    assert r.mean_luma == pytest.approx(float(expected.mean()))
+    assert r.max_luma == int(expected.max())
+
+
+def test_zigzag_tables_agree():
+    """The encoder's sort-derived zigzag equals the decoder's walk-derived
+    one — two independent constructions of the T.81 Figure A.6 order."""
+    assert _ZIG == jc._ZIGZAG
+    assert sorted(jc._ZIGZAG) == list(range(64))
+
+
+def test_huffman_tables_roundtrip():
+    """Decoder's (length,code)->symbol LUT inverts the encoder's canonical
+    symbol->(code,length) map for both shipped table shapes."""
+    for bits, vals in ((_DC_BITS, _DC_VALS), (_AC_BITS, _AC_VALS)):
+        dec = jc.build_huffman(bits, bytes(vals))
+        enc = _canonical(bits, vals)
+        assert len(dec) == len(enc) == len(vals)
+        for sym, (code, ln) in enc.items():
+            assert dec[(ln, code)] == sym
