@@ -8,12 +8,13 @@ via ``_decode_pnm``, RIFF/WAV PCM16 audio via ``_decode_wav_pcm16``)
 AND real COMPRESSED codecs from their public specs — 8-bit PNG via
 ``_decode_png`` (stdlib zlib inflate + numpy scanline-filter inversion,
 per-chunk CRC verified), G.711 A-law/µ-law WAV (ITU-T companding,
-exact 256-entry LUTs) and IMA ADPCM WAV (4-bit predictive) — real
-image and audio bytes pass through the full pipeline, exercised by
-tests. The remaining compressed formats (JPEG/MP3/H.264) fall back to
-a clearly-marked deterministic stub because their codec libraries are
-not in this container; everything Spark-side is identical either way
-and tested:
+exact 256-entry LUTs), IMA ADPCM WAV (4-bit predictive) and baseline
+JPEG (``jpegcodec``: canonical Huffman + zigzag dequant + matmul IDCT)
+— real image and audio bytes pass through the full pipeline, exercised
+by tests. The remaining compressed formats (MP3/H.264, plus
+non-baseline JPEG modes) fall back to a clearly-marked deterministic
+stub because their codec libraries are not in this container;
+everything Spark-side is identical either way and tested:
 
 - schema (binary payload + typed metadata struct),
 - partitioning (mapInPandas preserves the input partitioning; no shuffle),
@@ -88,11 +89,12 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Decoders. PGM/PPM images, RIFF/WAV PCM16 audio AND the compressed
-# codecs 8-bit PNG (stdlib zlib + numpy), G.711 A-law/µ-law WAV and IMA
-# ADPCM WAV are decoded FOR REAL — no codec library needed. The
-# remaining compressed formats (JPEG/MP3/H.264) fall back to a
-# clearly-marked deterministic stub: their codecs (PIL / soundfile /
-# ffmpeg) are not in this container.
+# codecs 8-bit PNG (stdlib zlib + numpy), baseline JPEG (``jpegcodec``),
+# G.711 A-law/µ-law WAV and IMA ADPCM WAV are decoded FOR REAL — no
+# codec library needed. The remaining compressed formats (MP3/H.264,
+# non-baseline JPEG modes) fall back to a clearly-marked deterministic
+# stub: their codecs (PIL / soundfile / ffmpeg) are not in this
+# container.
 # ---------------------------------------------------------------------------
 
 
