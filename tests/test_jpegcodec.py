@@ -296,6 +296,43 @@ def test_jpeg_restart_markers():
         jc.decode_jpeg_luma(payload[:cut] + b"\xff\xd9")
 
 
+def test_jpeg_zrl_long_zero_runs():
+    """Force AC runs longer than 15 so the encoder emits ZRL symbols and
+    the decoder's sixteen-zero fast path executes: the block is built as
+    the IDCT of a sparse high-frequency coefficient pattern, so after
+    forward DCT + quantization only late-zigzag coefficients survive."""
+    coef = np.zeros((8, 8))
+    # zigzag positions ~40 and ~60: runs of >=16 zeros before each
+    coef[jc._ZIGZAG[40] // 8, jc._ZIGZAG[40] % 8] = 12 * _QL.flat[0]
+    coef[jc._ZIGZAG[61] // 8, jc._ZIGZAG[61] % 8] = 9 * _QL.flat[0]
+    block = np.clip(np.round(_idct(coef)) + 128, 0, 255).astype(np.uint8)
+    img = np.tile(block, (2, 3))
+    payload, expected = encode_jpeg(img)
+    # the ZRL symbol (0xF0 at its 9-bit canonical code) must actually be
+    # in the stream: re-encode and count emitted ZRLs via the encoder
+    bw = _BitWriter()
+    qz = np.round(_fdct(block.astype(np.float64) - 128.0) / _QL)
+    zz = [int(qz.flat[_ZIG[k]]) for k in range(64)]
+    _encode_block(bw, zz, 0)
+    runs = [k for k in range(1, 64) if zz[k]]
+    assert runs and min(runs) > 16  # guarantees at least one ZRL per block
+    got = jc.decode_jpeg_luma(payload)
+    assert (got == expected).all()
+
+
+def test_jpeg_restart_with_chroma_interleave():
+    """Restart intervals AND 4:2:0 interleaved chroma together: per-MCU
+    entropy segments contain 6 blocks (4Y+Cb+Cr) and every component's
+    DC predictor resets at each RSTn."""
+    rng = np.random.default_rng(17)
+    y = rng.integers(0, 256, size=(18, 33), dtype=np.uint8)
+    cb = rng.integers(0, 256, size=(9, 17), dtype=np.uint8)
+    cr = rng.integers(0, 256, size=(9, 17), dtype=np.uint8)
+    payload, expected = encode_jpeg(y, cb, cr, sampling=(2, 2), restart=3)
+    got = jc.decode_jpeg_luma(payload)
+    assert (got == expected).all()
+
+
 def test_jpeg_rejects_unsupported_variants():
     rng = np.random.default_rng(3)
     img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
