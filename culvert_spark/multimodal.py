@@ -343,13 +343,59 @@ def _decode_ima_adpcm_mono(data: bytes, block_align: int) -> np.ndarray:
     return np.array(out, dtype=np.int16)
 
 
+#: MS-ADPCM (WAV format tag 0x0002) public spec tables: the 7 fixed
+#: predictor-coefficient pairs (8.8 fixed point) and the 16-entry delta
+#: adaptation table.
+_MS_ADPCM_COEF1 = (256, 512, 0, 192, 240, 460, 392)
+_MS_ADPCM_COEF2 = (0, -256, 0, 64, 0, -208, -232)
+_MS_ADPCM_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+                   768, 614, 512, 409, 307, 230, 230, 230)
+
+
+def _decode_ms_adpcm_mono(data: bytes, block_align: int) -> np.ndarray:
+    """MS-ADPCM (WAV format tag 0x0002, mono) → int16 samples, from the
+    public spec: per block, a 7-byte header carries the predictor index
+    (selecting one of 7 fixed two-tap coefficient pairs in 8.8 fixed
+    point), the initial quantizer step ``delta`` and the two seed
+    samples; each 4-bit signed nibble (HIGH nibble first — the opposite
+    of IMA) then adds ``nibble·delta`` to the two-tap linear prediction
+    ``(s1·c1 + s2·c2) >> 8`` and rescales delta through the adaptation
+    table (floor 16). Sequential like the IMA loop — per-sample Python
+    here, PIL/ffmpeg in a deployment."""
+    out: list[int] = []
+    for base in range(0, len(data) - block_align + 1, block_align):
+        block = data[base : base + block_align]
+        pred_idx = block[0]
+        if pred_idx > 6:
+            raise ValueError("corrupt MS-ADPCM block: predictor index > 6")
+        c1 = _MS_ADPCM_COEF1[pred_idx]
+        c2 = _MS_ADPCM_COEF2[pred_idx]
+        delta = int.from_bytes(block[1:3], "little", signed=True)
+        s1 = int.from_bytes(block[3:5], "little", signed=True)
+        s2 = int.from_bytes(block[5:7], "little", signed=True)
+        out.append(s2)  # sample2 is the OLDER seed: emitted first
+        out.append(s1)
+        for byte in block[7:]:
+            for nibble in (byte >> 4, byte & 0x0F):
+                signed = nibble - 16 if nibble & 8 else nibble
+                predictor = ((s1 * c1 + s2 * c2) >> 8) + signed * delta
+                predictor = max(-32768, min(32767, predictor))
+                s2, s1 = s1, predictor
+                delta = (_MS_ADPCM_ADAPT[nibble] * delta) >> 8
+                if delta < 16:
+                    delta = 16
+                out.append(predictor)
+    return np.array(out, dtype=np.int16)
+
+
 def _decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
     """Real decoder for canonical RIFF/WAVE: walks the chunk list for
     fmt + data. PCM 16-bit (format 1) views the samples as little-endian
     int16; the COMPRESSED formats G.711 A-law/µ-law (formats 6/7 — ITU-T
     companding, decoded through exact 256-entry LUTs, fully vectorized)
-    and IMA ADPCM (format 0x11, 4-bit predictive) also decode for real —
-    no codec library needed, every formula is the public spec. Channels
+    IMA ADPCM (format 0x11, 4-bit predictive) and MS-ADPCM (format
+    0x02, two-tap linear prediction) also decode for real — no codec
+    library needed, every formula is the public spec. Channels
     are interleaved; multi-channel PCM is downmixed by averaging
     (compressed formats are mono-only here). Returns
     (int16 samples, sample_rate_from_container)."""
@@ -375,10 +421,11 @@ def _decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError("only 16-bit PCM WAV is supported")
             if audio_format in (6, 7) and bits != 8:
                 raise ValueError("G.711 WAV must be 8-bit")
-            if audio_format not in (1, 6, 7, 0x11):
+            if audio_format not in (1, 2, 6, 7, 0x11):
                 raise ValueError(
                     f"unsupported WAV format tag {audio_format} (PCM16, "
-                    "G.711 A-law/µ-law and IMA ADPCM decode here)"
+                    "G.711 A-law/µ-law, MS-ADPCM and IMA ADPCM decode "
+                    "here)"
                 )
         elif cid == b"data":
             data = body
@@ -389,6 +436,10 @@ def _decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
         if n_channels != 1:
             raise ValueError("IMA ADPCM decode is mono-only here")
         return _decode_ima_adpcm_mono(data, block_align), sample_rate
+    if audio_format == 2:
+        if n_channels != 1:
+            raise ValueError("MS-ADPCM decode is mono-only here")
+        return _decode_ms_adpcm_mono(data, block_align), sample_rate
     if audio_format in (6, 7):
         if n_channels != 1:
             raise ValueError("G.711 decode is mono-only here")

@@ -330,6 +330,67 @@ def test_g711_tables_anchors_and_symmetry():
     assert (np.diff(u[128:].astype(np.int32)) < 0).all()
 
 
+def _ms_adpcm_encode_mono(samples, block_align, pred_idx=4):
+    """Standard MS-ADPCM mono encoder (test-side): returns the encoded
+    block bytes AND the encoder's internal reconstruction trace — the
+    decoder must reproduce that trace EXACTLY (same contract as IMA)."""
+    coef1 = (256, 512, 0, 192, 240, 460, 392)[pred_idx]
+    coef2 = (0, -256, 0, 64, 0, -208, -232)[pred_idx]
+    adapt = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+    spb = 2 + (block_align - 7) * 2
+    data = bytearray()
+    recon = []
+    for start in range(0, len(samples) - spb + 1, spb):
+        chunk = samples[start : start + spb]
+        s2, s1 = int(chunk[0]), int(chunk[1])
+        delta = max(16, int(np.abs(np.diff(chunk.astype(np.int32))).mean())
+                    // 4)
+        data += bytes([pred_idx])
+        data += delta.to_bytes(2, "little", signed=True)
+        data += s1.to_bytes(2, "little", signed=True)
+        data += s2.to_bytes(2, "little", signed=True)
+        recon += [s2, s1]
+        nibbles = []
+        for s in chunk[2:]:
+            predictor = (s1 * coef1 + s2 * coef2) >> 8
+            n = max(-8, min(7, int((int(s) - predictor) / delta)))
+            nib = n & 0x0F
+            rec = max(-32768, min(32767, predictor + n * delta))
+            s2, s1 = s1, rec
+            delta = max(16, (adapt[nib] * delta) >> 8)
+            recon.append(rec)
+            nibbles.append(nib)
+        for hi, lo in zip(nibbles[::2], nibbles[1::2]):
+            data.append((hi << 4) | lo)  # HIGH nibble first
+    return bytes(data), np.array(recon, dtype=np.int16)
+
+
+def test_ms_adpcm_decode_matches_encoder_reconstruction():
+    """Encode a sine sweep with the standard MS-ADPCM algorithm (every
+    predictor pair exercised); the module decoder must reproduce the
+    encoder's reconstruction trace exactly, and the lossy output must
+    still track the original signal."""
+    t = np.arange(2000, dtype=np.float64)
+    sig = (9000 * np.sin(2 * np.pi * t / 80)
+           + 2000 * np.sin(2 * np.pi * t / 7)).astype(np.int16)
+    block_align = 70  # 7-byte header + 63 nibble bytes -> 128 samples/block
+    for pred_idx in range(7):
+        data, recon = _ms_adpcm_encode_mono(sig, block_align, pred_idx)
+        got = mm._decode_ms_adpcm_mono(data, block_align)
+        assert (got == recon).all(), pred_idx
+        assert len(got) == 128 * (len(sig) // 128)
+    # with the default filter the lossy output tracks the waveform
+    data, recon = _ms_adpcm_encode_mono(sig, block_align)
+    got = mm._decode_ms_adpcm_mono(data, block_align).astype(np.int32)
+    n = len(got)
+    assert float(np.abs(got - sig[:n]).mean()) < 800
+    with pytest.raises(ValueError, match="predictor index"):
+        bad = bytearray(data)
+        bad[0] = 7
+        mm._decode_ms_adpcm_mono(bytes(bad), block_align)
+
+
 def _ima_encode_mono(samples, block_align):
     """Standard IMA ADPCM mono encoder (test-side): returns the encoded
     block bytes AND the encoder's internal reconstruction trace — by the
@@ -409,10 +470,14 @@ def test_compressed_wav_through_pipeline(spark):
     adpcm_data, recon = _ima_encode_mono(sig, 132)
     adpcm_payload = _wav_bytes_fmt(adpcm_data, 16_000, fmt_tag=0x11,
                                    bits=4, block_align=132)
+    ms_data, ms_recon = _ms_adpcm_encode_mono(sig, 70)
+    ms_payload = _wav_bytes_fmt(ms_data, 22_050, fmt_tag=2,
+                                bits=4, block_align=70)
     df = spark.createDataFrame(
         [
             (1, "audio", bytearray(ulaw_payload), (0, 0, 44_100, 0)),
             (2, "audio", bytearray(adpcm_payload), (0, 0, 44_100, 0)),
+            (3, "audio", bytearray(ms_payload), (0, 0, 44_100, 0)),
         ],
         "media_id bigint, kind string, payload binary, "
         "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
@@ -427,6 +492,11 @@ def test_compressed_wav_through_pipeline(spark):
     assert rows[2].duration_s == pytest.approx(len(recon) / 16_000)
     assert rows[2].rms == pytest.approx(
         float(np.sqrt(np.mean(recon.astype(np.float64) ** 2)))
+    )
+    assert rows[3].n_samples == len(ms_recon)
+    assert rows[3].duration_s == pytest.approx(len(ms_recon) / 22_050)
+    assert rows[3].rms == pytest.approx(
+        float(np.sqrt(np.mean(ms_recon.astype(np.float64) ** 2)))
     )
 
 
