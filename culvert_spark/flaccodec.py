@@ -1,0 +1,363 @@
+"""FLAC (RFC 9639) decoder in pure Python + numpy.
+
+The real LOSSLESS compressed-audio path (after WAV PCM16, G.711,
+IMA/MS-ADPCM in ``multimodal``): every stage is the public standard —
+STREAMINFO metadata parse, frame sync + CRC-8 header / CRC-16 frame
+verification, all four subframe types (CONSTANT, VERBATIM, FIXED
+orders 0-4, LPC up to order 32), Rice/Rice2 residual coding with
+partition escapes, wasted-bits shifting, and all four stereo
+decorrelation modes (independent, left/side, right/side, mid/side).
+No codec library needed.
+
+Because FLAC is lossless the test contract is the strongest possible:
+``tests/test_flaccodec.py`` carries an independent test-side ENCODER
+(bit-writer + its own bitwise CRCs) and the decoder must return the
+original samples EXACTLY — across every predictor order, every stereo
+mode, escaped partitions, wasted bits, and multi-frame streams.
+
+Scale: decode is O(payload bytes) per clip inside the Arrow batch —
+identical ``mapInPandas`` plumbing to every other decoder (no shuffle,
+CPU scales with executors). Entropy (Rice) decoding is inherently
+bit-serial, so the inner loop is per-sample Python here — libsndfile
+slots into the same dispatch in a deployment; the predictor
+reconstruction for FIXED orders is vectorized (k-fold ``np.cumsum``
+inversion of the k-th finite difference).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+#: CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0 — frame headers.
+_CRC8_TABLE = []
+for _b in range(256):
+    _c = _b
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x07 if _c & 0x80 else _c << 1) & 0xFF
+    _CRC8_TABLE.append(_c)
+
+#: CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0 — whole frames.
+_CRC16_TABLE = []
+for _b in range(256):
+    _c = _b << 8
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x8005 if _c & 0x8000 else _c << 1) & 0xFFFF
+    _CRC16_TABLE.append(_c)
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for byte in data:
+        c = _CRC8_TABLE[c ^ byte]
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for byte in data:
+        c = _CRC16_TABLE[((c >> 8) ^ byte) & 0xFF] ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+#: Frame-header sample-rate codes (RFC 9639 §9.1.2); 0 = STREAMINFO,
+#: 12/13/14 = follows in the header, 15 = invalid.
+_SAMPLE_RATES = {1: 88_200, 2: 176_400, 3: 192_000, 4: 8_000, 5: 16_000,
+                 6: 22_050, 7: 24_000, 8: 32_000, 9: 44_100, 10: 48_000,
+                 11: 96_000}
+
+#: Frame-header sample-size codes; 0 = STREAMINFO, 3 = reserved.
+_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+class _Bits:
+    """MSB-first bit reader with byte-offset tracking (CRC windows need
+    the raw byte ranges; frame headers and frame ends are byte-aligned)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos          # next byte to pull into the accumulator
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated FLAC frame")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        out = self.acc >> self.nbits
+        self.acc &= (1 << self.nbits) - 1
+        return out
+
+    def sread(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= 1 << (n - 1) else v
+
+    def unary(self) -> int:
+        """Count of 0 bits before the terminating 1 (FLAC unary)."""
+        n = 0
+        while self.read(1) == 0:
+            n += 1
+        return n
+
+    def align(self) -> None:
+        """Discard the sub-byte padding at a frame end. After any read()
+        the accumulator holds fewer than 8 bits (bytes are pulled one at
+        a time), so those leftover bits ARE the padding — the spec
+        requires them zero."""
+        if self.nbits:
+            if self.acc:
+                raise ValueError("nonzero FLAC frame padding")
+            self.nbits = 0
+
+    def bytepos(self) -> int:
+        """Byte offset of the next unread bit (call after align())."""
+        return self.pos
+
+
+def _read_utf8_number(bits: _Bits, header: bytearray) -> int:
+    """The frame/sample number: UTF-8-style variable-length coding
+    (RFC 9639 §9.1.5), extended to 7 bytes / 36 bits."""
+    first = bits.read(8)
+    header.append(first)
+    if first < 0x80:
+        return first
+    n_follow = 0
+    mask = 0x40
+    while first & mask:
+        n_follow += 1
+        mask >>= 1
+    if n_follow < 1 or n_follow > 6:
+        raise ValueError("invalid FLAC coded number")
+    val = first & (mask - 1)
+    for _ in range(n_follow):
+        byte = bits.read(8)
+        header.append(byte)
+        if byte & 0xC0 != 0x80:
+            raise ValueError("invalid FLAC coded number continuation")
+        val = (val << 6) | (byte & 0x3F)
+    return val
+
+
+def _read_residual(bits: _Bits, blocksize: int, order: int) -> np.ndarray:
+    """Rice-coded residual (RFC 9639 §9.2.7): 2-bit method selects 4- or
+    5-bit Rice parameters; 4-bit partition order; the escape parameter
+    switches a partition to raw n-bit samples."""
+    method = bits.read(2)
+    if method > 1:
+        raise ValueError(f"reserved FLAC residual method {method}")
+    pbits, escape = (4, 15) if method == 0 else (5, 31)
+    porder = bits.read(4)
+    if blocksize % (1 << porder):
+        raise ValueError("FLAC partition order does not divide blocksize")
+    out: list[int] = []
+    for part in range(1 << porder):
+        count = (blocksize >> porder) - (order if part == 0 else 0)
+        if count < 0:
+            raise ValueError("FLAC predictor order exceeds first partition")
+        param = bits.read(pbits)
+        if param == escape:
+            rawbits = bits.read(5)
+            if rawbits == 0:
+                out.extend([0] * count)
+            else:
+                out.extend(bits.sread(rawbits) for _ in range(count))
+        else:
+            for _ in range(count):
+                q = bits.unary()
+                v = (q << param) | bits.read(param)
+                out.append((v >> 1) ^ -(v & 1))
+    return np.array(out, dtype=np.int64)
+
+
+def _fixed_restore(warmup: list[int], res: np.ndarray, order: int
+                   ) -> np.ndarray:
+    """FIXED-predictor reconstruction: the residual is the order-th finite
+    difference of the signal, so restoring it is `order` cumulative sums
+    seeded from the warmup's difference triangle — vectorized numpy, no
+    per-sample loop."""
+    if order == 0:
+        return res
+    level = np.asarray(warmup, dtype=np.int64)
+    lasts = []
+    for _ in range(order):
+        lasts.append(int(level[-1]))
+        level = np.diff(level)
+    cur = res
+    for last in reversed(lasts):
+        cur = last + np.cumsum(cur)
+    return np.concatenate([np.asarray(warmup, dtype=np.int64), cur])
+
+
+def _decode_subframe(bits: _Bits, blocksize: int, bps: int) -> np.ndarray:
+    pad = bits.read(1)
+    if pad:
+        raise ValueError("FLAC subframe padding bit set")
+    stype = bits.read(6)
+    wasted = 0
+    if bits.read(1):
+        wasted = bits.unary() + 1
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("FLAC wasted bits exceed sample size")
+    if stype == 0:  # CONSTANT
+        samples = np.full(blocksize, bits.sread(eff), dtype=np.int64)
+    elif stype == 1:  # VERBATIM
+        samples = np.array([bits.sread(eff) for _ in range(blocksize)],
+                           dtype=np.int64)
+    elif 8 <= stype <= 12:  # FIXED, order 0-4
+        order = stype - 8
+        warmup = [bits.sread(eff) for _ in range(order)]
+        res = _read_residual(bits, blocksize, order)
+        samples = _fixed_restore(warmup, res, order)
+    elif stype >= 32:  # LPC, order 1-32
+        order = (stype & 31) + 1
+        warmup = [bits.sread(eff) for _ in range(order)]
+        precision = bits.read(4)
+        if precision == 15:
+            raise ValueError("invalid FLAC LPC precision")
+        precision += 1
+        shift = bits.sread(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [bits.sread(precision) for _ in range(order)]
+        res = _read_residual(bits, blocksize, order)
+        out = warmup + [0] * len(res)
+        for i in range(len(res)):
+            pos = order + i
+            acc = 0
+            for j, c in enumerate(coefs):
+                acc += c * out[pos - 1 - j]
+            out[pos] = (acc >> shift) + int(res[i])
+        samples = np.array(out, dtype=np.int64)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    return samples << wasted if wasted else samples
+
+
+def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a FLAC stream → (samples as an int32 array of shape
+    (n_samples, n_channels), sample_rate). Verifies the per-chunk CRCs
+    (metadata is length-framed; frame headers CRC-8, frames CRC-16) and
+    raises ValueError on any malformed structure, like the PNG/JPEG
+    paths."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated FLAC metadata")
+        head = payload[pos]
+        length = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        body = payload[pos + 4:pos + 4 + length]
+        if len(body) != length:
+            raise ValueError("truncated FLAC metadata block")
+        if head & 0x7F == 0:
+            streaminfo = body
+        pos += 4 + length
+        if head & 0x80:
+            break
+    if streaminfo is None or len(streaminfo) != 34:
+        raise ValueError("missing FLAC STREAMINFO")
+    si = int.from_bytes(streaminfo[10:18], "big")
+    si_rate = si >> 44
+    si_channels = ((si >> 41) & 0x7) + 1
+    si_bps = ((si >> 36) & 0x1F) + 1
+    total_samples = si & ((1 << 36) - 1)
+    if si_rate == 0:
+        raise ValueError("FLAC sample rate 0 is invalid")
+
+    channels_out: list[list[np.ndarray]] = [[] for _ in range(si_channels)]
+    decoded = 0
+    while pos < len(payload) and (total_samples == 0
+                                  or decoded < total_samples):
+        frame_start = pos
+        bits = _Bits(payload, pos)
+        header = bytearray()
+        b0, b1 = bits.read(8), bits.read(8)
+        header += bytes([b0, b1])
+        if b0 != 0xFF or (b1 >> 2) != 0x3E or (b1 >> 1) & 1:
+            raise ValueError("bad FLAC frame sync")
+        b2, b3 = bits.read(8), bits.read(8)
+        header += bytes([b2, b3])
+        bs_code, sr_code = b2 >> 4, b2 & 0xF
+        ca, ss_code = b3 >> 4, (b3 >> 1) & 0x7
+        if b3 & 1:
+            raise ValueError("reserved FLAC frame header bit set")
+        _read_utf8_number(bits, header)
+        if bs_code == 0:
+            raise ValueError("reserved FLAC blocksize code")
+        elif bs_code == 1:
+            blocksize = 192
+        elif bs_code <= 5:
+            blocksize = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            blocksize = bits.read(8) + 1
+            header.append(blocksize - 1)
+        elif bs_code == 7:
+            blocksize = bits.read(16) + 1
+            header += (blocksize - 1).to_bytes(2, "big")
+        else:
+            blocksize = 256 << (bs_code - 8)
+        if sr_code == 0:
+            rate = si_rate
+        elif sr_code in _SAMPLE_RATES:
+            rate = _SAMPLE_RATES[sr_code]
+        elif sr_code in (12, 13, 14):
+            n = 8 if sr_code == 12 else 16
+            raw = bits.read(n)
+            header += raw.to_bytes(n // 8, "big")
+            rate = raw * 1000 if sr_code == 12 else (
+                raw if sr_code == 13 else raw * 10)
+        else:
+            raise ValueError("invalid FLAC sample rate code")
+        if ss_code == 0:
+            bps = si_bps
+        elif ss_code in _SAMPLE_SIZES:
+            bps = _SAMPLE_SIZES[ss_code]
+        else:
+            raise ValueError("reserved FLAC sample size code")
+        if bits.read(8) != _crc8(bytes(header)):
+            raise ValueError("FLAC frame header CRC mismatch")
+
+        if ca <= 7:
+            n_ch = ca + 1
+            side_ch = -1
+        elif ca in (8, 9, 10):
+            n_ch = 2
+            side_ch = 1 if ca in (8, 10) else 0
+        else:
+            raise ValueError(f"reserved FLAC channel assignment {ca}")
+        if n_ch != si_channels:
+            raise ValueError("FLAC frame channel count != STREAMINFO")
+
+        subs = [_decode_subframe(bits, blocksize,
+                                 bps + (1 if ch == side_ch else 0))
+                for ch in range(n_ch)]
+        bits.align()
+        frame_end = bits.bytepos()
+        crc = bits.read(16)
+        if crc != _crc16(payload[frame_start:frame_end]):
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = frame_end + 2
+
+        if ca == 8:  # left/side: R = L - S
+            subs = [subs[0], subs[0] - subs[1]]
+        elif ca == 9:  # right/side: L = R + S
+            subs = [subs[1] + subs[0], subs[1]]
+        elif ca == 10:  # mid/side
+            m2 = (subs[0] << 1) | (subs[1] & 1)
+            subs = [(m2 + subs[1]) >> 1, (m2 - subs[1]) >> 1]
+        for ch in range(si_channels):
+            channels_out[ch].append(subs[ch])
+        decoded += blocksize
+
+    if decoded == 0:
+        raise ValueError("FLAC stream has no frames")
+    if total_samples and decoded != total_samples:
+        raise ValueError("FLAC sample count != STREAMINFO total")
+    stacked = np.stack([np.concatenate(c) for c in channels_out], axis=1)
+    return stacked.astype(np.int32), si_rate

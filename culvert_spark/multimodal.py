@@ -8,11 +8,13 @@ via ``_decode_pnm``, RIFF/WAV PCM16 audio via ``_decode_wav_pcm16``)
 AND real COMPRESSED codecs from their public specs — 8-bit PNG via
 ``_decode_png`` (stdlib zlib inflate + numpy scanline-filter inversion,
 per-chunk CRC verified), G.711 A-law/µ-law WAV (ITU-T companding,
-exact 256-entry LUTs), IMA ADPCM WAV (4-bit predictive) and baseline
-JPEG (``jpegcodec``: canonical Huffman + zigzag dequant + matmul IDCT)
-— real image and audio bytes pass through the full pipeline, exercised
-by tests. The remaining compressed formats (MP3/H.264, plus
-non-baseline JPEG modes) fall back to a clearly-marked deterministic
+exact 256-entry LUTs), IMA and MS ADPCM WAV (4-bit predictive),
+FLAC (``flaccodec``: RFC 9639 Rice + LPC, lossless so tests demand
+bit-exact roundtrips) and baseline JPEG (``jpegcodec``: canonical
+Huffman + zigzag dequant + matmul IDCT) — real image and audio bytes
+pass through the full pipeline, exercised by tests. The remaining
+compressed formats (MP3/H.264, plus non-baseline JPEG modes) fall
+back to a clearly-marked deterministic
 stub because their codec libraries are not in this container;
 everything Spark-side is identical either way and tested:
 
@@ -43,6 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from culvert_spark.flaccodec import decode_flac
 from culvert_spark.jpegcodec import decode_jpeg_luma
 
 # ---------------------------------------------------------------------------
@@ -90,11 +93,11 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Decoders. PGM/PPM images, RIFF/WAV PCM16 audio AND the compressed
 # codecs 8-bit PNG (stdlib zlib + numpy), baseline JPEG (``jpegcodec``),
-# G.711 A-law/µ-law WAV and IMA ADPCM WAV are decoded FOR REAL — no
-# codec library needed. The remaining compressed formats (MP3/H.264,
-# non-baseline JPEG modes) fall back to a clearly-marked deterministic
-# stub: their codecs (PIL / soundfile / ffmpeg) are not in this
-# container.
+# FLAC (``flaccodec``), G.711 A-law/µ-law WAV and IMA/MS ADPCM WAV are
+# decoded FOR REAL — no codec library needed. The remaining compressed
+# formats (MP3/H.264, non-baseline JPEG modes) fall back to a
+# clearly-marked deterministic stub: their codecs (PIL / soundfile /
+# ffmpeg) are not in this container.
 # ---------------------------------------------------------------------------
 
 
@@ -484,13 +487,21 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def _decode_audio(payload: bytes) -> tuple[np.ndarray, int | None]:
-    """Dispatching decoder: real RIFF/WAV PCM16 parse when the payload is
-    a WAVE container (sample rate from the file), else the deterministic
-    STUB (rate comes from metadata; soundfile would slot in here)."""
+    """Dispatching decoder: real RIFF/WAV parse when the payload is a
+    WAVE container, real FLAC decode (``flaccodec``, lossless) on the
+    fLaC magic — both carry the sample rate in-band — else the
+    deterministic STUB (rate comes from metadata; soundfile would slot
+    in here). Multi-channel FLAC downmixes by averaging, same as
+    multi-channel PCM WAV."""
     if not payload:
         raise ValueError("corrupt audio payload")
     if payload[:4] == b"RIFF":
         return _decode_wav_pcm16(payload)
+    if payload[:4] == b"fLaC":
+        chans, rate = decode_flac(payload)
+        if chans.shape[1] > 1:
+            return chans.mean(axis=1).astype(np.int16), rate
+        return chans[:, 0].astype(np.int16), rate
     buf = np.frombuffer(payload, dtype=np.uint8).astype(np.int16)
     return (buf - 128) * 256, None
 

@@ -459,9 +459,9 @@ def test_ima_adpcm_decode_matches_encoder_reconstruction():
 
 
 def test_compressed_wav_through_pipeline(spark):
-    """REAL compressed audio bytes (G.711 µ-law and IMA ADPCM WAV)
-    through audio_features: sample counts, container rate, and RMS all
-    match a hand decode."""
+    """REAL compressed audio bytes (G.711 µ-law, IMA and MS ADPCM WAV,
+    and stereo mid/side FLAC) through audio_features: sample counts,
+    container rate, and RMS all match a hand decode."""
     codes = bytes(range(256)) * 4
     ulaw_payload = _wav_bytes_fmt(codes, 8_000, fmt_tag=7, bits=8,
                                   block_align=1)
@@ -473,11 +473,20 @@ def test_compressed_wav_through_pipeline(spark):
     ms_data, ms_recon = _ms_adpcm_encode_mono(sig, 70)
     ms_payload = _wav_bytes_fmt(ms_data, 22_050, fmt_tag=2,
                                 bits=4, block_align=70)
+    from tests.test_flaccodec import _encode_flac
+
+    left = sig
+    right = np.roll(sig, 13)
+    flac_payload = _encode_flac([left, right], rate=16_000, blocksize=256,
+                                ca=10, order=2)
+    flac_mono = (np.stack([left, right], axis=1).astype(np.int64)
+                 .mean(axis=1).astype(np.int16))
     df = spark.createDataFrame(
         [
             (1, "audio", bytearray(ulaw_payload), (0, 0, 44_100, 0)),
             (2, "audio", bytearray(adpcm_payload), (0, 0, 44_100, 0)),
             (3, "audio", bytearray(ms_payload), (0, 0, 44_100, 0)),
+            (4, "audio", bytearray(flac_payload), (0, 0, 44_100, 0)),
         ],
         "media_id bigint, kind string, payload binary, "
         "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
@@ -497,6 +506,11 @@ def test_compressed_wav_through_pipeline(spark):
     assert rows[3].duration_s == pytest.approx(len(ms_recon) / 22_050)
     assert rows[3].rms == pytest.approx(
         float(np.sqrt(np.mean(ms_recon.astype(np.float64) ** 2)))
+    )
+    assert rows[4].n_samples == len(flac_mono)
+    assert rows[4].duration_s == pytest.approx(len(flac_mono) / 16_000)
+    assert rows[4].rms == pytest.approx(
+        float(np.sqrt(np.mean(flac_mono.astype(np.float64) ** 2)))
     )
 
 
