@@ -10,7 +10,8 @@ AND real COMPRESSED codecs from their public specs — 8-bit PNG via
 per-chunk CRC verified), G.711 A-law/µ-law WAV (ITU-T companding,
 exact 256-entry LUTs), IMA and MS ADPCM WAV (4-bit predictive),
 FLAC (``flaccodec``: RFC 9639 Rice + LPC, lossless so tests demand
-bit-exact roundtrips) and baseline JPEG (``jpegcodec``: canonical
+bit-exact roundtrips), GIF87a/89a (``_decode_gif``: LZW + palette,
+also lossless) and baseline JPEG (``jpegcodec``: canonical
 Huffman + zigzag dequant + matmul IDCT) — real image and audio bytes
 pass through the full pipeline, exercised by tests. The remaining
 compressed formats (MP3/H.264, plus non-baseline JPEG modes) fall
@@ -93,7 +94,8 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Decoders. PGM/PPM images, RIFF/WAV PCM16 audio AND the compressed
 # codecs 8-bit PNG (stdlib zlib + numpy), baseline JPEG (``jpegcodec``),
-# FLAC (``flaccodec``), G.711 A-law/µ-law WAV and IMA/MS ADPCM WAV are
+# GIF (LZW), FLAC (``flaccodec``), G.711 A-law/µ-law WAV and IMA/MS
+# ADPCM WAV are
 # decoded FOR REAL — no codec library needed. The remaining compressed
 # formats (MP3/H.264, non-baseline JPEG modes) fall back to a
 # clearly-marked deterministic stub: their codecs (PIL / soundfile /
@@ -267,6 +269,149 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if color_type in (0, 4):  # gray / gray+alpha
         return px[:, :, 0].copy()
     return _png_luma(px[:, :, :3])  # RGB / RGBA
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF-variant LZW (the public GIF89a spec, Appendix F): codes are
+    packed LSB-first, the dictionary resets on the clear code, and the
+    code width grows — right after the entry with value 2**width is
+    assigned — up to the 12-bit cap, where a full table freezes until a
+    (possibly deferred) clear. The whole stream is one Python int so
+    code extraction is a shift+mask, not per-bit loops."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    big = int.from_bytes(data, "little")
+    total_bits = len(data) * 8
+    bitpos = 0
+    width = min_code_size + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    out = bytearray()
+    while len(out) < n_pixels:
+        if bitpos + width > total_bits:
+            raise ValueError("truncated GIF LZW stream")
+        code = (big >> bitpos) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("GIF LZW stream starts with a non-literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) < 4096:  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """REAL decoder for GIF87a/89a (LZW + palette, the public spec):
+    logical screen descriptor, global/local color tables, extension
+    blocks skipped, interlace passes unwoven. The FIRST image frame is
+    decoded (for animated GIFs the features describe frame 1 — the same
+    convention as video thumbnailing). Returns the (height, width)
+    uint8 luma plane (BT.601, same rounding as the PNG/PPM paths).
+
+    Scale: O(payload bytes) per image inside the Arrow batch — the
+    mapInPandas plumbing is unchanged."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    flags = payload[10]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        raw = payload[pos : pos + 3 * n]
+        if len(raw) != 3 * n:
+            raise ValueError("truncated GIF color table")
+        palette = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            raise ValueError("GIF has no image data")
+        if block == 0x21:  # extension: label byte + length-framed sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension")
+                n = payload[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        width = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        height = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        iflags = payload[pos + 8]
+        pos += 9
+        if iflags & 0x80:  # local color table overrides the global one
+            n = 2 << (iflags & 7)
+            raw = payload[pos : pos + 3 * n]
+            if len(raw) != 3 * n:
+                raise ValueError("truncated GIF local color table")
+            palette = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF image has no color table")
+        if width == 0 or height == 0 or pos >= len(payload):
+            raise ValueError("corrupt GIF image descriptor")
+        mcs = payload[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            raise ValueError(f"invalid GIF LZW minimum code size {mcs}")
+        chunks: list[bytes] = []
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF image data")
+            n = payload[pos]
+            pos += 1
+            if n == 0:
+                break
+            chunk = payload[pos : pos + n]
+            if len(chunk) != n:
+                raise ValueError("truncated GIF data sub-block")
+            chunks.append(chunk)
+            pos += n
+        idx = _gif_lzw_decode(b"".join(chunks), mcs, width * height)
+        if len(idx) < width * height:
+            raise ValueError("GIF pixel data underflow")
+        raster = np.frombuffer(
+            idx[: width * height], dtype=np.uint8
+        ).reshape(height, width)
+        if iflags & 0x40:  # interlaced: rows arrive in the four passes
+            order = np.concatenate(
+                [np.arange(0, height, 8), np.arange(4, height, 8),
+                 np.arange(2, height, 4), np.arange(1, height, 2)]
+            )
+            unwoven = np.empty_like(raster)
+            unwoven[order] = raster
+            raster = unwoven
+        if int(raster.max()) >= len(palette):
+            raise ValueError("GIF palette index out of range")
+        return _png_luma(palette[raster])
+    raise ValueError("truncated GIF: missing trailer")
 
 
 def _g711_ulaw_table() -> np.ndarray:
@@ -463,7 +608,8 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """Dispatching decoder: real PNM parse when the payload is PGM/PPM,
     real PNG decode (stdlib zlib + numpy) on the 8-byte PNG signature,
     real baseline-JPEG decode (``jpegcodec``) on the 3-byte SOI+marker
-    signature, else the deterministic tiling STUB (a deployment would
+    signature, real GIF decode (LZW) on the 6-byte GIF87a/89a magic,
+    else the deterministic tiling STUB (a deployment would
     route the remaining codecs through PIL here). The JPEG signature is
     3 bytes (FF D8 FF — every real JPEG follows SOI with another
     marker) rather than SOI alone: 2 random bytes collide with md5-
@@ -476,6 +622,8 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
         return _decode_png(payload)
     if payload[:3] == b"\xff\xd8\xff":
         return decode_jpeg_luma(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     # Magic + following whitespace: a 2-byte magic alone has ~3e-5 odds of
     # appearing in arbitrary binary, which would mis-dispatch synthetic
     # payloads into the strict parser.

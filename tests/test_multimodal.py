@@ -294,6 +294,166 @@ def test_real_ppm_through_pipeline(spark):
     assert (got == expected[yi, xi]).all()
 
 
+def _gif_lzw_encode(indices: bytes, mcs: int, reset_on_full=True) -> bytes:
+    """Standard GIF LZW encoder (test-side, independent of the module):
+    variable-width codes packed LSB-first, width grown right before the
+    entry with value 2**width is assigned, clear-and-reset (or frozen
+    table when reset_on_full=False — the 'deferred clear' shape) at the
+    4096-entry cap."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    codes: list[tuple[int, int]] = []
+    table = fresh()
+    next_code = clear + 2
+    width = mcs + 1
+    codes.append((clear, width))
+    prev = b""
+    for b in indices:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        codes.append((table[prev], width))
+        if next_code < 4096:
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            table[cur] = next_code
+            next_code += 1
+        elif reset_on_full:
+            codes.append((clear, width))
+            table = fresh()
+            next_code = clear + 2
+            width = mcs + 1
+        prev = bytes([b])
+    codes.append((table[prev], width))
+    codes.append((eoi, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, w in codes:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_interlace_order(h):
+    return np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                           np.arange(2, h, 4), np.arange(1, h, 2)])
+
+
+def _gif_bytes(raster, palette, mcs=8, interlace=False, local=False,
+               version=b"89a", extension=False, reset_on_full=True):
+    """Wrap an index raster + palette as a real GIF87a/89a file."""
+    h, w = raster.shape
+    size_bits = len(palette).bit_length() - 2  # table is 2**(s+1) entries
+    pal_bytes = bytes(np.asarray(palette, np.uint8).reshape(-1))
+    out = bytearray(b"GIF" + version)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([(0x80 | size_bits) if not local else 0, 0, 0])
+    if not local:
+        out += pal_bytes
+    if extension:  # a Graphic Control Extension, to be skipped
+        out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    out += b"\x2C" + bytes(4)  # image at (0, 0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([((0x80 | size_bits) if local else 0)
+                  | (0x40 if interlace else 0)])
+    if local:
+        out += pal_bytes
+    rows = raster[_gif_interlace_order(h)] if interlace else raster
+    out += bytes([mcs])
+    data = _gif_lzw_encode(bytes(rows.reshape(-1)), mcs, reset_on_full)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("reset_on_full", [True, False])
+def test_gif_roundtrip_noise_exercises_12bit_codes(reset_on_full):
+    """128x128 random 256-color noise: the LZW table fills to the
+    4096-entry cap, covering code-width growth 9..12 plus (parametrized)
+    the clear-and-reset and deferred-clear behaviors. GIF is lossless,
+    so decode must be exact."""
+    rng = np.random.default_rng(3)
+    raster = rng.integers(0, 256, (128, 128)).astype(np.uint8)
+    palette = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    payload = _gif_bytes(raster, palette, reset_on_full=reset_on_full)
+    got = mm._decode_gif(payload)
+    assert (got == mm._png_luma(palette[raster])).all()
+
+
+def test_gif_interlaced_and_smooth():
+    """Interlaced GIF: rows are stored in the four passes and must come
+    back unwoven; a smooth gradient also exercises long LZW runs."""
+    h, w = 40, 64
+    raster = (np.add.outer(np.arange(h), np.arange(w)) % 16
+              ).astype(np.uint8)
+    palette = np.stack([np.arange(16) * 17] * 3, axis=1).astype(np.uint8)
+    flat = _gif_bytes(raster, palette, mcs=4)
+    woven = _gif_bytes(raster, palette, mcs=4, interlace=True)
+    expected = mm._png_luma(palette[raster])
+    assert (mm._decode_gif(flat) == expected).all()
+    assert (mm._decode_gif(woven) == expected).all()
+
+
+def test_gif_local_table_extension_and_min_mcs():
+    """GIF89a with an extension block (skipped), a LOCAL color table
+    that must override the missing global one, and the minimum LZW code
+    size of 2 for a 4-color image."""
+    raster = (np.indices((9, 13)).sum(axis=0) % 4).astype(np.uint8)
+    palette = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [9, 9, 9]],
+                       dtype=np.uint8)
+    payload = _gif_bytes(raster, palette, mcs=2, local=True,
+                         extension=True)
+    got = mm._decode_gif(payload)
+    assert (got == mm._png_luma(palette[raster])).all()
+
+
+def test_gif_rejects_corruption():
+    raster = (np.indices((8, 8)).sum(axis=0) % 4).astype(np.uint8)
+    palette = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    payload = _gif_bytes(raster, palette, mcs=2)
+    with pytest.raises(ValueError, match="not a GIF"):
+        mm._decode_gif(b"GIF00a" + payload[6:])
+    with pytest.raises(ValueError, match="truncated"):
+        mm._decode_gif(payload[:20])
+    with pytest.raises(ValueError, match="unknown GIF block"):
+        bad = bytearray(payload)
+        bad[13 + 12] = 0x7E  # image separator -> junk
+        mm._decode_gif(bytes(bad))
+    with pytest.raises(ValueError, match="no image data"):
+        mm._decode_gif(payload[: 13 + 12] + b"\x3B")
+
+
+def test_real_gif_through_pipeline(spark):
+    """REAL GIF bytes through image_features: header dimensions win and
+    the features match a hand computation on the decoded pixels."""
+    rng = np.random.default_rng(9)
+    raster = rng.integers(0, 64, (17, 23)).astype(np.uint8)
+    palette = rng.integers(0, 256, (64, 3)).astype(np.uint8)
+    payload = _gif_bytes(raster, palette, mcs=6)
+    expected = mm._png_luma(palette[raster])
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload), (99, 99, 16000, 4))],
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    r = mm.image_features(df).collect()[0]
+    assert (r.width, r.height) == (23, 17)
+    assert r.mean_luma == pytest.approx(float(expected.mean()))
+    assert r.max_luma == int(expected.max())
+
+
 def _wav_bytes_fmt(data, sr, fmt_tag, bits, block_align, n_channels=1):
     """Encode raw codec bytes as a RIFF/WAVE container with an arbitrary
     format tag (PCM=1, A-law=6, µ-law=7, IMA ADPCM=0x11)."""
