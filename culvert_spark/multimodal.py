@@ -151,23 +151,73 @@ def _png_luma(rgb: np.ndarray) -> np.ndarray:
     return np.round(luma).astype(np.uint8)
 
 
+#: Adam7 interlace passes: (x_start, y_start, x_step, y_step).
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int
+                  ) -> np.ndarray:
+    """Invert the five PNG scanline filters over one (sub-)image whose
+    serialized rows are ``1 filter byte + stride bytes``. Row-sequential
+    by spec (each row predicts from the reconstruction above), but
+    within a row: None/Up are whole-row numpy ops and Sub is an exact
+    per-channel-lane ``cumsum mod 256``; only Average/Paeth
+    (left-neighbor feedback through a rounded/branchy predictor) fall
+    back to a per-byte loop."""
+    raw_arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    recon = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = int(raw_arr[y, 0])
+        line = raw_arr[y, 1:]
+        if ftype == 0:  # None
+            cur = line.copy()
+        elif ftype == 1:  # Sub == per-lane running sum, wraps at 256
+            cur = (
+                np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.uint64)
+                .astype(np.uint8)
+                .reshape(-1)
+            )
+        elif ftype == 2:  # Up
+            cur = line + prev  # uint8 wrap
+        elif ftype == 3:  # Average (left feedback → per-byte)
+            cur = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(line[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth (left feedback → per-byte)
+            cur = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (
+                    a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                )
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        recon[y] = cur
+        prev = cur
+    return recon
+
+
 def _decode_png(payload: bytes) -> np.ndarray:
-    """REAL decoder for non-interlaced 8-bit PNG (the first compressed
-    image codec decoded for real here — no codec library needed: the
-    DEFLATE stream is stdlib ``zlib``, the rest is the public PNG spec
-    in numpy). Supports color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA) and all five scanline filters; per-chunk
-    CRC32 is verified so corrupt payloads raise like any real decoder.
+    """REAL decoder for 8- and 16-bit PNG (the first compressed image
+    codec decoded for real here — no codec library needed: the DEFLATE
+    stream is stdlib ``zlib``, the rest is the public PNG spec in
+    numpy). Supports color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), all five scanline filters, 16-bit depth
+    (rescaled to 8 via round(v/257), the spec's sample-depth scaling)
+    and Adam7 interlacing (each pass unfiltered as its own sub-image
+    then scattered); per-chunk CRC32 is verified so corrupt payloads
+    raise like any real decoder. Sub-byte depths (1/2/4) raise — rare
+    in training corpora and a deployment's PIL route handles them.
     Returns the (height, width) uint8 luma plane (BT.601 for color;
     alpha ignored — features describe the stored pixels).
-
-    Filter inversion is row-sequential by spec (each row predicts from
-    the reconstruction above), but within a row: None/Up are whole-row
-    numpy ops and Sub is an exact per-channel-lane ``cumsum mod 256``;
-    only Average/Paeth (left-neighbor feedback through a rounded/branchy
-    predictor) fall back to a per-byte loop. 16-bit depth and Adam7
-    interlacing raise — rare in training corpora and a deployment's
-    PIL route handles them.
 
     Scale: decode stays O(payload bytes) per image inside the Arrow
     batch, exactly like the PNM path — nothing about the mapInPandas
@@ -207,58 +257,49 @@ def _decode_png(payload: bytes) -> np.ndarray:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, compression, filter_method, interlace = ihdr[8:13]
-    if bit_depth != 8:
+    if bit_depth not in (8, 16):
         raise ValueError(f"unsupported PNG bit depth {bit_depth}")
     if compression != 0 or filter_method != 0:
         raise ValueError("nonstandard PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7 interlacing unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"unknown PNG color type {color_type}")
+    if color_type == 3 and bit_depth == 16:
+        raise ValueError("16-bit palette PNG is not legal")
     raster = zlib.decompress(b"".join(idat))
-    stride = width * channels
-    if len(raster) != height * (stride + 1):
-        raise ValueError("PNG raster size mismatch")
-    raw = np.frombuffer(raster, dtype=np.uint8).reshape(height, stride + 1)
-    bpp = channels  # bytes per pixel at depth 8
-    recon = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        ftype = int(raw[y, 0])
-        line = raw[y, 1:]
-        if ftype == 0:  # None
-            cur = line.copy()
-        elif ftype == 1:  # Sub == per-lane running sum, wraps at 256
-            cur = (
-                np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.uint64)
-                .astype(np.uint8)
-                .reshape(-1)
-            )
-        elif ftype == 2:  # Up
-            cur = line + prev  # uint8 wrap
-        elif ftype == 3:  # Average (left feedback → per-byte)
-            cur = np.empty(stride, dtype=np.uint8)
-            for i in range(stride):
-                left = int(cur[i - bpp]) if i >= bpp else 0
-                cur[i] = (int(line[i]) + (left + int(prev[i])) // 2) & 0xFF
-        elif ftype == 4:  # Paeth (left feedback → per-byte)
-            cur = np.empty(stride, dtype=np.uint8)
-            for i in range(stride):
-                a = int(cur[i - bpp]) if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = (
-                    a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                )
-                cur[i] = (int(line[i]) + pred) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        recon[y] = cur
-        prev = cur
-    px = recon.reshape(height, width, channels)
+    bpp = channels * (bit_depth // 8)  # filter unit: bytes per pixel
+    stride = width * bpp
+    if interlace == 0:
+        if len(raster) != height * (stride + 1):
+            raise ValueError("PNG raster size mismatch")
+        planes = _png_unfilter(raster, height, stride, bpp)
+        planes = planes.reshape(height, width, bpp)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        planes = np.zeros((height, width, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sp = wp * bpp
+            chunk = raster[pos : pos + hp * (sp + 1)]
+            if len(chunk) != hp * (sp + 1):
+                raise ValueError("PNG raster size mismatch")
+            pos += hp * (sp + 1)
+            sub = _png_unfilter(chunk, hp, sp, bpp)
+            planes[y0::dy, x0::dx] = sub.reshape(hp, wp, bpp)
+        if pos != len(raster):
+            raise ValueError("PNG raster size mismatch")
+    if bit_depth == 16:
+        hi = planes[:, :, 0::2].astype(np.uint16)
+        vals = (hi << 8) | planes[:, :, 1::2]
+        # spec sample-depth rescale 16→8: round(v * 255 / 65535)
+        px = np.round(vals / 257.0).astype(np.uint8)
+    else:
+        px = planes
     if color_type == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette image missing a valid PLTE")

@@ -125,22 +125,14 @@ def _wav_bytes(samples, sr):
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
-def _png_bytes(img, color_type, filters=None, palette=None):
-    """Encode an 8-bit image as PNG with an EXPLICIT per-row filter
-    choice (the forward transform of each spec filter; the decoder must
-    invert every one). ``img`` is (h, w) for gray/palette or (h, w, c)
-    for RGB(A)/gray+alpha; ``filters`` cycles over the rows."""
-    import zlib
-
-    if img.ndim == 2:
-        img = img[:, :, None]
-    h, w, c = img.shape
-    bpp = c
-    filters = filters or [0]
+def _png_filter_rows(bimg, bpp, filters):
+    """Forward scanline filtering of one (sub-)image given as an
+    (h, stride) BYTE array; ``filters`` cycles over the rows."""
+    h, stride = bimg.shape
     raster = bytearray()
-    prev = np.zeros(w * c, dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
-        cur = img[y].reshape(-1).astype(np.int32)
+        cur = bimg[y].astype(np.int32)
         f = filters[y % len(filters)]
         left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
         upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
@@ -161,6 +153,37 @@ def _png_bytes(img, color_type, filters=None, palette=None):
             out = cur - pred
         raster += bytes([f]) + (out % 256).astype(np.uint8).tobytes()
         prev = cur
+    return bytes(raster)
+
+
+def _png_bytes(img, color_type, filters=None, palette=None, bit_depth=8,
+               interlace=0):
+    """Encode an image as PNG with an EXPLICIT per-row filter choice
+    (the forward transform of each spec filter; the decoder must invert
+    every one). ``img`` is (h, w) for gray/palette or (h, w, c) for
+    RGB(A)/gray+alpha — uint16 when bit_depth=16; interlace=1 serializes
+    the seven Adam7 passes, each filtered independently."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if bit_depth == 16:
+        bimg = img.astype(">u2").view(np.uint8).reshape(h, w, 2 * c)
+    else:
+        bimg = img.astype(np.uint8)
+    bpp = bimg.shape[2]
+    filters = filters or [0]
+    if interlace:
+        raster = b""
+        for x0, y0, dx, dy in mm._ADAM7:
+            sub = bimg[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raster += _png_filter_rows(
+                    sub.reshape(sub.shape[0], -1), bpp, filters
+                )
+    else:
+        raster = _png_filter_rows(bimg.reshape(h, -1), bpp, filters)
 
     def chunk(cid, body):
         return (
@@ -173,7 +196,7 @@ def _png_bytes(img, color_type, filters=None, palette=None):
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, color_type, 0, 0, 0])
+        + bytes([bit_depth, color_type, 0, 0, interlace])
     )
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if palette is not None:
@@ -220,8 +243,10 @@ def test_png_decode_color_types():
 
 
 def test_png_decode_rejects_corruption():
-    """A real decoder raises on damage: CRC flips, truncation, Adam7,
-    non-8-bit depth, bad filter bytes."""
+    """A real decoder raises on damage: CRC flips, truncation, unknown
+    interlace methods, sub-byte depth, illegal 16-bit palette."""
+    import zlib
+
     img = np.arange(24, dtype=np.uint8).reshape(4, 6)
     good = _png_bytes(img, color_type=0, filters=[1])
     bad_crc = bytearray(good)
@@ -230,23 +255,72 @@ def test_png_decode_rejects_corruption():
         mm._decode_png(bytes(bad_crc))
     with pytest.raises(ValueError):
         mm._decode_png(good[: len(good) - 9])  # truncated: IEND lost
-    interlaced = bytearray(good)
-    # IHDR body starts at offset 16; interlace flag is its 13th byte.
-    interlaced[16 + 12] = 1
-    with pytest.raises(ValueError, match="[Ii]nterlac"):
-        import zlib
 
-        body = bytes(interlaced[16 : 16 + 13])
-        fixed = (
+    def rewrite_ihdr(index, value):
+        # IHDR body starts at offset 16; refresh the chunk CRC after edit.
+        body = bytearray(good[16 : 16 + 13])
+        body[index] = value
+        return (
             good[:12]
             + b"IHDR"
-            + body
-            + (zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF).to_bytes(4, "big")
+            + bytes(body)
+            + (zlib.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF).to_bytes(
+                4, "big"
+            )
             + good[33:]
         )
-        mm._decode_png(fixed)
+
+    with pytest.raises(ValueError, match="[Ii]nterlace method"):
+        mm._decode_png(rewrite_ihdr(12, 2))  # method 2 doesn't exist
+    with pytest.raises(ValueError, match="bit depth"):
+        mm._decode_png(rewrite_ihdr(8, 4))  # sub-byte depth unsupported
     with pytest.raises(ValueError, match="not a PNG"):
         mm._decode_png(b"\x89PNJ" + good[4:])
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    pal16 = _png_bytes(img.astype(np.uint16), color_type=3, bit_depth=16,
+                       palette=pal)
+    with pytest.raises(ValueError, match="not legal"):
+        mm._decode_png(pal16)
+
+
+def test_png_16bit_gray_and_rgb():
+    """16-bit PNG decodes for real: samples rescale to 8 bits via the
+    spec's round(v*255/65535), then the usual gray/luma paths."""
+    rng = np.random.default_rng(5)
+    g16 = rng.integers(0, 65536, (9, 7)).astype(np.uint16)
+    payload = _png_bytes(g16, color_type=0, bit_depth=16,
+                         filters=[0, 1, 2, 3, 4])
+    got = mm._decode_png(payload)
+    assert (got == np.round(g16 / 257.0).astype(np.uint8)).all()
+    rgb16 = rng.integers(0, 65536, (5, 6, 3)).astype(np.uint16)
+    payload = _png_bytes(rgb16, color_type=2, bit_depth=16, filters=[4])
+    got = mm._decode_png(payload)
+    exp = mm._png_luma(np.round(rgb16 / 257.0).astype(np.uint8))
+    assert (got == exp).all()
+
+
+def test_png_adam7_roundtrip():
+    """Adam7-interlaced PNG must decode identically to the flat layout,
+    including odd sizes and tiny images where some passes are empty."""
+    rng = np.random.default_rng(6)
+    for shape, ct in [((11, 13), 0), ((8, 8, 3), 2), ((3, 2), 0),
+                      ((1, 1), 0)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        woven = _png_bytes(img, color_type=ct, interlace=1,
+                           filters=[0, 1, 2, 3, 4])
+        flat = _png_bytes(img, color_type=ct, filters=[0])
+        assert (mm._decode_png(woven) == mm._decode_png(flat)).all(), shape
+
+
+def test_png_adam7_16bit_rgba():
+    """Interlacing composes with 16-bit depth and alpha channels."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 65536, (10, 9, 4)).astype(np.uint16)
+    payload = _png_bytes(img, color_type=6, bit_depth=16, interlace=1,
+                         filters=[3, 4])
+    got = mm._decode_png(payload)
+    exp = mm._png_luma(np.round(img[:, :, :3] / 257.0).astype(np.uint8))
+    assert (got == exp).all()
 
 
 def test_real_png_through_pipeline(spark):
