@@ -210,12 +210,13 @@ def _decode_png(payload: bytes) -> np.ndarray:
     codec decoded for real here — no codec library needed: the DEFLATE
     stream is stdlib ``zlib``, the rest is the public PNG spec in
     numpy). Supports color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA), all five scanline filters, 16-bit depth
-    (rescaled to 8 via round(v/257), the spec's sample-depth scaling)
-    and Adam7 interlacing (each pass unfiltered as its own sub-image
-    then scattered); per-chunk CRC32 is verified so corrupt payloads
-    raise like any real decoder. Sub-byte depths (1/2/4) raise — rare
-    in training corpora and a deployment's PIL route handles them.
+    4 (gray+alpha), 6 (RGBA), all five scanline filters, every legal
+    bit depth (16-bit rescales to 8 via round(v/257), the spec's
+    sample-depth scaling; sub-byte 1/2/4 gray/palette unpack MSB-first
+    and gray rescales by the exact 255/(2**d-1) factor) and Adam7
+    interlacing (each pass unfiltered as its own sub-image then
+    scattered); per-chunk CRC32 is verified so corrupt payloads raise
+    like any real decoder.
     Returns the (height, width) uint8 luma plane (BT.601 for color;
     alpha ignored — features describe the stored pixels).
 
@@ -257,7 +258,7 @@ def _decode_png(payload: bytes) -> np.ndarray:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, compression, filter_method, interlace = ihdr[8:13]
-    if bit_depth not in (8, 16):
+    if bit_depth not in (1, 2, 4, 8, 16):
         raise ValueError(f"unsupported PNG bit depth {bit_depth}")
     if compression != 0 or filter_method != 0:
         raise ValueError("nonstandard PNG compression/filter method")
@@ -268,29 +269,55 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"unknown PNG color type {color_type}")
     if color_type == 3 and bit_depth == 16:
         raise ValueError("16-bit palette PNG is not legal")
+    if bit_depth < 8 and color_type not in (0, 3):
+        raise ValueError("sub-byte PNG depth requires gray or palette")
     raster = zlib.decompress(b"".join(idat))
-    bpp = channels * (bit_depth // 8)  # filter unit: bytes per pixel
-    stride = width * bpp
+    if bit_depth >= 8:
+        bpp = channels * (bit_depth // 8)  # filter unit: bytes per pixel
+        n_units = bpp
+
+        def row_bytes(wp: int) -> int:
+            return wp * bpp
+
+        def to_units(recon: np.ndarray, hp: int, wp: int) -> np.ndarray:
+            return recon.reshape(hp, wp, bpp)
+    else:
+        # sub-byte depths pack several samples per byte, MSB-first; the
+        # filter unit is one byte regardless (PNG spec)
+        bpp = 1
+        n_units = 1
+        shifts = np.arange(8 - bit_depth, -1, -bit_depth)
+        mask = (1 << bit_depth) - 1
+
+        def row_bytes(wp: int) -> int:
+            return (wp * bit_depth + 7) // 8
+
+        def to_units(recon: np.ndarray, hp: int, wp: int) -> np.ndarray:
+            vals = (recon[:, :, None] >> shifts) & mask
+            return vals.reshape(hp, -1)[:, :wp, None].astype(np.uint8)
+
     if interlace == 0:
+        stride = row_bytes(width)
         if len(raster) != height * (stride + 1):
             raise ValueError("PNG raster size mismatch")
-        planes = _png_unfilter(raster, height, stride, bpp)
-        planes = planes.reshape(height, width, bpp)
+        planes = to_units(
+            _png_unfilter(raster, height, stride, bpp), height, width
+        )
     else:  # Adam7: seven independently-filtered sub-images, scattered
-        planes = np.zeros((height, width, bpp), dtype=np.uint8)
+        planes = np.zeros((height, width, n_units), dtype=np.uint8)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             wp = (width - x0 + dx - 1) // dx
             hp = (height - y0 + dy - 1) // dy
             if wp <= 0 or hp <= 0:
                 continue
-            sp = wp * bpp
+            sp = row_bytes(wp)
             chunk = raster[pos : pos + hp * (sp + 1)]
             if len(chunk) != hp * (sp + 1):
                 raise ValueError("PNG raster size mismatch")
             pos += hp * (sp + 1)
             sub = _png_unfilter(chunk, hp, sp, bpp)
-            planes[y0::dy, x0::dx] = sub.reshape(hp, wp, bpp)
+            planes[y0::dy, x0::dx] = to_units(sub, hp, wp)
         if pos != len(raster):
             raise ValueError("PNG raster size mismatch")
     if bit_depth == 16:
@@ -298,6 +325,9 @@ def _decode_png(payload: bytes) -> np.ndarray:
         vals = (hi << 8) | planes[:, :, 1::2]
         # spec sample-depth rescale 16→8: round(v * 255 / 65535)
         px = np.round(vals / 257.0).astype(np.uint8)
+    elif bit_depth < 8 and color_type == 0:
+        # gray rescale to 8 bits is exact: 255/(2**d-1) is an integer
+        px = planes * np.uint8(255 // ((1 << bit_depth) - 1))
     else:
         px = planes
     if color_type == 3:

@@ -172,18 +172,30 @@ def _png_bytes(img, color_type, filters=None, palette=None, bit_depth=8,
         bimg = img.astype(">u2").view(np.uint8).reshape(h, w, 2 * c)
     else:
         bimg = img.astype(np.uint8)
-    bpp = bimg.shape[2]
     filters = filters or [0]
+
+    def pack_rows(sub):
+        """(hp, wp, units) sample bytes -> (hp, row_bytes) filter input;
+        sub-byte depths pack MSB-first with zero padding bits."""
+        hp, wp = sub.shape[:2]
+        if bit_depth >= 8:
+            return sub.reshape(hp, -1)
+        per = 8 // bit_depth
+        padded = np.zeros((hp, ((wp + per - 1) // per) * per), np.uint8)
+        padded[:, :wp] = sub[:, :, 0]
+        grouped = padded.reshape(hp, -1, per)
+        shifts = np.arange(8 - bit_depth, -1, -bit_depth)
+        return (grouped << shifts).sum(axis=2).astype(np.uint8)
+
+    bpp = bimg.shape[2] if bit_depth >= 8 else 1
     if interlace:
         raster = b""
         for x0, y0, dx, dy in mm._ADAM7:
             sub = bimg[y0::dy, x0::dx]
             if sub.shape[0] and sub.shape[1]:
-                raster += _png_filter_rows(
-                    sub.reshape(sub.shape[0], -1), bpp, filters
-                )
+                raster += _png_filter_rows(pack_rows(sub), bpp, filters)
     else:
-        raster = _png_filter_rows(bimg.reshape(h, -1), bpp, filters)
+        raster = _png_filter_rows(pack_rows(bimg), bpp, filters)
 
     def chunk(cid, body):
         return (
@@ -244,7 +256,7 @@ def test_png_decode_color_types():
 
 def test_png_decode_rejects_corruption():
     """A real decoder raises on damage: CRC flips, truncation, unknown
-    interlace methods, sub-byte depth, illegal 16-bit palette."""
+    interlace methods, nonexistent bit depth, illegal 16-bit palette."""
     import zlib
 
     img = np.arange(24, dtype=np.uint8).reshape(4, 6)
@@ -273,7 +285,7 @@ def test_png_decode_rejects_corruption():
     with pytest.raises(ValueError, match="[Ii]nterlace method"):
         mm._decode_png(rewrite_ihdr(12, 2))  # method 2 doesn't exist
     with pytest.raises(ValueError, match="bit depth"):
-        mm._decode_png(rewrite_ihdr(8, 4))  # sub-byte depth unsupported
+        mm._decode_png(rewrite_ihdr(8, 3))  # depth 3 doesn't exist
     with pytest.raises(ValueError, match="not a PNG"):
         mm._decode_png(b"\x89PNJ" + good[4:])
     pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
@@ -310,6 +322,34 @@ def test_png_adam7_roundtrip():
                            filters=[0, 1, 2, 3, 4])
         flat = _png_bytes(img, color_type=ct, filters=[0])
         assert (mm._decode_png(woven) == mm._decode_png(flat)).all(), shape
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_gray_and_palette(depth):
+    """1/2/4-bit PNGs decode for real: MSB-first unpacking with padded
+    row tails, exact integer gray rescale (255, 85, 17), palette
+    lookup on raw indices — flat and Adam7-interlaced."""
+    rng = np.random.default_rng(depth)
+    levels = 1 << depth
+    img = rng.integers(0, levels, (11, 13)).astype(np.uint8)
+    payload = _png_bytes(img, color_type=0, bit_depth=depth,
+                         filters=[0, 1, 2, 3, 4])
+    got = mm._decode_png(payload)
+    assert (got == img * (255 // (levels - 1))).all()
+    woven = _png_bytes(img, color_type=0, bit_depth=depth, interlace=1,
+                       filters=[2, 4])
+    assert (mm._decode_png(woven) == img * (255 // (levels - 1))).all()
+    palette = rng.integers(0, 256, (levels, 3)).astype(np.uint8)
+    pal_payload = _png_bytes(img, color_type=3, bit_depth=depth,
+                             palette=palette, filters=[1])
+    assert (mm._decode_png(pal_payload) == mm._png_luma(palette[img])).all()
+
+
+def test_png_subbyte_requires_gray_or_palette():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    payload = _png_bytes(img, color_type=2, bit_depth=4)
+    with pytest.raises(ValueError, match="gray or palette"):
+        mm._decode_png(payload)
 
 
 def test_png_adam7_16bit_rgba():
