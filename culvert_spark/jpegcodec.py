@@ -1,27 +1,33 @@
-"""Baseline JPEG (ITU-T T.81 / ISO 10918-1) luma decoder in pure numpy.
-
-The third real compressed image path (after PNG in ``multimodal``):
-baseline sequential DCT, 8-bit, Huffman entropy coding — the variant
-virtually every training-corpus JPEG uses. No codec library is needed:
-every stage is the public standard — marker parse, canonical Huffman
-tables (DHT), zigzag dequantization (DQT), 8×8 inverse DCT (a pair of
-numpy matmuls against the DCT-II basis), restart-marker handling, and
-byte-stuffing removal.
+"""JPEG (ITU-T T.81 / ISO 10918-1) luma decoder in pure numpy —
+baseline sequential (SOF0/SOF1) AND progressive (SOF2), 8-bit, Huffman
+entropy coding: together the variants virtually every training-corpus
+JPEG uses. No codec library is needed: every stage is the public
+standard — marker parse, canonical Huffman tables (DHT), zigzag
+dequantization (DQT), 8×8 inverse DCT (numpy einsum against the DCT-II
+basis), restart-marker handling, byte-stuffing removal, and for
+progressive frames the full multi-scan machinery: interleaved DC
+first/refinement passes, per-component spectral-selection AC bands
+with EOB-run coding, and successive-approximation refinement
+(T.81 G.1.2), accumulated into per-component coefficient planes and
+rendered once at EOI.
 
 Returns the LUMA (Y) plane: JFIF Y *is* BT.601 luma, so for feature
 extraction (mean/max/phash in ``multimodal.image_features``) no chroma
 upsampling or color conversion is needed — chroma blocks are still
-entropy-decoded (the bitstream interleaves them) but their pixels are
-discarded. Progressive (SOF2), arithmetic coding, 12-bit precision and
-hierarchical modes raise — a deployment routes those through PIL, and
-the dispatch signature is unchanged.
+entropy-decoded (the bitstream interleaves or sequences them) but
+their pixels are discarded. Arithmetic coding, 12-bit precision,
+lossless and hierarchical modes raise — a deployment routes those
+through PIL, and the dispatch signature is unchanged.
 
-Correctness is pinned by ``tests/test_jpegcodec.py`` with a test-side
-baseline ENCODER (independent forward DCT + quantizer + canonical
-Huffman writer): the decoder must reproduce the encoder's own
-dequantize→IDCT reconstruction EXACTLY (the lossy codec's defining
+Correctness is pinned by ``tests/test_jpegcodec.py`` with test-side
+INDEPENDENT encoders (forward DCT + quantizer + canonical Huffman
+writer, plus a progressive scan-script writer with EOB-run and
+correction-bit buffering): the decoder must reproduce the encoder's
+own dequantize→IDCT reconstruction EXACTLY (the lossy codec's defining
 contract, same technique as the ADPCM tests), across grayscale, 4:4:4
-and 4:2:0 sampling, non-multiple-of-8 sizes, and restart intervals.
+and 4:2:0 sampling, non-multiple-of-8 sizes, restart intervals, and
+progressive scan scripts (spectral-selection-only and two-plane
+successive approximation).
 
 Scale: decode is O(payload bytes) per image inside the Arrow batch —
 identical mapInPandas plumbing to every other decoder; decoder CPU
@@ -115,49 +121,235 @@ def _extend(v: int, size: int) -> int:
     return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
 
 
-def _decode_block(bits: _Bits, dc_lut: dict, ac_lut: dict,
-                  pred: int) -> tuple[np.ndarray, int]:
-    """One 8x8 block of quantized coefficients (natural order) plus the
-    updated DC predictor."""
-    size = _read_huff(bits, dc_lut)
-    diff = _extend(bits.read(size), size) if size else 0
-    pred += diff
-    coef = np.zeros(64)
-    coef[0] = pred
-    k = 1
-    while k < 64:
+def _decode_band_first(bits: _Bits, coefzz: np.ndarray, dc_lut: dict,
+                       ac_lut: dict, pred: int, ss: int, se: int, al: int,
+                       eobrun: int) -> tuple[int, int]:
+    """First (Ah=0) pass over the spectral band [ss, se] of one block,
+    writing zigzag-ordered coefficients scaled by 2**al (T.81 F.2 and
+    G.1.2.1/G.1.2.2). A sequential scan is the ss=0, se=63, al=0 special
+    case: there the only EOB symbol is run=0 (an EOB run of one block),
+    so the same code decodes baseline streams unchanged. Returns the
+    updated (DC predictor, remaining EOB run)."""
+    if eobrun > 0:
+        return pred, eobrun - 1
+    k = ss
+    if ss == 0:
+        size = _read_huff(bits, dc_lut)
+        diff = _extend(bits.read(size), size) if size else 0
+        pred += diff
+        coefzz[0] = pred << al
+        k = 1
+    while k <= se:
         rs = _read_huff(bits, ac_lut)
         run, size = rs >> 4, rs & 0x0F
         if size == 0:
             if run == 15:  # ZRL: sixteen zeros
                 k += 16
                 continue
-            break  # EOB
+            eobrun = (1 << run) - 1  # EOBn: this block + 2**run-1 more
+            if run:
+                eobrun += bits.read(run)
+            break
         k += run
-        if k > 63:
+        if k > se:
             raise ValueError("JPEG AC run overflows the block")
-        coef[_ZIGZAG[k]] = _extend(bits.read(size), size)
+        coefzz[k] = _extend(bits.read(size), size) << al
         k += 1
-    return coef, pred
+    return pred, eobrun
+
+
+def _decode_dc_refine(bits: _Bits, coefzz: np.ndarray, al: int) -> None:
+    """DC successive-approximation refinement (G.1.2.1): one appended
+    magnitude bit per block."""
+    if bits.bit():
+        coefzz[0] = int(coefzz[0]) | (1 << al)
+
+
+def _decode_ac_refine(bits: _Bits, coefzz: np.ndarray, ac_lut: dict,
+                      ss: int, se: int, al: int, eobrun: int) -> int:
+    """AC successive-approximation refinement over [ss, se]
+    (T.81 G.1.2.3): already-nonzero coefficients receive correction
+    bits; newly significant ones arrive as ±2**al after a run of
+    zero-history positions; EOBn switches the rest of the block (and
+    the next eobrun-1 blocks) to corrections only."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_huff(bits, ac_lut)
+            run, size = rs >> 4, rs & 0x0F
+            val = 0
+            if size == 0:
+                if run < 15:
+                    # unlike the first pass, the run INCLUDES this block:
+                    # its remaining coefficients still need correction
+                    # bits, so consume it through the eobrun>0 path below
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += bits.read(run)
+                    break
+                # run == 15: skip sixteen zero-history coefficients
+            else:
+                if size != 1:
+                    raise ValueError(
+                        "invalid magnitude in JPEG refinement scan"
+                    )
+                val = p1 if bits.bit() else m1
+            while k <= se:
+                c = int(coefzz[k])
+                if c:
+                    if bits.bit() and (c & p1) == 0:
+                        coefzz[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                coefzz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(coefzz[k])
+            if c and bits.bit() and (c & p1) == 0:
+                coefzz[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _split_entropy(payload: bytes, start: int) -> tuple[list[bytes], int]:
+    """Split one scan's entropy data at restart markers, removing the
+    0xFF00 byte stuffing. Returns (segments, offset of the marker that
+    terminated the scan)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = start
+    while i < len(payload):
+        b = payload[i]
+        if b == 0xFF:
+            m = payload[i + 1] if i + 1 < len(payload) else 0xD9
+            if m == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= m <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker ends the scan
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def _decode_scan(segments: list[bytes], scan_comps: list[tuple],
+                 frame: tuple, store: dict, dc_tables: dict,
+                 ac_tables: dict, ss: int, se: int, ah: int, al: int,
+                 restart_interval: int) -> None:
+    """Run one scan over the coefficient store. ``scan_comps`` is
+    [(cid, dc_table_id, ac_table_id), ...] in scan order; a multi-
+    component scan walks interleaved MCUs, a single-component scan walks
+    that component's own (unpadded) block grid — the T.81 rule for both
+    sequential and progressive frames. Restart markers reset the DC
+    predictors and the EOB run."""
+    h, w, comps, _ = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    sampling = {cid: (ch, cv) for cid, ch, cv, _ in comps}
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        units = mcus_x * mcus_y
+    else:
+        cid0 = scan_comps[0][0]
+        ch, cv = sampling[cid0]
+        comp_w = -(-(w * ch) // hmax)  # ceil: component sample dims
+        comp_h = -(-(h * cv) // vmax)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        units = bw * bh
+
+    def luts(cid: int, dci: int, aci: int) -> tuple[dict, dict]:
+        dc_lut = dc_tables.get(dci)
+        ac_lut = ac_tables.get(aci)
+        if ss == 0 and ah == 0 and dc_lut is None:
+            raise ValueError("scan references an undefined DHT table")
+        if se > 0 and ac_lut is None:
+            raise ValueError("scan references an undefined DHT table")
+        return dc_lut, ac_lut
+
+    preds = {cid: 0 for cid, *_ in scan_comps}
+    eobrun = 0
+    seg_idx = 0
+    bits = _Bits(segments[0])
+    for unit in range(units):
+        if unit and restart_interval and unit % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing JPEG restart segment")
+            bits = _Bits(segments[seg_idx])
+            preds = {cid: 0 for cid, *_ in scan_comps}
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(unit, mcus_x)
+            blocks = []
+            for cid, dci, aci in scan_comps:
+                ch, cv = sampling[cid]
+                blocks += [
+                    (cid, dci, aci,
+                     store[cid][my * cv + by, mx * ch + bx])
+                    for by in range(cv) for bx in range(ch)
+                ]
+        else:
+            cid, dci, aci = scan_comps[0]
+            by, bx = divmod(unit, bw)
+            blocks = [(cid, dci, aci, store[cid][by, bx])]
+        for cid, dci, aci, coefzz in blocks:
+            dc_lut, ac_lut = luts(cid, dci, aci)
+            if ah == 0:
+                preds[cid], eobrun = _decode_band_first(
+                    bits, coefzz, dc_lut, ac_lut, preds[cid],
+                    ss, se, al, eobrun
+                )
+            elif ss == 0:
+                _decode_dc_refine(bits, coefzz, al)
+            else:
+                eobrun = _decode_ac_refine(
+                    bits, coefzz, ac_lut, ss, se, al, eobrun
+                )
 
 
 def decode_jpeg_luma(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to its (height, width) uint8 luma plane."""
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG to its
+    (height, width) uint8 luma plane. Progressive streams accumulate
+    quantized coefficients across every scan — interleaved DC first/
+    refinement passes, per-component spectral-selection AC bands, and
+    successive-approximation refinement — then dequantize + IDCT once
+    at the end, so the result is bit-identical to the equivalent
+    sequential decode of the same coefficients."""
     if payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG (SOI+marker signature missing)")
     qtables: dict[int, np.ndarray] = {}
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
-    frame = None  # (h, w, components)
+    frame = None  # (h, w, components, progressive)
+    store: dict[int, np.ndarray] = {}  # cid -> (bh, bw, 64) zigzag coefs
     restart_interval = 0
+    saw_scan = False
     pos = 2
-    scan = None
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
         marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment")
         length = int.from_bytes(payload[pos + 2 : pos + 4], "big")
         body = payload[pos + 4 : pos + 2 + length]
         if len(body) != length - 2:
@@ -184,7 +376,7 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
                     bits, vals
                 )
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline/ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             if body[0] != 8:
                 raise ValueError("only 8-bit JPEG precision supported")
             h = int.from_bytes(body[1:3], "big")
@@ -194,11 +386,20 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = (h, w, comps, marker == 0xC2)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            store = {
+                cid: np.zeros((mcus_y * cv, mcus_x * ch, 64),
+                              dtype=np.int32)
+                for cid, ch, cv, _ in comps
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential JPEG is supported "
+                "only baseline and progressive Huffman JPEG supported "
                 f"(SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
@@ -207,43 +408,27 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
-            scan_tables = {}
+            scan_comps = []
             for c in range(ns):
                 cs, tt = body[1 + 2 * c : 3 + 2 * c]
-                scan_tables[cs] = (tt >> 4, tt & 0x0F)
-            if ns != len(frame[2]):
-                raise ValueError("non-interleaved multi-scan unsupported")
-            scan = (scan_tables, pos + 2 + length)
-            break
+                scan_comps.append((cs, tt >> 4, tt & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            known = {cid for cid, *_ in frame[2]}
+            if any(cid not in known for cid, *_ in scan_comps):
+                raise ValueError("scan references an unknown component")
+            segments, end = _split_entropy(payload, pos + 2 + length)
+            _decode_scan(segments, scan_comps, frame, store, dc_tables,
+                         ac_tables, ss, se, ah, al, restart_interval)
+            saw_scan = True
+            pos = end
+            continue
         # APPn / COM / others: skipped
         pos += 2 + length
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("missing SOF or SOS")
-    scan_tables, data_start = scan
 
-    # Split entropy data at restart markers, removing 0xFF00 stuffing.
-    segments: list[bytes] = []
-    cur = bytearray()
-    i = data_start
-    while i < len(payload):
-        b = payload[i]
-        if b == 0xFF:
-            m = payload[i + 1] if i + 1 < len(payload) else 0xD9
-            if m == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= m <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # EOI or next marker ends the scan
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
-
-    h, w, comps = frame
+    h, w, comps, _ = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     y_cid, y_h, y_v, y_tq = comps[0]
@@ -251,37 +436,12 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
         raise ValueError("luma must have the maximum sampling factors")
     if y_tq not in qtables:
         raise ValueError("luma quantization table missing")
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    plane = np.zeros((mcus_y * vmax * 8, mcus_x * hmax * 8))
-    preds = {cid: 0 for cid, *_ in comps}
-    seg_idx = 0
-    bits = _Bits(segments[0])
-    per_seg = restart_interval or mcus_x * mcus_y
-    for mcu in range(mcus_x * mcus_y):
-        if mcu and restart_interval and mcu % per_seg == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                raise ValueError("missing JPEG restart segment")
-            bits = _Bits(segments[seg_idx])
-            preds = {cid: 0 for cid, *_ in comps}
-        my, mx = divmod(mcu, mcus_x)
-        for cid, ch, cv, ctq in comps:
-            dci, aci = scan_tables[cid]
-            if dci not in dc_tables or aci not in ac_tables:
-                raise ValueError("scan references an undefined DHT table")
-            for by in range(cv):
-                for bx in range(ch):
-                    coef, preds[cid] = _decode_block(
-                        bits, dc_tables[dci], ac_tables[aci], preds[cid]
-                    )
-                    if cid != y_cid:
-                        continue  # chroma: consumed, not rendered
-                    block = _idct8x8(
-                        coef.reshape(8, 8) * qtables[ctq]
-                    )
-                    y0 = (my * vmax + by) * 8
-                    x0 = (mx * hmax + bx) * 8
-                    plane[y0 : y0 + 8, x0 : x0 + 8] = block
+    blocks = store[y_cid]  # (bh, bw, 64) in zigzag order
+    bh, bw_ = blocks.shape[:2]
+    nat = np.zeros_like(blocks, dtype=np.float64)
+    nat[:, :, _ZIGZAG] = blocks  # zigzag index k -> natural position
+    deq = nat.reshape(bh, bw_, 8, 8) * qtables[y_tq]
+    spatial = np.einsum("ij,abjk,lk->abil", _A, deq, _A)
+    plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
     out = np.clip(np.round(plane) + 128, 0, 255)[:h, :w]
     return out.astype(np.uint8)

@@ -5,17 +5,18 @@ standard large-scale layout (payload bytes + struct metadata in parquet,
 processed by Arrow-batched Python UDFs). Real decoders, no codec
 library needed: uncompressed containers in pure numpy (PGM/PPM images
 via ``_decode_pnm``, RIFF/WAV PCM16 audio via ``_decode_wav_pcm16``)
-AND real COMPRESSED codecs from their public specs — 8-bit PNG via
+AND real COMPRESSED codecs from their public specs — PNG via
 ``_decode_png`` (stdlib zlib inflate + numpy scanline-filter inversion,
-per-chunk CRC verified), G.711 A-law/µ-law WAV (ITU-T companding,
-exact 256-entry LUTs), IMA and MS ADPCM WAV (4-bit predictive),
-FLAC (``flaccodec``: RFC 9639 Rice + LPC, lossless so tests demand
-bit-exact roundtrips), GIF87a/89a (``_decode_gif``: LZW + palette,
-also lossless) and baseline JPEG (``jpegcodec``: canonical
-Huffman + zigzag dequant + matmul IDCT) — real image and audio bytes
-pass through the full pipeline, exercised by tests. The remaining
-compressed formats (MP3/H.264, plus non-baseline JPEG modes) fall
-back to a clearly-marked deterministic
+per-chunk CRC verified, every legal depth + Adam7), G.711 A-law/µ-law
+WAV (ITU-T companding, exact 256-entry LUTs), IMA and MS ADPCM WAV
+(4-bit predictive), FLAC (``flaccodec``: RFC 9639 Rice + LPC, lossless
+so tests demand bit-exact roundtrips), GIF87a/89a (``_decode_gif``:
+LZW + palette, also lossless) and baseline + progressive JPEG
+(``jpegcodec``: canonical Huffman + zigzag dequant + matmul IDCT;
+multi-scan successive approximation for SOF2) — real image and audio
+bytes pass through the full pipeline, exercised by tests. The
+remaining compressed formats (MP3/H.264, plus arithmetic/lossless/
+hierarchical JPEG modes) fall back to a clearly-marked deterministic
 stub because their codec libraries are not in this container;
 everything Spark-side is identical either way and tested:
 
@@ -93,11 +94,11 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Decoders. PGM/PPM images, RIFF/WAV PCM16 audio AND the compressed
-# codecs 8-bit PNG (stdlib zlib + numpy), baseline JPEG (``jpegcodec``),
-# GIF (LZW), FLAC (``flaccodec``), G.711 A-law/µ-law WAV and IMA/MS
-# ADPCM WAV are
-# decoded FOR REAL — no codec library needed. The remaining compressed
-# formats (MP3/H.264, non-baseline JPEG modes) fall back to a
+# codecs PNG (stdlib zlib + numpy, all depths + Adam7), baseline and
+# progressive JPEG (``jpegcodec``), GIF (LZW), FLAC (``flaccodec``),
+# G.711 A-law/µ-law WAV and IMA/MS ADPCM WAV are decoded FOR REAL — no
+# codec library needed. The remaining compressed formats (MP3/H.264,
+# arithmetic/lossless/hierarchical JPEG modes) fall back to a
 # clearly-marked deterministic stub: their codecs (PIL / soundfile /
 # ffmpeg) are not in this container.
 # ---------------------------------------------------------------------------

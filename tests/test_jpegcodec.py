@@ -243,8 +243,324 @@ def encode_jpeg(y, cb=None, cr=None, sampling=(1, 1), restart=0):
 
 
 # --------------------------------------------------------------------------
+# Progressive encoder (test-side, independent)
+# --------------------------------------------------------------------------
+
+#: AC table for progressive scans: adds the EOBn symbols (r<<4)|0 for
+#: r=0..14 that sequential coding never uses.
+_ACP_SYMS = sorted({(r << 4) | s for r in range(16) for s in range(11)}
+                   - {0x00, 0x01})
+_ACP_BITS = [0, 0, 0, 2, 0, 0, 0, 0, len(_ACP_SYMS)] + [0] * 7
+_ACP_VALS = bytes([0x00, 0x01]) + bytes(_ACP_SYMS)
+_ACP_ENC = _canonical(_ACP_BITS, _ACP_VALS)
+
+
+def _coef_planes(y, cb, cr, sampling):
+    """Quantized zigzag coefficient planes per component plus the
+    expected luma reconstruction (dequantize+IDCT of the full-precision
+    coefficients — what any complete scan script must converge to)."""
+    h, w = y.shape
+    gray = cb is None
+    hmax, vmax = sampling if not gray else (1, 1)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    comps = []
+    recon = None
+    specs = [(1, hmax, vmax, _QL, y)]
+    if not gray:
+        specs += [(2, 1, 1, _QC, cb), (3, 1, 1, _QC, cr)]
+    for cid, ch, cv, q, plane in specs:
+        bh, bw = mcus_y * cv, mcus_x * ch
+        padded = _pad_edge(plane, bh * 8, bw * 8)
+        coef = np.zeros((bh, bw, 64), dtype=np.int64)
+        rec = np.zeros_like(padded)
+        for by in range(bh):
+            for bx in range(bw):
+                block = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                qz = np.round(_fdct(block) / q)
+                coef[by, bx] = [int(qz.flat[_ZIG[k]]) for k in range(64)]
+                rec[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = _idct(qz * q)
+        comps.append((cid, ch, cv, q, coef))
+        if cid == 1:
+            recon = np.clip(np.round(rec) + 128, 0, 255)[:h, :w]
+    return comps, recon.astype(np.uint8), mcus_x, mcus_y
+
+
+class _ProgScan:
+    """Entropy writer for one progressive scan: owns the bit writer,
+    the EOB-run accumulator with its buffered correction bits, and the
+    restart segmentation."""
+
+    def __init__(self, ac_enc=None):
+        self.bw = _BitWriter()
+        self.chunks = []
+        self.eobrun = 0
+        self.pending = []
+        self.ac_enc = ac_enc
+
+    def flush_eob(self):
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self.bw.write(*self.ac_enc[r << 4])
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending:
+            self.bw.write(b, 1)
+        self.pending = []
+
+    def restart(self):
+        self.flush_eob()
+        self.bw.pad()
+        self.chunks.append(bytes(self.bw.out))
+        self.bw = _BitWriter()
+
+    def finish(self):
+        self.flush_eob()
+        self.bw.pad()
+        self.chunks.append(bytes(self.bw.out))
+        entropy = self.chunks[0]
+        for i, c in enumerate(self.chunks[1:]):
+            entropy += bytes([0xFF, 0xD0 + (i % 8)]) + c
+        return entropy
+
+
+def encode_jpeg_progressive(y, cb=None, cr=None, sampling=(1, 1),
+                            restart=0, dc_al=1,
+                            ac_bands=((1, 5), (6, 63)), ac_al=1):
+    """Progressive-JPEG encode: an interleaved DC first scan at Al=dc_al
+    with refinement scans down to bit 0, then per-component AC first
+    scans over each spectral band at Al=ac_al with refinement scans down
+    to bit 0 (the canonical scan script shape). Returns
+    (payload, expected_luma) where expected_luma is the encoder's own
+    full-precision dequantize→IDCT reconstruction — the decoder must
+    accumulate every scan to reproduce it exactly."""
+    h, w = y.shape
+    comps, expected, mcus_x, mcus_y = _coef_planes(y, cb, cr, sampling)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+
+    def interleaved_units(sel):
+        units = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                unit = []
+                for cid, ch, cv, _, coef in sel:
+                    unit += [(cid, coef[my * cv + by, mx * ch + bx])
+                             for by in range(cv) for bx in range(ch)]
+                units.append(unit)
+        return units
+
+    def single_units(cid):
+        (cid, ch, cv, _, coef), = [c for c in comps if c[0] == cid]
+        bw_ = -(-(-(-w * ch // hmax)) // 8)
+        bh_ = -(-(-(-h * cv // vmax)) // 8)
+        return [[(cid, coef[by, bx])]
+                for by in range(bh_) for bx in range(bw_)]
+
+    scans = []  # (scan_cids, ss, se, ah, al, entropy)
+
+    # --- DC first scan (interleaved when color), Ah=0, Al=dc_al
+    all_cids = [c[0] for c in comps]
+    units = (interleaved_units(comps) if len(comps) > 1
+             else single_units(all_cids[0]))
+    sc = _ProgScan()
+    preds = {cid: 0 for cid in all_cids}
+    for i, unit in enumerate(units):
+        if restart and i and i % restart == 0:
+            sc.restart()
+            preds = {cid: 0 for cid in all_cids}
+        for cid, zz in unit:
+            v = int(zz[0]) >> dc_al  # point transform: arithmetic shift
+            size, bits = _mag(v - preds[cid])
+            sc.bw.write(*_DC_ENC[size])
+            if size:
+                sc.bw.write(bits, size)
+            preds[cid] = v
+    scans.append((all_cids, 0, 0, 0, dc_al, sc.finish()))
+
+    # --- DC refinement scans: one magnitude bit per block per plane
+    for a in range(dc_al - 1, -1, -1):
+        sc = _ProgScan()
+        for i, unit in enumerate(units):
+            if restart and i and i % restart == 0:
+                sc.restart()
+            for cid, zz in unit:
+                sc.bw.write((int(zz[0]) >> a) & 1, 1)
+        scans.append((all_cids, 0, 0, a + 1, a, sc.finish()))
+
+    # --- AC scans: per component, per band; first pass then refinements
+    for cid in all_cids:
+        cunits = single_units(cid)
+        for ss, se in ac_bands:
+            sc = _ProgScan(_ACP_ENC)
+            for i, unit in enumerate(cunits):
+                if restart and i and i % restart == 0:
+                    sc.restart()
+                (_, zz), = unit
+                t = [0] * 64
+                for k in range(ss, se + 1):
+                    c = int(zz[k])
+                    t[k] = -((-c) >> ac_al) if c < 0 else c >> ac_al
+                last = max((k for k in range(ss, se + 1) if t[k]),
+                           default=0)
+                if last == 0:  # nothing in band: extend the EOB run
+                    sc.eobrun += 1
+                    if sc.eobrun == 0x7FFF:
+                        sc.flush_eob()
+                    continue
+                sc.flush_eob()
+                run = 0
+                for k in range(ss, last + 1):
+                    if t[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        sc.bw.write(*_ACP_ENC[0xF0])
+                        run -= 16
+                    size, bits = _mag(t[k])
+                    sc.bw.write(*_ACP_ENC[(run << 4) | size])
+                    sc.bw.write(bits, size)
+                    run = 0
+                if last < se:
+                    sc.eobrun += 1
+            scans.append(([cid], ss, se, 0, ac_al, sc.finish()))
+        for a in range(ac_al - 1, -1, -1):
+            for ss, se in ac_bands:
+                sc = _ProgScan(_ACP_ENC)
+                for i, unit in enumerate(cunits):
+                    if restart and i and i % restart == 0:
+                        sc.restart()
+                    (_, zz), = unit
+                    absv = [abs(int(zz[k])) >> a for k in range(64)]
+                    eob = max((k for k in range(ss, se + 1)
+                               if absv[k] == 1), default=0)
+                    run = 0
+                    br: list[int] = []
+                    for k in range(ss, se + 1):
+                        if absv[k] == 0:
+                            run += 1
+                            continue
+                        while run > 15 and k <= eob:
+                            sc.flush_eob()
+                            sc.bw.write(*_ACP_ENC[0xF0])
+                            for b in br:
+                                sc.bw.write(b, 1)
+                            br = []
+                            run -= 16
+                        if absv[k] > 1:  # already significant: correction
+                            br.append(absv[k] & 1)
+                            continue
+                        sc.flush_eob()
+                        sc.bw.write(*_ACP_ENC[(run << 4) | 1])
+                        sc.bw.write(1 if int(zz[k]) >= 0 else 0, 1)
+                        for b in br:
+                            sc.bw.write(b, 1)
+                        br = []
+                        run = 0
+                    if run > 0 or br:
+                        sc.eobrun += 1
+                        sc.pending += br
+                        if sc.eobrun == 0x7FFF:
+                            sc.flush_eob()
+                scans.append(([cid], ss, se, a + 1, a, sc.finish()))
+
+    # --- container
+    tq_of = {cid: (0 if q is _QL else 1) for cid, _, _, q, _ in comps}
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([len(comps)])
+    for cid, ch, cv, q, _ in comps:
+        sof += bytes([cid, (ch << 4) | cv, tq_of[cid]])
+    payload = b"\xff\xd8"
+    payload += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    payload += _seg(0xDB, bytes([0x00]) + _zz_bytes(_QL)
+                    + bytes([0x01]) + _zz_bytes(_QC))
+    payload += _seg(0xC2, sof)
+    dht = b""
+    for tc_th, bits, vals in ((0x00, _DC_BITS, _DC_VALS),
+                              (0x10, _ACP_BITS, _ACP_VALS),
+                              (0x01, _DC_BITS, _DC_VALS),
+                              (0x11, _ACP_BITS, _ACP_VALS)):
+        dht += bytes([tc_th]) + bytes(bits) + vals
+    payload += _seg(0xC4, dht)
+    if restart:
+        payload += _seg(0xDD, restart.to_bytes(2, "big"))
+    for scan_cids, ss, se, ah, al, entropy in scans:
+        sos = bytes([len(scan_cids)])
+        for cid in scan_cids:
+            t = tq_of[cid]
+            sos += bytes([cid, (t << 4) | t])
+        sos += bytes([ss, se, (ah << 4) | al])
+        payload += _seg(0xDA, sos) + entropy
+    payload += b"\xff\xd9"
+    return payload, expected
+
+
+# --------------------------------------------------------------------------
 # Tests
 # --------------------------------------------------------------------------
+
+def test_progressive_jpeg_grayscale_exact():
+    """Progressive grayscale (DC successive approximation + two AC bands
+    with refinement): the decoder must accumulate every scan and land on
+    the same reconstruction as the sequential encoding of the same
+    quantized coefficients — bit for bit."""
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(21, 18), dtype=np.uint8)
+    payload, expected = encode_jpeg_progressive(img)
+    got = jc.decode_jpeg_luma(payload)
+    assert got.shape == (21, 18)
+    assert (got == expected).all()
+    seq_payload, seq_expected = encode_jpeg(img)
+    assert (expected == seq_expected).all()  # same quantizer, same target
+    assert (got == jc.decode_jpeg_luma(seq_payload)).all()
+
+
+def test_progressive_jpeg_spectral_selection_only():
+    """Al=0 everywhere: pure spectral selection, no refinement scans —
+    the EOBRUN/band bookkeeping alone must reassemble the blocks."""
+    rng = np.random.default_rng(19)
+    img = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    payload, expected = encode_jpeg_progressive(
+        img, dc_al=0, ac_al=0, ac_bands=((1, 9), (10, 35), (36, 63)))
+    assert (jc.decode_jpeg_luma(payload) == expected).all()
+
+
+def test_progressive_jpeg_color_420_exact():
+    """Progressive 4:2:0 color: interleaved DC scans across all three
+    components, per-component AC bands over the unpadded block grids
+    (luma's grid is larger than its MCU padding at these dims)."""
+    rng = np.random.default_rng(23)
+    y = rng.integers(0, 256, size=(24, 28), dtype=np.uint8)
+    cb = rng.integers(0, 256, size=(12, 14), dtype=np.uint8)
+    cr = rng.integers(0, 256, size=(12, 14), dtype=np.uint8)
+    payload, expected = encode_jpeg_progressive(y, cb, cr, sampling=(2, 2))
+    got = jc.decode_jpeg_luma(payload)
+    assert got.shape == (24, 28)
+    assert (got == expected).all()
+
+
+def test_progressive_jpeg_restarts_deep_bands():
+    """Restart markers inside progressive scans (resetting DC predictors
+    and the EOB run), three AC bands, and two successive-approximation
+    planes for both DC and AC."""
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, size=(26, 19), dtype=np.uint8)
+    payload, expected = encode_jpeg_progressive(
+        img, restart=3, dc_al=2, ac_al=2,
+        ac_bands=((1, 2), (3, 20), (21, 63)))
+    assert (jc.decode_jpeg_luma(payload) == expected).all()
+
+
+def test_progressive_relabelled_sequential_decodes():
+    """A sequential stream relabelled SOF2 is the degenerate one-scan
+    script (full band, no approximation) and must decode identically."""
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(10, 12), dtype=np.uint8)
+    payload, expected = encode_jpeg(img)
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert (jc.decode_jpeg_luma(prog) == expected).all()
+
 
 def test_jpeg_grayscale_exact_reconstruction():
     """Random grayscale, non-multiple-of-8 dims: decode must equal the
@@ -338,10 +654,10 @@ def test_jpeg_rejects_unsupported_variants():
     img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
     payload, _ = encode_jpeg(img)
 
-    # progressive: flip SOF0 -> SOF2
-    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="baseline"):
-        jc.decode_jpeg_luma(prog)
+    # lossless sequential: flip SOF0 -> SOF3 (progressive SOF2 decodes)
+    lossless = payload.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with pytest.raises(ValueError, match="baseline and progressive"):
+        jc.decode_jpeg_luma(lossless)
 
     # 16-bit quantization table
     i = payload.index(b"\xff\xdb") + 4
