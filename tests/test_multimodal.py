@@ -788,6 +788,72 @@ def test_compressed_wav_through_pipeline(spark):
     )
 
 
+def _avi_bytes(frames, with_rec=False):
+    """Wrap frame payloads as a RIFF/AVI: a minimal hdrl LIST (skipped
+    by the demuxer), then the movi LIST with 00dc chunks — optionally
+    grouped inside a 'rec ' LIST, with odd sizes word-aligned."""
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    avih = chunk(b"avih", bytes(56))
+    movi = b""
+    for f in frames:
+        c = chunk(b"00dc", f)
+        movi += lst(b"rec ", c) if with_rec else c
+    body = lst(b"hdrl", avih) + lst(b"movi", movi)
+    return b"RIFF" + (len(body) + 4).to_bytes(4, "little") + b"AVI " + body
+
+
+def test_real_mjpeg_avi_through_pipeline(spark):
+    """REAL video bytes: a Motion-JPEG AVI demuxes into its frame
+    chunks through sample_frames, and each sampled frame decodes with
+    the real JPEG decoder to the encoder's exact reconstruction."""
+    from tests.test_jpegcodec import encode_jpeg
+
+    rng = np.random.default_rng(41)
+    jpegs, expected = [], []
+    for _ in range(5):
+        img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+        payload, exp = encode_jpeg(img)
+        jpegs.append(payload)
+        expected.append(exp)
+    avi = _avi_bytes(jpegs)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(avi), (16, 16, 0, 99))],
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    rows = sorted(mm.sample_frames(df, every_n=2).collect(),
+                  key=lambda r: r.frame_idx)
+    # 5 real frames sampled every 2 -> indices 0, 2, 4 (meta n_frames=99
+    # is ignored: the container's real frame count wins)
+    assert [r.frame_idx for r in rows] == [0, 2, 4]
+    for r in rows:
+        assert bytes(r.frame_payload) == jpegs[r.frame_idx]
+        got = mm.decode_jpeg_luma(bytes(r.frame_payload))
+        assert (got == expected[r.frame_idx]).all()
+
+
+def test_avi_demux_rec_groups_and_corruption():
+    frames = [b"\xff\xd8\xff" + bytes([i]) * 7 for i in range(4)]
+    grouped = mm._avi_video_frames(_avi_bytes(frames, with_rec=True))
+    assert grouped == frames
+    # odd-size frames exercise word alignment
+    odd = [b"\xff\xd8\xff" + bytes([i]) * 4 for i in range(3)]
+    assert mm._avi_video_frames(_avi_bytes(odd)) == odd
+    with pytest.raises(ValueError, match="not an AVI"):
+        mm._avi_video_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="no video frame"):
+        mm._avi_video_frames(_avi_bytes([])[:])
+    with pytest.raises(ValueError, match="truncated AVI"):
+        good = _avi_bytes(frames)
+        mm._avi_video_frames(good[:-5])
+
+
 def test_real_wav_through_pipeline(spark):
     """REAL audio bytes (RIFF/WAV PCM16) through audio_features: the
     sample rate comes from the container and RMS matches the known
