@@ -3,8 +3,9 @@
 Media are opaque ``binary`` payload columns plus typed metadata — the
 standard large-scale layout (payload bytes + struct metadata in parquet,
 processed by Arrow-batched Python UDFs). Real decoders, no codec
-library needed: uncompressed containers in pure numpy (PGM/PPM images
-via ``_decode_pnm``, RIFF/WAV PCM16 audio via ``_decode_wav_pcm16``)
+library needed: uncompressed containers in pure numpy (PGM/PPM and BMP
+images, RIFF/WAV PCM16, AIFF and Sun .au audio, RIFF/AVI video demux
+— MJPEG frames decode fully)
 AND real COMPRESSED codecs from their public specs — PNG via
 ``_decode_png`` (stdlib zlib inflate + numpy scanline-filter inversion,
 per-chunk CRC verified, every legal depth + Adam7), G.711 A-law/µ-law
@@ -486,6 +487,131 @@ def _decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError("truncated GIF: missing trailer")
 
 
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL decoder for uncompressed BMP (BITMAPINFOHEADER, BI_RGB):
+    8-bit palette and 24/32-bit BGR(A), 4-byte-aligned rows, bottom-up
+    or top-down. Returns the uint8 luma plane (BT.601, same rounding as
+    the other color paths)."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("BMP core-header variant unsupported")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0:
+        raise ValueError("only uncompressed BI_RGB BMP is supported")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    if width <= 0 or height == 0:
+        raise ValueError("corrupt BMP dimensions")
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * (bpp // 8) + 3) & ~3  # rows pad to 4 bytes
+    raster = payload[data_off : data_off + stride * height]
+    if len(raster) != stride * height:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(height, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        n_colors = int.from_bytes(payload[46:50], "little") or 256
+        pal_raw = payload[14 + hdr_size : 14 + hdr_size + 4 * n_colors]
+        if len(pal_raw) != 4 * n_colors:
+            raise ValueError("truncated BMP palette")
+        pal = np.frombuffer(pal_raw, dtype=np.uint8).reshape(-1, 4)
+        idx = rows[:, :width]
+        if int(idx.max()) >= n_colors:
+            raise ValueError("BMP palette index out of range")
+        bgr = pal[idx][:, :, :3]
+    else:
+        step = bpp // 8
+        bgr = rows[:, : width * step].reshape(height, width, step)[:, :, :3]
+    return _png_luma(bgr[:, :, ::-1])  # BGR -> RGB
+
+
+def _f80_to_int(b: bytes) -> int:
+    """80-bit IEEE extended float (AIFF sample rate) → int Hz."""
+    exp = int.from_bytes(b[0:2], "big") & 0x7FFF
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0
+    shift = exp - 16383 - 63
+    val = mant * (2.0 ** shift)
+    return int(round(val))
+
+
+def _decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL decoder for AIFF (FORM/AIFF, big-endian): COMM carries
+    channels / 16-bit sample size / the 80-bit-float sample rate, SSND
+    the PCM frames. Multi-channel downmixes by averaging like WAV."""
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError("not an AIFF container")
+    pos = 12
+    n_channels = bits = rate = None
+    data = None
+    end = min(len(payload), 8 + int.from_bytes(payload[4:8], "big"))
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "big")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated AIFF chunk")
+        if cid == b"COMM":
+            n_channels = int.from_bytes(body[0:2], "big")
+            bits = int.from_bytes(body[6:8], "big")
+            rate = _f80_to_int(body[8:18])
+        elif cid == b"SSND":
+            offset = int.from_bytes(body[0:4], "big")
+            data = body[8 + offset :]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if n_channels is None or data is None or not rate:
+        raise ValueError("missing AIFF COMM or SSND chunk")
+    if bits != 16:
+        raise ValueError("only 16-bit PCM AIFF is supported")
+    samples = np.frombuffer(data[: len(data) - len(data) % 2], dtype=">i2")
+    if n_channels > 1:
+        samples = (
+            samples[: len(samples) - len(samples) % n_channels]
+            .reshape(-1, n_channels)
+            .mean(axis=1)
+            .astype(np.int16)
+        )
+    return samples.astype(np.int16), rate
+
+
+def _decode_au(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL decoder for Sun/NeXT .au (the public .snd header): µ-law
+    (encoding 1, through the exact G.711 LUT), 8-bit linear PCM
+    (encoding 2) and 16-bit big-endian PCM (encoding 3), mono only."""
+    if payload[:4] != b".snd" or len(payload) < 24:
+        raise ValueError("not an AU stream")
+    hdr_size = int.from_bytes(payload[4:8], "big")
+    data_size = int.from_bytes(payload[8:12], "big")
+    encoding = int.from_bytes(payload[12:16], "big")
+    rate = int.from_bytes(payload[16:20], "big")
+    n_channels = int.from_bytes(payload[20:24], "big")
+    if n_channels != 1:
+        raise ValueError("AU decode is mono-only here")
+    if hdr_size < 24:
+        raise ValueError("corrupt AU header size")
+    data = payload[hdr_size:]
+    if data_size != 0xFFFFFFFF:
+        data = data[:data_size]
+    if encoding == 1:  # G.711 µ-law
+        return _g711_ulaw_table()[np.frombuffer(data, np.uint8)], rate
+    if encoding == 2:  # 8-bit linear (signed)
+        s8 = np.frombuffer(data, dtype=np.int8).astype(np.int16)
+        return s8 * 256, rate
+    if encoding == 3:  # 16-bit big-endian PCM
+        clipped = data[: len(data) - len(data) % 2]
+        return np.frombuffer(clipped, dtype=">i2").astype(np.int16), rate
+    raise ValueError(f"unsupported AU encoding {encoding}")
+
+
 def _g711_ulaw_table() -> np.ndarray:
     """256-entry µ-law → linear int16 LUT (ITU-T G.711, the public
     CCITT reference formula: BIAS 0x84, 3-bit exponent segments)."""
@@ -696,6 +822,13 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
         return decode_jpeg_luma(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    # BMP's magic is only 2 bytes ("BM") — like the JPEG case, that
+    # collides with arbitrary binary at realistic corpus sizes, so the
+    # dispatch also demands a known DIB header size (a 4-byte check)
+    if (payload[:2] == b"BM" and len(payload) >= 54
+            and int.from_bytes(payload[14:18], "little")
+            in (40, 52, 56, 108, 124)):
+        return _decode_bmp(payload)
     # Magic + following whitespace: a 2-byte magic alone has ~3e-5 odds of
     # appearing in arbitrary binary, which would mis-dispatch synthetic
     # payloads into the strict parser.
@@ -722,6 +855,10 @@ def _decode_audio(payload: bytes) -> tuple[np.ndarray, int | None]:
         if chans.shape[1] > 1:
             return chans.mean(axis=1).astype(np.int16), rate
         return chans[:, 0].astype(np.int16), rate
+    if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+        return _decode_aiff(payload)
+    if payload[:4] == b".snd":
+        return _decode_au(payload)
     buf = np.frombuffer(payload, dtype=np.uint8).astype(np.int16)
     return (buf - 128) * 256, None
 

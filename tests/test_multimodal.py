@@ -788,6 +788,133 @@ def test_compressed_wav_through_pipeline(spark):
     )
 
 
+def _bmp_bytes(img_rgb=None, img_idx=None, palette=None, top_down=False,
+               bpp=24):
+    """Encode a BMP (BITMAPINFOHEADER, BI_RGB): 24/32-bit BGR rows or
+    8-bit palette, 4-byte-aligned, bottom-up unless top_down."""
+    if img_rgb is not None:
+        h, w = img_rgb.shape[:2]
+        step = bpp // 8
+        row_raw = np.zeros((h, w, step), np.uint8)
+        row_raw[:, :, :3] = img_rgb[:, :, ::-1]  # RGB -> BGR
+        rows = row_raw.reshape(h, -1)
+        n_colors = 0
+        pal_bytes = b""
+    else:
+        h, w = img_idx.shape
+        bpp, step = 8, 1
+        rows = img_idx
+        n_colors = len(palette)
+        pal = np.zeros((n_colors, 4), np.uint8)
+        pal[:, :3] = palette[:, ::-1]  # stored BGRA
+        pal_bytes = pal.tobytes()
+    stride = (w * step + 3) & ~3
+    raster = bytearray()
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for y in order:
+        raster += bytes(rows[y]) + b"\x00" * (stride - w * step)
+    data_off = 14 + 40 + len(pal_bytes)
+    info = (40).to_bytes(4, "little") \
+        + w.to_bytes(4, "little") \
+        + (h if not top_down else -h).to_bytes(4, "little", signed=True) \
+        + (1).to_bytes(2, "little") + bpp.to_bytes(2, "little") \
+        + bytes(8) + bytes(8) \
+        + n_colors.to_bytes(4, "little") + bytes(4)
+    total = data_off + len(raster)
+    head = b"BM" + total.to_bytes(4, "little") + bytes(4) \
+        + data_off.to_bytes(4, "little")
+    return head + info + pal_bytes + bytes(raster)
+
+
+@pytest.mark.parametrize("top_down,bpp", [(False, 24), (True, 24),
+                                          (False, 32)])
+def test_bmp_truecolor_exact(top_down, bpp):
+    rng = np.random.default_rng(bpp + top_down)
+    rgb = rng.integers(0, 256, (7, 5, 3)).astype(np.uint8)
+    payload = _bmp_bytes(img_rgb=rgb, top_down=top_down, bpp=bpp)
+    assert (mm._decode_bmp(payload) == mm._png_luma(rgb)).all()
+    # the dispatcher routes it too (magic + known DIB header size)
+    assert (mm._decode_image(payload, 0, 0) == mm._png_luma(rgb)).all()
+
+
+def test_bmp_palette_and_corruption():
+    rng = np.random.default_rng(51)
+    idx = rng.integers(0, 16, (6, 9)).astype(np.uint8)
+    palette = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    payload = _bmp_bytes(img_idx=idx, palette=palette)
+    assert (mm._decode_bmp(payload) == mm._png_luma(palette[idx])).all()
+    with pytest.raises(ValueError, match="not a BMP"):
+        mm._decode_bmp(b"BX" + payload[2:])
+    with pytest.raises(ValueError, match="truncated BMP pixel"):
+        mm._decode_bmp(payload[:-3])
+    rle = bytearray(payload)
+    rle[30] = 1  # BI_RLE8
+    with pytest.raises(ValueError, match="uncompressed"):
+        mm._decode_bmp(bytes(rle))
+
+
+def _aiff_bytes(samples, rate, n_channels=1):
+    """FORM/AIFF with a COMM (80-bit-float rate) and SSND chunk."""
+    frames = len(samples) // n_channels
+    # 80-bit extended: value = mant * 2^(exp-16383-63); put rate in the
+    # high mantissa bit position
+    exp = 16383 + rate.bit_length() - 1
+    mant = rate << (64 - rate.bit_length())
+    comm = (n_channels.to_bytes(2, "big") + frames.to_bytes(4, "big")
+            + (16).to_bytes(2, "big")
+            + exp.to_bytes(2, "big") + mant.to_bytes(8, "big"))
+    ssnd = bytes(8) + samples.astype(">i2").tobytes()
+    body = b"COMM" + len(comm).to_bytes(4, "big") + comm
+    body += b"SSND" + len(ssnd).to_bytes(4, "big") + ssnd
+    if len(ssnd) % 2:
+        body += b"\x00"
+    return b"FORM" + (len(body) + 4).to_bytes(4, "big") + b"AIFF" + body
+
+
+def test_aiff_decode_and_downmix():
+    sig = (4000 * np.sin(np.arange(300) / 7.0)).astype(np.int16)
+    got, rate = mm._decode_aiff(_aiff_bytes(sig, 22_050))
+    assert rate == 22_050
+    assert (got == sig).all()
+    stereo = np.empty(600, dtype=np.int16)
+    stereo[0::2] = sig
+    stereo[1::2] = np.roll(sig, 5)
+    got, rate = mm._decode_aiff(_aiff_bytes(stereo, 44_100, n_channels=2))
+    assert rate == 44_100
+    expected = (stereo.reshape(-1, 2).astype(np.float64).mean(axis=1)
+                .astype(np.int16))
+    assert (got == expected).all()
+    with pytest.raises(ValueError, match="not an AIFF"):
+        mm._decode_aiff(b"FORM\x00\x00\x00\x04WAVE")
+
+
+def _au_bytes(data, encoding, rate, annotation=b""):
+    hdr = 24 + len(annotation)
+    return (b".snd" + hdr.to_bytes(4, "big")
+            + len(data).to_bytes(4, "big") + encoding.to_bytes(4, "big")
+            + rate.to_bytes(4, "big") + (1).to_bytes(4, "big")
+            + annotation + data)
+
+
+def test_au_decode_all_encodings():
+    codes = bytes(range(256))
+    got, rate = mm._decode_au(_au_bytes(codes, 1, 8000))
+    assert rate == 8000
+    assert (got == mm._g711_ulaw_table()[np.frombuffer(codes, np.uint8)]
+            ).all()
+    s8 = np.arange(-128, 128, dtype=np.int8)
+    got, _ = mm._decode_au(_au_bytes(s8.tobytes(), 2, 16_000))
+    assert (got == s8.astype(np.int16) * 256).all()
+    s16 = (3000 * np.sin(np.arange(100) / 5.0)).astype(np.int16)
+    got, _ = mm._decode_au(_au_bytes(s16.astype(">i2").tobytes(), 3,
+                                     44_100, annotation=b"note\x00\x00"))
+    assert (got == s16).all()
+    with pytest.raises(ValueError, match="unsupported AU encoding"):
+        mm._decode_au(_au_bytes(b"\x00" * 8, 27, 8000))
+    with pytest.raises(ValueError, match="not an AU"):
+        mm._decode_au(b".wav" + b"\x00" * 30)
+
+
 def _avi_bytes(frames, with_rec=False):
     """Wrap frame payloads as a RIFF/AVI: a minimal hdrl LIST (skipped
     by the demuxer), then the movi LIST with 00dc chunks — optionally
