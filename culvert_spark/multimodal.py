@@ -392,53 +392,67 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
     return bytes(out)
 
 
-def _decode_gif(payload: bytes) -> np.ndarray:
-    """REAL decoder for GIF87a/89a (LZW + palette, the public spec):
-    logical screen descriptor, global/local color tables, extension
-    blocks skipped, interlace passes unwoven. The FIRST image frame is
-    decoded (for animated GIFs the features describe frame 1 — the same
-    convention as video thumbnailing). Returns the (height, width)
-    uint8 luma plane (BT.601, same rounding as the PNG/PPM paths).
-
-    Scale: O(payload bytes) per image inside the Arrow batch — the
-    mapInPandas plumbing is unchanged."""
+def _gif_parse(payload: bytes, limit: int | None = None):
+    """Parse a GIF87a/89a stream: logical screen, color tables, Graphic
+    Control Extensions (disposal + transparency), and up to ``limit``
+    image frames (LZW-decoded, interlace unwoven). Returns
+    ((screen_w, screen_h, bg_index, global_palette), frames) with each
+    frame (left, top, palette, index_raster, disposal, transparent)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     if len(payload) < 13:
         raise ValueError("truncated GIF header")
+    screen_w = int.from_bytes(payload[6:8], "little")
+    screen_h = int.from_bytes(payload[8:10], "little")
     flags = payload[10]
+    bg_index = payload[11]
     pos = 13
-    palette = None
+    global_pal = None
     if flags & 0x80:
         n = 2 << (flags & 7)
         raw = payload[pos : pos + 3 * n]
         if len(raw) != 3 * n:
             raise ValueError("truncated GIF color table")
-        palette = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        global_pal = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
         pos += 3 * n
+    frames: list[tuple] = []
+    gce = (0, None)  # (disposal method, transparent index)
     while pos < len(payload):
         block = payload[pos]
         pos += 1
-        if block == 0x3B:
-            raise ValueError("GIF has no image data")
-        if block == 0x21:  # extension: label byte + length-framed sub-blocks
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + length-framed sub-blocks
+            if pos >= len(payload):
+                raise ValueError("truncated GIF extension")
+            label = payload[pos]
             pos += 1
+            subs: list[bytes] = []
             while True:
                 if pos >= len(payload):
                     raise ValueError("truncated GIF extension")
                 n = payload[pos]
-                pos += 1 + n
+                pos += 1
                 if n == 0:
                     break
+                subs.append(payload[pos : pos + n])
+                pos += n
+            if label == 0xF9 and subs and len(subs[0]) >= 4:
+                b0 = subs[0]
+                gce = ((b0[0] >> 2) & 0x7,
+                       b0[3] if b0[0] & 1 else None)
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
         if pos + 9 > len(payload):
             raise ValueError("truncated GIF image descriptor")
+        left = int.from_bytes(payload[pos : pos + 2], "little")
+        top = int.from_bytes(payload[pos + 2 : pos + 4], "little")
         width = int.from_bytes(payload[pos + 4 : pos + 6], "little")
         height = int.from_bytes(payload[pos + 6 : pos + 8], "little")
         iflags = payload[pos + 8]
         pos += 9
+        palette = global_pal
         if iflags & 0x80:  # local color table overrides the global one
             n = 2 << (iflags & 7)
             raw = payload[pos : pos + 3 * n]
@@ -450,6 +464,8 @@ def _decode_gif(payload: bytes) -> np.ndarray:
             raise ValueError("GIF image has no color table")
         if width == 0 or height == 0 or pos >= len(payload):
             raise ValueError("corrupt GIF image descriptor")
+        if left + width > screen_w or top + height > screen_h:
+            raise ValueError("GIF frame exceeds the logical screen")
         mcs = payload[pos]
         pos += 1
         if not 2 <= mcs <= 8:
@@ -481,10 +497,60 @@ def _decode_gif(payload: bytes) -> np.ndarray:
             unwoven = np.empty_like(raster)
             unwoven[order] = raster
             raster = unwoven
-        if int(raster.max()) >= len(palette):
+        frames.append((left, top, palette, raster, gce[0], gce[1]))
+        gce = (0, None)  # a GCE governs exactly one image
+        if limit is not None and len(frames) >= limit:
+            return (screen_w, screen_h, bg_index, global_pal), frames
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return (screen_w, screen_h, bg_index, global_pal), frames
+
+
+def _gif_frames_luma(payload: bytes,
+                     limit: int | None = None) -> list[np.ndarray]:
+    """Composite a (possibly animated) GIF's frames per the public
+    animation semantics: each frame draws its rectangle over the
+    canvas, transparent indices preserve what is underneath, and the
+    disposal method (keep / restore-to-background / restore-previous)
+    prepares the canvas for the next frame. Returns per-frame
+    (screen_h, screen_w) uint8 luma snapshots (BT.601, same rounding as
+    the PNG/PPM paths)."""
+    (screen_w, screen_h, bg_index, global_pal), frames = _gif_parse(
+        payload, limit
+    )
+    if global_pal is not None and bg_index < len(global_pal):
+        bg_rgb = global_pal[bg_index]
+    else:
+        bg_rgb = np.zeros(3, dtype=np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (screen_h, screen_w, 3)).copy()
+    out: list[np.ndarray] = []
+    for left, top, palette, raster, disposal, transparent in frames:
+        h, w = raster.shape
+        opaque = (raster != transparent if transparent is not None
+                  else np.ones_like(raster, dtype=bool))
+        if opaque.any() and int(raster[opaque].max()) >= len(palette):
             raise ValueError("GIF palette index out of range")
-        return _png_luma(palette[raster])
-    raise ValueError("truncated GIF: missing trailer")
+        region = canvas[top : top + h, left : left + w]
+        saved = region.copy() if disposal == 3 else None
+        safe = np.where(opaque, raster, 0)  # transparent: any valid idx
+        region[opaque] = palette[safe][opaque]
+        out.append(_png_luma(canvas))
+        if disposal == 2:  # restore the rectangle to the background
+            region[:] = bg_rgb
+        elif disposal == 3:  # restore what this frame painted over
+            region[:] = saved
+    return out
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """REAL decoder for GIF87a/89a (LZW + palette, the public spec).
+    Still images return the composited first frame; for animations the
+    features describe frame 1 — the same convention as video
+    thumbnailing (``sample_frames`` walks the full animation).
+
+    Scale: O(payload bytes) per image inside the Arrow batch — the
+    mapInPandas plumbing is unchanged."""
+    return _gif_frames_luma(payload, limit=1)[0]
 
 
 def _decode_bmp(payload: bytes) -> np.ndarray:
@@ -989,8 +1055,11 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Video → frames fan-out (1 row in, n_frames/every_n rows out), the
     mapInPandas shape for frame extraction. RIFF/AVI payloads demux for
     real (``_avi_video_frames``; with MJPEG inside, each emitted frame
-    is a decodable JPEG); other payloads fall back to deterministic
-    byte slices (STUB for an ffmpeg seek+decode)."""
+    is a decodable JPEG); animated GIFs composite for real
+    (``_gif_frames_luma``: disposal + transparency semantics), each
+    sampled frame emitted as a binary PGM that the image path decodes;
+    other payloads fall back to deterministic byte slices (STUB for an
+    ffmpeg seek+decode)."""
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1007,6 +1076,20 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                                 "media_id": mid,
                                 "frame_idx": i,
                                 "frame_payload": real[i],
+                            }
+                        )
+                    continue
+                if raw[:6] in (b"GIF87a", b"GIF89a"):
+                    for i, luma in enumerate(_gif_frames_luma(raw)):
+                        if i % every_n:
+                            continue
+                        head = (f"P5\n{luma.shape[1]} "
+                                f"{luma.shape[0]}\n255\n").encode()
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "frame_idx": i,
+                                "frame_payload": head + luma.tobytes(),
                             }
                         )
                     continue
