@@ -12,7 +12,9 @@ per-chunk CRC verified, every legal depth + Adam7), G.711 A-law/µ-law
 WAV (ITU-T companding, exact 256-entry LUTs), IMA and MS ADPCM WAV
 (4-bit predictive), FLAC (``flaccodec``: RFC 9639 Rice + LPC, lossless
 so tests demand bit-exact roundtrips), GIF87a/89a (``_decode_gif``:
-LZW + palette, also lossless) and baseline + progressive JPEG
+LZW + palette, also lossless), TIFF (``tiffcodec``: none/LZW/Deflate/
+PackBits strips, both byte orders, lossless) and baseline +
+progressive JPEG
 (``jpegcodec``: canonical Huffman + zigzag dequant + matmul IDCT;
 multi-scan successive approximation for SOF2) — real image and audio
 bytes pass through the full pipeline, exercised by tests. The
@@ -50,6 +52,7 @@ from pyspark.sql import functions as F
 
 from culvert_spark.flaccodec import decode_flac
 from culvert_spark.jpegcodec import decode_jpeg_luma
+from culvert_spark.tiffcodec import decode_tiff
 
 # ---------------------------------------------------------------------------
 # Synthetic media table (deterministic payloads derived from `documents`)
@@ -96,7 +99,8 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Decoders. PGM/PPM images, RIFF/WAV PCM16 audio AND the compressed
 # codecs PNG (stdlib zlib + numpy, all depths + Adam7), baseline and
-# progressive JPEG (``jpegcodec``), GIF (LZW), FLAC (``flaccodec``),
+# progressive JPEG (``jpegcodec``), GIF (LZW), TIFF (``tiffcodec``),
+# FLAC (``flaccodec``),
 # G.711 A-law/µ-law WAV and IMA/MS ADPCM WAV are decoded FOR REAL — no
 # codec library needed. The remaining compressed formats (MP3/H.264,
 # arithmetic/lossless/hierarchical JPEG modes) fall back to a
@@ -888,6 +892,8 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
         return decode_jpeg_luma(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(payload)
     # BMP's magic is only 2 bytes ("BM") — like the JPEG case, that
     # collides with arbitrary binary at realistic corpus sizes, so the
     # dispatch also demands a known DIB header size (a 4-byte check)

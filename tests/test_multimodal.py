@@ -1054,6 +1054,25 @@ def _avi_bytes(frames, with_rec=False):
     return b"RIFF" + (len(body) + 4).to_bytes(4, "little") + b"AVI " + body
 
 
+def test_real_tiff_through_pipeline(spark):
+    """REAL TIFF bytes (LZW strips) through image_features: header
+    dimensions win and features match a hand decode."""
+    from tests.test_tiffcodec import _tiff_bytes
+
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 256, (19, 14)).astype(np.uint8)
+    payload = _tiff_bytes(img, compression=5, rows_per_strip=7)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload), (99, 99, 16000, 4))],
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    r = mm.image_features(df).collect()[0]
+    assert (r.width, r.height) == (14, 19)
+    assert r.mean_luma == pytest.approx(float(img.mean()))
+    assert r.max_luma == int(img.max())
+
+
 def test_real_mjpeg_avi_through_pipeline(spark):
     """REAL video bytes: a Motion-JPEG AVI demuxes into its frame
     chunks through sample_frames, and each sampled frame decodes with
