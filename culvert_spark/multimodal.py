@@ -557,6 +557,71 @@ def _decode_gif(payload: bytes) -> np.ndarray:
     return _gif_frames_luma(payload, limit=1)[0]
 
 
+def _decode_qoi(payload: bytes) -> np.ndarray:
+    """REAL decoder for QOI ("Quite OK Image", the public one-page
+    spec): byte-oriented ops over a running pixel + 64-entry hash
+    index — RGB/RGBA literals, INDEX, DIFF, LUMA, RUN — ending at the
+    7x00+01 marker. Returns the uint8 luma plane (BT.601)."""
+    if payload[:4] != b"qoif" or len(payload) < 22:
+        raise ValueError("not a QOI image")
+    width = int.from_bytes(payload[4:8], "big")
+    height = int.from_bytes(payload[8:12], "big")
+    channels = payload[12]
+    if channels not in (3, 4) or payload[13] > 1:
+        raise ValueError("corrupt QOI header")
+    if width == 0 or height == 0:
+        raise ValueError("corrupt QOI dimensions")
+    n = width * height
+    out = np.zeros((n, 3), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos = 14
+    filled = 0
+    while filled < n:
+        if pos >= len(payload):
+            raise ValueError("truncated QOI stream")
+        op = payload[pos]
+        pos += 1
+        if op == 0xFE:  # QOI_OP_RGB
+            if pos + 3 > len(payload):
+                raise ValueError("truncated QOI stream")
+            r, g, b = payload[pos : pos + 3]
+            pos += 3
+        elif op == 0xFF:  # QOI_OP_RGBA
+            if pos + 4 > len(payload):
+                raise ValueError("truncated QOI stream")
+            r, g, b, a = payload[pos : pos + 4]
+            pos += 4
+        elif op >> 6 == 0:  # QOI_OP_INDEX
+            r, g, b, a = index[op & 0x3F]
+        elif op >> 6 == 1:  # QOI_OP_DIFF (biased by 2)
+            r = (r + ((op >> 4) & 3) - 2) & 0xFF
+            g = (g + ((op >> 2) & 3) - 2) & 0xFF
+            b = (b + (op & 3) - 2) & 0xFF
+        elif op >> 6 == 2:  # QOI_OP_LUMA
+            dg = (op & 0x3F) - 32
+            if pos >= len(payload):
+                raise ValueError("truncated QOI stream")
+            nxt = payload[pos]
+            pos += 1
+            r = (r + dg - 8 + (nxt >> 4)) & 0xFF
+            g = (g + dg) & 0xFF
+            b = (b + dg - 8 + (nxt & 0x0F)) & 0xFF
+        else:  # QOI_OP_RUN (biased by -1)
+            run = (op & 0x3F) + 1
+            if filled + run > n:
+                raise ValueError("QOI run overflows the image")
+            out[filled : filled + run] = (r, g, b)
+            filled += run
+            continue
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        out[filled] = (r, g, b)
+        filled += 1
+    if payload[pos : pos + 8] != b"\x00" * 7 + b"\x01":
+        raise ValueError("missing QOI end marker")
+    return _png_luma(out.reshape(height, width, 3))
+
+
 def _decode_bmp(payload: bytes) -> np.ndarray:
     """REAL decoder for uncompressed BMP (BITMAPINFOHEADER, BI_RGB):
     8-bit palette and 24/32-bit BGR(A), 4-byte-aligned rows, bottom-up
@@ -833,15 +898,17 @@ def _decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
             sample_rate = int.from_bytes(body[4:8], "little")
             block_align = int.from_bytes(body[12:14], "little")
             bits = int.from_bytes(body[14:16], "little")
-            if audio_format == 1 and bits != 16:
-                raise ValueError("only 16-bit PCM WAV is supported")
+            if audio_format == 1 and bits not in (8, 16, 24, 32):
+                raise ValueError(f"unsupported PCM WAV bit depth {bits}")
+            if audio_format == 3 and bits not in (32, 64):
+                raise ValueError("IEEE-float WAV must be 32- or 64-bit")
             if audio_format in (6, 7) and bits != 8:
                 raise ValueError("G.711 WAV must be 8-bit")
-            if audio_format not in (1, 2, 6, 7, 0x11):
+            if audio_format not in (1, 2, 3, 6, 7, 0x11):
                 raise ValueError(
-                    f"unsupported WAV format tag {audio_format} (PCM16, "
-                    "G.711 A-law/µ-law, MS-ADPCM and IMA ADPCM decode "
-                    "here)"
+                    f"unsupported WAV format tag {audio_format} (PCM, "
+                    "IEEE float, G.711 A-law/µ-law, MS-ADPCM and IMA "
+                    "ADPCM decode here)"
                 )
         elif cid == b"data":
             data = body
@@ -861,7 +928,27 @@ def _decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("G.711 decode is mono-only here")
         lut = _g711_alaw_table() if audio_format == 6 else _g711_ulaw_table()
         return lut[np.frombuffer(data, dtype=np.uint8)], sample_rate
-    samples = np.frombuffer(data, dtype="<i2")
+    if audio_format == 3:  # IEEE float: scale [-1, 1] to int16
+        dt = "<f4" if bits == 32 else "<f8"
+        step = bits // 8
+        floats = np.frombuffer(data[: len(data) - len(data) % step], dt)
+        samples = np.round(
+            np.clip(floats, -1.0, 1.0) * 32767.0
+        ).astype(np.int16)
+    elif bits == 16:
+        samples = np.frombuffer(data, dtype="<i2")
+    elif bits == 8:  # PCM8 is UNSIGNED by spec
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+        ) * 256
+    else:  # 24/32-bit integer PCM: keep the top 16 bits
+        step = bits // 8
+        raw = np.frombuffer(
+            data[: len(data) - len(data) % step], dtype=np.uint8
+        ).reshape(-1, step)
+        hi = raw[:, -1].astype(np.int16) - (raw[:, -1] >= 128) * 256
+        samples = (hi.astype(np.int16) * 256
+                   + raw[:, -2].astype(np.int16)).astype(np.int16)
     if n_channels > 1:
         samples = (
             samples[: len(samples) - len(samples) % n_channels]
@@ -894,6 +981,8 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
         return _decode_gif(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff(payload)
+    if payload[:4] == b"qoif":
+        return _decode_qoi(payload)
     # BMP's magic is only 2 bytes ("BM") — like the JPEG case, that
     # collides with arbitrary binary at realistic corpus sizes, so the
     # dispatch also demands a known DIB header size (a 4-byte check)

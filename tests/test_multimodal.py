@@ -492,6 +492,55 @@ def _gif_bytes(raster, palette, mcs=8, interlace=False, local=False,
     return bytes(out)
 
 
+def test_wav_pcm_depths_and_float():
+    """PCM WAV at every legal depth plus IEEE-float: 8-bit unsigned
+    recenters, 24/32-bit keep the top 16 bits (arithmetic shift), float
+    scales [-1,1] to int16."""
+    u8 = np.array([0, 128, 255, 64], dtype=np.uint8)
+    payload = _wav_bytes_fmt(u8.tobytes(), 8_000, fmt_tag=1, bits=8,
+                             block_align=1)
+    got, rate = mm._decode_wav_pcm16(payload)
+    assert rate == 8_000
+    assert (got == (u8.astype(np.int16) - 128) * 256).all()
+
+    s24 = np.array([0, 1, -1, 8_388_607, -8_388_608, -259], dtype=np.int64)
+    raw24 = b"".join(int(v).to_bytes(3, "little", signed=True) for v in s24)
+    payload = _wav_bytes_fmt(raw24, 16_000, fmt_tag=1, bits=24,
+                             block_align=3)
+    got, _ = mm._decode_wav_pcm16(payload)
+    assert (got == (s24 >> 8).astype(np.int16)).all()
+
+    s32 = np.array([0, 2**31 - 1, -(2**31), 65_536, -65_537],
+                   dtype=np.int64)
+    raw32 = b"".join(int(v).to_bytes(4, "little", signed=True) for v in s32)
+    payload = _wav_bytes_fmt(raw32, 16_000, fmt_tag=1, bits=32,
+                             block_align=4)
+    got, _ = mm._decode_wav_pcm16(payload)
+    assert (got == (s32 >> 16).astype(np.int16)).all()
+
+    f32 = np.array([0.0, 1.0, -1.0, 0.5, 2.0, -3.0], dtype=np.float32)
+    payload = _wav_bytes_fmt(f32.tobytes(), 44_100, fmt_tag=3, bits=32,
+                             block_align=4)
+    got, _ = mm._decode_wav_pcm16(payload)
+    expect = np.round(np.clip(f32, -1, 1) * 32767).astype(np.int16)
+    assert (got == expect).all()
+
+    f64 = np.array([0.25, -0.75], dtype=np.float64)
+    payload = _wav_bytes_fmt(f64.tobytes(), 44_100, fmt_tag=3, bits=64,
+                             block_align=8)
+    got, _ = mm._decode_wav_pcm16(payload)
+    assert (got == np.round(f64 * 32767).astype(np.int16)).all()
+
+    with pytest.raises(ValueError, match="bit depth"):
+        mm._decode_wav_pcm16(
+            _wav_bytes_fmt(b"\x00" * 8, 8_000, fmt_tag=1, bits=12,
+                           block_align=2))
+    with pytest.raises(ValueError, match="IEEE-float"):
+        mm._decode_wav_pcm16(
+            _wav_bytes_fmt(b"\x00" * 8, 8_000, fmt_tag=3, bits=16,
+                           block_align=2))
+
+
 def _gif_anim_bytes(screen, bg, gpal, frames, mcs=8):
     """Animated GIF89a: per-frame Graphic Control Extension (disposal +
     transparency) ahead of each image descriptor, sub-rect placement,
@@ -970,6 +1019,78 @@ def test_bmp_palette_and_corruption():
     rle[30] = 1  # BI_RLE8
     with pytest.raises(ValueError, match="uncompressed"):
         mm._decode_bmp(bytes(rle))
+
+
+def _qoi_bytes(rgb):
+    """Test-side QOI encoder covering every op: RUN for repeats, INDEX
+    on hash hits, DIFF/LUMA for small deltas, RGB literals otherwise."""
+    h, w = rgb.shape[:2]
+    out = bytearray(b"qoif" + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                    + bytes([3, 0]))
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    px = [tuple(int(v) for v in p) + (255,) for p in rgb.reshape(-1, 3)]
+    i = 0
+    while i < len(px):
+        cur = px[i]
+        if cur == prev:
+            run = 1
+            while i + run < len(px) and px[i + run] == cur and run < 62:
+                run += 1
+            out.append(0xC0 | (run - 1))
+            i += run
+            continue
+        slot = (cur[0] * 3 + cur[1] * 5 + cur[2] * 7 + cur[3] * 11) % 64
+        if index[slot] == cur:
+            out.append(slot)
+        else:
+            dr = (cur[0] - prev[0]) & 0xFF
+            dg = (cur[1] - prev[1]) & 0xFF
+            db = (cur[2] - prev[2]) & 0xFF
+            sdr = dr - 256 if dr > 127 else dr
+            sdg = dg - 256 if dg > 127 else dg
+            sdb = db - 256 if db > 127 else db
+            if -2 <= sdr <= 1 and -2 <= sdg <= 1 and -2 <= sdb <= 1:
+                out.append(0x40 | ((sdr + 2) << 4) | ((sdg + 2) << 2)
+                           | (sdb + 2))
+            elif (-32 <= sdg <= 31 and -8 <= sdr - sdg <= 7
+                  and -8 <= sdb - sdg <= 7):
+                out.append(0x80 | (sdg + 32))
+                out.append(((sdr - sdg + 8) << 4) | (sdb - sdg + 8))
+            else:
+                out += bytes([0xFE, cur[0], cur[1], cur[2]])
+            index[slot] = cur
+        prev = cur
+        i += 1
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def test_qoi_roundtrip_all_ops():
+    """Smooth gradients (DIFF/LUMA), flat areas (RUN), repeated colors
+    (INDEX) and noise (RGB literals) all decode exactly."""
+    rng = np.random.default_rng(73)
+    smooth = np.zeros((9, 40, 3), np.uint8)
+    smooth[:, :, 0] = np.arange(40)[None, :] % 256
+    smooth[:, :, 1] = (np.arange(40)[None, :] * 2) % 256
+    smooth[:, :, 2] = np.add.outer(np.arange(9) * 3, np.arange(40)) % 256
+    for img in (
+        smooth,
+        np.zeros((5, 7, 3), np.uint8),
+        rng.integers(0, 256, (13, 11, 3)).astype(np.uint8),
+        np.tile(rng.integers(0, 256, (1, 4, 3)), (6, 3, 1)).astype(
+            np.uint8
+        ),
+    ):
+        payload = _qoi_bytes(img)
+        got = mm._decode_qoi(payload)
+        assert (got == mm._png_luma(img)).all()
+        assert (mm._decode_image(payload, 0, 0) == mm._png_luma(img)).all()
+    with pytest.raises(ValueError, match="not a QOI"):
+        mm._decode_qoi(b"qoix" + b"\x00" * 30)
+    good = _qoi_bytes(smooth)
+    with pytest.raises(ValueError, match="truncated QOI|missing QOI"):
+        mm._decode_qoi(good[:-9])
 
 
 def _aiff_bytes(samples, rate, n_channels=1):
