@@ -129,20 +129,28 @@ except ImportError:  # pragma: no cover
 #: graph), q_listagg_members (listagg WITHIN GROUP vs DuckDB string_agg),
 #: q_group_by_all, q_sql_udf_revenue (CREATE FUNCTION inlined by
 #: Catalyst);
-#: (b) the 2 queries whose implementation or oracle CHANGED in round 6 —
+#: (b) the 5 queries whose implementation or oracle CHANGED in round 6 —
 #: t_quality_percentile_filter_approx (doc_id-epsilon tie-break added to
-#: BOTH engines' score so the tolerance bound is tie-proof) and
+#: BOTH engines' score so the tolerance bound is tie-proof),
 #: s_embedding_near_dup (per-side norms hoisted into a pre-join Project;
 #: the 3-dot cos in the BNLJ condition used to hard-fail Janino's 64 KB
-#: method limit — values unchanged, plan recompiled);
-#: (c) FRESHNESS: 37 of the 38 queries whose only driver row is round-1
+#: method limit — values unchanged, plan recompiled), and the three m_*
+#: multimodal rows (late-round: their decode dispatch gained REAL
+#: codecs — all-depth/Adam7 PNG, progressive JPEG, GIF incl. animated
+#: compositing, TIFF, BMP, FLAC, MS-ADPCM, AIFF, AU, AVI MJPEG demux —
+#: synthetic payloads don't hit the new branches, so counts are
+#: unchanged, but the invariant still wants fresh rows);
+#: (c) FRESHNESS: 34 of the 38 queries whose only driver row is round-1
 #: vintage (TPC-H Q2/Q4/Q7–Q12 block, joins/set-ops/scalar-function/
-#: window rows) — after this round only ONE r1-vintage row remains
-#: (q_unpivot_rates, displaced by the last registration), and the
-#: ROUND-7 ROTATION is exactly: q_unpivot_rates + the 37 remaining
+#: window rows) — after this round FOUR r1-vintage rows remain
+#: (q_unpivot_rates, displaced by the last registration, plus
+#: q_string_funcs_parts / q_top_customer_per_nation /
+#: q_union_active_parties, displaced by the changed m_* rows), and the
+#: ROUND-7 ROTATION is exactly: those four r1 rows + the 34 remaining
 #: round-2-vintage rows (q_window_rank_suite, TPC-H Q13–Q22, agg/scalar
-#: variants, t_* text-analysis, v_* vectorops, multimodal rows-only,
-#: y_ysb), after any round-7 registrations and changes.  Keep the
+#: variants, t_* text-analysis, v_* vectorops, y_ysb; the multimodal
+#: rows-only trio is r6-fresh now), after any round-7 registrations and
+#: changes.  Keep the
 #: invariant: every query whose implementation or oracle changes in a
 #: round gets a fresh row in that round's window.
 #: Names missing from the registries are ignored; registered names missing
@@ -155,9 +163,14 @@ _PRIORITY = [
     "st_session_finalize_tws_replay", "st_outer_join_expiry_replay",
     "q_recursive_cte_chain", "q_listagg_members", "q_group_by_all",
     "q_sql_udf_revenue",
-    # (b) changed in round 6 (2)
+    # (b) changed in round 6 (5) — the three m_* rows joined late-round:
+    # their decode paths gained real codecs (PNG depths/Adam7,
+    # progressive JPEG, GIF incl. animation, TIFF, BMP, FLAC, MS-ADPCM,
+    # AIFF, AU, AVI demux), so the invariant puts them in this window
     "t_quality_percentile_filter_approx", "s_embedding_near_dup",
-    # (c) freshness: every round-1-vintage row (38)
+    "m_image_features", "m_audio_features", "m_frame_sample",
+    # (c) freshness: round-1-vintage rows (34 of 38; the 3 displaced by
+    # the m_* entries move to the ROUND-7 rotation)
     "q02_cheapest_part_per_type", "q04_priority_exists",
     "q07_nation_volume", "q08_market_share", "q09_profit_by_nation_year",
     "q10_returned_items", "q11_supplier_concentration",
@@ -171,8 +184,7 @@ _PRIORITY = [
     "q_range_frame_window", "q_range_pred_join", "q_rollup_orders",
     "q_running_customer_total", "q_semi_join_urgent", "q_set_except",
     "q_set_intersect", "q_set_ops_all", "q_sliding_window_counts",
-    "q_stats_corr", "q_string_funcs_parts", "q_top_customer_per_nation",
-    "q_union_active_parties",
+    "q_stats_corr",
 ]
 
 
