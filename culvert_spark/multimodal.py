@@ -1037,7 +1037,8 @@ IMAGE_FEATURES_SCHEMA = (
 def image_features(media: DataFrame) -> DataFrame:
     """Per-image features via mapInPandas (Arrow batches, no shuffle).
     Feature math (mean/max/percentile-hash) is vectorized numpy on the
-    decoded plane; only the decode itself is stubbed."""
+    decoded plane; decode goes through the real dispatcher (only
+    unrecognized payloads fall to the deterministic stub)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1076,8 +1077,11 @@ RESIZE_SCHEMA = "media_id bigint, width int, height int, payload binary"
 
 
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Resize via decode → nearest-neighbor index → re-encode(bytes).
-    The interpolation grid is real; only decode/encode are stubs."""
+    """Resize via decode → nearest-neighbor index → raw luma bytes.
+    Decode goes through the real dispatcher (PNM/PNG/JPEG/GIF/TIFF/BMP/
+    QOI decode for real; unrecognized payloads use the deterministic
+    stub); the output payload is the headerless (out_h, out_w) uint8
+    plane."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1216,7 +1220,9 @@ AUDIO_SCHEMA = (
 
 
 def audio_features(media: DataFrame) -> DataFrame:
-    """Audio duration + RMS over decoded samples (decode stubbed)."""
+    """Audio duration + RMS over decoded samples. Decode goes through
+    the real dispatcher (WAV/FLAC/AIFF/AU decode for real; only
+    unrecognized payloads fall to the deterministic stub)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
