@@ -240,7 +240,9 @@ def _decode_subframe(bits: _Bits, blocksize: int, bps: int) -> np.ndarray:
 def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode a FLAC stream → (samples as an int32 array of shape
     (n_samples, n_channels), sample_rate). Verifies the per-chunk CRCs
-    (metadata is length-framed; frame headers CRC-8, frames CRC-16) and
+    (metadata is length-framed; frame headers CRC-8, frames CRC-16)
+    AND the STREAMINFO MD5 of the decoded audio (interleaved
+    little-endian samples; skipped when the encoder left it zero), and
     raises ValueError on any malformed structure, like the PNG/JPEG
     paths."""
     if payload[:4] != b"fLaC":
@@ -360,4 +362,15 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     if total_samples and decoded != total_samples:
         raise ValueError("FLAC sample count != STREAMINFO total")
     stacked = np.stack([np.concatenate(c) for c in channels_out], axis=1)
+    md5 = streaminfo[18:34]
+    if md5 != b"\x00" * 16:  # all-zero means the encoder left it unset
+        import hashlib
+
+        nbytes = (si_bps + 7) // 8
+        flat = stacked.astype(np.int64).reshape(-1)
+        lanes = [((flat >> (8 * i)) & 0xFF).astype(np.uint8)
+                 for i in range(nbytes)]
+        raw = np.stack(lanes, axis=1).tobytes()
+        if hashlib.md5(raw).digest() != md5:
+            raise ValueError("FLAC decoded-audio MD5 mismatch")
     return stacked.astype(np.int32), si_rate

@@ -167,10 +167,13 @@ def _utf8(n: int) -> bytes:
 
 def _encode_flac(channels: list[np.ndarray], rate: int = 16_000,
                  bps: int = 16, blocksize: int = 256, ca: int | None = None,
-                 **sub_kw) -> bytes:
-    """Encode a full FLAC stream: STREAMINFO + code-7 (16-bit blocksize)
-    frames. `ca` None = independent channels; 8/9/10 = left-side /
-    right-side / mid-side (stereo only)."""
+                 with_md5: bool = True, **sub_kw) -> bytes:
+    """Encode a full FLAC stream: STREAMINFO (with the decoded-audio
+    MD5 unless with_md5=False) + code-7 (16-bit blocksize) frames.
+    `ca` None = independent channels; 8/9/10 = left-side / right-side /
+    mid-side (stereo only)."""
+    import hashlib
+
     n = len(channels[0])
     n_ch = len(channels)
     out = bytearray(b"fLaC")
@@ -180,7 +183,15 @@ def _encode_flac(channels: list[np.ndarray], rate: int = 16_000,
     si += b"\x00\x00\x00" * 2
     packed = (rate << 44) | ((n_ch - 1) << 41) | ((bps - 1) << 36) | n
     si += packed.to_bytes(8, "big")
-    si += b"\x00" * 16
+    if with_md5:
+        nbytes = (bps + 7) // 8
+        inter = np.stack([c.astype(np.int64) for c in channels],
+                         axis=1).reshape(-1)
+        raw = b"".join(int(v).to_bytes(nbytes, "little", signed=True)
+                       for v in inter)
+        si += hashlib.md5(raw).digest()
+    else:
+        si += b"\x00" * 16
     out += si
     frame_no = 0
     for start in range(0, n, blocksize):
@@ -316,6 +327,28 @@ def test_corruption_raises():
         fc.decode_flac(bytes(head))
     with pytest.raises(ValueError, match="truncated"):
         fc.decode_flac(bytes(payload[: len(payload) - 6]))
+
+
+def test_md5_verification_and_24bit():
+    """Every roundtrip above already passes the MD5 gate (the encoder
+    stamps it); here: a corrupted MD5 raises, an all-zero MD5 is
+    accepted as unset, and 24-bit samples roundtrip exactly with the
+    3-byte-per-sample digest."""
+    sig = _sig(512)
+    payload = bytearray(_encode_flac([sig], order=2))
+    payload[4 + 4 + 18] ^= 0x55  # first MD5 byte
+    with pytest.raises(ValueError, match="MD5 mismatch"):
+        fc.decode_flac(bytes(payload))
+    unset = _encode_flac([sig], order=2, with_md5=False)
+    got, _ = fc.decode_flac(unset)
+    assert (got[:, 0] == sig).all()
+    rng = np.random.default_rng(21)
+    wide = (rng.integers(-(1 << 23), 1 << 23, 600)
+            .astype(np.int64))
+    payload = _encode_flac([wide.astype(np.int32)], bps=24, order=1,
+                           blocksize=200)
+    got, _ = fc.decode_flac(payload)
+    assert (got[:, 0] == wide).all()
 
 
 def test_streaminfo_total_mismatch_raises():
