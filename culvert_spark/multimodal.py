@@ -668,6 +668,50 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return _png_luma(bgr[:, :, ::-1])  # BGR -> RGB
 
 
+def _decode_ico(payload: bytes) -> np.ndarray:
+    """REAL decoder for ICO (the public ICONDIR layout): picks the
+    largest directory entry and dispatches its image — a full PNG
+    stream since Vista, else a headerless DIB whose stored height is
+    doubled for the trailing 1-bit AND mask (the XOR plane is decoded;
+    the mask is transparency metadata the features ignore). The DIB
+    reuses ``_decode_bmp`` via a synthesized file header."""
+    if payload[:4] != b"\x00\x00\x01\x00" or len(payload) < 22:
+        raise ValueError("not an ICO")
+    count = int.from_bytes(payload[4:6], "little")
+    if count == 0:
+        raise ValueError("ICO has no images")
+    best = None
+    for i in range(count):
+        e = payload[6 + 16 * i : 6 + 16 * (i + 1)]
+        if len(e) != 16:
+            raise ValueError("truncated ICO directory")
+        w = e[0] or 256
+        h = e[1] or 256
+        size = int.from_bytes(e[8:12], "little")
+        off = int.from_bytes(e[12:16], "little")
+        if best is None or w * h > best[0]:
+            best = (w * h, off, size)
+    data = payload[best[1] : best[1] + best[2]]
+    if len(data) != best[2]:
+        raise ValueError("truncated ICO image data")
+    if data[:8] == _PNG_SIG:
+        return _decode_png(data)
+    if len(data) < 40:
+        raise ValueError("truncated ICO DIB")
+    hdr_size = int.from_bytes(data[0:4], "little")
+    height = int.from_bytes(data[8:12], "little", signed=True)
+    patched = bytearray(data)
+    patched[8:12] = (height // 2).to_bytes(4, "little", signed=True)
+    bpp = int.from_bytes(data[14:16], "little")
+    n_colors = int.from_bytes(data[32:36], "little") or (
+        256 if bpp == 8 else 0
+    )
+    data_off = 14 + hdr_size + 4 * n_colors
+    bmp = (b"BM" + (14 + len(patched)).to_bytes(4, "little") + bytes(4)
+           + data_off.to_bytes(4, "little") + bytes(patched))
+    return _decode_bmp(bmp)
+
+
 def _f80_to_int(b: bytes) -> int:
     """80-bit IEEE extended float (AIFF sample rate) → int Hz."""
     exp = int.from_bytes(b[0:2], "big") & 0x7FFF
@@ -983,6 +1027,8 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
         return decode_tiff(payload)
     if payload[:4] == b"qoif":
         return _decode_qoi(payload)
+    if payload[:4] == b"\x00\x00\x01\x00" and len(payload) >= 22:
+        return _decode_ico(payload)
     # BMP's magic is only 2 bytes ("BM") — like the JPEG case, that
     # collides with arbitrary binary at realistic corpus sizes, so the
     # dispatch also demands a known DIB header size (a 4-byte check)

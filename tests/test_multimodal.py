@@ -1093,6 +1093,52 @@ def test_qoi_roundtrip_all_ops():
         mm._decode_qoi(good[:-9])
 
 
+def _ico_bytes(entries):
+    """ICO container: entries are (w, h, image_bytes) — image bytes a
+    PNG stream or a headerless DIB."""
+    out = bytearray(b"\x00\x00\x01\x00")
+    out += len(entries).to_bytes(2, "little")
+    off = 6 + 16 * len(entries)
+    for w, h, data in entries:
+        out += bytes([w % 256, h % 256, 0, 0])
+        out += (1).to_bytes(2, "little") + (32).to_bytes(2, "little")
+        out += len(data).to_bytes(4, "little")
+        out += off.to_bytes(4, "little")
+        off += len(data)
+    for _, _, data in entries:
+        out += data
+    return bytes(out)
+
+
+def test_ico_png_and_dib_entries():
+    """ICO picks the largest entry; PNG payloads route through the PNG
+    decoder, DIB payloads (doubled height + AND mask) through the BMP
+    path."""
+    rng = np.random.default_rng(77)
+    big = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    small = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    png_big = _png_bytes(big, color_type=2)
+    png_small = _png_bytes(small, color_type=2)
+    payload = _ico_bytes([(8, 8, png_small), (24, 24, png_big)])
+    assert (mm._decode_ico(payload) == mm._png_luma(big)).all()
+    assert (mm._decode_image(payload, 0, 0) == mm._png_luma(big)).all()
+
+    # DIB entry: strip the 14-byte BMP file header, double the height,
+    # append the 1-bit AND mask rows (ignored by the decoder)
+    bmp = _bmp_bytes(img_rgb=small, bpp=32)
+    dib = bytearray(bmp[14:])
+    dib[8:12] = (16).to_bytes(4, "little")  # 2 * actual height 8
+    mask_stride = ((8 + 31) // 32) * 4
+    dib += b"\x00" * (mask_stride * 8)
+    payload = _ico_bytes([(8, 8, bytes(dib))])
+    assert (mm._decode_ico(payload) == mm._png_luma(small)).all()
+
+    with pytest.raises(ValueError, match="not an ICO"):
+        mm._decode_ico(b"\x00\x00\x02\x00" + payload[4:])
+    with pytest.raises(ValueError, match="truncated ICO image"):
+        mm._decode_ico(payload[:-9])
+
+
 def _aiff_bytes(samples, rate, n_channels=1):
     """FORM/AIFF with a COMM (80-bit-float rate) and SSND chunk."""
     frames = len(samples) // n_channels
