@@ -229,15 +229,36 @@ def _decode_png(payload: bytes) -> np.ndarray:
     Scale: decode stays O(payload bytes) per image inside the Arrow
     batch, exactly like the PNM path — nothing about the mapInPandas
     plumbing changes."""
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    for cid, body in _png_chunks(payload):
+        if cid == b"IHDR":
+            ihdr = body
+        elif cid == b"PLTE":
+            plte = body
+        elif cid == b"IDAT":
+            idat.append(body)
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    width, height, bit_depth, color_type, interlace = _png_header(ihdr)
+    import zlib
+
+    rgba = _png_pixels(zlib.decompress(b"".join(idat)), width, height,
+                       bit_depth, color_type, interlace, plte)
+    if color_type in (0, 4):  # gray / gray+alpha: the plane as stored
+        return rgba[:, :, 0].copy()
+    return _png_luma(rgba[:, :, :3])
+
+
+def _png_chunks(payload: bytes):
+    """CRC-verified PNG chunk walk; yields (cid, body) through IEND."""
     import zlib
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
-    ihdr = None
-    plte = None
-    idat: list[bytes] = []
-    seen_iend = False
     pos = 8
+    seen_iend = False
     while pos + 12 <= len(payload):
         size = int.from_bytes(payload[pos : pos + 4], "big")
         cid = payload[pos + 4 : pos + 8]
@@ -247,20 +268,18 @@ def _decode_png(payload: bytes) -> np.ndarray:
         crc = int.from_bytes(payload[pos + 8 + size : pos + 12 + size], "big")
         if zlib.crc32(payload[pos + 4 : pos + 8 + size]) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk CRC mismatch in {cid!r}")
-        if cid == b"IHDR":
-            ihdr = body
-        elif cid == b"PLTE":
-            plte = body
-        elif cid == b"IDAT":
-            idat.append(body)
-        elif cid == b"IEND":
+        yield cid, body
+        if cid == b"IEND":
             seen_iend = True
             break
         pos += 12 + size
-    if ihdr is None or len(ihdr) != 13 or not idat:
-        raise ValueError("missing IHDR or IDAT")
     if not seen_iend:
         raise ValueError("truncated PNG: no IEND chunk")
+
+
+def _png_header(ihdr: bytes) -> tuple[int, int, int, int, int]:
+    """Validated IHDR fields: (width, height, depth, color type,
+    interlace)."""
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, compression, filter_method, interlace = ihdr[8:13]
@@ -270,14 +289,23 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("nonstandard PNG compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
-    if channels is None:
+    if color_type not in (0, 2, 3, 4, 6):
         raise ValueError(f"unknown PNG color type {color_type}")
     if color_type == 3 and bit_depth == 16:
         raise ValueError("16-bit palette PNG is not legal")
     if bit_depth < 8 and color_type not in (0, 3):
         raise ValueError("sub-byte PNG depth requires gray or palette")
-    raster = zlib.decompress(b"".join(idat))
+    return width, height, bit_depth, color_type, interlace
+
+
+def _png_pixels(raster: bytes, width: int, height: int, bit_depth: int,
+                color_type: int, interlace: int,
+                plte: bytes | None) -> np.ndarray:
+    """Decompressed (sub-)image raster → (h, w, 4) RGBA uint8: filter
+    inversion, Adam7 scattering, depth rescale, palette application,
+    gray replication (alpha defaults to 255). Shared by the static PNG
+    path and APNG frame compositing."""
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     if bit_depth >= 8:
         bpp = channels * (bit_depth // 8)  # filter unit: bytes per pixel
         n_units = bpp
@@ -336,16 +364,110 @@ def _decode_png(payload: bytes) -> np.ndarray:
         px = planes * np.uint8(255 // ((1 << bit_depth) - 1))
     else:
         px = planes
+    rgba = np.empty((height, width, 4), dtype=np.uint8)
+    rgba[:, :, 3] = 255
     if color_type == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette image missing a valid PLTE")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         if int(px.max()) >= len(pal):
             raise ValueError("palette index out of range")
-        return _png_luma(pal[px[:, :, 0]])
-    if color_type in (0, 4):  # gray / gray+alpha
-        return px[:, :, 0].copy()
-    return _png_luma(px[:, :, :3])  # RGB / RGBA
+        rgba[:, :, :3] = pal[px[:, :, 0]]
+    elif color_type in (0, 4):
+        rgba[:, :, :3] = px[:, :, 0:1]
+        if color_type == 4:
+            rgba[:, :, 3] = px[:, :, 1]
+    else:
+        rgba[:, :, :3] = px[:, :, :3]
+        if color_type == 6:
+            rgba[:, :, 3] = px[:, :, 3]
+    return rgba
+
+
+def _apng_frames_luma(payload: bytes) -> list[np.ndarray]:
+    """Composite an APNG's animation frames (acTL/fcTL/fdAT, the public
+    spec): each frame is an independent zlib stream filtered over its
+    own sub-rectangle; blend 0 replaces the region (including alpha),
+    blend 1 alpha-composites over it (straight-alpha OVER); dispose
+    0/1/2 are keep / clear-to-transparent / restore-previous. The
+    canvas starts fully transparent; the IDAT default image is frame 1
+    only when the first fcTL precedes it. Returns per-frame (h, w)
+    uint8 luma snapshots (alpha ignored, like the static path)."""
+    import zlib
+
+    ihdr = plte = actl = None
+    idat: list[bytes] = []
+    frames: list[dict] = []
+    idat_seen = False
+    for cid, body in _png_chunks(payload):
+        if cid == b"IHDR":
+            ihdr = body
+        elif cid == b"PLTE":
+            plte = body
+        elif cid == b"acTL":
+            actl = body
+        elif cid == b"fcTL":
+            if len(body) != 26:
+                raise ValueError("corrupt APNG frame control chunk")
+            frames.append({
+                "w": int.from_bytes(body[4:8], "big"),
+                "h": int.from_bytes(body[8:12], "big"),
+                "x": int.from_bytes(body[12:16], "big"),
+                "y": int.from_bytes(body[16:20], "big"),
+                "dispose": body[24],
+                "blend": body[25],
+                "data": [],
+                "use_idat": not idat_seen,
+            })
+        elif cid == b"IDAT":
+            idat_seen = True
+            idat.append(body)
+        elif cid == b"fdAT":
+            if not frames:
+                raise ValueError("APNG fdAT before any frame control")
+            frames[-1]["data"].append(body[4:])  # drop sequence number
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("missing IHDR")
+    if actl is None:
+        raise ValueError("PNG has no animation control chunk")
+    if not frames:
+        raise ValueError("APNG has no frames")
+    width, height, depth, ctype, interlace = _png_header(ihdr)
+    declared = int.from_bytes(actl[0:4], "big")
+    if declared != len(frames):
+        raise ValueError("APNG frame count != acTL declaration")
+    canvas = np.zeros((height, width, 4), dtype=np.float64)
+    out: list[np.ndarray] = []
+    for f in frames:
+        raw = (b"".join(idat) if f["use_idat"] and not f["data"]
+               else b"".join(f["data"]))
+        if not raw:
+            raise ValueError("APNG frame has no image data")
+        if (f["w"] == 0 or f["h"] == 0 or f["x"] + f["w"] > width
+                or f["y"] + f["h"] > height):
+            raise ValueError("APNG frame exceeds the canvas")
+        sub = _png_pixels(zlib.decompress(raw), f["w"], f["h"], depth,
+                          ctype, interlace, plte).astype(np.float64)
+        region = canvas[f["y"] : f["y"] + f["h"],
+                        f["x"] : f["x"] + f["w"]]
+        saved = region.copy() if f["dispose"] == 2 else None
+        if f["blend"] == 0:  # SOURCE: replace, alpha included
+            region[:] = sub
+        else:  # OVER: straight-alpha composite
+            sa = sub[:, :, 3:4] / 255.0
+            da = region[:, :, 3:4] / 255.0
+            oa = sa + da * (1.0 - sa)
+            rgb = sub[:, :, :3] * sa + region[:, :, :3] * da * (1.0 - sa)
+            region[:, :, :3] = np.divide(
+                rgb, oa, out=np.zeros_like(rgb), where=oa > 0
+            )
+            region[:, :, 3:4] = oa * 255.0
+        out.append(_png_luma(np.round(canvas[:, :, :3]).astype(np.uint8)))
+        if f["dispose"] == 1:  # clear the region to transparent black
+            region[:] = 0.0
+        elif f["dispose"] == 2:  # restore what this frame painted over
+            region[:] = saved
+    return out
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
@@ -1200,11 +1322,12 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Video → frames fan-out (1 row in, n_frames/every_n rows out), the
     mapInPandas shape for frame extraction. RIFF/AVI payloads demux for
     real (``_avi_video_frames``; with MJPEG inside, each emitted frame
-    is a decodable JPEG); animated GIFs composite for real
-    (``_gif_frames_luma``: disposal + transparency semantics), each
-    sampled frame emitted as a binary PGM that the image path decodes;
-    other payloads fall back to deterministic byte slices (STUB for an
-    ffmpeg seek+decode)."""
+    is a decodable JPEG); animated GIFs and APNGs composite for real
+    (``_gif_frames_luma`` / ``_apng_frames_luma``: disposal, blending
+    and transparency semantics; a static PNG is its single frame),
+    each sampled frame emitted as a binary PGM that the image path
+    decodes; other payloads fall back to deterministic byte slices
+    (STUB for an ffmpeg seek+decode)."""
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1224,8 +1347,16 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                             }
                         )
                     continue
+                lumas = None
                 if raw[:6] in (b"GIF87a", b"GIF89a"):
-                    for i, luma in enumerate(_gif_frames_luma(raw)):
+                    lumas = _gif_frames_luma(raw)
+                elif raw[:8] == _PNG_SIG:
+                    animated = any(cid == b"acTL"
+                                   for cid, _ in _png_chunks(raw))
+                    lumas = (_apng_frames_luma(raw) if animated
+                             else [_decode_png(raw)])
+                if lumas is not None:
+                    for i, luma in enumerate(lumas):
                         if i % every_n:
                             continue
                         head = (f"P5\n{luma.shape[1]} "

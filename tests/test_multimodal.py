@@ -324,6 +324,177 @@ def test_png_adam7_roundtrip():
         assert (mm._decode_png(woven) == mm._decode_png(flat)).all(), shape
 
 
+def _apng_bytes(canvas_wh, frames, first_in_idat=True):
+    """APNG writer (RGBA, depth 8): acTL + per-frame fcTL with
+    placement/dispose/blend; the first frame rides IDAT when
+    first_in_idat, else IDAT carries a standalone default image passed
+    as frames[0] with key 'default'."""
+    import zlib
+
+    w, h = canvas_wh
+
+    def chunk(cid, body):
+        return (len(body).to_bytes(4, "big") + cid + body
+                + (zlib.crc32(cid + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    def raster(rgba):
+        return zlib.compress(
+            _png_filter_rows(rgba.reshape(rgba.shape[0], -1), 4, [0, 2])
+        )
+
+    anim = [f for f in frames if "default" not in f]
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += chunk(b"IHDR", w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                 + bytes([8, 6, 0, 0, 0]))
+    out += chunk(b"acTL", len(anim).to_bytes(4, "big") + bytes(4))
+    seq = 0
+    emitted_idat = False
+    for i, f in enumerate(frames):
+        if "default" in f:
+            out += chunk(b"IDAT", raster(f["default"]))
+            emitted_idat = True
+            continue
+        rgba = f["rgba"]
+        fh, fw = rgba.shape[:2]
+        fctl = (seq.to_bytes(4, "big") + fw.to_bytes(4, "big")
+                + fh.to_bytes(4, "big")
+                + f.get("x", 0).to_bytes(4, "big")
+                + f.get("y", 0).to_bytes(4, "big")
+                + bytes(4)  # delay 0/0
+                + bytes([f.get("dispose", 0), f.get("blend", 0)]))
+        out += chunk(b"fcTL", fctl)
+        seq += 1
+        if not emitted_idat and first_in_idat:
+            out += chunk(b"IDAT", raster(rgba))
+            emitted_idat = True
+        else:
+            out += chunk(b"fdAT", seq.to_bytes(4, "big") + raster(rgba))
+            seq += 1
+    out += chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def _apng_composite_ref(canvas_wh, frames):
+    """Independent per-pixel reference for APNG compositing."""
+    w, h = canvas_wh
+    canvas = [[[0.0, 0.0, 0.0, 0.0] for _ in range(w)] for _ in range(h)]
+    outs = []
+    for f in frames:
+        if "default" in f:
+            continue
+        rgba = f["rgba"]
+        x, y = f.get("x", 0), f.get("y", 0)
+        saved = [[list(canvas[y + j][x + i])
+                  for i in range(rgba.shape[1])]
+                 for j in range(rgba.shape[0])]
+        for j in range(rgba.shape[0]):
+            for i in range(rgba.shape[1]):
+                src = [float(v) for v in rgba[j, i]]
+                dst = canvas[y + j][x + i]
+                if f.get("blend", 0) == 0:
+                    canvas[y + j][x + i] = src
+                else:
+                    sa, da = src[3] / 255.0, dst[3] / 255.0
+                    oa = sa + da * (1 - sa)
+                    px = [0.0, 0.0, 0.0, oa * 255.0]
+                    if oa > 0:
+                        for c in range(3):
+                            px[c] = (src[c] * sa
+                                     + dst[c] * da * (1 - sa)) / oa
+                    canvas[y + j][x + i] = px
+        snap = np.round(
+            np.array([[p[:3] for p in row] for row in canvas])
+        ).astype(np.uint8)
+        outs.append(mm._png_luma(snap))
+        for j in range(rgba.shape[0]):
+            for i in range(rgba.shape[1]):
+                if f.get("dispose", 0) == 1:
+                    canvas[y + j][x + i] = [0.0, 0.0, 0.0, 0.0]
+                elif f.get("dispose", 0) == 2:
+                    canvas[y + j][x + i] = saved[j][i]
+    return outs
+
+
+def test_apng_compositing_blend_and_dispose():
+    """Four-frame APNG: full first frame in IDAT, a semi-transparent
+    OVER sub-rect, a clear-to-transparent dispose, a restore-previous
+    dispose — all against an independent per-pixel reference."""
+    rng = np.random.default_rng(81)
+
+    def rnd(h, w, alpha=None):
+        a = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+        if alpha is not None:
+            a[:, :, 3] = alpha
+        return a
+
+    frames = [
+        {"rgba": rnd(10, 14, alpha=255)},
+        {"rgba": rnd(4, 5), "x": 2, "y": 3, "blend": 1, "dispose": 2},
+        {"rgba": rnd(3, 6, alpha=128), "x": 7, "y": 1, "blend": 1,
+         "dispose": 1},
+        {"rgba": rnd(5, 5, alpha=200), "x": 0, "y": 5, "blend": 0},
+    ]
+    payload = _apng_bytes((14, 10), frames)
+    got = mm._apng_frames_luma(payload)
+    expected = _apng_composite_ref((14, 10), frames)
+    assert len(got) == 4
+    for g, e in zip(got, expected):
+        assert (g == e).all()
+    # the static decode of the same payload is the IDAT default image
+    assert (mm._decode_png(payload)
+            == mm._png_luma(frames[0]["rgba"][:, :, :3])).all()
+
+
+def test_apng_default_image_not_in_animation():
+    """When the first fcTL comes after IDAT, the default image is shown
+    by static decoders but is NOT part of the animation."""
+    rng = np.random.default_rng(83)
+    default = rng.integers(0, 256, (6, 8, 4)).astype(np.uint8)
+    f1 = {"rgba": rng.integers(0, 256, (6, 8, 4)).astype(np.uint8)}
+    f2 = {"rgba": rng.integers(0, 256, (2, 3, 4)).astype(np.uint8),
+          "x": 1, "y": 1, "blend": 0}
+    frames = [{"default": default}, f1, f2]
+    payload = _apng_bytes((8, 6), frames, first_in_idat=False)
+    got = mm._apng_frames_luma(payload)
+    expected = _apng_composite_ref((8, 6), frames)
+    assert len(got) == 2
+    for g, e in zip(got, expected):
+        assert (g == e).all()
+    assert (mm._decode_png(payload)
+            == mm._png_luma(default[:, :, :3])).all()
+    with pytest.raises(ValueError, match="no animation control"):
+        static = _png_bytes(default[:, :, :3], color_type=2)
+        mm._apng_frames_luma(static)
+
+
+def test_apng_through_sample_frames(spark):
+    """APNG through the Spark frame fan-out, plus a static PNG video
+    payload treated as its single frame."""
+    rng = np.random.default_rng(87)
+    frames = [{"rgba": rng.integers(0, 256, (5, 7, 4)).astype(np.uint8)}
+              for _ in range(3)]
+    apng = _apng_bytes((7, 5), frames)
+    static = _png_bytes(
+        rng.integers(0, 256, (4, 4)).astype(np.uint8), color_type=0
+    )
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(apng), (7, 5, 0, 9)),
+         (2, "video", bytearray(static), (4, 4, 0, 9))],
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    rows = sorted(mm.sample_frames(df, every_n=2).collect(),
+                  key=lambda r: (r.media_id, r.frame_idx))
+    expected = _apng_composite_ref((7, 5), frames)
+    assert [(r.media_id, r.frame_idx) for r in rows] == [(1, 0), (1, 2),
+                                                         (2, 0)]
+    for r in rows[:2]:
+        got = mm._decode_pnm(bytes(r.frame_payload))
+        assert (got == expected[r.frame_idx]).all()
+    assert (mm._decode_pnm(bytes(rows[2].frame_payload))
+            == mm._decode_png(static)).all()
+
+
 @pytest.mark.parametrize("depth", [1, 2, 4])
 def test_png_subbyte_gray_and_palette(depth):
     """1/2/4-bit PNGs decode for real: MSB-first unpacking with padded
