@@ -239,7 +239,8 @@ def _decode_subframe(bits: _Bits, blocksize: int, bps: int) -> np.ndarray:
 
 def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode a FLAC stream → (samples as an int32 array of shape
-    (n_samples, n_channels), sample_rate). Verifies the per-chunk CRCs
+    (n_samples, n_channels), sample_rate, bits_per_sample — callers
+    rescaling to a fixed width need it). Verifies the per-chunk CRCs
     (metadata is length-framed; frame headers CRC-8, frames CRC-16)
     AND the STREAMINFO MD5 of the decoded audio (interleaved
     little-endian samples; skipped when the encoder left it zero), and
@@ -373,4 +374,4 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
         raw = np.stack(lanes, axis=1).tobytes()
         if hashlib.md5(raw).digest() != md5:
             raise ValueError("FLAC decoded-audio MD5 mismatch")
-    return stacked.astype(np.int32), si_rate
+    return stacked.astype(np.int32), si_rate, si_bps

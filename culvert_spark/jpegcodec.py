@@ -345,6 +345,10 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        while payload[pos + 1] == 0xFF:  # T.81 B.1.1.2: optional fill
+            pos += 1
+            if pos + 2 > len(payload):
+                raise ValueError("truncated JPEG segment")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break

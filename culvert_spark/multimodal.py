@@ -475,22 +475,28 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
     packed LSB-first, the dictionary resets on the clear code, and the
     code width grows — right after the entry with value 2**width is
     assigned — up to the 12-bit cap, where a full table freezes until a
-    (possibly deferred) clear. The whole stream is one Python int so
-    code extraction is a shift+mask, not per-bit loops."""
+    (possibly deferred) clear. Codes come from an LSB-first windowed
+    accumulator — O(1) per code (shifting a whole-stream big int copies
+    the remainder every time: quadratic)."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    big = int.from_bytes(data, "little")
-    total_bits = len(data) * 8
-    bitpos = 0
+    acc = 0
+    nbits = 0
+    pos = 0
     width = min_code_size + 1
     table = [bytes([i]) for i in range(clear)] + [b"", b""]
     prev: bytes | None = None
     out = bytearray()
     while len(out) < n_pixels:
-        if bitpos + width > total_bits:
-            raise ValueError("truncated GIF LZW stream")
-        code = (big >> bitpos) & ((1 << width) - 1)
-        bitpos += width
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
         if code == clear:
             table = [bytes([i]) for i in range(clear)] + [b"", b""]
             width = min_code_size + 1
@@ -1180,7 +1186,13 @@ def _decode_audio(payload: bytes) -> tuple[np.ndarray, int | None]:
     if payload[:4] == b"RIFF":
         return _decode_wav_pcm16(payload)
     if payload[:4] == b"fLaC":
-        chans, rate = decode_flac(payload)
+        chans, rate, bps = decode_flac(payload)
+        # rescale to the 16-bit convention: >16-bit keeps the top 16
+        # bits (like 24/32-bit WAV), <16-bit shifts up
+        if bps > 16:
+            chans = chans >> (bps - 16)
+        elif bps < 16:
+            chans = chans << (16 - bps)
         if chans.shape[1] > 1:
             return chans.mean(axis=1).astype(np.int16), rate
         return chans[:, 0].astype(np.int16), rate
@@ -1351,8 +1363,12 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                 if raw[:6] in (b"GIF87a", b"GIF89a"):
                     lumas = _gif_frames_luma(raw)
                 elif raw[:8] == _PNG_SIG:
-                    animated = any(cid == b"acTL"
-                                   for cid, _ in _png_chunks(raw))
+                    animated = False
+                    for cid, _ in _png_chunks(raw):
+                        if cid == b"acTL":
+                            animated = True
+                        if animated or cid == b"IDAT":
+                            break  # acTL must precede IDAT (APNG spec)
                     lumas = (_apng_frames_luma(raw) if animated
                              else [_decode_png(raw)])
                 if lumas is not None:

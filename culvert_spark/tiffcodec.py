@@ -29,11 +29,12 @@ def _lzw_decode_tiff(data: bytes, n_bytes: int) -> bytes:
     NEXT entry to be assigned would be 2**width - 1 (one code earlier
     than GIF's rule; the spec's own erratum, matched by every
     implementation)."""
-    big = int.from_bytes(data, "big")
-    total_bits = len(data) * 8
-    bitpos = 0
+    # MSB-first windowed accumulator: O(1) per code (a whole-stream big
+    # int would copy the remainder on every shift — quadratic)
+    acc = 0
+    nbits = 0
+    pos = 0
     width = 9
-    table: list[bytes] = []
     prev: bytes | None = None
     out = bytearray()
 
@@ -42,11 +43,15 @@ def _lzw_decode_tiff(data: bytes, n_bytes: int) -> bytes:
 
     table = fresh()
     while len(out) < n_bytes:
-        if bitpos + width > total_bits:
-            raise ValueError("truncated TIFF LZW stream")
-        shift = total_bits - bitpos - width
-        code = (big >> shift) & ((1 << width) - 1)
-        bitpos += width
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = acc >> nbits
+        acc &= (1 << nbits) - 1
         if code == 256:  # clear
             table = fresh()
             width = 9
@@ -98,10 +103,14 @@ def _packbits_decode(data: bytes, n_bytes: int) -> bytes:
 
 
 def _tag_values(payload: bytes, bo: str, type_: int, count: int,
-                raw: bytes) -> list[int]:
+                raw: bytes) -> list[int] | None:
+    """Integer values of an IFD entry. Non-integer types (RATIONAL
+    resolution tags, ASCII Software/DateTime strings, ...) return None:
+    real TIFFs always carry them, and none matter to pixel decoding, so
+    they are skipped rather than fatal."""
     sizes = {1: 1, 3: 2, 4: 4}
     if type_ not in sizes:
-        raise ValueError(f"unsupported TIFF tag type {type_}")
+        return None
     size = sizes[type_]
     total = size * count
     if total > 4:
@@ -111,6 +120,13 @@ def _tag_values(payload: bytes, bo: str, type_: int, count: int,
             raise ValueError("truncated TIFF tag data")
     return [int.from_bytes(raw[i * size : (i + 1) * size], bo)
             for i in range(count)]
+
+
+def _luma(rgb: np.ndarray) -> np.ndarray:
+    """BT.601 luma, same rounding contract as the other image paths."""
+    luma = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+            + 0.114 * rgb[:, :, 2])
+    return np.round(luma).astype(np.uint8)
 
 
 def decode_tiff(payload: bytes) -> np.ndarray:
@@ -138,7 +154,9 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         tag = int.from_bytes(entry[0:2], bo)
         type_ = int.from_bytes(entry[2:4], bo)
         count = int.from_bytes(entry[4:8], bo)
-        tags[tag] = _tag_values(payload, bo, type_, count, entry[8:12])
+        values = _tag_values(payload, bo, type_, count, entry[8:12])
+        if values is not None:
+            tags[tag] = values
 
     def one(tag: int, default: int | None = None) -> int:
         if tag in tags:
@@ -206,9 +224,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if photometric == 2:  # RGB(A)
         if spp < 3:
             raise ValueError("RGB TIFF needs at least 3 samples per pixel")
-        luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
-                + 0.114 * px[:, :, 2])
-        return np.round(luma).astype(np.uint8)
+        return _luma(px)
     if photometric == 3:  # palette: ColorMap holds 16-bit R,G,B planes
         cmap = tags.get(320)
         if not cmap or len(cmap) % 3:
@@ -219,8 +235,5 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         idx = px[:, :, 0]
         if int(idx.max()) >= n:
             raise ValueError("TIFF palette index out of range")
-        rgb = pal[idx]
-        luma = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
-                + 0.114 * rgb[:, :, 2])
-        return np.round(luma).astype(np.uint8)
+        return _luma(pal[idx])
     raise ValueError(f"unsupported TIFF photometric {photometric}")

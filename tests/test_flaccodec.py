@@ -237,7 +237,7 @@ def _sig(n: int, seed: int = 7) -> np.ndarray:
 def test_fixed_orders_roundtrip_exact(order):
     sig = _sig(1000)
     payload = _encode_flac([sig], blocksize=256, order=order)
-    got, rate = fc.decode_flac(payload)
+    got, rate, _ = fc.decode_flac(payload)
     assert rate == 16_000
     assert got.shape == (1000, 1)
     assert (got[:, 0] == sig).all()
@@ -247,7 +247,7 @@ def test_fixed_orders_roundtrip_exact(order):
 def test_partition_orders_roundtrip_exact(porder):
     sig = _sig(512, seed=porder)
     payload = _encode_flac([sig], blocksize=512, order=2, porder=porder)
-    got, _ = fc.decode_flac(payload)
+    got, _, _ = fc.decode_flac(payload)
     assert (got[:, 0] == sig).all()
 
 
@@ -255,7 +255,7 @@ def test_partition_orders_roundtrip_exact(porder):
 def test_stereo_modes_roundtrip_exact(ca):
     left, right = _sig(700, seed=1), _sig(700, seed=2)
     payload = _encode_flac([left, right], blocksize=256, ca=ca, order=2)
-    got, _ = fc.decode_flac(payload)
+    got, _, _ = fc.decode_flac(payload)
     assert got.shape == (700, 2)
     assert (got[:, 0] == left).all()
     assert (got[:, 1] == right).all()
@@ -266,31 +266,31 @@ def test_lpc_subframe_roundtrip_exact():
     lpc = ([1434, -717], 12, 9)  # ~2nd-order resonator, 12-bit, shift 9
     payload = _encode_flac([sig], blocksize=300, mode="lpc", order=2,
                            lpc=lpc)
-    got, _ = fc.decode_flac(payload)
+    got, _, _ = fc.decode_flac(payload)
     assert (got[:, 0] == sig).all()
 
 
 def test_constant_verbatim_wasted_and_escape():
     const = np.full(256, -1234, dtype=np.int16)
-    got, _ = fc.decode_flac(_encode_flac([const], mode="constant"))
+    got, _, _ = fc.decode_flac(_encode_flac([const], mode="constant"))
     assert (got[:, 0] == const).all()
 
     rng = np.random.default_rng(11)
     rnd = rng.integers(-32768, 32767, 256).astype(np.int16)
-    got, _ = fc.decode_flac(_encode_flac([rnd], mode="verbatim"))
+    got, _, _ = fc.decode_flac(_encode_flac([rnd], mode="verbatim"))
     assert (got[:, 0] == rnd).all()
 
     shifted = (_sig(256).astype(np.int32) & ~0x3).astype(np.int16)
-    got, _ = fc.decode_flac(_encode_flac([shifted], order=1, wasted=2))
+    got, _, _ = fc.decode_flac(_encode_flac([shifted], order=1, wasted=2))
     assert (got[:, 0] == shifted).all()
 
     small = (_sig(256).astype(np.int32) // 256).astype(np.int16)
-    got, _ = fc.decode_flac(
+    got, _, _ = fc.decode_flac(
         _encode_flac([small], order=0, escape_raw=9))
     assert (got[:, 0] == small).all()
 
     zeros = np.zeros(256, dtype=np.int16)
-    got, _ = fc.decode_flac(
+    got, _, _ = fc.decode_flac(
         _encode_flac([zeros], order=0, escape_raw=0))
     assert (got[:, 0] == zeros).all()
 
@@ -300,14 +300,14 @@ def test_many_frames_utf8_frame_numbers():
     2-byte UTF-8 coded-number path."""
     sig = _sig(150 * 64, seed=5)
     payload = _encode_flac([sig], blocksize=64, order=1)
-    got, _ = fc.decode_flac(payload)
+    got, _, _ = fc.decode_flac(payload)
     assert (got[:, 0] == sig).all()
 
 
 def test_short_last_frame():
     sig = _sig(1000 + 37, seed=6)
     payload = _encode_flac([sig], blocksize=250, order=2)
-    got, _ = fc.decode_flac(payload)
+    got, _, _ = fc.decode_flac(payload)
     assert (got[:, 0] == sig).all()
 
 
@@ -340,14 +340,14 @@ def test_md5_verification_and_24bit():
     with pytest.raises(ValueError, match="MD5 mismatch"):
         fc.decode_flac(bytes(payload))
     unset = _encode_flac([sig], order=2, with_md5=False)
-    got, _ = fc.decode_flac(unset)
+    got, _, _ = fc.decode_flac(unset)
     assert (got[:, 0] == sig).all()
     rng = np.random.default_rng(21)
     wide = (rng.integers(-(1 << 23), 1 << 23, 600)
             .astype(np.int64))
     payload = _encode_flac([wide.astype(np.int32)], bps=24, order=1,
                            blocksize=200)
-    got, _ = fc.decode_flac(payload)
+    got, _, _ = fc.decode_flac(payload)
     assert (got[:, 0] == wide).all()
 
 

@@ -649,6 +649,20 @@ def test_jpeg_restart_with_chroma_interleave():
     assert (got == expected).all()
 
 
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker code; decoding must skip them both between segments and at
+    the end of entropy data."""
+    rng = np.random.default_rng(37)
+    img = rng.integers(0, 256, size=(9, 11), dtype=np.uint8)
+    payload, expected = encode_jpeg(img)
+    i = payload.index(b"\xff\xdb")
+    padded = payload[:i] + b"\xff\xff\xff" + payload[i:]
+    assert padded[-2:] == b"\xff\xd9"
+    padded = padded[:-2] + b"\xff" + padded[-2:]
+    assert (jc.decode_jpeg_luma(padded) == expected).all()
+
+
 def test_jpeg_rejects_unsupported_variants():
     rng = np.random.default_rng(3)
     img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)

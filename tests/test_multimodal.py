@@ -663,6 +663,20 @@ def _gif_bytes(raster, palette, mcs=8, interlace=False, local=False,
     return bytes(out)
 
 
+def test_flac_24bit_audio_rescale():
+    """A 24-bit FLAC through the audio adapter keeps the top 16 bits
+    (same convention as 24-bit WAV) instead of wrapping modulo 2^16."""
+    from tests.test_flaccodec import _encode_flac
+
+    sig = (9000 * np.sin(np.arange(600) / 11.0)).astype(np.int16)
+    wide = sig.astype(np.int32) << 8
+    payload = _encode_flac([wide], bps=24, rate=16_000, blocksize=200,
+                           order=1)
+    got, rate = mm._decode_audio(payload)
+    assert rate == 16_000
+    assert (got == sig).all()
+
+
 def test_wav_pcm_depths_and_float():
     """PCM WAV at every legal depth plus IEEE-float: 8-bit unsigned
     recenters, 24/32-bit keep the top 16 bits (arithmetic shift), float

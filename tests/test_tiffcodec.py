@@ -94,7 +94,8 @@ def _packbits_encode(data: bytes) -> bytes:
 
 
 def _tiff_bytes(px, compression=1, byte_order="little", rows_per_strip=None,
-                photometric=None, predictor=1, colormap=None):
+                photometric=None, predictor=1, colormap=None,
+                extra_tags=None):
     """Write a TIFF: ``px`` is (h, w) gray / palette indices or
     (h, w, spp) RGB(A); strips split at rows_per_strip."""
     bo = byte_order
@@ -149,6 +150,8 @@ def _tiff_bytes(px, compression=1, byte_order="little", rows_per_strip=None,
         tag(317, 3, [predictor])
     if colormap is not None:
         tag(320, 3, list(colormap))
+    for tag_id, type_, count, enc in extra_tags or []:
+        entries.append((tag_id, type_, count, enc))
     entries.sort(key=lambda e: e[0])
 
     # layout: header(8), IFD, overflow tag data (in tag order), strips
@@ -242,6 +245,22 @@ def test_palette_tiff():
     luma = np.round(0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
                     + 0.114 * rgb[:, :, 2]).astype(np.uint8)
     assert (tc.decode_tiff(payload) == luma).all()
+
+
+def test_tiff_skips_metadata_tags():
+    """Real-world TIFFs always carry RATIONAL resolution tags and ASCII
+    strings (libtiff/Pillow write them unconditionally); they are
+    irrelevant to pixel decoding and must be skipped, not fatal — the
+    image still decodes exactly."""
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (6, 9)).astype(np.uint8)
+    meta = [
+        (282, 5, 1, (72).to_bytes(4, "little") + (1).to_bytes(4, "little")),
+        (283, 5, 1, (72).to_bytes(4, "little") + (1).to_bytes(4, "little")),
+        (305, 2, 9, b"libtests\x00"),
+    ]
+    payload = _tiff_bytes(img, compression=5, extra_tags=meta)
+    assert (tc.decode_tiff(payload) == img).all()
 
 
 def test_tiff_rejects_corruption():
