@@ -67,6 +67,103 @@ def test_flac_stereo_roundtrip_any_signal(left, shift, ca):
     assert (got[:, 1] == right).all()
 
 
+_PNG_DEPTHS = {0: [1, 2, 4, 8, 16], 2: [8, 16], 3: [1, 2, 4, 8],
+               4: [8, 16], 6: [8, 16]}
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_png_roundtrip_every_type_depth_interlace(data):
+    """Every legal (color type, bit depth) pair, both interlace
+    layouts, all five filters cycling — decode must equal the direct
+    per-pixel expectation."""
+    from tests.test_multimodal import _png_bytes
+
+    ctype = data.draw(st.sampled_from(sorted(_PNG_DEPTHS)))
+    depth = data.draw(st.sampled_from(_PNG_DEPTHS[ctype]))
+    interlace = data.draw(st.sampled_from([0, 1]))
+    h = data.draw(st.integers(1, 11))
+    w = data.draw(st.integers(1, 11))
+    chans = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    maxv = (1 << depth) - 1
+    shape = (h, w) if chans == 1 else (h, w, chans)
+    dtype = np.uint16 if depth == 16 else np.uint8
+    img = data.draw(hnp.arrays(
+        dtype, shape, elements=st.integers(0, maxv)))
+    palette = None
+    if ctype == 3:
+        palette = np.stack(
+            [np.arange(maxv + 1) * 3 % 256, np.arange(maxv + 1) * 5 % 256,
+             np.arange(maxv + 1) * 7 % 256], axis=1
+        ).astype(np.uint8)
+    payload = _png_bytes(img, color_type=ctype, bit_depth=depth,
+                         interlace=interlace, filters=[0, 1, 2, 3, 4],
+                         palette=palette)
+    got = mm._decode_png(payload)
+    img3 = img if img.ndim == 3 else img[:, :, None]
+    if depth == 16:
+        px8 = np.round(img3 / 257.0).astype(np.uint8)
+    elif depth < 8 and ctype == 0:
+        px8 = (img3 * (255 // maxv)).astype(np.uint8)
+    else:
+        px8 = img3.astype(np.uint8)
+    if ctype in (0, 4):
+        expected = px8[:, :, 0]
+    elif ctype == 3:
+        expected = mm._png_luma(palette[img3[:, :, 0]])
+    else:
+        expected = mm._png_luma(px8[:, :, :3])
+    assert (got == expected).all()
+
+
+@_MANY
+@given(sig=hnp.arrays(np.int16, st.integers(128, 500)),
+       pred_idx=st.integers(0, 6))
+def test_ms_adpcm_trace_any_signal(sig, pred_idx):
+    """The decoder reproduces the encoder's own reconstruction trace
+    for ANY signal and every predictor pair (the lossy-codec contract,
+    extreme samples included)."""
+    from tests.test_multimodal import _ms_adpcm_encode_mono
+
+    data, recon = _ms_adpcm_encode_mono(sig, 70, pred_idx)
+    got = mm._decode_ms_adpcm_mono(data, 70)
+    assert (got == recon).all()
+
+
+@_MANY
+@given(sig=hnp.arrays(np.int16, st.integers(132, 500)))
+def test_ima_adpcm_trace_any_signal(sig):
+    from tests.test_multimodal import _ima_encode_mono
+
+    data, recon = _ima_encode_mono(sig, 132)
+    got = mm._decode_ima_adpcm_mono(data, 132)
+    assert (got == recon).all()
+
+
+@_MANY
+@given(data=st.data())
+def test_bmp_roundtrip_any_raster(data):
+    from tests.test_multimodal import _bmp_bytes
+
+    h = data.draw(st.integers(1, 14))
+    w = data.draw(st.integers(1, 14))
+    top_down = data.draw(st.booleans())
+    kind = data.draw(st.sampled_from(["rgb24", "rgb32", "pal8"]))
+    if kind == "pal8":
+        idx = data.draw(hnp.arrays(np.uint8, (h, w),
+                                   elements=st.integers(0, 15)))
+        palette = np.arange(48, dtype=np.uint8).reshape(16, 3)
+        payload = _bmp_bytes(img_idx=idx, palette=palette,
+                             top_down=top_down)
+        expected = mm._png_luma(palette[idx])
+    else:
+        rgb = data.draw(hnp.arrays(np.uint8, (h, w, 3)))
+        payload = _bmp_bytes(img_rgb=rgb, top_down=top_down,
+                             bpp=24 if kind == "rgb24" else 32)
+        expected = mm._png_luma(rgb)
+    assert (mm._decode_bmp(payload) == expected).all()
+
+
 @_MANY
 @given(img=hnp.arrays(np.uint8, _dims),
        compression=st.sampled_from([1, 5, 8, 32773]),

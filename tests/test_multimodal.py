@@ -663,6 +663,37 @@ def _gif_bytes(raster, palette, mcs=8, interlace=False, local=False,
     return bytes(out)
 
 
+def test_cross_format_image_dedup(spark):
+    """Why real decodes matter for dedup: the SAME pixels stored as
+    PPM, PNG, BMP, QOI and TIFF (all lossless RGB) decode to identical
+    luma, so perceptual-hash grouping collapses all five containers
+    into one duplicate group — byte-level hashing would see five
+    distinct blobs."""
+    from tests.test_tiffcodec import _tiff_bytes
+
+    rng = np.random.default_rng(91)
+    rgb = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    other = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    payloads = [
+        _ppm_bytes(rgb),
+        _png_bytes(rgb, color_type=2, filters=[0, 1, 2, 3, 4]),
+        _bmp_bytes(img_rgb=rgb),
+        _qoi_bytes(rgb),
+        _tiff_bytes(rgb, compression=5, predictor=2),
+        _ppm_bytes(other),  # a genuinely different image
+    ]
+    df = spark.createDataFrame(
+        [(i, "image", bytearray(p), (16, 16, 0, 0))
+         for i, p in enumerate(payloads)],
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    groups = {r.keeper_id: r for r in mm.image_dedup_groups(df).collect()}
+    assert set(groups) == {0, 5}
+    assert groups[0].n_images == 5 and groups[0].n_dupes == 4
+    assert groups[5].n_images == 1 and groups[5].n_dupes == 0
+
+
 def test_flac_24bit_audio_rescale():
     """A 24-bit FLAC through the audio adapter keeps the top 16 bits
     (same convention as 24-bit WAV) instead of wrapping modulo 2^16."""
