@@ -67,6 +67,80 @@ def test_flac_stereo_roundtrip_any_signal(left, shift, ca):
     assert (got[:, 1] == right).all()
 
 
+@_MANY
+@given(data=st.data())
+def test_gif_animation_matches_reference(data):
+    """Random frame stacks (placement, transparency, every disposal
+    mode) through the vectorized compositor must match the independent
+    per-pixel reference frame by frame."""
+    from tests.test_multimodal import _gif_anim_bytes, _gif_composite_ref
+
+    w = data.draw(st.integers(4, 14))
+    h = data.draw(st.integers(4, 14))
+    gpal = np.stack([np.arange(8) * 31 % 256, np.arange(8) * 17 % 256,
+                     np.arange(8) * 53 % 256], axis=1).astype(np.uint8)
+    bg = data.draw(st.integers(0, 7))
+    frames = []
+    for _ in range(data.draw(st.integers(1, 4))):
+        fw = data.draw(st.integers(1, w))
+        fh = data.draw(st.integers(1, h))
+        frames.append({
+            "raster": data.draw(hnp.arrays(np.uint8, (fh, fw),
+                                           elements=st.integers(0, 7))),
+            "left": data.draw(st.integers(0, w - fw)),
+            "top": data.draw(st.integers(0, h - fh)),
+            "disposal": data.draw(st.integers(0, 3)),
+            "transparent": data.draw(
+                st.one_of(st.none(), st.integers(0, 7))),
+        })
+    payload = _gif_anim_bytes((w, h), bg, gpal, frames, mcs=3)
+    got = mm._gif_frames_luma(payload)
+    expected = _gif_composite_ref((w, h), bg, gpal, frames)
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert (g == e).all()
+
+
+@_MANY
+@given(data=st.data())
+def test_apng_animation_matches_reference(data):
+    """Random APNG frame stacks (alpha, SOURCE/OVER blending, every
+    dispose op) must match the per-pixel reference."""
+    from tests.test_multimodal import _apng_bytes, _apng_composite_ref
+
+    w = data.draw(st.integers(3, 12))
+    h = data.draw(st.integers(3, 12))
+    frames = []
+    first = data.draw(st.booleans())
+    for i in range(data.draw(st.integers(1, 3))):
+        fw = data.draw(st.integers(1, w))
+        fh = data.draw(st.integers(1, h))
+        frames.append({
+            "rgba": data.draw(hnp.arrays(np.uint8, (fh, fw, 4))),
+            "x": data.draw(st.integers(0, w - fw)),
+            "y": data.draw(st.integers(0, h - fh)),
+            "dispose": data.draw(st.integers(0, 2)),
+            "blend": data.draw(st.integers(0, 1)),
+        })
+    payload = _apng_bytes((w, h), frames, first_in_idat=first)
+    got = mm._apng_frames_luma(payload)
+    expected = _apng_composite_ref((w, h), frames)
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert (g == e).all()
+
+
+@_MANY
+@given(frames=st.lists(st.binary(min_size=0, max_size=40), min_size=1,
+                       max_size=6),
+       with_rec=st.booleans())
+def test_avi_demux_any_frame_bytes(frames, with_rec):
+    from tests.test_multimodal import _avi_bytes
+
+    got = mm._avi_video_frames(_avi_bytes(frames, with_rec=with_rec))
+    assert got == frames
+
+
 _PNG_DEPTHS = {0: [1, 2, 4, 8, 16], 2: [8, 16], 3: [1, 2, 4, 8],
                4: [8, 16], 6: [8, 16]}
 
