@@ -1214,6 +1214,20 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
+def _plane_features(plane: np.ndarray) -> dict:
+    """The shared per-plane feature math: dims, mean/max luma, and the
+    16-bit column-profile perceptual hash."""
+    med = float(np.median(plane))
+    bits = (plane.mean(axis=0)[:16] > med).astype(int)
+    return {
+        "width": plane.shape[1],
+        "height": plane.shape[0],
+        "mean_luma": float(plane.mean()),
+        "max_luma": int(plane.max()),
+        "phash": "".join(map(str, bits)),
+    }
+
+
 def image_features(media: DataFrame) -> DataFrame:
     """Per-image features via mapInPandas (Arrow batches, no shuffle).
     Feature math (mean/max/percentile-hash) is vectorized numpy on the
@@ -1229,19 +1243,7 @@ def image_features(media: DataFrame) -> DataFrame:
                 w, h = int(meta["width"]), int(meta["height"])
                 plane = _decode_image(bytes(payload), w, h)
                 # A real container's header wins over caller metadata.
-                h, w = plane.shape
-                med = float(np.median(plane))
-                bits = (plane.mean(axis=0)[:16] > med).astype(int)
-                rows.append(
-                    {
-                        "media_id": mid,
-                        "width": w,
-                        "height": h,
-                        "mean_luma": float(plane.mean()),
-                        "max_luma": int(plane.max()),
-                        "phash": "".join(map(str, bits)),
-                    }
-                )
+                rows.append({"media_id": mid, **_plane_features(plane)})
             yield pd.DataFrame(rows, columns=[
                 "media_id", "width", "height", "mean_luma", "max_luma", "phash",
             ])
@@ -1405,6 +1407,48 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
         .select("media_id", "payload", "meta")
         .mapInPandas(frames, FRAME_SCHEMA)
     )
+
+
+FRAME_FEATURES_SCHEMA = (
+    "media_id bigint, frame_idx int, width int, height int, "
+    "mean_luma double, max_luma int, phash string"
+)
+
+
+def video_frame_features(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Per-FRAME features for videos: the ``sample_frames`` fan-out
+    piped into the shared image feature math — two chained narrow
+    mapInPandas stages, still no shuffle. The frame payloads are real
+    images (MJPEG frames from AVI, PGM composites from animated
+    GIF/APNG; stub byte-slices tile like any unrecognized blob), so the
+    per-frame phash stream is a direct input to video near-duplicate
+    detection: shot-level dedup groups consecutive equal hashes,
+    corpus-level dedup joins frame-hash sets across videos.
+
+    Scale (100 TB): both stages pipeline with the scan; the fan-out
+    multiplies rows by n_frames/every_n BEFORE any shuffle a consumer
+    adds, so partition sizing must follow the frame count, not the
+    video count. Candidate for a round-7 ``queries()`` registration
+    (rows-only, like the other m_* rows)."""
+    frames = sample_frames(media, every_n=every_n)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, idx, payload in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame_payload"]
+            ):
+                plane = _decode_image(bytes(payload), 16, 16)
+                rows.append(
+                    {"media_id": mid, "frame_idx": idx,
+                     **_plane_features(plane)}
+                )
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "width", "height", "mean_luma",
+                "max_luma", "phash",
+            ])
+
+    return frames.mapInPandas(extract, FRAME_FEATURES_SCHEMA)
 
 
 AUDIO_SCHEMA = (

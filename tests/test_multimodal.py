@@ -1486,6 +1486,46 @@ def test_real_mjpeg_avi_through_pipeline(spark):
         assert (got == expected[r.frame_idx]).all()
 
 
+def test_video_frame_features(spark):
+    """Per-frame features over a mixed batch: MJPEG-AVI frames decode
+    through the JPEG path, animated-GIF frames through the PGM
+    composites — every sampled frame's stats match a hand computation,
+    and the two-stage plan stays shuffle-free."""
+    from tests.test_jpegcodec import encode_jpeg
+
+    rng = np.random.default_rng(97)
+    jpegs, planes = [], []
+    for _ in range(4):
+        img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+        payload, exp = encode_jpeg(img)
+        jpegs.append(payload)
+        planes.append(exp)
+    avi = _avi_bytes(jpegs)
+    gpal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    gframes = [{"raster": rng.integers(0, 8, (6, 9)).astype(np.uint8)}
+               for _ in range(3)]
+    gif = _gif_anim_bytes((9, 6), 0, gpal, gframes, mcs=3)
+    gif_planes = _gif_composite_ref((9, 6), 0, gpal, gframes)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(avi), (16, 16, 0, 9)),
+         (2, "video", bytearray(gif), (9, 6, 0, 9))],
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    out = mm.video_frame_features(df, every_n=2)
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+    rows = {(r.media_id, r.frame_idx): r for r in out.collect()}
+    assert set(rows) == {(1, 0), (1, 2), (2, 0), (2, 2)}
+    for (mid, idx), r in rows.items():
+        plane = planes[idx] if mid == 1 else gif_planes[idx]
+        assert (r.width, r.height) == (plane.shape[1], plane.shape[0])
+        assert r.mean_luma == pytest.approx(float(plane.mean()))
+        assert r.max_luma == int(plane.max())
+        med = float(np.median(plane))
+        bits = (plane.mean(axis=0)[:16] > med).astype(int)
+        assert r.phash == "".join(map(str, bits))
+
+
 def test_avi_demux_rec_groups_and_corruption():
     frames = [b"\xff\xd8\xff" + bytes([i]) * 7 for i in range(4)]
     grouped = mm._avi_video_frames(_avi_bytes(frames, with_rec=True))
