@@ -56,6 +56,25 @@ def test_flac_fixed_roundtrip_any_signal(sig, blocksize, order):
 
 
 @_MANY
+@given(data=st.data())
+def test_flac_lpc_roundtrip_any_signal(data):
+    """LPC subframes with ARBITRARY quantized coefficients and shifts —
+    even unstable filters roundtrip exactly, because the residual is
+    whatever makes the integer recurrence land on the true samples."""
+    order = data.draw(st.integers(1, 3))
+    blocksize = data.draw(st.integers(order + 1, 64))
+    n = blocksize * data.draw(st.integers(1, 4))
+    sig = data.draw(hnp.arrays(np.int16, n))
+    coefs = data.draw(st.lists(st.integers(-512, 511), min_size=order,
+                               max_size=order))
+    shift = data.draw(st.integers(0, 12))
+    payload = _encode_flac([sig], blocksize=blocksize, mode="lpc",
+                           order=order, lpc=(coefs, 12, shift))
+    got, _, _ = fc.decode_flac(payload)
+    assert (got[:, 0] == sig).all()
+
+
+@_MANY
 @given(left=hnp.arrays(np.int16, st.integers(1, 200)),
        shift=st.integers(0, 50),
        ca=st.sampled_from([None, 8, 9, 10]))
