@@ -145,6 +145,45 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
     return np.round(luma).astype(np.uint8)
 
 
+def _decode_pam(payload: bytes) -> np.ndarray:
+    """Real decoder for NetPBM PAM (P7): token header (WIDTH / HEIGHT /
+    DEPTH / MAXVAL / TUPLTYPE / ENDHDR, comments allowed), then the
+    binary raster. Gray±alpha and RGB±alpha at maxval 255; alpha is
+    ignored like everywhere else. Returns the (h, w) uint8 luma."""
+    if payload[:3] != b"P7\n":
+        raise ValueError("not a PAM")
+    end = payload.find(b"ENDHDR\n")
+    if end < 0:
+        raise ValueError("truncated PAM header")
+    fields = {}
+    for line in payload[3:end].decode("ascii", "replace").splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        key, _, val = line.partition(" ")
+        fields[key] = val.strip()
+    try:
+        width = int(fields["WIDTH"])
+        height = int(fields["HEIGHT"])
+        pam_depth = int(fields["DEPTH"])
+        maxval = int(fields["MAXVAL"])
+    except (KeyError, ValueError):
+        raise ValueError("PAM header is missing required fields") from None
+    if maxval != 255:
+        raise ValueError(f"unsupported PAM maxval {maxval}")
+    if pam_depth not in (1, 2, 3, 4):
+        raise ValueError(f"unsupported PAM depth {pam_depth}")
+    start = end + 7
+    n = width * height * pam_depth
+    raster = payload[start : start + n]
+    if len(raster) != n:
+        raise ValueError("truncated PAM raster")
+    px = np.frombuffer(raster, np.uint8).reshape(height, width, pam_depth)
+    if pam_depth <= 2:  # gray / gray+alpha
+        return px[:, :, 0].copy()
+    return _png_luma(px[:, :, :3])
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -685,6 +724,99 @@ def _decode_gif(payload: bytes) -> np.ndarray:
     return _gif_frames_luma(payload, limit=1)[0]
 
 
+#: TGA 2.0 footer signature (the last 18 bytes of the file): the ONLY
+#: reliable in-band marker — TGA has no header magic, so dispatch keys
+#: on the footer and TGA 1.0 files (footerless) stay on the stub path.
+_TGA_FOOTER = b"TRUEVISION-XFILE.\x00"
+
+
+def _decode_tga(payload: bytes) -> np.ndarray:
+    """REAL decoder for Targa (TGA 2.0, the public spec): gray,
+    truecolor (16-bit 5-5-5, 24, 32-bit BGRA) and 8-bit palette images,
+    uncompressed or RLE-packed, both vertical origins. Returns the
+    uint8 luma plane (BT.601, same rounding as the other paths)."""
+    if len(payload) < 18 + 26 or payload[-18:] != _TGA_FOOTER:
+        raise ValueError("not a TGA 2.0 file")
+    id_len = payload[0]
+    cmap_type = payload[1]
+    image_type = payload[2]
+    cmap_len = int.from_bytes(payload[5:7], "little")
+    cmap_depth = payload[7]
+    width = int.from_bytes(payload[12:14], "little")
+    height = int.from_bytes(payload[14:16], "little")
+    depth = payload[16]
+    top_down = bool(payload[17] & 0x20)
+    base_type = image_type & ~8
+    rle = bool(image_type & 8)
+    if base_type not in (1, 2, 3):
+        raise ValueError(f"unsupported TGA image type {image_type}")
+    if width == 0 or height == 0:
+        raise ValueError("corrupt TGA dimensions")
+    pos = 18 + id_len
+    palette = None
+    if cmap_type == 1:
+        step = (cmap_depth + 7) // 8
+        if step not in (3, 4):
+            raise ValueError(f"unsupported TGA colormap depth {cmap_depth}")
+        raw = payload[pos : pos + cmap_len * step]
+        if len(raw) != cmap_len * step:
+            raise ValueError("truncated TGA colormap")
+        bgra = np.frombuffer(raw, np.uint8).reshape(-1, step)
+        palette = bgra[:, :3][:, ::-1]  # BGR(A) -> RGB
+        pos += cmap_len * step
+    px_bytes = (depth + 7) // 8
+    if (base_type == 1 and depth != 8) or (base_type == 3 and depth != 8):
+        raise ValueError("palette/gray TGA must be 8-bit")
+    if base_type == 2 and depth not in (16, 24, 32):
+        raise ValueError(f"unsupported TGA pixel depth {depth}")
+    n = width * height
+    if rle:
+        out = bytearray()
+        while len(out) < n * px_bytes:
+            if pos >= len(payload) - 26:
+                raise ValueError("truncated TGA RLE data")
+            head = payload[pos]
+            pos += 1
+            count = (head & 0x7F) + 1
+            if head & 0x80:  # run packet: one pixel repeated
+                pix = payload[pos : pos + px_bytes]
+                if len(pix) != px_bytes:
+                    raise ValueError("truncated TGA RLE run")
+                out += pix * count
+                pos += px_bytes
+            else:  # literal packet
+                lit = payload[pos : pos + count * px_bytes]
+                if len(lit) != count * px_bytes:
+                    raise ValueError("truncated TGA RLE literal")
+                out += lit
+                pos += count * px_bytes
+        raster = bytes(out[: n * px_bytes])
+    else:
+        raster = payload[pos : pos + n * px_bytes]
+        if len(raster) != n * px_bytes:
+            raise ValueError("truncated TGA pixel data")
+    arr = np.frombuffer(raster, np.uint8).reshape(height, width, px_bytes)
+    if not top_down:  # default TGA origin is bottom-left
+        arr = arr[::-1]
+    if base_type == 3:
+        return arr[:, :, 0].copy()
+    if base_type == 1:
+        if palette is None:
+            raise ValueError("palette TGA is missing its colormap")
+        idx = arr[:, :, 0]
+        if int(idx.max()) >= len(palette):
+            raise ValueError("TGA palette index out of range")
+        return _png_luma(palette[idx])
+    if depth == 16:  # ARRRRRGG GGGBBBBB little-endian (5-5-5)
+        v = arr[:, :, 0].astype(np.uint16) | (
+            arr[:, :, 1].astype(np.uint16) << 8
+        )
+        five = np.stack([(v >> 10) & 31, (v >> 5) & 31, v & 31], axis=2)
+        rgb = np.round(five * (255.0 / 31.0)).astype(np.uint8)
+        return _png_luma(rgb)
+    return _png_luma(arr[:, :, :3][:, :, ::-1])  # BGR(A) -> RGB
+
+
 def _decode_qoi(payload: bytes) -> np.ndarray:
     """REAL decoder for QOI ("Quite OK Image", the public one-page
     spec): byte-oriented ops over a running pixel + 64-entry hash
@@ -1169,6 +1301,12 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     # payloads into the strict parser.
     if payload[:2] in (b"P5", b"P6") and payload[2:3].isspace():
         return _decode_pnm(payload)
+    if payload[:3] == b"P7\n":
+        return _decode_pam(payload)
+    # TGA has NO header magic; only the TGA 2.0 footer signature is a
+    # safe dispatch key (TGA 1.0 files stay on the stub path)
+    if len(payload) >= 44 and payload[-18:] == _TGA_FOOTER:
+        return _decode_tga(payload)
     buf = np.frombuffer(payload, dtype=np.uint8)
     reps = int(np.ceil(width * height / len(buf)))
     return np.tile(buf, reps)[: width * height].reshape(height, width)

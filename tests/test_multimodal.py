@@ -1309,6 +1309,140 @@ def test_qoi_roundtrip_all_ops():
         mm._decode_qoi(good[:-9])
 
 
+def _tga_rle(raster_bytes, px_bytes):
+    """TGA RLE: repeat runs become run packets, the rest literals."""
+    pixels = [raster_bytes[i : i + px_bytes]
+              for i in range(0, len(raster_bytes), px_bytes)]
+    out = bytearray()
+    i = 0
+    while i < len(pixels):
+        run = 1
+        while (i + run < len(pixels) and run < 128
+               and pixels[i + run] == pixels[i]):
+            run += 1
+        if run >= 2:
+            out += bytes([0x80 | (run - 1)]) + pixels[i]
+            i += run
+            continue
+        lit_start = i
+        while (i < len(pixels) and i - lit_start < 128
+               and not (i + 1 < len(pixels) and pixels[i + 1] == pixels[i])):
+            i += 1
+        chunk = pixels[lit_start:i]
+        out += bytes([len(chunk) - 1]) + b"".join(chunk)
+    return bytes(out)
+
+
+def _tga_bytes(img=None, palette=None, idx=None, depth=24, rle=False,
+               top_down=False, gray=False):
+    """TGA 2.0 writer: gray-8 / palette-8 / truecolor 16(555)/24/32,
+    optional RLE, both origins, with the v2 footer the dispatcher keys
+    on."""
+    if gray:
+        h, w = img.shape
+        base_type, px_bytes = 3, 1
+        raster = img.tobytes()
+        cmap = b""
+        cmap_hdr = (0, 0, 0, 0)
+    elif idx is not None:
+        h, w = idx.shape
+        base_type, px_bytes = 1, 1
+        raster = idx.tobytes()
+        bgr = palette[:, ::-1].astype(np.uint8)
+        cmap = bgr.tobytes()
+        cmap_hdr = (1, 0, len(palette), 24)
+    else:
+        h, w = img.shape[:2]
+        base_type = 2
+        cmap = b""
+        cmap_hdr = (0, 0, 0, 0)
+        if depth == 16:
+            px_bytes = 2
+            five = (img.astype(np.uint16) * 31 + 127) // 255
+            v = (five[:, :, 0] << 10) | (five[:, :, 1] << 5) | five[:, :, 2]
+            raster = v.astype("<u2").tobytes()
+        else:
+            px_bytes = depth // 8
+            bgra = np.zeros((h, w, px_bytes), np.uint8)
+            bgra[:, :, :3] = img[:, :, ::-1]
+            raster = bgra.tobytes()
+    rows = np.frombuffer(raster, np.uint8).reshape(h, w * px_bytes)
+    if not top_down:
+        rows = rows[::-1]
+    body = rows.tobytes()
+    if rle:
+        body = _tga_rle(body, px_bytes)
+    head = bytes([0, cmap_hdr[0], base_type | (8 if rle else 0)])
+    head += cmap_hdr[1].to_bytes(2, "little")
+    head += cmap_hdr[2].to_bytes(2, "little")
+    head += bytes([cmap_hdr[3]])
+    head += bytes(4)  # x/y origin
+    head += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    head += bytes([depth if base_type == 2 else 8,
+                   0x20 if top_down else 0])
+    footer = bytes(8) + b"TRUEVISION-XFILE.\x00"
+    return head + cmap + body + footer
+
+
+@pytest.mark.parametrize("rle", [False, True])
+@pytest.mark.parametrize("top_down", [False, True])
+def test_tga_truecolor_gray_palette(rle, top_down):
+    rng = np.random.default_rng(rle * 2 + top_down)
+    rgb = rng.integers(0, 256, (9, 7, 3)).astype(np.uint8)
+    for depth in (24, 32):
+        payload = _tga_bytes(img=rgb, depth=depth, rle=rle,
+                             top_down=top_down)
+        got = mm._decode_tga(payload)
+        assert (got == mm._png_luma(rgb)).all()
+        assert (mm._decode_image(payload, 0, 0) == got).all()
+    gray = rng.integers(0, 256, (6, 11)).astype(np.uint8)
+    payload = _tga_bytes(img=gray, gray=True, rle=rle, top_down=top_down)
+    assert (mm._decode_tga(payload) == gray).all()
+    idx = rng.integers(0, 16, (5, 8)).astype(np.uint8)
+    palette = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    payload = _tga_bytes(idx=idx, palette=palette, rle=rle,
+                         top_down=top_down)
+    assert (mm._decode_tga(payload) == mm._png_luma(palette[idx])).all()
+
+
+def test_tga_16bit_and_corruption():
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (5, 6, 3)).astype(np.uint8)
+    payload = _tga_bytes(img=rgb, depth=16, rle=True)
+    five = (rgb.astype(np.uint16) * 31 + 127) // 255
+    expected = mm._png_luma(
+        np.round(five * (255.0 / 31.0)).astype(np.uint8))
+    assert (mm._decode_tga(payload) == expected).all()
+    with pytest.raises(ValueError, match="not a TGA"):
+        mm._decode_tga(payload[:-18] + b"X" * 18)
+    with pytest.raises(ValueError, match="truncated TGA"):
+        bad = payload[:20] + payload[-26:]
+        mm._decode_tga(bad)
+
+
+def test_pam_decode():
+    """P7 PAM: gray, gray+alpha, RGB and RGBA rasters with a commented
+    header."""
+    rng = np.random.default_rng(9)
+    for pam_depth, tupl in [(1, "GRAYSCALE"), (2, "GRAYSCALE_ALPHA"),
+                            (3, "RGB"), (4, "RGB_ALPHA")]:
+        px = rng.integers(0, 256, (4, 5, pam_depth)).astype(np.uint8)
+        head = (f"P7\n# made by tests\nWIDTH 5\nHEIGHT 4\n"
+                f"DEPTH {pam_depth}\nMAXVAL 255\nTUPLTYPE {tupl}\n"
+                f"ENDHDR\n").encode()
+        payload = head + px.tobytes()
+        got = mm._decode_pam(payload)
+        if pam_depth <= 2:
+            assert (got == px[:, :, 0]).all()
+        else:
+            assert (got == mm._png_luma(px[:, :, :3])).all()
+        assert (mm._decode_image(payload, 0, 0) == got).all()
+    with pytest.raises(ValueError, match="not a PAM"):
+        mm._decode_pam(b"P8\nENDHDR\n")
+    with pytest.raises(ValueError, match="truncated PAM raster"):
+        mm._decode_pam(head + px.tobytes()[:-3])
+
+
 def _ico_bytes(entries):
     """ICO container: entries are (w, h, image_bytes) — image bytes a
     PNG stream or a headerless DIB."""
