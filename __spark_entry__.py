@@ -111,7 +111,16 @@ except ImportError:  # pragma: no cover
 #: landed exactly on the documented ROUND-5 ROTATION (49 hash-green + 1
 #: rows-only v_gram_matrix).
 #:
-#: Round 6 executes the ROUND-6 FRESHNESS ROTATION from the round-5 verdict:
+#: Round 7 executes the ROUND-7 ROTATION from the round-6 verdict: the 2
+#: new round-7 registrations + the 4 rows whose image/audio decode
+#: dispatch changed in round 7 + the 4 remaining round-1-vintage rows +
+#: all 34 round-2-vintage rows, so after this round NO registered
+#: query's newest driver row predates round 3 (the freshness invariant:
+#: every query whose implementation or oracle changes in a round gets a
+#: fresh row in that round's window).  The round-6 narrative below is
+#: kept for provenance.
+#:
+#: Round 6 executed the ROUND-6 FRESHNESS ROTATION from the round-5 verdict:
 #: (a) the 11 queries REGISTERED in round 6 — st_stateful_totals_tws (the
 #: transformWithStateInPandas replay twin, runnable now that pbshim
 #: discovers a protobuf runtime), q_salted_count_parity +
@@ -157,34 +166,43 @@ except ImportError:  # pragma: no cover
 #: from this list keep their module registration order after the priority
 #: block.
 _PRIORITY = [
-    # (a) new round-6 registrations (11)
-    "st_stateful_totals_tws", "q_salted_count_parity",
-    "q_salted_left_join_parity", "pds_synth_docs", "pds_synth_stream",
-    "st_session_finalize_tws_replay", "st_outer_join_expiry_replay",
-    "q_recursive_cte_chain", "q_listagg_members", "q_group_by_all",
-    "q_sql_udf_revenue",
-    # (b) changed in round 6 (5) — the three m_* rows joined late-round:
-    # their decode paths gained real codecs (PNG depths/Adam7,
-    # progressive JPEG, GIF incl. animation, TIFF, BMP, FLAC, MS-ADPCM,
-    # AIFF, AU, AVI demux), so the invariant puts them in this window
-    "t_quality_percentile_filter_approx", "s_embedding_near_dup",
-    "m_image_features", "m_audio_features", "m_frame_sample",
-    # (c) freshness: round-1-vintage rows (34 of 38; the 3 displaced by
-    # the m_* entries move to the ROUND-7 rotation)
-    "q02_cheapest_part_per_type", "q04_priority_exists",
-    "q07_nation_volume", "q08_market_share", "q09_profit_by_nation_year",
-    "q10_returned_items", "q11_supplier_concentration",
-    "q12_priority_case_agg", "q_anti_join_no_big_order",
-    "q_cross_join_region_status", "q_cube_lineitem",
-    "q_date_math_shipping", "q_distinct_users_per_type", "q_except_all",
-    "q_from_json_struct", "q_grouping_sets_events",
-    "q_higher_order_array_funcs", "q_json_props",
-    "q_latest_event_per_user", "q_map_functions", "q_math_funcs",
-    "q_order_status_dist", "q_outer_join_order_counts", "q_percentiles",
-    "q_range_frame_window", "q_range_pred_join", "q_rollup_orders",
-    "q_running_customer_total", "q_semi_join_urgent", "q_set_except",
-    "q_set_intersect", "q_set_ops_all", "q_sliding_window_counts",
-    "q_stats_corr",
+    # ===== ROUND-7 ROTATION (44 of the 50-slot window) =====
+    # (a) new round-7 registrations (2): per-frame video features
+    # (sample_frames fan-out piped into the shared image feature math,
+    # two chained narrow mapInPandas stages) and the cross-format
+    # perceptual-hash dedup row (the same md5-derived pixels encoded
+    # into PPM/PNG/BMP/QOI/TIFF by culvert_spark/mediagen.py collapse
+    # to one keeper group per document) — both rows-only like the
+    # other m_* pandas-UDF rows.
+    "m_video_frame_features", "m_cross_format_dedup",
+    # (b) changed in round 7 (4) — the image-decode dispatch hardened
+    # (bounded IDAT/fdAT inflate sized from the declared geometry,
+    # TIFF 16-bit palette round(v/257) to match the PNG convention,
+    # JPEG AC-refine band-overflow now raises like the first-pass
+    # decoder), so every row whose path decodes images gets a fresh
+    # row; m_audio_features rides along (FLAC annotation fix only).
+    "m_image_features", "m_frame_sample", "m_image_dedup_groups",
+    "m_audio_features",
+    # (c) freshness: the 4 remaining round-1-vintage rows...
+    "q_unpivot_rates", "q_string_funcs_parts",
+    "q_top_customer_per_nation", "q_union_active_parties",
+    # ...and all 34 remaining round-2-vintage rows — after this round
+    # NO registered query's newest driver row predates round 3.
+    "q_window_rank_suite", "q13_order_count_distribution",
+    "q14_promo_share", "q15_top_supplier", "q16_supplier_variety",
+    "q17_below_avg_quantity", "q18_large_orders",
+    "q19_disjunctive_brackets", "q20_supplier_part_share",
+    "q21_sole_late_supplier", "q22_idle_customers",
+    "q_agg_funcs_modern", "q_approx_percentile", "q_bitwise_agg",
+    "q_collect_set_segments", "q_first_last_value",
+    "q_histogram_acctbal", "q_like_predicates",
+    "q_null_handling_funcs", "q_posexplode_tokens",
+    "q_rollup_grouping_id", "q_sequence_active_months",
+    "t_bpe_token_estimate", "t_doc_fingerprint", "t_lang_id",
+    "t_quality_scores", "t_text_stats", "t_tfidf_top3",
+    "t_train_test_split", "v_cosine_topk_pandas", "v_ivf_ann_topk",
+    "v_plain_udf_slug", "v_udtf_shingle_top10",
+    "y_ysb_windowed_counts",
 ]
 
 

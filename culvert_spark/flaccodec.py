@@ -237,10 +237,11 @@ def _decode_subframe(bits: _Bits, blocksize: int, bps: int) -> np.ndarray:
     return samples << wasted if wasted else samples
 
 
-def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode a FLAC stream → (samples as an int32 array of shape
-    (n_samples, n_channels), sample_rate, bits_per_sample — callers
-    rescaling to a fixed width need it). Verifies the per-chunk CRCs
+def decode_flac(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode a FLAC stream → a 3-tuple ``(samples, sample_rate,
+    bits_per_sample)`` where ``samples`` is an int32 array of shape
+    (n_samples, n_channels); callers rescaling to a fixed width need
+    the source bit depth. Verifies the per-chunk CRCs
     (metadata is length-framed; frame headers CRC-8, frames CRC-16)
     AND the STREAMINFO MD5 of the decoded audio (interleaved
     little-endian samples; skipped when the encoder left it zero), and

@@ -253,10 +253,16 @@ class IngestReport:
     timeout_ms: int
     streams: list[StreamStats] = field(default_factory=list)
     samples: list[tuple[float, int]] = field(default_factory=list)
+    #: committed rows from batches whose progress carried no observe row
+    #: (defensive path only) — counted in the total, attributed to no
+    #: stream rather than mis-split from a guessed base offset
+    unattributed_rows: int = 0
 
     @property
     def total_rows_committed(self) -> int:
-        return sum(s.rows_committed for s in self.streams)
+        return sum(s.rows_committed for s in self.streams) + (
+            self.unattributed_rows
+        )
 
     @property
     def rows_per_second(self) -> int:
@@ -417,6 +423,7 @@ def run_streaming_ingest(
         )
 
     seen_batches: set[int] = set()
+    unattributed = [0]  # committed rows from batches with no observe row
 
     def drain_progress(q) -> None:
         # A batch's progress (with its observed metrics) is published only
@@ -428,12 +435,19 @@ def run_streaming_ingest(
                 continue
             seen_batches.add(bid)
             row = (p.get("observedMetrics") or {}).get("stream_counts")
-            # The observe node always publishes for a data batch; the
-            # numInputRows/0-base fallback is defensive only.
-            n_total = row["n"] if row is not None else p["numInputRows"]
+            if row is None:
+                # The observe node always publishes for a data batch, so
+                # this is defensive only — and with no measured base
+                # offset a per-stream split would be a guess (assuming
+                # lo=0 misattributes after a checkpoint resume, the exact
+                # bug the observed min(row_id) base exists to prevent).
+                # Count the rows toward the total, unattributed.
+                unattributed[0] += p["numInputRows"] or 0
+                continue
+            n_total = row["n"]
             if not n_total:
                 continue
-            lo = row["lo"] if row is not None else 0
+            lo = row["lo"]
             for i, n in enumerate(
                 _residue_counts(lo, lo + n_total, num_streams)
             ):
@@ -474,7 +488,8 @@ def run_streaming_ingest(
         time.sleep(min(0.5, max(0.0, deadline - time.monotonic())))
         drain_progress(q)
         samples.append(
-            (time.monotonic(), sum(s.rows_committed for s in stats))
+            (time.monotonic(),
+             sum(s.rows_committed for s in stats) + unattributed[0])
         )
     exc = q.exception()
     q.stop()
@@ -483,11 +498,17 @@ def run_streaming_ingest(
     except Exception:
         pass
     drain_progress(q)
-    samples.append((time.monotonic(), sum(s.rows_committed for s in stats)))
+    samples.append(
+        (time.monotonic(),
+         sum(s.rows_committed for s in stats) + unattributed[0])
+    )
     if exc is not None:
         raise RuntimeError(f"streaming ingest query failed: {exc}")
 
-    report = IngestReport(timeout_ms=timeout_ms, streams=stats, samples=samples)
+    report = IngestReport(
+        timeout_ms=timeout_ms, streams=stats, samples=samples,
+        unattributed_rows=unattributed[0],
+    )
     if not quiet:
         print(report.render())
     return report

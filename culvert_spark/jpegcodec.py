@@ -206,7 +206,12 @@ def _decode_ac_refine(bits: _Bits, coefzz: np.ndarray, ac_lut: dict,
                         break
                     run -= 1
                 k += 1
-            if val and k <= se:
+            if val:
+                if k > se:
+                    # mirror _decode_band_first's check: a newly-significant
+                    # coefficient whose zero-history run walks past the
+                    # spectral band is stream corruption, not data to drop
+                    raise ValueError("JPEG AC run overflows the block")
                 coefzz[k] = val
             k += 1
     if eobrun > 0:

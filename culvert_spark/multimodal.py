@@ -281,10 +281,13 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or len(ihdr) != 13 or not idat:
         raise ValueError("missing IHDR or IDAT")
     width, height, bit_depth, color_type, interlace = _png_header(ihdr)
-    import zlib
-
-    rgba = _png_pixels(zlib.decompress(b"".join(idat)), width, height,
-                       bit_depth, color_type, interlace, plte)
+    rgba = _png_pixels(
+        _inflate_exact(
+            b"".join(idat),
+            _png_raster_size(width, height, bit_depth, color_type,
+                             interlace),
+        ),
+        width, height, bit_depth, color_type, interlace, plte)
     if color_type in (0, 4):  # gray / gray+alpha: the plane as stored
         return rgba[:, :, 0].copy()
     return _png_luma(rgba[:, :, :3])
@@ -314,6 +317,45 @@ def _png_chunks(payload: bytes):
         pos += 12 + size
     if not seen_iend:
         raise ValueError("truncated PNG: no IEND chunk")
+
+
+def _png_raster_size(width: int, height: int, bit_depth: int,
+                     color_type: int, interlace: int) -> int:
+    """Exact byte count of the filtered raster the IDAT/fdAT stream must
+    inflate to (per row: 1 filter byte + ceil(w·channels·depth/8);
+    Adam7 sums the seven per-pass sub-images, empty passes contributing
+    nothing). Computable from the header alone, so the inflate can be
+    bounded to it — see _inflate_exact."""
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+
+    def row_bytes(wp: int) -> int:
+        return (wp * channels * bit_depth + 7) // 8
+
+    if interlace == 0:
+        return height * (row_bytes(width) + 1)
+    total = 0
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (width - x0 + dx - 1) // dx
+        hp = (height - y0 + dy - 1) // dy
+        if wp > 0 and hp > 0:
+            total += hp * (row_bytes(wp) + 1)
+    return total
+
+
+def _inflate_exact(comp: bytes, expect: int) -> bytes:
+    """Inflate exactly ``expect`` bytes, bounded: a crafted deflate bomb
+    in an untrusted payload cannot allocate past what the declared
+    geometry needs, and a stream that would decode long or short is a
+    parse error — the strict posture of the rest of the decoders."""
+    import zlib
+
+    do = zlib.decompressobj()
+    out = do.decompress(comp, expect)
+    if len(out) != expect:
+        raise ValueError("PNG raster size mismatch")
+    if do.decompress(do.unconsumed_tail, 1) or do.flush():
+        raise ValueError("PNG raster size mismatch")
+    return out
 
 
 def _png_header(ihdr: bytes) -> tuple[int, int, int, int, int]:
@@ -432,8 +474,6 @@ def _apng_frames_luma(payload: bytes) -> list[np.ndarray]:
     canvas starts fully transparent; the IDAT default image is frame 1
     only when the first fcTL precedes it. Returns per-frame (h, w)
     uint8 luma snapshots (alpha ignored, like the static path)."""
-    import zlib
-
     ihdr = plte = actl = None
     idat: list[bytes] = []
     frames: list[dict] = []
@@ -485,8 +525,13 @@ def _apng_frames_luma(payload: bytes) -> list[np.ndarray]:
         if (f["w"] == 0 or f["h"] == 0 or f["x"] + f["w"] > width
                 or f["y"] + f["h"] > height):
             raise ValueError("APNG frame exceeds the canvas")
-        sub = _png_pixels(zlib.decompress(raw), f["w"], f["h"], depth,
-                          ctype, interlace, plte).astype(np.float64)
+        sub = _png_pixels(
+            _inflate_exact(
+                raw,
+                _png_raster_size(f["w"], f["h"], depth, ctype, interlace),
+            ),
+            f["w"], f["h"], depth, ctype, interlace, plte,
+        ).astype(np.float64)
         region = canvas[f["y"] : f["y"] + f["h"],
                         f["x"] : f["x"] + f["w"]]
         saved = region.copy() if f["dispose"] == 2 else None
@@ -1676,6 +1721,20 @@ def image_dedup_groups(media: DataFrame) -> DataFrame:
 @register("m_image_dedup_groups")
 def m_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dedup_groups(synthetic_media(spark, sf_dir))
+
+
+@register("m_video_frame_features")
+def m_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return video_frame_features(
+        synthetic_media(spark, sf_dir), every_n=2
+    ).orderBy("media_id", "frame_idx")
+
+
+@register("m_cross_format_dedup")
+def m_cross_format_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from culvert_spark.mediagen import cross_format_dedup
+
+    return cross_format_dedup(spark, sf_dir)
 
 
 def media_from_files(

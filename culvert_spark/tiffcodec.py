@@ -80,6 +80,23 @@ def _lzw_decode_tiff(data: bytes, n_bytes: int) -> bytes:
     return bytes(out)
 
 
+def _inflate_exact(comp: bytes, expect: int) -> bytes:
+    """Inflate exactly ``expect`` bytes, bounded: a crafted deflate bomb
+    in an untrusted strip cannot allocate past the raster size the IFD
+    declares, and a stream that would decode long (or short) is a parse
+    error — the same strict posture as the LZW/PackBits paths, which are
+    inherently bounded by their ``n_bytes`` argument."""
+    import zlib
+
+    do = zlib.decompressobj()
+    out = do.decompress(comp, expect)
+    if len(out) != expect:
+        raise ValueError("TIFF Deflate strip decodes short")
+    if do.decompress(do.unconsumed_tail, 1) or do.flush():
+        raise ValueError("TIFF Deflate strip decodes long")
+    return out
+
+
 def _packbits_decode(data: bytes, n_bytes: int) -> bytes:
     """PackBits run-length decoding (TIFF compression 32773)."""
     out = bytearray()
@@ -197,9 +214,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         elif compression == 5:
             strip = _lzw_decode_tiff(comp, expect)
         elif compression == 8:
-            import zlib
-
-            strip = zlib.decompress(comp)[:expect]
+            strip = _inflate_exact(comp, expect)
         elif compression == 32773:
             strip = _packbits_decode(comp, expect)
         else:
@@ -231,7 +246,10 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             raise ValueError("palette TIFF is missing its ColorMap")
         n = len(cmap) // 3
         pal16 = np.array(cmap, dtype=np.uint16).reshape(3, n).T
-        pal = (pal16 // 257).astype(np.uint8)  # 16-bit map -> 8-bit
+        # 16-bit map -> 8-bit with the same round(v/257) contract as the
+        # PNG/PPM sample rescale (floor would land non-multiples of 257
+        # one level low)
+        pal = np.round(pal16 / 257.0).astype(np.uint8)
         idx = px[:, :, 0]
         if int(idx.max()) >= n:
             raise ValueError("TIFF palette index out of range")
