@@ -345,7 +345,9 @@ def _stream_warm(spark, n_streams: int) -> None:
     time.sleep(1)
 
 
-def _one_stream_run(spark, n_streams: int) -> tuple[int, int, int, list[int]]:
+def _one_stream_run(
+    spark, n_streams: int, sink: str = "file"
+) -> tuple[int, int, int, list[int]]:
     """One 45 s measured streaming run → (rows, whole_run_rps,
     median_window_rps, sorted window band)."""
     import shutil
@@ -361,6 +363,7 @@ def _one_stream_run(spark, n_streams: int) -> tuple[int, int, int, list[int]]:
             output_path=stream_out,
             checkpoint_root=stream_ckpt,
             num_streams=n_streams,
+            sink=sink,
             # Fixed 6M-row micro-batches (the reference's
             # commitAfterNRows shape) running back-to-back: the sink
             # paces commits, so committed rows/s IS sustained sink
@@ -413,7 +416,9 @@ def _one_stream_run(spark, n_streams: int) -> tuple[int, int, int, list[int]]:
         shutil.rmtree(stream_out, ignore_errors=True)
 
 
-def _measure_streaming(spark, n_streams: int, runs: int = 2) -> dict:
+def _measure_streaming(
+    spark, n_streams: int, runs: int = 2, sink: str = "file"
+) -> dict:
     """Warm once, measure ``runs`` 45 s runs, keep the one with the best
     steady-window median (consecutive runs measure 2x apart under
     neighbor CPU steal); all run medians stay recorded."""
@@ -421,7 +426,9 @@ def _measure_streaming(spark, n_streams: int, runs: int = 2) -> dict:
     run_medians: list[int] = []
     best = {"rows": 0, "rps": 0, "median": 0, "rates": []}
     for _ in range(runs):
-        rows_i, rps_i, med_i, rates_i = _one_stream_run(spark, n_streams)
+        rows_i, rps_i, med_i, rates_i = _one_stream_run(
+            spark, n_streams, sink=sink
+        )
         run_medians.append(med_i)
         if med_i >= best["median"]:
             best = {
@@ -432,6 +439,122 @@ def _measure_streaming(spark, n_streams: int, runs: int = 2) -> dict:
             }
     best["run_medians"] = run_medians
     return best
+
+
+def _bench_uuid_ab(spark) -> dict:
+    """Round-6 verdict item 4: anchor the generator's UUID-derivation
+    cost in-session. Three variants over the same 16M-row range, 3 UUID
+    columns each:
+
+    - ``coupled``: ONE shared md5 pool for all three columns — the
+      pre-round-6 bug shape (user_id == page_id == ad_id byte-identical,
+      Catalyst CSE collapses the three md5s to one). The speed-of-light
+      reference for this shape, kept ONLY as a measurement.
+    - ``salted``: production (generator.expr_for) — each column salts
+      the md5 with its own name, three independent pools, 3 md5s/row.
+      The gap vs ``coupled`` is the measured correctness price.
+    - ``rotated``: candidate cheaper decorrelation — one shared md5 +
+      a per-column rotation of the 32-hex digest (2 substrings + concat
+      per column; CSE keeps the single md5). Pools stay byte-distinct
+      and 1M-cardinality, but each column is a bijection of the shared
+      digest rather than an independent pool; adopt only if the win is
+      real and the distribution tests stay green.
+    """
+    from pyspark.sql import functions as F
+
+    from culvert_spark import generator as g
+
+    n = 16_000_000
+    rng = spark.range(0, n, 1, int(CPUS))
+    idx = g._pool_idx(F.col("id"))
+    cols = ("user_id", "page_id", "ad_id")
+
+    hx = F.md5(
+        F.concat(F.lit("uuid42|shared|"), idx.cast("string")).cast("binary")
+    )
+
+    def rot(k: int):
+        r = F.concat(F.substring(hx, k + 1, 32 - k), F.substring(hx, 1, k))
+        return F.concat_ws(
+            "-",
+            F.substring(r, 1, 8),
+            F.substring(r, 9, 4),
+            F.substring(r, 13, 4),
+            F.substring(r, 17, 4),
+            F.substring(r, 21, 12),
+        )
+
+    dfs = {
+        "coupled": rng.select(
+            *[g._uuid_shaped(idx, 42, "uuid").alias(c) for c in cols]
+        ),
+        "salted": rng.select(
+            *[g._uuid_shaped(idx, 42, c).alias(c) for c in cols]
+        ),
+        "rotated": rng.select(
+            *[rot(11 * i).alias(c) for i, c in enumerate(cols)]
+        ),
+    }
+    out: dict = {"n_rows": n}
+    for name, df in dfs.items():
+        df.write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        out[f"{name}_sec"] = round(best, 3)
+    return out
+
+
+def _bench_incdedup_amortization(spark, registry) -> dict:
+    """Round-6 verdict item 7: record the signature-store amortization
+    claim as numbers — build the base signature table ONCE (persisted to
+    parquet), classify THREE disjoint increments against it, and time
+    the recompute-everything registered form alongside. Steady state
+    pays hashing only for each increment; the build cost amortizes
+    across increments (at 100 TB: across corpus versions)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from culvert_spark import corpusops as co
+    from culvert_spark.queries import t as _t
+
+    d = _t(spark, SF_DIR, "documents")
+    base = d.where(F.col("doc_id") % 8 >= 3)  # 5/8 of the corpus
+    tmp = tempfile.mkdtemp(prefix="culvert_bench_incdedup_")
+    try:
+        sig_path = os.path.join(tmp, "sigs.parquet")
+        start = time.perf_counter()
+        co.build_signature_table(base).write.mode("overwrite").parquet(
+            sig_path
+        )
+        build_sec = round(time.perf_counter() - start, 3)
+        sigs = spark.read.parquet(sig_path)
+        inc_secs = []
+        for k in range(3):
+            inc = d.where(F.col("doc_id") % 8 == k)
+            start = time.perf_counter()
+            co.incremental_dedup_vs_signatures(inc, sigs).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            inc_secs.append(round(time.perf_counter() - start, 3))
+        full = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            registry["t_incremental_dedup"](spark, SF_DIR).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            full = min(full, time.perf_counter() - start)
+        return {
+            "build_sec": build_sec,
+            "inc_secs": inc_secs,
+            "full_recompute_sec": round(full, 3),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:
@@ -581,6 +704,18 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - defensive
         sessionize_ab = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
+    # Generator UUID-derivation A/B and the incremental-dedup
+    # amortization numbers (round-6 verdict items 4 and 7) — same
+    # defensive posture.
+    try:
+        uuid_ab = _bench_uuid_ab(spark)
+    except Exception as exc:  # pragma: no cover - defensive
+        uuid_ab = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    try:
+        incdedup = _bench_incdedup_amortization(spark, registry)
+    except Exception as exc:  # pragma: no cover - defensive
+        incdedup = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
     # Ingest throughput — the reference's own metric (BASELINE.md: committed
     # rows/sec into a partitioned ORC table; its 1.535M rows/s run used 64
     # STATIC-partitioned streams). Same configuration shape here: P parallel
@@ -626,6 +761,21 @@ def main() -> None:
     # quiet-state measurement above is the same code at the other session
     # position.
     late_stream = _measure_streaming(spark, n_streams, runs=2)
+    # Sink A/B (round-6 verdict item 4): one foreachBatch run right after
+    # the file-sink runs, same session, same batch shape — keeps the
+    # "manifest file sink beats per-batch committer" delta on record
+    # every round instead of living in builder notes.
+    try:
+        fb_rows, fb_rps, fb_med, fb_rates = _one_stream_run(
+            spark, n_streams, sink="foreachBatch"
+        )
+        sink_ab = {
+            "file_median_rps": late_stream["median"],
+            "foreachbatch_median_rps": fb_med,
+            "foreachbatch_window_rates": fb_rates,
+        }
+    except Exception as exc:  # pragma: no cover - defensive
+        sink_ab = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     stream_rows = late_stream["rows"]
     stream_rps = late_stream["rps"]
     stream_median_rps = late_stream["median"]
@@ -667,6 +817,9 @@ def main() -> None:
                 "query_details": details,
                 "sf_large": sf_large,
                 "sessionize_threshold_ab": sessionize_ab,
+                "uuid_derivation_ab": uuid_ab,
+                "incdedup_amortization": incdedup,
+                "stream_sink_ab": sink_ab,
                 "ingest_mode": (
                     f"{n_streams} static-partitioned streams, ORC "
                     "(BASELINE.md configuration shape)"
@@ -714,6 +867,26 @@ def main() -> None:
         "near_dup", {}
     ).get("s_near_dup_lsh_verified")
     tri_pair_compact = sf_large.get("triangles_scaling_pair", {})
+    # The FINAL line must carry every monitored A/B pair in compact form
+    # (round-6 verdict item 3): the driver's tail capture reliably keeps
+    # only this line, and BENCH_r06 lost the sessionize pair and near-dup
+    # exponent when they lived solely in the details line above.
+    sess_compact = {
+        k: sessionize_ab.get(k)
+        for k in ("rows", "single_sec", "two_level_sec", "auto_picks",
+                  "error")
+        if k in sessionize_ab
+    }
+    uuid_compact = {
+        k: uuid_ab.get(k)
+        for k in ("coupled_sec", "salted_sec", "rotated_sec", "error")
+        if k in uuid_ab
+    }
+    sink_ab_compact = {
+        k: sink_ab.get(k)
+        for k in ("file_median_rps", "foreachbatch_median_rps", "error")
+        if k in sink_ab
+    }
     print(
         json.dumps(
             {
@@ -727,7 +900,14 @@ def main() -> None:
                     "sf": sf_large.get("sf"),
                     "queries": sf_large_compact,
                     "triangles_scaling": tri_pair_compact,
+                    "near_dup_scaling": sf_large.get("near_dup", {}).get(
+                        "scaling_pair", {}
+                    ),
                 },
+                "sessionize_ab": sess_compact,
+                "uuid_ab": uuid_compact,
+                "stream_sink_ab": sink_ab_compact,
+                "incdedup_amortization": incdedup,
                 "ingest": {
                     "rows": ingest_rows,
                     "sec": round(ingest_sec, 3),

@@ -1,23 +1,29 @@
 """JPEG (ITU-T T.81 / ISO 10918-1) luma decoder in pure numpy —
-baseline sequential (SOF0/SOF1) AND progressive (SOF2), 8-bit, Huffman
-entropy coding: together the variants virtually every training-corpus
-JPEG uses. No codec library is needed: every stage is the public
-standard — marker parse, canonical Huffman tables (DHT), zigzag
-dequantization (DQT), 8×8 inverse DCT (numpy einsum against the DCT-II
-basis), restart-marker handling, byte-stuffing removal, and for
-progressive frames the full multi-scan machinery: interleaved DC
-first/refinement passes, per-component spectral-selection AC bands
-with EOB-run coding, and successive-approximation refinement
-(T.81 G.1.2), accumulated into per-component coefficient planes and
-rendered once at EOI.
+baseline sequential (SOF0/SOF1), progressive (SOF2, 8-bit) AND
+lossless (SOF3, 2-16 bit), all Huffman entropy coding: together the
+variants virtually every training-corpus JPEG uses. No codec library
+is needed: every stage is the public standard — marker parse,
+canonical Huffman tables (DHT), zigzag dequantization (DQT), 8×8
+inverse DCT (numpy einsum against the DCT-II basis), restart-marker
+handling, byte-stuffing removal, for progressive frames the full
+multi-scan machinery: interleaved DC first/refinement passes,
+per-component spectral-selection AC bands with EOB-run coding, and
+successive-approximation refinement (T.81 G.1.2), accumulated into
+per-component coefficient planes and rendered once at EOI — and for
+lossless frames the Annex H predictive decode (predictors 1-7, point
+transform, modulo-2^16 differences, SSSS=16, restart-interval
+prediction reset), exact by construction.
 
 Returns the LUMA (Y) plane: JFIF Y *is* BT.601 luma, so for feature
 extraction (mean/max/phash in ``multimodal.image_features``) no chroma
 upsampling or color conversion is needed — chroma blocks are still
 entropy-decoded (the bitstream interleaves or sequences them) but
-their pixels are discarded. Arithmetic coding, 12-bit precision,
-lossless and hierarchical modes raise — a deployment routes those
-through PIL, and the dispatch signature is unchanged.
+their pixels are discarded. Lossless frames with P>8 bits rescale to
+8 via the same round(v·255/maxval) contract as the 16-bit PNG path.
+Arithmetic coding (QM-coder state tables are not reproducible from
+the prose spec), 12-bit DCT precision and hierarchical mode raise —
+a deployment routes those through PIL, and the dispatch signature is
+unchanged.
 
 Correctness is pinned by ``tests/test_jpegcodec.py`` with test-side
 INDEPENDENT encoders (forward DCT + quantizer + canonical Huffman
@@ -224,6 +230,87 @@ def _decode_ac_refine(bits: _Bits, coefzz: np.ndarray, ac_lut: dict,
     return eobrun
 
 
+def _decode_lossless_scan(segments: list[bytes], scan_comps: list[tuple],
+                          w: int, h: int, precision: int, pt: int,
+                          predictor: int, planes: dict,
+                          dc_tables: dict, restart_interval: int) -> None:
+    """One lossless (SOF3, T.81 Annex H) scan: per sample, a DC-style
+    Huffman category + magnitude bits give the DIFFERENCE, added to the
+    prediction mod 2^16 (H.1.2.1). Prediction rules (H.1.2.2/H.2.2):
+    the first sample of the scan AND of each restart interval predicts
+    the default ``2^(P-Pt-1)``; the remainder of that line uses the 1-D
+    predictor Ra; the first sample of later lines uses Rb; everywhere
+    else the SOS-selected predictor 1-7 runs over (Ra, Rb, Rc). SSSS=16
+    is the magnitude-bit-free diff of 32768. Samples land UNSHIFTED
+    (the caller applies the ``<< Pt`` of reconstruction). All sampling
+    factors must be 1x1 (enforced at SOF3), so an interleaved MCU is
+    one sample per component in raster order."""
+    luts = []
+    for cid, td, _ in scan_comps:
+        if td not in dc_tables:
+            raise ValueError("lossless JPEG scan references a missing "
+                             "Huffman table")
+        luts.append((cid, dc_tables[td]))
+    default = 1 << (precision - pt - 1)
+    n_mcus = w * h
+    expect_segments = (
+        -(-n_mcus // restart_interval) if restart_interval else 1
+    )
+    if len(segments) != expect_segments:
+        raise ValueError("lossless JPEG restart segmentation mismatch")
+    seg_i = 0
+    bits = _Bits(segments[0])
+    origin = 0  # raster index where the current restart interval began
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_i += 1
+            bits = _Bits(segments[seg_i])
+            origin = mcu
+        y, x = divmod(mcu, w)
+        oy = origin // w
+        for cid, lut in luts:
+            plane = planes[cid]
+            ssss = _read_huff(bits, lut)
+            if ssss == 0:
+                diff = 0
+            elif ssss == 16:
+                diff = 32768
+            elif ssss > 16:
+                raise ValueError("invalid lossless JPEG difference "
+                                 "category")
+            else:
+                diff = _extend(bits.read(ssss), ssss)
+            if mcu == origin:
+                pred = default
+            elif y == oy:
+                pred = int(plane[y, x - 1])  # 1-D Ra over the first line
+            elif x == 0:
+                pred = int(plane[y - 1, 0])
+            else:
+                a = int(plane[y, x - 1])
+                b = int(plane[y - 1, x])
+                c = int(plane[y - 1, x - 1])
+                if predictor == 1:
+                    pred = a
+                elif predictor == 2:
+                    pred = b
+                elif predictor == 3:
+                    pred = c
+                elif predictor == 4:
+                    pred = a + b - c
+                elif predictor == 5:
+                    pred = a + ((b - c) >> 1)
+                elif predictor == 6:
+                    pred = b + ((a - c) >> 1)
+                elif predictor == 7:
+                    pred = (a + b) >> 1
+                else:
+                    raise ValueError(
+                        f"invalid lossless JPEG predictor {predictor}"
+                    )
+            plane[y, x] = (pred + diff) & 0xFFFF
+
+
 def _split_entropy(payload: bytes, start: int) -> tuple[list[bytes], int]:
     """Split one scan's entropy data at restart markers, removing the
     0xFF00 byte stuffing. Returns (segments, offset of the marker that
@@ -346,6 +433,9 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
     store: dict[int, np.ndarray] = {}  # cid -> (bh, bw, 64) zigzag coefs
     restart_interval = 0
     saw_scan = False
+    lossless = False
+    precision = 8
+    lossless_pt = 0
     pos = 2
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -385,8 +475,14 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
                     bits, vals
                 )
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
-            if body[0] != 8:
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # seq / prog / lossless
+            precision = body[0]
+            if marker == 0xC3:
+                if not (2 <= precision <= 16):
+                    raise ValueError(
+                        "lossless JPEG precision must be 2-16 bits"
+                    )
+            elif precision != 8:
                 raise ValueError("only 8-bit JPEG precision supported")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
@@ -396,20 +492,32 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps, marker == 0xC2)
-            hmax = max(c[1] for c in comps)
-            vmax = max(c[2] for c in comps)
-            mcus_x = -(-w // (8 * hmax))
-            mcus_y = -(-h // (8 * vmax))
-            store = {
-                cid: np.zeros((mcus_y * cv, mcus_x * ch, 64),
-                              dtype=np.int32)
-                for cid, ch, cv, _ in comps
-            }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if marker == 0xC3:
+                lossless = True
+                if any(ch != 1 or cv != 1 for _, ch, cv, _ in comps):
+                    raise ValueError(
+                        "lossless JPEG subsampling is not supported "
+                        "(all components must be 1x1)"
+                    )
+                store = {
+                    cid: np.zeros((h, w), dtype=np.int32)
+                    for cid, *_ in comps
+                }
+            else:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                store = {
+                    cid: np.zeros((mcus_y * cv, mcus_x * ch, 64),
+                                  dtype=np.int32)
+                    for cid, ch, cv, _ in comps
+                }
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline and progressive Huffman JPEG supported "
-                f"(SOF marker 0xFF{marker:02X})"
+                "only baseline/progressive/lossless Huffman JPEG "
+                f"supported (SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
@@ -427,8 +535,19 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
             if any(cid not in known for cid, *_ in scan_comps):
                 raise ValueError("scan references an unknown component")
             segments, end = _split_entropy(payload, pos + 2 + length)
-            _decode_scan(segments, scan_comps, frame, store, dc_tables,
-                         ac_tables, ss, se, ah, al, restart_interval)
+            if lossless:
+                # Ss = predictor selector, Se must be 0, Al = point
+                # transform Pt, Ah must be 0 (T.81 H.2.1)
+                if se != 0 or ah != 0:
+                    raise ValueError("malformed lossless JPEG scan header")
+                lossless_pt = al
+                _decode_lossless_scan(
+                    segments, scan_comps, frame[1], frame[0], precision,
+                    al, ss, store, dc_tables, restart_interval
+                )
+            else:
+                _decode_scan(segments, scan_comps, frame, store, dc_tables,
+                             ac_tables, ss, se, ah, al, restart_interval)
             saw_scan = True
             pos = end
             continue
@@ -436,6 +555,18 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
         pos += 2 + length
     if frame is None or not saw_scan:
         raise ValueError("missing SOF or SOS")
+
+    if lossless:
+        # Reconstruction = decoded sample << Pt (H.1.2.3); luma is
+        # component 0, rescaled from P bits to 8 with the same
+        # round(v * 255 / maxval) contract as the 16-bit PNG path.
+        plane = store[frame[2][0][0]].astype(np.int64) << lossless_pt
+        maxval = (1 << precision) - 1
+        if np.any(plane > maxval):
+            raise ValueError("lossless JPEG sample exceeds its precision")
+        if precision == 8:
+            return plane.astype(np.uint8)
+        return np.round(plane * (255.0 / maxval)).astype(np.uint8)
 
     h, w, comps, _ = frame
     hmax = max(c[1] for c in comps)

@@ -14,11 +14,12 @@ WAV (ITU-T companding, exact 256-entry LUTs), IMA and MS ADPCM WAV
 so tests demand bit-exact roundtrips), GIF87a/89a (``_decode_gif``:
 LZW + palette, also lossless), TIFF (``tiffcodec``: none/LZW/Deflate/
 PackBits strips, both byte orders, lossless) and baseline +
-progressive JPEG
+progressive + lossless JPEG
 (``jpegcodec``: canonical Huffman + zigzag dequant + matmul IDCT;
-multi-scan successive approximation for SOF2) — real image and audio
+multi-scan successive approximation for SOF2; Annex H predictive
+decode for SOF3) — real image and audio
 bytes pass through the full pipeline, exercised by tests. The
-remaining compressed formats (MP3/H.264, plus arithmetic/lossless/
+remaining compressed formats (MP3/H.264, plus arithmetic/
 hierarchical JPEG modes) fall back to a clearly-marked deterministic
 stub because their codec libraries are not in this container;
 everything Spark-side is identical either way and tested:
@@ -98,12 +99,12 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Decoders. PGM/PPM images, RIFF/WAV PCM16 audio AND the compressed
-# codecs PNG (stdlib zlib + numpy, all depths + Adam7), baseline and
-# progressive JPEG (``jpegcodec``), GIF (LZW), TIFF (``tiffcodec``),
-# FLAC (``flaccodec``),
+# codecs PNG (stdlib zlib + numpy, all depths + Adam7), baseline,
+# progressive and lossless JPEG (``jpegcodec``), GIF (LZW), TIFF
+# (``tiffcodec``), FLAC (``flaccodec``),
 # G.711 A-law/µ-law WAV and IMA/MS ADPCM WAV are decoded FOR REAL — no
 # codec library needed. The remaining compressed formats (MP3/H.264,
-# arithmetic/lossless/hierarchical JPEG modes) fall back to a
+# arithmetic/hierarchical JPEG modes) fall back to a
 # clearly-marked deterministic stub: their codecs (PIL / soundfile /
 # ffmpeg) are not in this container.
 # ---------------------------------------------------------------------------

@@ -270,3 +270,40 @@ def test_tiff_roundtrip_any_raster(img, compression, rows_per_strip,
                           rows_per_strip=min(rows_per_strip, img.shape[0]),
                           predictor=predictor)
     assert (tc.decode_tiff(payload) == img).all()
+
+
+@_MANY
+@given(data=st.data())
+def test_lossless_jpeg_roundtrip_any_image(data):
+    """SOF3 lossless JPEG: any samples, any predictor 1-7, any point
+    transform, any precision 2-16, with and without restart intervals,
+    decode back exactly (after the deterministic P->8 rescale)."""
+    from culvert_spark import jpegcodec as jc
+    from tests.test_jpegcodec import encode_jpeg_lossless
+
+    h = data.draw(st.integers(1, 12), label="h")
+    w = data.draw(st.integers(1, 12), label="w")
+    precision = data.draw(st.integers(2, 16), label="precision")
+    pt = data.draw(st.integers(0, min(3, precision - 1)), label="pt")
+    predictor = data.draw(st.integers(1, 7), label="predictor")
+    restart = data.draw(
+        st.sampled_from([0, 1, 3, h * w]), label="restart"
+    )
+    hi = 1 << (precision - pt)
+    img = data.draw(
+        hnp.arrays(np.int64, (h, w),
+                   elements=st.integers(0, hi - 1)),
+        label="img",
+    )
+    payload = encode_jpeg_lossless(
+        [img], precision=precision, predictor=predictor, pt=pt,
+        restart=restart,
+    )
+    got = jc.decode_jpeg_luma(payload)
+    recon = (img << pt).astype(np.int64)
+    maxval = (1 << precision) - 1
+    expected = (
+        recon.astype(np.uint8) if precision == 8
+        else np.round(recon * (255.0 / maxval)).astype(np.uint8)
+    )
+    assert (got == expected).all()

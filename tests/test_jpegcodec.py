@@ -668,9 +668,16 @@ def test_jpeg_rejects_unsupported_variants():
     img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
     payload, _ = encode_jpeg(img)
 
-    # lossless sequential: flip SOF0 -> SOF3 (progressive SOF2 decodes)
+    # hierarchical (differential sequential): flip SOF0 -> SOF5
+    # (SOF2 progressive and SOF3 lossless both decode for real now)
+    hier = payload.replace(b"\xff\xc0", b"\xff\xc5", 1)
+    with pytest.raises(ValueError, match="baseline/progressive/lossless"):
+        jc.decode_jpeg_luma(hier)
+
+    # a DCT-shaped stream relabelled SOF3 trips the lossless scan-header
+    # validation (Se=63 is not a predictor-scan shape)
     lossless = payload.replace(b"\xff\xc0", b"\xff\xc3", 1)
-    with pytest.raises(ValueError, match="baseline and progressive"):
+    with pytest.raises(ValueError, match="malformed lossless"):
         jc.decode_jpeg_luma(lossless)
 
     # 16-bit quantization table
@@ -733,3 +740,162 @@ def test_huffman_tables_roundtrip():
         assert len(dec) == len(enc) == len(vals)
         for sym, (code, ln) in enc.items():
             assert dec[(ln, code)] == sym
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (SOF3, T.81 Annex H) — independent test-side encoder
+# ---------------------------------------------------------------------------
+
+_LL_BITS = [0, 0, 0, 0, 17] + [0] * 11  # categories 0..16, all 5 bits
+_LL_VALS = bytes(range(17))
+_LL_ENC = _canonical(_LL_BITS, _LL_VALS)
+
+
+def encode_jpeg_lossless(planes, precision=8, predictor=1, pt=0, restart=0):
+    """Independent lossless (SOF3) encoder: ``planes`` is a list of HxW
+    integer arrays of already point-transformed samples
+    (< 2^(precision-pt) each). Implements T.81 Annex H prediction (scan
+    and restart-interval starts predict 2^(P-Pt-1), the rest of that
+    line uses Ra, later line starts use Rb, elsewhere the selected
+    predictor) and the modulo-2^16 difference coding, with SSSS=16 for
+    the bit-free 32768 difference."""
+    h, w = planes[0].shape
+    ncomp = len(planes)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xC4, bytes([0x00]) + bytes(_LL_BITS) + _LL_VALS)
+    sof = bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([ncomp])
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0])
+    out += _seg(0xC3, sof)
+    if restart:
+        out += _seg(0xDD, restart.to_bytes(2, "big"))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out += _seg(0xDA, sos)
+    default = 1 << (precision - pt - 1)
+    bw = _BitWriter()
+    rst = 0
+    origin = 0
+    for mcu in range(h * w):
+        if restart and mcu and mcu % restart == 0:
+            bw.pad()
+            out += bw.out
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            bw = _BitWriter()
+            origin = mcu
+        y, x = divmod(mcu, w)
+        oy = origin // w
+        for p in planes:
+            if mcu == origin:
+                pred = default
+            elif y == oy:
+                pred = int(p[y, x - 1])
+            elif x == 0:
+                pred = int(p[y - 1, 0])
+            else:
+                a = int(p[y, x - 1])
+                b = int(p[y - 1, x])
+                c = int(p[y - 1, x - 1])
+                pred = {1: a, 2: b, 3: c, 4: a + b - c,
+                        5: a + ((b - c) >> 1), 6: b + ((a - c) >> 1),
+                        7: (a + b) >> 1}[predictor]
+            d = ((int(p[y, x]) - pred + 0x8000) & 0xFFFF) - 0x8000
+            if d == -0x8000:
+                bw.write(*_LL_ENC[16])  # 32768 needs no magnitude bits
+            else:
+                size, bits = _mag(d)
+                bw.write(*_LL_ENC[size])
+                if size:
+                    bw.write(bits, size)
+    bw.pad()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("predictor", list(range(1, 8)))
+def test_lossless_jpeg_8bit_exact(predictor):
+    rng = np.random.default_rng(40 + predictor)
+    img = rng.integers(0, 256, size=(13, 17), dtype=np.uint8)
+    payload = encode_jpeg_lossless([img.astype(int)], predictor=predictor)
+    got = jc.decode_jpeg_luma(payload)
+    assert got.dtype == np.uint8
+    assert (got == img).all()
+
+
+@pytest.mark.parametrize("precision", [12, 16])
+def test_lossless_jpeg_deep_precision_rescale(precision):
+    """P>8 samples come back through the round(v*255/maxval) rescale;
+    an all-zero first sample forces the SSSS=16 (diff 32768 == -32768
+    mod 2^16) bit-free path against the 2^(P-1) default prediction."""
+    rng = np.random.default_rng(precision)
+    maxval = (1 << precision) - 1
+    img = rng.integers(0, maxval + 1, size=(9, 11)).astype(int)
+    img[0, 0] = 0  # default pred is 2^(P-1): diff == -2^15 when P=16
+    payload = encode_jpeg_lossless([img], precision=precision)
+    got = jc.decode_jpeg_luma(payload)
+    expected = np.round(img * (255.0 / maxval)).astype(np.uint8)
+    assert (got == expected).all()
+
+
+def test_lossless_jpeg_point_transform():
+    """Pt=1: the encoder ships v>>1, the decoder reconstructs (v>>1)<<1."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(8, 10), dtype=np.uint8)
+    shifted = (img >> 1).astype(int)
+    payload = encode_jpeg_lossless([shifted], pt=1)
+    got = jc.decode_jpeg_luma(payload)
+    assert (got == (shifted << 1).astype(np.uint8)).all()
+
+
+@pytest.mark.parametrize("restart", [1, 7, 16])
+def test_lossless_jpeg_restart_intervals(restart):
+    """Restart intervals (incl. a non-divisor of the MCU count) reset
+    the prediction to the interval-start rules on both sides."""
+    rng = np.random.default_rng(restart)
+    img = rng.integers(0, 256, size=(6, 9), dtype=np.uint8)
+    payload = encode_jpeg_lossless(
+        [img.astype(int)], predictor=4, restart=restart
+    )
+    got = jc.decode_jpeg_luma(payload)
+    assert (got == img).all()
+
+
+def test_lossless_jpeg_multicomponent_interleaved():
+    """Three 1x1 components interleave one sample each per MCU; luma is
+    component 0."""
+    rng = np.random.default_rng(99)
+    planes = [rng.integers(0, 256, size=(7, 5)).astype(int)
+              for _ in range(3)]
+    payload = encode_jpeg_lossless(planes, predictor=6)
+    got = jc.decode_jpeg_luma(payload)
+    assert (got == planes[0].astype(np.uint8)).all()
+
+
+def test_lossless_jpeg_malformed():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(6, 6)).astype(int)
+    payload = encode_jpeg_lossless([img], predictor=2)
+    # Se != 0 in a lossless scan header
+    i = payload.index(b"\xff\xda")
+    ln = int.from_bytes(payload[i + 2 : i + 4], "big")
+    bad = bytearray(payload)
+    bad[i + 2 + ln - 2] = 9  # Se byte
+    with pytest.raises(ValueError, match="malformed lossless"):
+        jc.decode_jpeg_luma(bytes(bad))
+    # predictor 0 (no prediction selected) is invalid in a first-order
+    # lossless scan
+    bad = bytearray(payload)
+    bad[i + 2 + ln - 3] = 0  # Ss/predictor byte
+    with pytest.raises(ValueError, match="invalid lossless JPEG predictor"):
+        jc.decode_jpeg_luma(bytes(bad))
+    # subsampled lossless components are rejected at SOF3
+    s = payload.index(b"\xff\xc3")
+    bad = bytearray(payload)
+    bad[s + 2 + 9] = 0x22  # HiVi of component 1
+    with pytest.raises(ValueError, match="1x1"):
+        jc.decode_jpeg_luma(bytes(bad))
