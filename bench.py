@@ -458,7 +458,11 @@ def _bench_uuid_ab(spark) -> dict:
       per column; CSE keeps the single md5). Pools stay byte-distinct
       and 1M-cardinality, but each column is a bijection of the shared
       digest rather than an independent pool; adopt only if the win is
-      real and the distribution tests stay green.
+      real and the distribution tests stay green. (First recorded run:
+      rotated LOST to salted — the per-column substring/concat reshapes
+      cost more than the two md5s they save, consistent with the r6
+      one-md5-plus-bijection measurements — so production keeps the
+      salted independent pools and this stays a measurement.)
     """
     from pyspark.sql import functions as F
 
