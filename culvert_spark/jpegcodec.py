@@ -12,7 +12,11 @@ successive-approximation refinement (T.81 G.1.2), accumulated into
 per-component coefficient planes and rendered once at EOI — and for
 lossless frames the Annex H predictive decode (predictors 1-7, point
 transform, modulo-2^16 differences, SSSS=16, restart-interval
-prediction reset), exact by construction.
+prediction reset), exact by construction, AND hierarchical (Annex J:
+DHP-led multi-frame pyramids whose differential SOF5/SOF6/SOF7 frames
+fold into an EXP-expanded reference — bilinear (a+b+1)>>1 doubling —
+with DC coded without prediction in differential DCT frames and no
+spatial prediction in differential lossless frames).
 
 Returns the LUMA (Y) plane: JFIF Y *is* BT.601 luma, so for feature
 extraction (mean/max/phash in ``multimodal.image_features``) no chroma
@@ -20,8 +24,8 @@ upsampling or color conversion is needed — chroma blocks are still
 entropy-decoded (the bitstream interleaves or sequences them) but
 their pixels are discarded. Lossless frames with P>8 bits rescale to
 8 via the same round(v·255/maxval) contract as the 16-bit PNG path.
-Arithmetic coding (QM-coder state tables are not reproducible from
-the prose spec), 12-bit DCT precision and hierarchical mode raise —
+Arithmetic coding (the QM-coder's 113-row probability state table is
+not reproducible from the prose spec) and 12-bit DCT precision raise —
 a deployment routes those through PIL, and the dispatch signature is
 unchanged.
 
@@ -233,7 +237,8 @@ def _decode_ac_refine(bits: _Bits, coefzz: np.ndarray, ac_lut: dict,
 def _decode_lossless_scan(segments: list[bytes], scan_comps: list[tuple],
                           w: int, h: int, precision: int, pt: int,
                           predictor: int, planes: dict,
-                          dc_tables: dict, restart_interval: int) -> None:
+                          dc_tables: dict, restart_interval: int,
+                          differential: bool = False) -> None:
     """One lossless (SOF3, T.81 Annex H) scan: per sample, a DC-style
     Huffman category + magnitude bits give the DIFFERENCE, added to the
     prediction mod 2^16 (H.1.2.1). Prediction rules (H.1.2.2/H.2.2):
@@ -244,7 +249,10 @@ def _decode_lossless_scan(segments: list[bytes], scan_comps: list[tuple],
     is the magnitude-bit-free diff of 32768. Samples land UNSHIFTED
     (the caller applies the ``<< Pt`` of reconstruction). All sampling
     factors must be 1x1 (enforced at SOF3), so an interleaved MCU is
-    one sample per component in raster order."""
+    one sample per component in raster order. In a DIFFERENTIAL frame
+    (hierarchical SOF7) there is no spatial prediction at all — the
+    decoded values ARE the frame differences (prediction 0, J.1.1.6)
+    and the SOS predictor selector must be 0."""
     luts = []
     for cid, td, _ in scan_comps:
         if td not in dc_tables:
@@ -280,7 +288,9 @@ def _decode_lossless_scan(segments: list[bytes], scan_comps: list[tuple],
                                  "category")
             else:
                 diff = _extend(bits.read(ssss), ssss)
-            if mcu == origin:
+            if differential:
+                pred = 0
+            elif mcu == origin:
                 pred = default
             elif y == oy:
                 pred = int(plane[y, x - 1])  # 1-D Ra over the first line
@@ -341,13 +351,16 @@ def _split_entropy(payload: bytes, start: int) -> tuple[list[bytes], int]:
 def _decode_scan(segments: list[bytes], scan_comps: list[tuple],
                  frame: tuple, store: dict, dc_tables: dict,
                  ac_tables: dict, ss: int, se: int, ah: int, al: int,
-                 restart_interval: int) -> None:
+                 restart_interval: int, differential: bool = False) -> None:
     """Run one scan over the coefficient store. ``scan_comps`` is
     [(cid, dc_table_id, ac_table_id), ...] in scan order; a multi-
     component scan walks interleaved MCUs, a single-component scan walks
     that component's own (unpadded) block grid — the T.81 rule for both
     sequential and progressive frames. Restart markers reset the DC
-    predictors and the EOB run."""
+    predictors and the EOB run. In a DIFFERENTIAL frame (hierarchical
+    SOF5/SOF6) the coefficients are already frame differences, so DC
+    values are coded without prediction — the predictor is pinned to 0
+    for every block."""
     h, w, comps, _ = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -403,6 +416,8 @@ def _decode_scan(segments: list[bytes], scan_comps: list[tuple],
             blocks = [(cid, dci, aci, store[cid][by, bx])]
         for cid, dci, aci, coefzz in blocks:
             dc_lut, ac_lut = luts(cid, dci, aci)
+            if differential:
+                preds[cid] = 0
             if ah == 0:
                 preds[cid], eobrun = _decode_band_first(
                     bits, coefzz, dc_lut, ac_lut, preds[cid],
@@ -417,13 +432,19 @@ def _decode_scan(segments: list[bytes], scan_comps: list[tuple],
 
 
 def decode_jpeg_luma(payload: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG to its
-    (height, width) uint8 luma plane. Progressive streams accumulate
-    quantized coefficients across every scan — interleaved DC first/
-    refinement passes, per-component spectral-selection AC bands, and
-    successive-approximation refinement — then dequantize + IDCT once
-    at the end, so the result is bit-identical to the equivalent
-    sequential decode of the same coefficients."""
+    """Decode a baseline (SOF0/SOF1), progressive (SOF2), lossless
+    (SOF3) or hierarchical (DHP + differential SOF5/SOF6/SOF7, T.81
+    Annex J) JPEG to its (height, width) uint8 luma plane. Progressive
+    streams accumulate quantized coefficients across every scan —
+    interleaved DC first/refinement passes, per-component spectral-
+    selection AC bands, and successive-approximation refinement — then
+    dequantize + IDCT once at the end, so the result is bit-identical
+    to the equivalent sequential decode of the same coefficients.
+    Hierarchical streams decode the non-differential first frame, then
+    fold each differential frame into the luma reference plane —
+    expanded by the EXP bilinear filter when the pyramid doubles —
+    with DCT differences clamped into sample range and lossless
+    differences added modulo 2^16."""
     if payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG (SOI+marker signature missing)")
     qtables: dict[int, np.ndarray] = {}
@@ -436,6 +457,42 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
     lossless = False
     precision = 8
     lossless_pt = 0
+    hier = None  # (precision, Y, X) from DHP — hierarchical mode
+    ref = None  # hierarchical luma reference plane (int64)
+    exp_pending = None  # (eh, ev) from an EXP marker
+    differential = False  # current frame is SOF5/SOF6/SOF7
+
+    def finalize_frame() -> None:
+        """Fold the just-decoded hierarchical frame into ``ref``: a
+        non-differential frame becomes the reference; a differential
+        DCT frame's rendered plane (no level shift) adds with clamping
+        into [0, maxval] (Annex J reconstruction); a differential
+        lossless frame adds modulo 2^16 (J.1.1.6)."""
+        nonlocal ref, frame, saw_frame_scan
+        if frame is None:
+            return
+        if not saw_frame_scan:
+            raise ValueError("hierarchical JPEG frame has no scan")
+        maxval = (1 << precision) - 1
+        if lossless:
+            plane = (store[frame[2][0][0]].astype(np.int64)
+                     << lossless_pt)
+            if differential:
+                ref = (ref + plane) & 0xFFFF
+            else:
+                ref = plane
+        else:
+            plane = np.round(_render_dct_luma(frame, store, qtables))
+            if differential:
+                ref = np.clip(ref + plane.astype(np.int64), 0, maxval)
+            else:
+                ref = np.clip(
+                    plane.astype(np.int64) + 128, 0, maxval
+                )
+        frame = None
+        saw_frame_scan = False
+
+    saw_frame_scan = False
     pos = 2
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -475,15 +532,35 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
                     bits, vals
                 )
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # seq / prog / lossless
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            is_diff = marker in (0xC5, 0xC6, 0xC7)
+            if is_diff and hier is None:
+                raise ValueError(
+                    "differential JPEG frame outside hierarchical mode"
+                )
+            if hier is not None:
+                finalize_frame()  # fold the previous pyramid level
+                if not is_diff and ref is not None:
+                    raise ValueError(
+                        "hierarchical JPEG supports a single "
+                        "non-differential (first) frame"
+                    )
+            elif frame is not None:
+                raise ValueError("multiple JPEG frames without DHP")
             precision = body[0]
-            if marker == 0xC3:
+            lossless = marker in (0xC3, 0xC7)
+            differential = is_diff
+            if lossless:
                 if not (2 <= precision <= 16):
                     raise ValueError(
                         "lossless JPEG precision must be 2-16 bits"
                     )
             elif precision != 8:
                 raise ValueError("only 8-bit JPEG precision supported")
+            if hier is not None and precision != hier[0]:
+                raise ValueError(
+                    "hierarchical JPEG frame precision differs from DHP"
+                )
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
@@ -491,9 +568,29 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (h, w, comps, marker == 0xC2)
-            if marker == 0xC3:
-                lossless = True
+            frame = (h, w, comps, marker in (0xC2, 0xC6))
+            if hier is not None and any(
+                ch != 1 or cv != 1 for _, ch, cv, _ in comps
+            ):
+                raise ValueError(
+                    "hierarchical JPEG subsampling is not supported "
+                    "(all components must be 1x1)"
+                )
+            if is_diff:
+                if exp_pending is not None:
+                    eh, ev = exp_pending
+                    ref = _expand_ref(
+                        ref,
+                        h if ev else ref.shape[0],
+                        w if eh else ref.shape[1],
+                    )
+                    exp_pending = None
+                if (h, w) != ref.shape:
+                    raise ValueError(
+                        "differential JPEG frame size does not match "
+                        "its reference"
+                    )
+            if lossless:
                 if any(ch != 1 or cv != 1 for _, ch, cv, _ in comps):
                     raise ValueError(
                         "lossless JPEG subsampling is not supported "
@@ -513,11 +610,31 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
                                   dtype=np.int32)
                     for cid, ch, cv, _ in comps
                 }
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
+        elif marker == 0xDE:  # DHP: hierarchical progression (Annex J)
+            if hier is not None or frame is not None or saw_scan:
+                raise ValueError("misplaced JPEG DHP segment")
+            if len(body) < 6:
+                raise ValueError("truncated JPEG DHP segment")
+            hier = (
+                body[0],
+                int.from_bytes(body[1:3], "big"),
+                int.from_bytes(body[3:5], "big"),
+            )
+        elif marker == 0xDF:  # EXP: expand reference before next frame
+            if hier is None:
+                raise ValueError("JPEG EXP marker outside hierarchical "
+                                 "mode")
+            finalize_frame()
+            if ref is None:
+                raise ValueError("JPEG EXP before any decoded frame")
+            eh, ev = body[0] >> 4, body[0] & 0x0F
+            if (eh, ev) not in ((0, 1), (1, 0), (1, 1)):
+                raise ValueError("invalid JPEG EXP expansion flags")
+            exp_pending = (eh, ev)
+        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline/progressive/lossless Huffman JPEG "
-                f"supported (SOF marker 0xFF{marker:02X})"
+                "arithmetic-coded JPEG is not supported "
+                f"(SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
@@ -537,22 +654,52 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
             segments, end = _split_entropy(payload, pos + 2 + length)
             if lossless:
                 # Ss = predictor selector, Se must be 0, Al = point
-                # transform Pt, Ah must be 0 (T.81 H.2.1)
+                # transform Pt, Ah must be 0 (T.81 H.2.1); differential
+                # frames must not select a predictor (J.1.1.6)
                 if se != 0 or ah != 0:
                     raise ValueError("malformed lossless JPEG scan header")
+                if differential and ss != 0:
+                    raise ValueError(
+                        "differential lossless JPEG scan must not "
+                        "select a predictor"
+                    )
+                if not differential and not 1 <= ss <= 7:
+                    raise ValueError(
+                        f"invalid lossless JPEG predictor {ss}"
+                    )
                 lossless_pt = al
                 _decode_lossless_scan(
                     segments, scan_comps, frame[1], frame[0], precision,
-                    al, ss, store, dc_tables, restart_interval
+                    al, ss, store, dc_tables, restart_interval,
+                    differential=differential,
                 )
             else:
                 _decode_scan(segments, scan_comps, frame, store, dc_tables,
-                             ac_tables, ss, se, ah, al, restart_interval)
+                             ac_tables, ss, se, ah, al, restart_interval,
+                             differential=differential)
             saw_scan = True
+            saw_frame_scan = True
             pos = end
             continue
         # APPn / COM / others: skipped
         pos += 2 + length
+    if hier is not None:
+        finalize_frame()
+        if ref is None or not saw_scan:
+            raise ValueError("missing SOF or SOS")
+        if ref.shape != (hier[1], hier[2]):
+            raise ValueError(
+                "hierarchical JPEG did not reach the DHP-declared size"
+            )
+        maxval = (1 << precision) - 1
+        if np.any(ref > maxval) or np.any(ref < 0):
+            raise ValueError(
+                "hierarchical JPEG sample exceeds its precision"
+            )
+        if precision == 8:
+            return ref.astype(np.uint8)
+        return np.round(ref * (255.0 / maxval)).astype(np.uint8)
+
     if frame is None or not saw_scan:
         raise ValueError("missing SOF or SOS")
 
@@ -568,6 +715,17 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
             return plane.astype(np.uint8)
         return np.round(plane * (255.0 / maxval)).astype(np.uint8)
 
+    out = np.clip(
+        np.round(_render_dct_luma(frame, store, qtables)) + 128, 0, 255
+    )
+    return out.astype(np.uint8)
+
+
+def _render_dct_luma(frame: tuple, store: dict, qtables: dict) -> np.ndarray:
+    """Dequantize + IDCT the luma component to a float64 plane cropped
+    to (h, w). No level shift or clamping here: non-differential callers
+    add 128 and clip; hierarchical differential frames (T.81 Annex J)
+    add the rendered plane to the reference instead."""
     h, w, comps, _ = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -583,5 +741,31 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
     deq = nat.reshape(bh, bw_, 8, 8) * qtables[y_tq]
     spatial = np.einsum("ij,abjk,lk->abil", _A, deq, _A)
     plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
-    out = np.clip(np.round(plane) + 128, 0, 255)[:h, :w]
-    return out.astype(np.uint8)
+    return plane[:h, :w]
+
+
+def _expand_ref(plane: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """T.81 J.1.1.2 reference expansion for the EXP marker: doubled
+    samples sit on even positions, odd positions are the rounded mean of
+    their neighbors ((a + b + 1) >> 1), the trailing odd sample
+    replicates its left/top neighbor; a target of 2n-1 drops the last
+    interpolated sample. Horizontal then vertical, integer-exact."""
+    h, w = plane.shape
+    if tw != w:
+        if tw not in (2 * w, 2 * w - 1):
+            raise ValueError("EXP target width is not 2w or 2w-1")
+        out = np.empty((h, 2 * w), dtype=np.int64)
+        out[:, 0::2] = plane
+        out[:, 1:-1:2] = (plane[:, :-1] + plane[:, 1:] + 1) >> 1
+        out[:, -1] = plane[:, -1]
+        plane = out[:, :tw]
+    h, w = plane.shape
+    if th != h:
+        if th not in (2 * h, 2 * h - 1):
+            raise ValueError("EXP target height is not 2h or 2h-1")
+        out = np.empty((2 * h, w), dtype=np.int64)
+        out[0::2, :] = plane
+        out[1:-1:2, :] = (plane[:-1, :] + plane[1:, :] + 1) >> 1
+        out[-1, :] = plane[-1, :]
+        plane = out[:th, :]
+    return plane

@@ -17,10 +17,13 @@ PackBits strips, both byte orders, lossless) and baseline +
 progressive + lossless JPEG
 (``jpegcodec``: canonical Huffman + zigzag dequant + matmul IDCT;
 multi-scan successive approximation for SOF2; Annex H predictive
-decode for SOF3) — real image and audio
+decode for SOF3; Annex J hierarchical pyramids with differential
+SOF5/6/7 frames and EXP expansion) — real image and audio
 bytes pass through the full pipeline, exercised by tests. The
-remaining compressed formats (MP3/H.264, plus arithmetic/
-hierarchical JPEG modes) fall back to a clearly-marked deterministic
+remaining compressed formats (MP3/H.264, plus arithmetic-coded
+JPEG, all blocked on entropy-coder tables — Layer III Huffman /
+CABAC-CAVLC init / QM-coder states — that the prose specs don't
+reproduce) fall back to a clearly-marked deterministic
 stub because their codec libraries are not in this container;
 everything Spark-side is identical either way and tested:
 
@@ -104,7 +107,8 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (``tiffcodec``), FLAC (``flaccodec``),
 # G.711 A-law/µ-law WAV and IMA/MS ADPCM WAV are decoded FOR REAL — no
 # codec library needed. The remaining compressed formats (MP3/H.264,
-# arithmetic/hierarchical JPEG modes) fall back to a
+# arithmetic-coded JPEG — all blocked on non-reproducible entropy-coder
+# tables) fall back to a
 # clearly-marked deterministic stub: their codecs (PIL / soundfile /
 # ffmpeg) are not in this container.
 # ---------------------------------------------------------------------------

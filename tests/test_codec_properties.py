@@ -307,3 +307,27 @@ def test_lossless_jpeg_roundtrip_any_image(data):
         else np.round(recon * (255.0 / maxval)).astype(np.uint8)
     )
     assert (got == expected).all()
+
+
+@_MANY
+@given(data=st.data())
+def test_hierarchical_lossless_pyramid_any_image(data):
+    """Annex J lossless pyramids: any dims (odd dims exercise the 2n-1
+    EXP target), any depth, any base predictor — the full-resolution
+    image is restored exactly through every EXP + SOF7 level."""
+    from culvert_spark import jpegcodec as jc
+    from tests.test_jpegcodec import encode_jpeg_hier_lossless
+
+    h = data.draw(st.integers(2, 24), label="h")
+    w = data.draw(st.integers(2, 24), label="w")
+    levels = data.draw(st.integers(1, 3), label="levels")
+    predictor = data.draw(st.integers(1, 7), label="predictor")
+    img = data.draw(
+        hnp.arrays(np.uint8, (h, w)), label="img"
+    )
+    payload, expected = encode_jpeg_hier_lossless(
+        img, levels=levels, predictor=predictor
+    )
+    assert (expected == img.astype(np.int64)).all()
+    got = jc.decode_jpeg_luma(payload)
+    assert (got == img).all()

@@ -668,11 +668,16 @@ def test_jpeg_rejects_unsupported_variants():
     img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
     payload, _ = encode_jpeg(img)
 
-    # hierarchical (differential sequential): flip SOF0 -> SOF5
-    # (SOF2 progressive and SOF3 lossless both decode for real now)
+    # a differential frame (SOF5) without a preceding DHP is malformed
+    # (SOF2/SOF3/DHP-led hierarchical streams all decode for real now)
     hier = payload.replace(b"\xff\xc0", b"\xff\xc5", 1)
-    with pytest.raises(ValueError, match="baseline/progressive/lossless"):
+    with pytest.raises(ValueError, match="outside hierarchical"):
         jc.decode_jpeg_luma(hier)
+
+    # arithmetic coding (SOF9) stays out of scope (QM-coder tables)
+    arith = payload.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(ValueError, match="arithmetic-coded"):
+        jc.decode_jpeg_luma(arith)
 
     # a DCT-shaped stream relabelled SOF3 trips the lossless scan-header
     # validation (Se=63 is not a predictor-scan shape)
@@ -898,4 +903,242 @@ def test_lossless_jpeg_malformed():
     bad = bytearray(payload)
     bad[s + 2 + 9] = 0x22  # HiVi of component 1
     with pytest.raises(ValueError, match="1x1"):
+        jc.decode_jpeg_luma(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical JPEG (DHP + differential frames, T.81 Annex J) —
+# independent test-side encoder
+# ---------------------------------------------------------------------------
+
+
+def _expand_test(plane, th, tw):
+    """Independent J.1.1.2 bilinear expansion (doubled samples even,
+    odd = (a+b+1)>>1, trailing sample replicated, 2n-1 drops the last)."""
+    plane = plane.astype(np.int64)
+    h, w = plane.shape
+    if tw != w:
+        assert tw in (2 * w, 2 * w - 1)
+        out = np.empty((h, 2 * w), dtype=np.int64)
+        out[:, 0::2] = plane
+        out[:, 1:-1:2] = (plane[:, :-1] + plane[:, 1:] + 1) >> 1
+        out[:, -1] = plane[:, -1]
+        plane = out[:, :tw]
+    h, w = plane.shape
+    if th != h:
+        assert th in (2 * h, 2 * h - 1)
+        out = np.empty((2 * h, w), dtype=np.int64)
+        out[0::2, :] = plane
+        out[1:-1:2, :] = (plane[:-1, :] + plane[1:, :] + 1) >> 1
+        out[-1, :] = plane[-1, :]
+        plane = out[:th, :]
+    return plane
+
+
+def _ll_raw_bits(diffs):
+    """Category-code raw signed differences (prediction 0 — the
+    differential-lossless scan shape)."""
+    bw = _BitWriter()
+    for d in np.asarray(diffs).reshape(-1):
+        d = int(d)
+        if d == -0x8000:
+            bw.write(*_LL_ENC[16])
+        else:
+            size, bits = _mag(d)
+            bw.write(*_LL_ENC[size])
+            if size:
+                bw.write(bits, size)
+    bw.pad()
+    return bytes(bw.out)
+
+
+def _ll_pred_diffs(p, precision=8, predictor=1, pt=0):
+    """Annex H prediction differences of a plane, raster order."""
+    h, w = p.shape
+    default = 1 << (precision - pt - 1)
+    out = np.zeros((h, w), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            if (y, x) == (0, 0):
+                pred = default
+            elif y == 0:
+                pred = int(p[y, x - 1])
+            elif x == 0:
+                pred = int(p[y - 1, 0])
+            else:
+                a, b, c = int(p[y, x - 1]), int(p[y - 1, x]), \
+                    int(p[y - 1, x - 1])
+                pred = {1: a, 2: b, 3: c, 4: a + b - c,
+                        5: a + ((b - c) >> 1), 6: b + ((a - c) >> 1),
+                        7: (a + b) >> 1}[predictor]
+            out[y, x] = ((int(p[y, x]) - pred + 0x8000) & 0xFFFF) - 0x8000
+    return out
+
+
+def _sof_seg(marker, h, w, precision=8):
+    return _seg(marker, bytes([precision]) + h.to_bytes(2, "big")
+                + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+
+
+def encode_jpeg_hier_lossless(img, levels=2, predictor=1):
+    """Hierarchical lossless pyramid: SOF3 base at 1/2^levels resolution,
+    then per level EXP (both axes) + a SOF7 differential frame whose raw
+    differences restore the next pyramid image exactly (mod 2^16)."""
+    img = img.astype(np.int64)
+    H, W = img.shape
+    pyr = [img]
+    for _ in range(levels):
+        pyr.append(pyr[-1][::2, ::2])
+    base = pyr[-1]
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDE, bytes([8]) + H.to_bytes(2, "big")
+                + W.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    out += _seg(0xC4, bytes([0x00]) + bytes(_LL_BITS) + _LL_VALS)
+    out += _sof_seg(0xC3, *base.shape)
+    out += _seg(0xDA, bytes([1, 1, 0x00, predictor, 0, 0]))
+    out += _ll_raw_bits(_ll_pred_diffs(base, predictor=predictor))
+    ref = base
+    for lvl in range(levels - 1, -1, -1):
+        tgt = pyr[lvl]
+        th, tw = tgt.shape
+        out += _seg(0xDF, bytes([0x11]))
+        ref = _expand_test(ref, th, tw)
+        diff = ((tgt - ref + 0x8000) & 0xFFFF) - 0x8000
+        out += _sof_seg(0xC7, th, tw)
+        out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+        out += _ll_raw_bits(diff)
+        ref = (ref + diff) & 0xFFFF
+    out += b"\xff\xd9"
+    return bytes(out), ref
+
+
+def _dct_frame_bits(plane, differential):
+    """Entropy bits + raw IDCT reconstruction (pre-round, pre-shift) of
+    one single-component sequential DCT frame."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = _pad_edge(plane, ph, pw)
+    bw = _BitWriter()
+    recon = np.zeros((ph, pw))
+    pred = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            block = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+            if not differential:
+                block = block - 128.0
+            q = np.round(_fdct(block) / _QL)
+            zz = [int(q.flat[_ZIG[k]]) for k in range(64)]
+            if differential:
+                pred = 0
+            pred = _encode_block(bw, zz, pred)
+            nat = np.zeros(64)
+            for k in range(64):
+                nat[_ZIG[k]] = zz[k]
+            recon[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = _idct(
+                nat.reshape(8, 8) * _QL
+            )
+    bw.pad()
+    return bytes(bw.out), recon[:h, :w]
+
+
+def encode_jpeg_hier_dct(img, levels=1):
+    """Hierarchical DCT pyramid: SOF0 base, then per level EXP + SOF5
+    differential frames of the (lossy) residual. Returns the stream and
+    the encoder's own reconstruction (the decoder must match exactly)."""
+    img = img.astype(np.int64)
+    H, W = img.shape
+    pyr = [img]
+    for _ in range(levels):
+        pyr.append(pyr[-1][::2, ::2])
+    base = pyr[-1]
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDE, bytes([8]) + H.to_bytes(2, "big")
+                + W.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    out += _seg(0xDB, bytes([0x00]) + _zz_bytes(_QL))
+    out += _seg(0xC4, _dht_body())
+    out += _sof_seg(0xC0, *base.shape)
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bits, recon = _dct_frame_bits(base.astype(np.float64), False)
+    out += bits
+    ref = np.clip(np.round(recon) + 128, 0, 255).astype(np.int64)
+    for lvl in range(levels - 1, -1, -1):
+        tgt = pyr[lvl]
+        th, tw = tgt.shape
+        out += _seg(0xDF, bytes([0x11]))
+        ref = _expand_test(ref, th, tw)
+        out += _sof_seg(0xC5, th, tw)
+        out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        bits, recon = _dct_frame_bits((tgt - ref).astype(np.float64), True)
+        out += bits
+        ref = np.clip(ref + np.round(recon).astype(np.int64), 0, 255)
+    out += b"\xff\xd9"
+    return bytes(out), ref
+
+
+@pytest.mark.parametrize("predictor,levels,dims",
+                         [(1, 2, (21, 13)), (4, 1, (16, 16)),
+                          (7, 2, (15, 22))])
+def test_hierarchical_lossless_pyramid_exact(predictor, levels, dims):
+    """A lossless pyramid restores the original exactly: odd dimensions
+    exercise the 2n-1 EXP target, every level folds mod 2^16."""
+    rng = np.random.default_rng(predictor * 100 + dims[0])
+    img = rng.integers(0, 256, size=dims, dtype=np.uint8)
+    payload, expected = encode_jpeg_hier_lossless(
+        img, levels=levels, predictor=predictor
+    )
+    assert (expected == img).all()  # encoder invariant first
+    got = jc.decode_jpeg_luma(payload)
+    assert (got == img).all()
+
+
+@pytest.mark.parametrize("levels,dims", [(1, (24, 17)), (2, (21, 30))])
+def test_hierarchical_dct_pyramid_matches_encoder(levels, dims):
+    """DCT pyramid: the decoder reproduces the encoder's own
+    reconstruction bit-exactly (differential frames carry no level
+    shift and DC is coded without prediction)."""
+    rng = np.random.default_rng(dims[1])
+    img = rng.integers(0, 256, size=dims, dtype=np.uint8)
+    payload, expected = encode_jpeg_hier_dct(img, levels=levels)
+    got = jc.decode_jpeg_luma(payload)
+    assert (got == expected.astype(np.uint8)).all()
+
+
+def test_hierarchical_differential_progressive_relabel():
+    """A SOF5 differential-sequential frame relabelled SOF6 decodes
+    identically (differential progressive shares the scan machinery)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    payload, expected = encode_jpeg_hier_dct(img, levels=1)
+    relabel = payload.replace(b"\xff\xc5", b"\xff\xc6", 1)
+    assert relabel != payload
+    got = jc.decode_jpeg_luma(relabel)
+    assert (got == expected.astype(np.uint8)).all()
+
+
+def test_hierarchical_malformed():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(12, 12), dtype=np.uint8)
+    payload, _ = encode_jpeg_hier_lossless(img, levels=1)
+    # EXP without a preceding DHP
+    i = payload.index(b"\xff\xdf")
+    with pytest.raises(ValueError, match="outside hierarchical"):
+        jc.decode_jpeg_luma(b"\xff\xd8" + payload[i:])
+    # differential frame whose size cannot come from a x2 expansion:
+    # shrink the SOF7 width field by two (2w-1 would still be legal)
+    s = payload.index(b"\xff\xc7")
+    bad = bytearray(payload)
+    bad[s + 8] -= 2
+    with pytest.raises(ValueError, match="not 2w or 2w-1"):
+        jc.decode_jpeg_luma(bytes(bad))
+    # ...while 2w-1 expands legally but then misses the DHP-declared
+    # full-resolution size
+    bad = bytearray(payload)
+    bad[s + 8] -= 1
+    with pytest.raises(ValueError, match="DHP-declared size"):
+        jc.decode_jpeg_luma(bytes(bad))
+    # a predictor in a differential lossless scan is malformed
+    d = payload.index(b"\xff\xda", s)
+    bad = bytearray(payload)
+    bad[d + 7] = 1  # Ss byte of the SOF7 scan (FF DA len2 ns cs tt Ss)
+    with pytest.raises(ValueError, match="must not select a predictor"):
         jc.decode_jpeg_luma(bytes(bad))
