@@ -1,12 +1,14 @@
 """Deterministic media test-vector generation: the same RGB pixels
-ENCODED into five lossless containers (PPM, PNG, BMP, QOI, TIFF), so
+ENCODED into six lossless containers (PPM, PNG, BMP, QOI, TIFF and
+a grayscale lossless JPEG of the shared BT.601 luma), so
 the cross-format near-duplicate claim — "identical pixels collapse to
 one perceptual-hash group no matter the container" — is checkable as a
 registered driver query, not only in pytest (where independent,
 feature-complete test-side encoders pin each decoder bit-exactly;
 these production encoders are deliberately minimal-but-valid writers
 of the public specs: PNG filter 0 only, QOI `QOI_OP_RGB` only,
-uncompressed little-endian TIFF, bottom-up 24-bit BMP).
+uncompressed little-endian TIFF, bottom-up 24-bit BMP, single-table
+predictor-1 lossless JPEG).
 
 This is test-vector/fixture generation in the `pds_synth_docs` mold
 (culvert has no analog; the multimodal surface is the training-data
@@ -16,7 +18,7 @@ any parallelism and tied to the scale-factor data like every other
 registered query.
 
 Scale (100 TB): encoding runs inside one narrow ``mapInPandas`` over
-``documents`` — no shuffle, no driver round-trip; the 5× fan-out
+``documents`` — no shuffle, no driver round-trip; the 6× fan-out
 happens inside the Python worker before rows leave it. The downstream
 grouping is `image_dedup_groups`' single shuffle on the 16-bit phash.
 """
@@ -138,6 +140,66 @@ def encode_tiff(rgb: np.ndarray) -> bytes:
     )
 
 
+def encode_jpeg_lossless(rgb: np.ndarray) -> bytes:
+    """Minimal lossless JPEG (SOF3): a single grayscale component
+    holding the BT.601 luma (same np.round formula as every other image
+    path, so the decoded plane equals the other containers' luma
+    bit-for-bit), predictor 1, one Huffman table (all 17 difference
+    categories at 5 bits — canonical, fits Kraft), no restarts."""
+    h, w, _ = rgb.shape
+    p = np.round(
+        0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    ).astype(np.int64)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") \
+            + body
+
+    out = bytearray(b"\xff\xd8")
+    bits_counts = bytes([0, 0, 0, 0, 17] + [0] * 11)
+    out += seg(0xC4, b"\x00" + bits_counts + bytes(range(17)))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([1, 1, 0x11, 0])
+    out += seg(0xC3, sof)
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 0, 0]))  # predictor 1
+    # entropy: category(SSSS) at 5 bits + SSSS magnitude bits per diff
+    acc = 0
+    nbits = 0
+    body = bytearray()
+
+    def put(code: int, length: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << length) | (code & ((1 << length) - 1))
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            body.append(byte)
+            if byte == 0xFF:
+                body.append(0x00)  # byte stuffing
+
+    for y in range(h):
+        for x in range(w):
+            if (y, x) == (0, 0):
+                pred = 128  # 1 << (P - 1)
+            elif y == 0:
+                pred = int(p[0, x - 1])
+            elif x == 0:
+                pred = int(p[y - 1, 0])
+            else:
+                pred = int(p[y, x - 1])  # predictor 1: Ra
+            d = int(p[y, x]) - pred
+            size = abs(d).bit_length()
+            put(size, 5)
+            if size:
+                put(d if d >= 0 else d + (1 << size) - 1, size)
+    if nbits:
+        put((1 << (8 - nbits)) - 1, 8 - nbits)  # 1-pad the final byte
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 #: container id -> encoder, in the media_id sub-index order the
 #: registered row uses (media_id = doc_id * 8 + index)
 ENCODERS = [
@@ -146,6 +208,7 @@ ENCODERS = [
     ("bmp", encode_bmp),
     ("qoi", encode_qoi),
     ("tiff", encode_tiff),
+    ("jls", encode_jpeg_lossless),
 ]
 
 _SIDE = 16  # 16x16 RGB planes: big enough for a meaningful phash
@@ -155,9 +218,10 @@ def cross_format_media(
     spark: SparkSession, sf_dir: str, n_docs: int = 40
 ) -> DataFrame:
     """(media_id, kind, payload, meta) frame where each of the first
-    ``n_docs`` documents becomes FIVE payloads — the same md5-derived
-    16×16 RGB pixels in PPM/PNG/BMP/QOI/TIFF — so container-insensitive
-    dedup has ground truth: exactly ``n_docs`` groups of 5."""
+    ``n_docs`` documents becomes SIX payloads — the same md5-derived
+    16×16 RGB pixels in PPM/PNG/BMP/QOI/TIFF plus a grayscale lossless
+    JPEG of their BT.601 luma — so container-insensitive dedup has
+    ground truth: exactly ``n_docs`` groups of 6."""
     from culvert_spark.queries import t
 
     docs = (
@@ -198,11 +262,11 @@ def cross_format_dedup(
     spark: SparkSession, sf_dir: str, n_docs: int = 40
 ) -> DataFrame:
     """Registered-query body: the five-container corpus through
-    ``image_dedup_groups`` — each group's n_images is a multiple of 5
-    (one copy per container; 5·k when k documents collide on the
+    ``image_dedup_groups`` — each group's n_images is a multiple of 6
+    (one copy per container; 6·k when k documents collide on the
     16-bit phash) and the keeper is always a PPM copy (sub-index 0,
     the min media_id in any group). A byte-level hash would see
-    5·n_docs distinct blobs; decoding for real is what collapses
+    6·n_docs distinct blobs; decoding for real is what collapses
     them."""
     from culvert_spark.multimodal import image_dedup_groups
 

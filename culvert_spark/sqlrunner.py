@@ -8,6 +8,15 @@ DataFrame combinators; both lower to the same Catalyst plans).
 its implementation is a literal SQL string executed via ``run_sql``, and its
 DuckDB oracle is the same ANSI text — one query, two engines, byte-equal
 results.
+
+Spark-4 SQL-surface coverage note: WITH RECURSIVE (q_recursive_cte_chain,
+UNION ALL-only — dense graphs stay on corpusops.q_bfs_reachable_parts,
+cross-documented there), listagg WITHIN GROUP, GROUP BY ALL and CREATE
+FUNCTION SQL UDFs are registered rows. MATCH_RECOGNIZE is NOT in Spark
+4.1's parser — row-pattern queries ship as the window-function
+composition `q_pattern_match_sequences` (queries.py), which is the
+registered twin to revisit if a later Spark lands SQL:2016 row-pattern
+recognition.
 """
 
 from __future__ import annotations

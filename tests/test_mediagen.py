@@ -32,12 +32,12 @@ def test_encoders_roundtrip_through_real_decoders(name, enc):
 
 
 def test_encoders_distinct_bytes_same_pixels():
-    """The five payloads are byte-distinct (a byte-hash dedup would keep
-    all five) while pixel-identical."""
+    """The six payloads are byte-distinct (a byte-hash dedup would keep
+    all six) while pixel-identical."""
     rng = np.random.default_rng(23)
     rgb = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
     payloads = [enc(rgb) for _, enc in mg.ENCODERS]
-    assert len({p for p in payloads}) == 5
+    assert len({p for p in payloads}) == 6
     planes = [mm._decode_image(p, 16, 16) for p in payloads]
     for p in planes[1:]:
         assert (p == planes[0]).all()
@@ -54,18 +54,18 @@ def test_md5_plane_deterministic_and_length():
 def test_cross_format_media_shape(spark):
     df = mg.cross_format_media(spark, SF_DIR, n_docs=6)
     rows = df.collect()
-    assert len(rows) == 30
-    # five container copies per doc, media_id = doc_id*8 + [0..4]
+    assert len(rows) == 36
+    # six container copies per doc, media_id = doc_id*8 + [0..5]
     subs = sorted(r.media_id % 8 for r in rows)
-    assert subs == sorted(list(range(5)) * 6)
+    assert subs == sorted(list(range(6)) * 6)
 
 
 def test_cross_format_dedup_collapses_containers(spark):
     got = mg.cross_format_dedup(spark, SF_DIR, n_docs=12).collect()
-    # every group holds 5·k copies (k docs per 16-bit phash, usually 1)
-    assert sum(r.n_images for r in got) == 60
+    # every group holds 6·k copies (k docs per 16-bit phash, usually 1)
+    assert sum(r.n_images for r in got) == 72
     for r in got:
-        assert r.n_images % 5 == 0 and r.n_images >= 5
+        assert r.n_images % 6 == 0 and r.n_images >= 6
         assert r.n_dupes == r.n_images - 1
         # keeper is always a PPM copy (sub-index 0 = min media_id)
         assert r.keeper_id % 8 == 0
