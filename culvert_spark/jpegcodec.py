@@ -24,9 +24,11 @@ upsampling or color conversion is needed — chroma blocks are still
 entropy-decoded (the bitstream interleaves or sequences them) but
 their pixels are discarded. Lossless frames with P>8 bits rescale to
 8 via the same round(v·255/maxval) contract as the 16-bit PNG path.
-Arithmetic coding (the QM-coder's 113-row probability state table is
-not reproducible from the prose spec) and 12-bit DCT precision raise —
-a deployment routes those through PIL, and the dispatch signature is
+Extended-sequential/progressive frames may carry 12-bit samples
+(16-bit DQT elements, 2048 level shift, round(v·255/4095) output
+rescale). Only arithmetic coding raises (the QM-coder's 113-row
+probability state table is not reproducible from the prose spec) —
+a deployment routes that through PIL, and the dispatch signature is
 unchanged.
 
 Correctness is pinned by ``tests/test_jpegcodec.py`` with test-side
@@ -487,7 +489,8 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
                 ref = np.clip(ref + plane.astype(np.int64), 0, maxval)
             else:
                 ref = np.clip(
-                    plane.astype(np.int64) + 128, 0, maxval
+                    plane.astype(np.int64) + (1 << (precision - 1)),
+                    0, maxval,
                 )
         frame = None
         saw_frame_scan = False
@@ -514,13 +517,25 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
-                    raise ValueError("16-bit quantization unsupported")
-                zz = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
+                if pq not in (0, 1):
+                    raise ValueError("invalid JPEG quantization precision")
+                if pq:  # 16-bit big-endian elements (12-bit frames)
+                    raw = body[i + 1 : i + 129]
+                    if len(raw) != 128:
+                        raise ValueError(
+                            "truncated JPEG quantization table"
+                        )
+                    zz = np.frombuffer(raw, dtype=">u2").astype(np.int64)
+                else:
+                    zz = np.frombuffer(
+                        body[i + 1 : i + 65], dtype=np.uint8
+                    )
+                if len(zz) != 64:
+                    raise ValueError("truncated JPEG quantization table")
                 q = np.zeros(64)
                 q[_ZIGZAG] = zz  # DQT ships zigzag order
                 qtables[tq] = q.reshape(8, 8)
-                i += 65
+                i += 129 if pq else 65
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -555,8 +570,15 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
                     raise ValueError(
                         "lossless JPEG precision must be 2-16 bits"
                     )
-            elif precision != 8:
-                raise ValueError("only 8-bit JPEG precision supported")
+            elif marker == 0xC0:
+                if precision != 8:
+                    raise ValueError("baseline JPEG is 8-bit only")
+            elif precision not in (8, 12):
+                # extended sequential / progressive (and their
+                # differential twins) allow 8- or 12-bit samples
+                raise ValueError(
+                    "DCT JPEG precision must be 8 or 12 bits"
+                )
             if hier is not None and precision != hier[0]:
                 raise ValueError(
                     "hierarchical JPEG frame precision differs from DHP"
@@ -715,10 +737,15 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
             return plane.astype(np.uint8)
         return np.round(plane * (255.0 / maxval)).astype(np.uint8)
 
+    maxval = (1 << precision) - 1
     out = np.clip(
-        np.round(_render_dct_luma(frame, store, qtables)) + 128, 0, 255
+        np.round(_render_dct_luma(frame, store, qtables))
+        + (1 << (precision - 1)),
+        0, maxval,
     )
-    return out.astype(np.uint8)
+    if precision == 8:
+        return out.astype(np.uint8)
+    return np.round(out * (255.0 / maxval)).astype(np.uint8)
 
 
 def _render_dct_luma(frame: tuple, store: dict, qtables: dict) -> np.ndarray:

@@ -121,10 +121,12 @@ def _mag(v):
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
-def _encode_block(bw, zz, pred):
+def _encode_block(bw, zz, pred, dc_enc=None, ac_enc=None):
     """Huffman-encode one quantized block (zigzag order); returns new pred."""
+    dc_enc = dc_enc or _DC_ENC
+    ac_enc = ac_enc or _AC_ENC
     size, bits = _mag(zz[0] - pred)
-    bw.write(*_DC_ENC[size])
+    bw.write(*dc_enc[size])
     if size:
         bw.write(bits, size)
     nz = [k for k in range(1, 64) if zz[k]]
@@ -136,14 +138,14 @@ def _encode_block(bw, zz, pred):
             k += 1
             continue
         while run >= 16:
-            bw.write(*_AC_ENC[0xF0])
+            bw.write(*ac_enc[0xF0])
             run -= 16
         size, bits = _mag(zz[k])
-        bw.write(*_AC_ENC[(run << 4) | size])
+        bw.write(*ac_enc[(run << 4) | size])
         bw.write(bits, size)
         run, k = 0, 1 + k
     if last < 63:
-        bw.write(*_AC_ENC[0x00])
+        bw.write(*ac_enc[0x00])
     return zz[0]
 
 
@@ -685,11 +687,15 @@ def test_jpeg_rejects_unsupported_variants():
     with pytest.raises(ValueError, match="malformed lossless"):
         jc.decode_jpeg_luma(lossless)
 
-    # 16-bit quantization table
+    # a Pq=1 (16-bit) relabel of an 8-bit DQT leaves the segment short
+    # (16-bit tables need 128 element bytes; Pq=2+ is invalid outright)
     i = payload.index(b"\xff\xdb") + 4
     deep = bytearray(payload)
     deep[i] = 0x10 | (deep[i] & 0x0F)
-    with pytest.raises(ValueError, match="16-bit quantization"):
+    with pytest.raises(ValueError, match="truncated JPEG quantization"):
+        jc.decode_jpeg_luma(bytes(deep))
+    deep[i] = 0x20 | (deep[i] & 0x0F)
+    with pytest.raises(ValueError, match="invalid JPEG quantization"):
         jc.decode_jpeg_luma(bytes(deep))
 
     # truncated entropy data
@@ -1142,3 +1148,96 @@ def test_hierarchical_malformed():
     bad[d + 7] = 1  # Ss byte of the SOF7 scan (FF DA len2 ns cs tt Ss)
     with pytest.raises(ValueError, match="must not select a predictor"):
         jc.decode_jpeg_luma(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended-sequential / progressive DCT (T.81 sample precision 12)
+# ---------------------------------------------------------------------------
+
+# 12-bit tables: DC categories 0..15 at 5 bits, AC symbols (EOB, ZRL and
+# every run/size with size 1..14) all at 9 bits — 226 codes, Kraft-legal.
+_DC12_BITS = [0, 0, 0, 0, 16] + [0] * 11
+_DC12_VALS = bytes(range(16))
+_AC12_SYMS = sorted({0x00, 0xF0} | {(r << 4) | s
+                                    for r in range(16)
+                                    for s in range(1, 15)})
+_AC12_BITS = [0] * 8 + [len(_AC12_SYMS)] + [0] * 7
+_AC12_VALS = bytes(_AC12_SYMS)
+_DC12_ENC = _canonical(_DC12_BITS, _DC12_VALS)
+_AC12_ENC = _canonical(_AC12_BITS, _AC12_VALS)
+
+#: 16-bit-element quantization table sized so 12-bit AC magnitudes stay
+#: within size<=14
+_Q12 = np.array([[16 + 7 * ((r + c) % 5) for c in range(8)]
+                 for r in range(8)], dtype=np.float64)
+
+
+def encode_jpeg12(y):
+    """12-bit grayscale extended-sequential (SOF1) encoder: Pq=1 DQT
+    (16-bit big-endian elements), 2048 level shift, dedicated 12-bit
+    Huffman tables. Returns (payload, expected uint8 luma) where
+    expected applies the decoder's documented clamp + round(v*255/4095)
+    rescale to the encoder's own reconstruction."""
+    h, w = y.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    pad = _pad_edge(y, ph, pw)
+    bw = _BitWriter()
+    recon = np.zeros((ph, pw))
+    pred = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            block = pad[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 2048.0
+            qz = np.round(_fdct(block) / _Q12)
+            zz = [int(qz.flat[_ZIG[k]]) for k in range(64)]
+            pred = _encode_block(bw, zz, pred, _DC12_ENC, _AC12_ENC)
+            recon[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = _idct(
+                qz * _Q12
+            )
+    bw.pad()
+    dqt = bytes([0x10]) + b"".join(
+        int(_Q12.flat[_ZIG[k]]).to_bytes(2, "big") for k in range(64)
+    )
+    dht = (bytes([0x00]) + bytes(_DC12_BITS) + _DC12_VALS
+           + bytes([0x10]) + bytes(_AC12_BITS) + _AC12_VALS)
+    payload = (
+        b"\xff\xd8"
+        + _seg(0xDB, dqt)
+        + _seg(0xC4, dht)
+        + _seg(0xC1, bytes([12]) + h.to_bytes(2, "big")
+               + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+    clamped = np.clip(np.round(recon[:h, :w]) + 2048, 0, 4095)
+    expected = np.round(clamped * (255.0 / 4095.0)).astype(np.uint8)
+    return payload, expected
+
+
+def test_jpeg12_extended_sequential():
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 4096, size=(20, 17)).astype(np.float64)
+    payload, expected = encode_jpeg12(img)
+    got = jc.decode_jpeg_luma(payload)
+    assert (got == expected).all()
+
+
+def test_jpeg12_progressive_relabel():
+    """A 12-bit SOF1 stream relabelled SOF2 decodes identically — the
+    12-bit path is frame-type-independent above the scan machinery."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 4096, size=(16, 16)).astype(np.float64)
+    payload, expected = encode_jpeg12(img)
+    relabel = payload.replace(b"\xff\xc1", b"\xff\xc2", 1)
+    got = jc.decode_jpeg_luma(relabel)
+    assert (got == expected).all()
+
+
+def test_jpeg12_baseline_rejected():
+    """Baseline (SOF0) is 8-bit by definition; 12-bit must be SOF1+."""
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 4096, size=(8, 8)).astype(np.float64)
+    payload, _ = encode_jpeg12(img)
+    base = payload.replace(b"\xff\xc1", b"\xff\xc0", 1)
+    with pytest.raises(ValueError, match="baseline JPEG is 8-bit only"):
+        jc.decode_jpeg_luma(base)
