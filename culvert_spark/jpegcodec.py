@@ -458,7 +458,7 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
     saw_scan = False
     lossless = False
     precision = 8
-    lossless_pt = 0
+    lossless_pt: dict = {}  # per-COMPONENT point transform (Al is per scan)
     hier = None  # (precision, Y, X) from DHP — hierarchical mode
     ref = None  # hierarchical luma reference plane (int64)
     exp_pending = None  # (eh, ev) from an EXP marker
@@ -478,7 +478,7 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
         maxval = (1 << precision) - 1
         if lossless:
             plane = (store[frame[2][0][0]].astype(np.int64)
-                     << lossless_pt)
+                     << lossless_pt.get(frame[2][0][0], 0))
             if differential:
                 ref = (ref + plane) & 0xFFFF
             else:
@@ -649,6 +649,8 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
             finalize_frame()
             if ref is None:
                 raise ValueError("JPEG EXP before any decoded frame")
+            if len(body) < 1:
+                raise ValueError("truncated JPEG EXP segment")
             eh, ev = body[0] >> 4, body[0] & 0x0F
             if (eh, ev) not in ((0, 1), (1, 0), (1, 1)):
                 raise ValueError("invalid JPEG EXP expansion flags")
@@ -689,7 +691,8 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
                     raise ValueError(
                         f"invalid lossless JPEG predictor {ss}"
                     )
-                lossless_pt = al
+                for cid, *_ in scan_comps:
+                    lossless_pt[cid] = al
                 _decode_lossless_scan(
                     segments, scan_comps, frame[1], frame[0], precision,
                     al, ss, store, dc_tables, restart_interval,
@@ -729,7 +732,8 @@ def decode_jpeg_luma(payload: bytes) -> np.ndarray:
         # Reconstruction = decoded sample << Pt (H.1.2.3); luma is
         # component 0, rescaled from P bits to 8 with the same
         # round(v * 255 / maxval) contract as the 16-bit PNG path.
-        plane = store[frame[2][0][0]].astype(np.int64) << lossless_pt
+        plane = (store[frame[2][0][0]].astype(np.int64)
+                 << lossless_pt.get(frame[2][0][0], 0))
         maxval = (1 << precision) - 1
         if np.any(plane > maxval):
             raise ValueError("lossless JPEG sample exceeds its precision")

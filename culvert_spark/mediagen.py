@@ -261,7 +261,7 @@ def cross_format_media(
 def cross_format_dedup(
     spark: SparkSession, sf_dir: str, n_docs: int = 40
 ) -> DataFrame:
-    """Registered-query body: the five-container corpus through
+    """Registered-query body: the six-container corpus through
     ``image_dedup_groups`` — each group's n_images is a multiple of 6
     (one copy per container; 6·k when k documents collide on the
     16-bit phash) and the keeper is always a PPM copy (sub-index 0,

@@ -351,9 +351,14 @@ def _inflate_exact(comp: bytes, expect: int) -> bytes:
     """Inflate exactly ``expect`` bytes, bounded: a crafted deflate bomb
     in an untrusted payload cannot allocate past what the declared
     geometry needs, and a stream that would decode long or short is a
-    parse error — the strict posture of the rest of the decoders."""
+    parse error — the strict posture of the rest of the decoders.
+    ``expect`` must be positive: zlib treats ``max_length=0`` as
+    UNLIMITED, which would reopen the bomb hole for zero-area images
+    (the header check rejects those first; this guard is depth)."""
     import zlib
 
+    if expect <= 0:
+        raise ValueError("PNG raster size mismatch")
     do = zlib.decompressobj()
     out = do.decompress(comp, expect)
     if len(out) != expect:
@@ -368,6 +373,10 @@ def _png_header(ihdr: bytes) -> tuple[int, int, int, int, int]:
     interlace)."""
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
+    if width < 1 or height < 1:
+        # the PNG spec requires nonzero dimensions; a zero here would
+        # also zero _png_raster_size and disarm the bounded inflate
+        raise ValueError("PNG dimensions must be positive")
     bit_depth, color_type, compression, filter_method, interlace = ihdr[8:13]
     if bit_depth not in (1, 2, 4, 8, 16):
         raise ValueError(f"unsupported PNG bit depth {bit_depth}")

@@ -80,21 +80,22 @@ def _lzw_decode_tiff(data: bytes, n_bytes: int) -> bytes:
     return bytes(out)
 
 
-def _inflate_exact(comp: bytes, expect: int) -> bytes:
-    """Inflate exactly ``expect`` bytes, bounded: a crafted deflate bomb
-    in an untrusted strip cannot allocate past the raster size the IFD
-    declares, and a stream that would decode long (or short) is a parse
-    error — the same strict posture as the LZW/PackBits paths, which are
-    inherently bounded by their ``n_bytes`` argument."""
+def _inflate_bounded(comp: bytes, expect: int) -> bytes:
+    """Inflate at most ``expect`` bytes: a crafted deflate bomb in an
+    untrusted strip cannot allocate past the raster size the IFD
+    declares, while a stream that decodes LONGER is truncated — the
+    same tolerant semantics as the LZW/PackBits paths (both stop
+    quietly at ``n_bytes``; real writers pad the final partial strip to
+    full rows_per_strip rows). Decoding short is a parse error, checked
+    at the call site like the other compressions. ``expect`` must be
+    positive: zlib treats ``max_length=0`` as UNLIMITED, which would
+    disarm the bound for zero-area images (decode_tiff rejects those at
+    the header; this guard is depth)."""
     import zlib
 
-    do = zlib.decompressobj()
-    out = do.decompress(comp, expect)
-    if len(out) != expect:
-        raise ValueError("TIFF Deflate strip decodes short")
-    if do.decompress(do.unconsumed_tail, 1) or do.flush():
-        raise ValueError("TIFF Deflate strip decodes long")
-    return out
+    if expect <= 0:
+        raise ValueError("TIFF strip has no declared size")
+    return zlib.decompressobj().decompress(comp, expect)
 
 
 def _packbits_decode(data: bytes, n_bytes: int) -> bytes:
@@ -184,6 +185,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
 
     width = one(256)
     height = one(257)
+    if width < 1 or height < 1:
+        raise ValueError("TIFF dimensions must be positive")
     compression = one(259, 1)
     photometric = one(262)
     spp = one(277, 1)
@@ -214,7 +217,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         elif compression == 5:
             strip = _lzw_decode_tiff(comp, expect)
         elif compression == 8:
-            strip = _inflate_exact(comp, expect)
+            strip = _inflate_bounded(comp, expect)
         elif compression == 32773:
             strip = _packbits_decode(comp, expect)
         else:

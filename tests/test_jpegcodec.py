@@ -1241,3 +1241,40 @@ def test_jpeg12_baseline_rejected():
     base = payload.replace(b"\xff\xc1", b"\xff\xc0", 1)
     with pytest.raises(ValueError, match="baseline JPEG is 8-bit only"):
         jc.decode_jpeg_luma(base)
+
+
+def test_lossless_jpeg_per_component_point_transform():
+    """Pt (Al) is a per-SCAN field: two components coded in two scans
+    with DIFFERENT point transforms must each reconstruct with their
+    own shift — component 0's Al governs the output plane even when a
+    later scan carries a different Al (was: last-scan-wins)."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(6, 7), dtype=np.uint8)
+    p0 = (img >> 2).astype(int)  # component 1 at Pt=2
+    p1 = rng.integers(0, 256, size=(6, 7)).astype(int)  # component 2, Pt=0
+    h, w = img.shape
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xC4, bytes([0x00]) + bytes(_LL_BITS) + _LL_VALS)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([2, 1, 0x11, 0, 2, 0x11, 0])
+    out += _seg(0xC3, sof)
+    # scan 1: component 1 with Pt=2
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 0, 2]))
+    out += _ll_raw_bits(_ll_pred_diffs(p0, pt=2))
+    # scan 2: component 2 with Pt=0
+    out += _seg(0xDA, bytes([1, 2, 0x00, 1, 0, 0]))
+    out += _ll_raw_bits(_ll_pred_diffs(p1, pt=0))
+    out += b"\xff\xd9"
+    got = jc.decode_jpeg_luma(bytes(out))
+    assert (got == (p0 << 2).astype(np.uint8)).all()
+
+
+def test_hierarchical_exp_empty_body_raises_value_error():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    payload, _ = encode_jpeg_hier_lossless(img, levels=1)
+    i = payload.index(b"\xff\xdf")
+    # replace the 3-byte EXP segment (len=3 + EhEv) with an empty one
+    bad = payload[:i] + b"\xff\xdf\x00\x02" + payload[i + 5:]
+    with pytest.raises(ValueError, match="truncated JPEG EXP"):
+        jc.decode_jpeg_luma(bad)

