@@ -175,6 +175,13 @@ _PRIORITY = [
     # to one keeper group per document) — both rows-only like the
     # other m_* pandas-UDF rows.
     "m_video_frame_features", "m_cross_format_dedup",
+    # (a') late-round-7 registrations (2): the Spark-4 state-store
+    # introspection surface — st_statestore_totals reads the streaming
+    # aggregation's checkpoint back through spark.read.format(
+    # "statestore") and hash-matches the per-key agg buffers against
+    # the batch GROUP BY oracle; st_state_metadata pins the operator
+    # identity + retained-batch range via the state-metadata reader.
+    "st_statestore_totals", "st_state_metadata",
     # (b) changed in round 7 (4) — the image-decode dispatch hardened
     # (bounded IDAT/fdAT inflate sized from the declared geometry,
     # TIFF 16-bit palette round(v/257) to match the PNG convention,

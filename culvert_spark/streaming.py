@@ -1690,3 +1690,109 @@ def st_late_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# State-store introspection (Spark 4 `statestore` / `state-metadata`
+# readers): the checkpoint of a stateful query read back as a DataFrame —
+# the observability surface an operator reaches for when a production
+# stream misbehaves (inspect the live state without stopping the query,
+# audit state size per key, debug watermark eviction).
+# ---------------------------------------------------------------------------
+
+#: Session-scoped checkpoints for the state-store reader rows: the
+#: replayed stateful agg runs ONCE per (application, sf_dir) and both
+#: registered rows (plus the driver's hash-compare reruns) read the same
+#: checkpoint — mirroring corpusops' session signature store lifecycle.
+_STATESTORE_CKPTS: dict = {}
+
+
+def _statestore_checkpoint(spark: SparkSession, sf_dir: str) -> str:
+    """Run a checkpointed streaming aggregation over events (3 parquet
+    files replayed one per micro-batch, availableNow) and return the
+    surviving checkpoint path. The aggregation state after the final
+    batch IS the full-data groupBy — which is what makes the state-store
+    reader row value-hash verifiable against a plain batch oracle."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _STATESTORE_CKPTS:
+        return _STATESTORE_CKPTS[key]
+    base = tempfile.mkdtemp(prefix="culvert_statestore_")
+    src, ck = os.path.join(base, "in"), os.path.join(base, "ck")
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").cast("long").alias("sum_ids"),
+    )
+    sink = "st_statestore_probe_sink"
+    spark.catalog.dropTempView(sink)
+    q = run_to_memory_sink(agg, sink, ck, "update")
+    q.awaitTermination()
+    _STATESTORE_CKPTS[key] = ck
+    return ck
+
+
+@register(
+    "st_statestore_totals",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def st_statestore_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `statestore` reader as a registered row: read the streaming
+    aggregation's STATE out of its checkpoint (`spark.read.format(
+    "statestore").load(ckpt)` → (key struct, value struct,
+    partition_id)) and hash-compare the per-key aggregation buffers
+    (count + running sum) against the batch GROUP BY — proving the
+    checkpoint holds exactly the state batch SQL would compute, through
+    the public reader rather than the memory sink.
+
+    Scale (100 TB): the reader lists state files per shuffle partition
+    and scans them distributed — state introspection costs one scan of
+    the store, never a replay of the input stream; partition pruning
+    via partition_id confines a hot-key investigation to one store."""
+    ck = _statestore_checkpoint(spark, sf_dir)
+    st = spark.read.format("statestore").load(ck)
+    return st.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").alias("n_events"),
+        F.col("value.sum").alias("sum_ids"),
+    ).orderBy("user_id")
+
+
+@register(
+    "st_state_metadata",
+    """
+    SELECT CAST(0 AS BIGINT) AS operator_id,
+           'stateStoreSave' AS operator_name,
+           'default' AS store_name,
+           CAST(0 AS BIGINT) AS min_batch_id,
+           CAST(2 AS BIGINT) AS max_batch_id
+    """,
+)
+def st_state_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `state-metadata` reader as a registered row: operator
+    identity and the retained-batch range of the checkpoint. The oracle
+    is the contract itself — one stateStoreSave operator (id 0, default
+    store) spanning batches 0..2 (three files, one per micro-batch,
+    availableNow adds no extra data batch). numPartitions is
+    deliberately NOT projected: it equals the session's shuffle
+    partitions, which the parallelism-invariance sweeps vary on
+    purpose."""
+    ck = _statestore_checkpoint(spark, sf_dir)
+    md = spark.read.format("state-metadata").load(ck)
+    return md.select(
+        F.col("operatorId").cast("long").alias("operator_id"),
+        F.col("operatorName").alias("operator_name"),
+        F.col("stateStoreName").alias("store_name"),
+        F.col("minBatchId").cast("long").alias("min_batch_id"),
+        F.col("maxBatchId").cast("long").alias("max_batch_id"),
+    ).orderBy("operator_id")

@@ -822,3 +822,43 @@ def test_dedup_within_watermark_expiry(spark, tmp_path):
         (1, "E"), (1, "G"), (1, "F"), (2, "W1"), (2, "W2"),
         (20, "E"), (20, "G"),
     }
+
+
+def test_statestore_reader_matches_batch_agg(spark):
+    """The `statestore` checkpoint reader returns exactly the per-key
+    aggregation buffers batch SQL computes, and `state-metadata`
+    describes the operator (numPartitions mirrors the session's shuffle
+    partitions — the reason the registered row does not project it)."""
+    from pyspark.sql import functions as F
+
+    from culvert_spark import streaming as st
+    from culvert_spark.queries import t
+
+    sf = "/root/testdata/sf0.001"
+    ck = st._statestore_checkpoint(spark, sf)
+    state = (
+        spark.read.format("statestore").load(ck)
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.count").alias("n_events"),
+            F.col("value.sum").alias("sum_ids"),
+        )
+    )
+    batch = (
+        t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("event_id").cast("long").alias("sum_ids"))
+    )
+    assert state.exceptAll(batch).count() == 0
+    assert batch.exceptAll(state).count() == 0
+    md = spark.read.format("state-metadata").load(ck).collect()
+    assert len(md) == 1
+    row = md[0]
+    assert row.operatorName == "stateStoreSave"
+    assert (row.minBatchId, row.maxBatchId) == (0, 2)
+    assert row.numPartitions == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    # second call reuses the session checkpoint (no re-run)
+    assert st._statestore_checkpoint(spark, sf) == ck
