@@ -182,6 +182,19 @@ _PRIORITY = [
     # the batch GROUP BY oracle; st_state_metadata pins the operator
     # identity + retained-batch range via the state-metadata reader.
     "st_statestore_totals", "st_state_metadata",
+    # (a'') late-round-7 registrations (3), filling the window to exactly
+    # 50: y_generator_uuid_parity (DuckDB REGENERATES the three md5
+    # UUID-pool columns + both round-robin dicts from first principles —
+    # the driver-visible guard for round 6's byte-identical-UUID bug
+    # class), q_params_identifier (named parameter markers +
+    # IDENTIFIER(:tbl) — Spark-4 parameterized SQL bound vs inlined), and
+    # v_udtf_analyze_fanout (schema-polymorphic Python UDTF whose column
+    # set is computed by analyze() from the call-site constant).  The 3
+    # module-order spillover rows they displace (q06_revenue_forecast r5,
+    # q_order_status_dist r6, q_distinct_users_per_type r6) are all
+    # round-3+ fresh, so the freshness invariant is preserved.
+    "y_generator_uuid_parity", "q_params_identifier",
+    "v_udtf_analyze_fanout",
     # (b) changed in round 7 (4) — the image-decode dispatch hardened
     # (bounded IDAT/fdAT inflate sized from the declared geometry,
     # TIFF 16-bit palette round(v/257) to match the PNG convention,

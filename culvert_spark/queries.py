@@ -381,6 +381,58 @@ def y_ysb_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB expression that regenerates one deterministic UUID-pool column
+#: exactly as ``generator._uuid_shaped`` derives it (md5 of
+#: ``uuid<seed>|<column>|<row % 1M>`` reshaped 8-4-4-4-12) — the oracle
+#: recomputes the VALUES independently instead of re-reading Spark's output.
+def _uuid_oracle_expr(col: str, seed: int = 42) -> str:
+    h = f"md5('uuid{seed}|{col}|' || CAST(i % 1000000 AS VARCHAR))"
+    return (
+        f"concat_ws('-', substr({h}, 1, 8), substr({h}, 9, 4), "
+        f"substr({h}, 13, 4), substr({h}, 17, 4), substr({h}, 21, 12)) "
+        f"AS {col}"
+    )
+
+
+@register(
+    "y_generator_uuid_parity",
+    f"""
+    SELECT i AS row_id,
+           {_uuid_oracle_expr("user_id")},
+           {_uuid_oracle_expr("page_id")},
+           {_uuid_oracle_expr("ad_id")},
+           ['banner','modal','sponsored-search','mail','mobile']
+             [(i % 5) + 1] AS ad_type,
+           ['view','click','purchase'][(i % 3) + 1] AS event_type
+    FROM range(0, 5000) t(i)
+    ORDER BY row_id
+    """,
+)
+def y_generator_uuid_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator value-hash parity: DuckDB REGENERATES the three UUID-pool
+    columns (md5-derived, per-column salt) and the two round-robin dict
+    columns from first principles and must match Spark byte-for-byte.
+
+    This is the driver-visible guard for the exact bug class round 6 found
+    by eyeball: a seed-only salt CSE'd user_id/page_id/ad_id into one shared
+    pool (byte-identical per row), invisible to y_ysb_windowed_counts
+    because that workload never reads the UUID columns. Here the oracle
+    derives each column's pool independently, so any cross-column coupling,
+    pool-index drift, or reshaping change hash-mismatches immediately.
+    Covers the deterministic-derivation columns only: the xxhash64-based
+    types (ip_address, event_time) have no DuckDB twin function and are
+    pinned by pytest distribution tests instead (SURVEY §5.1)."""
+    from culvert_spark.generator import generate
+
+    return (
+        generate(spark, 5_000, seed=42, keep_row_id=True)
+        .select(
+            "row_id", "user_id", "page_id", "ad_id", "ad_type", "event_type"
+        )
+        .orderBy("row_id")
+    )
+
+
 @register(
     "q_approx_percentile",
     """

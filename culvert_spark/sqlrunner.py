@@ -237,3 +237,43 @@ def q_sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+_PARAMS_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_totalprice > 1000.0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("q_params_identifier", _PARAMS_ORACLE)
+def q_params_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.5+/4 surface): named parameter markers
+    (``:name`` bound via ``spark.sql(..., args={...})``) plus the
+    ``IDENTIFIER(:tbl)`` clause that turns a *string parameter* into a
+    resolved table reference — the injection-safe templating path
+    (parameters are bound as literals/identifiers by the parser, never
+    string-spliced, so a value like ``"orders; DROP"`` cannot change the
+    statement shape). The oracle is the same query with the parameters
+    inlined as constants, proving binding is semantics-preserving.
+    Scale: identical plan to the inlined query — the bound literal
+    participates in predicate pushdown like any constant."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_price
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :floor
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """,
+        args={"tbl": "orders", "floor": 1000.0},
+    )

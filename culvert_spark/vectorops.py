@@ -735,3 +735,73 @@ def v_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def _make_lead_tokens_udtf():
+    """Polymorphic Python UDTF (Spark 4 ``analyze()`` surface): the output
+    SCHEMA is computed at plan time from the constant ``k`` argument —
+    ``lead_tokens(text, 3)`` resolves to ``(tok1, tok2, tok3)`` — so one
+    function serves any width without a registry of fixed-shape variants.
+    Lazy creation: ``udtf()`` without a returnType is what routes Spark
+    through the static ``analyze`` method."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    class LeadTokensUDTF:
+        @staticmethod
+        def analyze(text, k):
+            if k.value is None or not isinstance(k.value, int) or k.value < 1:
+                raise ValueError("lead_tokens: k must be a constant int >= 1")
+            from pyspark.sql.udtf import AnalyzeResult
+
+            return AnalyzeResult(
+                schema=StructType(
+                    [
+                        StructField(f"tok{i + 1}", StringType())
+                        for i in range(k.value)
+                    ]
+                )
+            )
+
+        def eval(self, text: str, k: int):
+            toks = (text or "").split()
+            yield tuple(
+                toks[i] if i < len(toks) else None for i in range(k)
+            )
+
+    return udtf(LeadTokensUDTF)
+
+
+@register(
+    "v_udtf_analyze_fanout",
+    r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN NULL
+                ELSE regexp_split_to_array(trim(text), '\s+')[1] END AS tok1,
+           CASE WHEN trim(text) = '' THEN NULL
+                ELSE regexp_split_to_array(trim(text), '\s+')[2] END AS tok2,
+           CASE WHEN trim(text) = '' THEN NULL
+                ELSE regexp_split_to_array(trim(text), '\s+')[3] END AS tok3
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def v_udtf_analyze_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-polymorphic UDTF via ``analyze()``: extract the first k=3
+    whitespace tokens of every document as k named columns, where the
+    column set itself is derived from the call-site constant at plan time
+    (``AnalyzeResult(schema=...)``). The oracle reproduces the same
+    projection with list indexing (DuckDB lists are 1-based; out-of-range
+    index and the empty-text guard both yield NULL exactly like the
+    Python-side padding). Scale: per-row narrow fan-out, no shuffle
+    beyond the final presentation sort."""
+    d = t(spark, sf_dir, "documents")
+    spark.udtf.register("culvert_lead_tokens", _make_lead_tokens_udtf())
+    d.createOrReplaceTempView("_udtf_docs_poly")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.tok1, s.tok2, s.tok3
+        FROM _udtf_docs_poly d, LATERAL culvert_lead_tokens(d.text, 3) s
+        ORDER BY d.doc_id
+        """
+    )
