@@ -162,6 +162,25 @@ except ImportError:  # pragma: no cover
 #: changes.  Keep the
 #: invariant: every query whose implementation or oracle changes in a
 #: round gets a fresh row in that round's window.
+#: ROUND-8 ROTATION (computed at end of round 7, assuming CORRECTNESS_r07
+#: lands on the current 50-row window): the oldest remaining rows are then
+#: exactly the 42 round-3-vintage rows — q_basket_part_pairs,
+#: q_cohort_retention, q_data_quality_audit, q_dau_wau_mau,
+#: q_equidepth_approx, q_equidepth_histogram, q_event_transitions,
+#: q_ewma_user_daily, q_full_outer_join, q_funnel_steps,
+#: q_fuzzy_name_match, q_incremental_agg_refresh, q_interval_bucket_join,
+#: q_lateral_topk_per_nation, q_merge_upsert, q_nullsafe_join,
+#: q_ohlc_downsample, q_pattern_match_sequences,
+#: q_runtime_filter_prefilter_join, q_scd2_intervals, q_skew_report,
+#: q_sliding_distinct_users, q_snapshot_diff, q_spatial_grid_nn,
+#: q_sql_text_interface, q_string_agg_names, q_timeseries_gapfill,
+#: q_variant_props, s_embedding_quantize_int8, t_contamination_check,
+#: t_doc_chunks, t_hash_sample_rate, t_pii_redaction, t_repetition_metrics,
+#: t_stratified_sample, t_text_normalize, t_token_budget_mixture,
+#: t_unigram_lm_score, t_weighted_sample, v_arrow_vector_norms,
+#: v_grouped_agg_median, v_user_value_zscores — plus whatever round 8
+#: registers or changes (8 slots spare at 42/50).  Vintage distribution
+#: entering round 8: 42×r3, 43×r4, 48×r5, 47×r6, 50×r7, none older.
 #: Names missing from the registries are ignored; registered names missing
 #: from this list keep their module registration order after the priority
 #: block.

@@ -634,3 +634,46 @@ def test_salted_parity_rows_exercise_shuffled_join(spark):
         )
         assert "BroadcastHashJoin" not in plan, name
         assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan), name
+
+
+def test_generator_parity_stays_jvm_side(spark):
+    """y_generator_uuid_parity: generation must be pure JVM expressions
+    over spark.range — no Python evaluation, no shuffle other than the
+    presentation sort (a generator that silently grew a Python stage
+    would invert the whole embarrassingly-parallel design)."""
+    plan = executed_plan(spark, "y_generator_uuid_parity")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"generator row must not contain {marker}"
+    assert "Range" in plan
+    # Exactly the one ordering exchange introduced by orderBy(row_id).
+    assert plan.count("Exchange") <= 1
+
+
+def test_params_identifier_pushes_bound_literal(spark):
+    """q_params_identifier: the :floor parameter must behave exactly like
+    an inline constant — i.e. reach the parquet scan as a pushed filter
+    (binding that blocked pushdown would be a silent 100 TB regression)."""
+    plan = optimized_plan(spark, "q_params_identifier")
+    scan = plan[plan.index("Scan parquet"):]
+    pushed = scan[scan.index("PushedFilters"): scan.index("ReadSchema")]
+    assert "o_totalprice" in pushed, "bound parameter not pushed to scan"
+    schema = scan[scan.index("ReadSchema"): scan.index("\n", scan.index("ReadSchema"))]
+    assert "o_comment" not in schema, "unused wide column must be pruned"
+
+
+def test_udtf_analyze_schema_is_polymorphic(spark):
+    """v_udtf_analyze_fanout: analyze() must derive the column set from
+    the call-site constant — k=2 and k=4 give different schemas from the
+    SAME function object, and a non-constant/invalid k fails analysis."""
+    from culvert_spark.vectorops import _make_lead_tokens_udtf
+
+    spark.udtf.register("culvert_lead_tokens_t", _make_lead_tokens_udtf())
+    two = spark.sql("SELECT * FROM culvert_lead_tokens_t('a b c', 2)")
+    four = spark.sql("SELECT * FROM culvert_lead_tokens_t('a b c', 4)")
+    assert two.columns == ["tok1", "tok2"]
+    assert four.columns == ["tok1", "tok2", "tok3", "tok4"]
+    assert two.collect()[0].asDict() == {"tok1": "a", "tok2": "b"}
+    r4 = four.collect()[0].asDict()
+    assert r4 == {"tok1": "a", "tok2": "b", "tok3": "c", "tok4": None}
+    with pytest.raises(Exception, match="k must be a constant int >= 1"):
+        spark.sql("SELECT * FROM culvert_lead_tokens_t('a b c', 0)").collect()
