@@ -180,7 +180,10 @@ except ImportError:  # pragma: no cover
 #: t_unigram_lm_score, t_weighted_sample, v_arrow_vector_norms,
 #: v_grouped_agg_median, v_user_value_zscores — plus whatever round 8
 #: registers or changes (8 slots spare at 42/50).  Vintage distribution
-#: entering round 8: 42×r3, 43×r4, 48×r5, 47×r6, 50×r7, none older.
+#: entering round 8: 42×r3, 43×r4, 48×r5, 48×r6 (q01_pricing_summary
+#: joins this bucket — its spillover window slot went to the
+#: t_exact_substring_spans registration; entry() still smoke-runs q01
+#: every round), 50×r7, none older.
 #: Names missing from the registries are ignored; registered names missing
 #: from this list keep their module registration order after the priority
 #: block.
@@ -214,6 +217,14 @@ _PRIORITY = [
     # round-3+ fresh, so the freshness invariant is preserved.
     "y_generator_uuid_parity", "q_params_identifier",
     "v_udtf_analyze_fanout",
+    # (a''') final late-round-7 registration, taking the 50th window slot
+    # that the q01 flagship spillover held: t_exact_substring_spans — the
+    # Lee et al. 2022 ExactSubstr semantics (maximal repeated character
+    # spans >= 40 chars, cross-doc AND within-doc, L-gram anchoring +
+    # island merge instead of a single-node suffix array).  q01 stays
+    # r6-fresh in the record and is smoke-checked via entry() every
+    # round, so the freshness invariant is unaffected.
+    "t_exact_substring_spans",
     # (b) changed in round 7 (4) — the image-decode dispatch hardened
     # (bounded IDAT/fdAT inflate sized from the declared geometry,
     # TIFF 16-bit palette round(v/257) to match the PNG convention,

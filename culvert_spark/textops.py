@@ -1892,3 +1892,120 @@ def t_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup: maximal repeated character spans (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+_ESS_L = 40  # anchor gram length (characters)
+
+
+@register(
+    "t_exact_substring_spans",
+    f"""
+    WITH grams AS (
+      SELECT doc_id, i.i AS pos,
+             md5(substr(text, i.i, {_ESS_L})) AS h
+      FROM documents, UNNEST(range(1, length(text) - {_ESS_L} + 2)) AS i(i)
+      WHERE length(text) >= {_ESS_L}),
+    dup AS (
+      SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
+    hits AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) <= {_ESS_L}
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits),
+    grp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl)
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + {_ESS_L} - 1 AS span_end,
+           MAX(pos) + {_ESS_L} - MIN(pos) AS span_len
+    FROM grp
+    GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+)
+def t_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup at MAXIMAL-span granularity (the ExactSubstr
+    semantics of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): every substring of length >= L that occurs
+    2+ times anywhere in the corpus (cross-doc or within-doc) is reported
+    as a per-document removal span [span_start, span_end] (1-based char
+    positions, overlapping/adjacent repeats merged into maximal islands).
+
+    The reference paper builds a single-node suffix array over the
+    concatenated corpus; the Spark-native equivalent anchors on L-grams —
+    any repeated substring of length >= L contains a repeated L-gram at
+    every offset, so stride-1 L-gram anchoring + island merging recovers
+    exactly the union of repeated regions (no suffix array needed, fully
+    distributed). Differs from t_dup_spans (fixed 16-token spans,
+    cross-doc only, top-20 report) and t_cdc_chunk_dedup (content-defined
+    CHUNK grain): this row emits the precise character ranges an
+    ExactSubstr pass would cut.
+
+    Plan shape: gram fan-out is a narrow per-doc explode (no token-grain
+    shuffle); one shuffle aggregates gram occurrence counts on the
+    16-byte md5 key (NOT the 40-char text — a 100 TB corpus shuffles
+    digests, not substrings); a semi-join filters gram positions to
+    duplicated anchors; the island merge is one doc_id-partitioned window
+    whose partitioning the final (doc_id, island) aggregate reuses.
+    At 100 TB the duplicated-anchor set is first pre-pruned with a
+    two-pass frequency filter (partial-agg + bloom of h seen >= 2) so the
+    position stream only shuffles grams that can survive; the anchor
+    stride can also rise to L/2 at a 2x recall-window cost. Trade
+    documented here; the stride-1 form keeps the oracle exact."""
+    L = _ESS_L
+    d = t(spark, sf_dir, "documents")
+    grams = (
+        d.where(F.length("text") >= L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - (L - 1))
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.expr(f"cast(substring(text, pos, {L}) as binary)")
+            ).alias("h"),
+        )
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("h")
+    )
+    hits = grams.join(dup, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= L, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    grp = isl.withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        grp.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (L - 1)).alias("span_end"),
+            (F.max("pos") + L - F.min("pos")).alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_len")
+        .orderBy("doc_id", "span_start")
+    )
