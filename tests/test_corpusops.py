@@ -298,3 +298,103 @@ def test_incremental_dedup_signature_store_equivalent(spark, tmp_path):
         tuple(r) for r in QUERIES["t_incremental_dedup"](spark, SF_SMALL).collect()
     ]
     assert steady == full and len(steady) > 0
+
+
+# ---------------------------------------------------------------------------
+# t_exact_substring_spans: planted-case semantics (parity with the DuckDB
+# oracle runs in test_oracle_queries.py; a blind spot shared by both
+# engines needs hand-planted ground truth)
+# ---------------------------------------------------------------------------
+
+
+def _filler(seed: str, n: int) -> str:
+    """Deterministic non-repeating filler: md5 keystream, hex alphabet."""
+    import hashlib
+
+    out = []
+    i = 0
+    while sum(len(s) for s in out) < n:
+        out.append(hashlib.md5(f"{seed}|{i}".encode()).hexdigest())
+        i += 1
+    return "".join(out)[:n]
+
+
+def test_exact_substring_spans_planted(spark, tmp_path):
+    """Ground-truth spans: a 60-char substring shared by two docs is
+    recovered as exactly [offset, offset+59] in each; a 45-char substring
+    repeated WITHIN one doc yields two spans (within-doc semantics);
+    a unique doc yields none. Offsets differ per doc to prove the span is
+    anchored by content, not position."""
+    shared = "S" * 20 + "HARED-BLOCK-" + "0123456789" * 2 + "-END" + "Z" * 4
+    assert len(shared) == 60
+    rep = "R" * 30 + "EPEATED-WITHIN-"  # 45 chars
+    assert len(rep) == 45
+    # docB: shared at pos 11 (1-based); docC: shared at pos 101.
+    docB = _filler("b", 10) + shared + _filler("b2", 200)
+    docC = _filler("c", 100) + shared + _filler("c2", 50)
+    # docD: rep at pos 1 and pos 146 (gap 100 > L=40 so islands split).
+    docD = rep + _filler("d", 100) + rep + _filler("d2", 60)
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, _filler("a", 300), "en", "s"),
+            (2, docB, "en", "s"),
+            (3, docC, "en", "s"),
+            (4, docD, "en", "s"),
+        ],
+    )
+    rows = [
+        tuple(r)
+        for r in QUERIES["t_exact_substring_spans"](spark, d).collect()
+    ]
+    assert rows == [
+        (2, 11, 70, 60),
+        (3, 101, 160, 60),
+        (4, 1, 45, 45),
+        (4, 146, 190, 45),
+    ]
+
+
+def test_exact_substring_spans_adjacent_merge(spark, tmp_path):
+    """Two duplicated regions whose coverage is exactly adjacent (next
+    anchor at prev + L) merge into ONE maximal span; at prev + L + 1 (a
+    1-char uncovered gap) they stay separate — pins the island threshold
+    off-by-one on both sides of the boundary."""
+    a = "A" * 40
+    b = "B" * 40
+    # doc1+doc2 share block a; doc1+doc3 share block b.
+    # doc1 lays them back-to-back: anchors 1 and 41 = one merged span.
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, a + b + _filler("x", 80), "en", "s"),
+            (2, _filler("y", 50) + a + _filler("y2", 50), "en", "s"),
+            (3, _filler("z", 90) + b + _filler("z2", 10), "en", "s"),
+            # doc4/doc5 share c-block; doc4 separates its two duplicated
+            # regions by one filler char => two spans.
+            (4, "C" * 40 + _filler("w", 1) + "D" * 40, "en", "s"),
+            (5, _filler("v", 20) + "C" * 40 + "." + "D" * 40, "en", "s"),
+        ],
+    )
+    rows = [
+        tuple(r)
+        for r in QUERIES["t_exact_substring_spans"](spark, d).collect()
+    ]
+    by_doc: dict[int, list[tuple]] = {}
+    for r in rows:
+        by_doc.setdefault(r[0], []).append(r)
+    assert by_doc[1] == [(1, 1, 80, 80)]  # adjacent => merged
+    assert by_doc[4] == [(4, 1, 40, 40), (4, 42, 81, 40)]  # gap => split
+    assert by_doc[5] == [(5, 21, 60, 40), (5, 62, 101, 40)]
+
+
+def test_exact_substring_spans_plan_shape(spark):
+    """Scale gates: duplicated-anchor filtering stays a semi-join, the
+    whole pipeline is JVM-only, and no cartesian product appears."""
+    plan = executed_plan(spark, "t_exact_substring_spans")
+    assert "LeftSemi" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert marker not in plan, f"unexpected {marker} in plan"
