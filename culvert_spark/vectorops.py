@@ -764,7 +764,18 @@ def _make_lead_tokens_udtf():
             )
 
         def eval(self, text: str, k: int):
-            toks = (text or "").split()
+            import re
+
+            # Explicit ASCII-whitespace class, NOT str.split(): the class
+            # is shared verbatim with the DuckDB oracle's RE2 pattern, so
+            # tabs/newlines/exotic Unicode whitespace can never make the
+            # two sides tokenize differently (str.split() also splits on
+            # \v and Unicode spaces, which RE2's \s does not).
+            toks = [
+                tok
+                for tok in re.split("[\t\n\f\r ]+", text or "")
+                if tok
+            ]
             yield tuple(
                 toks[i] if i < len(toks) else None for i in range(k)
             )
@@ -775,14 +786,16 @@ def _make_lead_tokens_udtf():
 @register(
     "v_udtf_analyze_fanout",
     r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[\t\n\f\r ]+'),
+                         x -> x <> '') AS toks
+      FROM documents)
     SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN NULL
-                ELSE regexp_split_to_array(trim(text), '\s+')[1] END AS tok1,
-           CASE WHEN trim(text) = '' THEN NULL
-                ELSE regexp_split_to_array(trim(text), '\s+')[2] END AS tok2,
-           CASE WHEN trim(text) = '' THEN NULL
-                ELSE regexp_split_to_array(trim(text), '\s+')[3] END AS tok3
-    FROM documents
+           toks[1] AS tok1,
+           toks[2] AS tok2,
+           toks[3] AS tok3
+    FROM tk
     ORDER BY doc_id
     """,
 )
@@ -790,10 +803,13 @@ def v_udtf_analyze_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-polymorphic UDTF via ``analyze()``: extract the first k=3
     whitespace tokens of every document as k named columns, where the
     column set itself is derived from the call-site constant at plan time
-    (``AnalyzeResult(schema=...)``). The oracle reproduces the same
-    projection with list indexing (DuckDB lists are 1-based; out-of-range
-    index and the empty-text guard both yield NULL exactly like the
-    Python-side padding). Scale: per-row narrow fan-out, no shuffle
+    (``AnalyzeResult(schema=...)``). Tokenization is the explicit ASCII
+    class ``[\t\n\f\r ]+`` with empty tokens dropped, shared VERBATIM
+    between the Python side (``re.split``) and the oracle (RE2
+    ``regexp_split_to_array`` + ``list_filter``) so leading/trailing or
+    exotic whitespace can never make the two sides diverge; DuckDB's
+    1-based out-of-range list index yields NULL exactly like the
+    Python-side padding. Scale: per-row narrow fan-out, no shuffle
     beyond the final presentation sort."""
     d = t(spark, sf_dir, "documents")
     spark.udtf.register("culvert_lead_tokens", _make_lead_tokens_udtf())

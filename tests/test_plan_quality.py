@@ -675,5 +675,12 @@ def test_udtf_analyze_schema_is_polymorphic(spark):
     assert two.collect()[0].asDict() == {"tok1": "a", "tok2": "b"}
     r4 = four.collect()[0].asDict()
     assert r4 == {"tok1": "a", "tok2": "b", "tok3": "c", "tok4": None}
+    # Whitespace edges: leading tab, newline separator, double space and
+    # a trailing space must tokenize identically to the oracle's
+    # [\t\n\f\r ]+ class (empty tokens dropped).
+    ws = spark.sql(
+        "SELECT * FROM culvert_lead_tokens_t('\\ta\\nb  c ', 4)"
+    ).collect()[0].asDict()
+    assert ws == {"tok1": "a", "tok2": "b", "tok3": "c", "tok4": None}
     with pytest.raises(Exception, match="k must be a constant int >= 1"):
         spark.sql("SELECT * FROM culvert_lead_tokens_t('a b c', 0)").collect()
