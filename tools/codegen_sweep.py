@@ -1,0 +1,43 @@
+"""Whole-registry codegen sweep: run EVERY registered query under
+``spark.sql.codegen.fallback=false`` (any expression or stage that cannot
+whole-stage/expression-compile raises instead of silently interpreting)
+and report failures. This is the gate that caught the round-6
+s_embedding_near_dup Janino 64 KB hard-fail class.
+
+Vanilla session + the one config; each query is executed to a noop sink
+at sf0.01. Usage: ``python tools/codegen_sweep.py [names...]`` (subset
+via argv, full registry otherwise). Expect ``SWEEP: ALL COMPILED``.
+"""
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.appName("codegen-sweep")
+    .master(os.environ.get("CONTRACT_MASTER", "local[8]"))
+    .config("spark.sql.codegen.fallback", "false")
+    .getOrCreate()
+)
+import __spark_entry__ as e
+
+sf = "/root/testdata/sf0.01"
+qs = e.queries()
+if len(sys.argv) > 1:
+    want = set(sys.argv[1:])
+    qs = {k: v for k, v in qs.items() if k in want}
+fails = []
+for name, fn in sorted(qs.items()):
+    try:
+        fn(spark, sf).write.format("noop").mode("overwrite").save()
+        print(f"  {name}: compiled+ran")
+    except Exception as exc:  # noqa: BLE001 — report and continue
+        fails.append(name)
+        print(f"  {name}: FAILED {type(exc).__name__}: {str(exc)[:200]}")
+print(
+    f"SWEEP: {'ALL COMPILED' if not fails else 'FAILURES'} "
+    f"({len(qs) - len(fails)}/{len(qs)})"
+    + (f" failed={fails}" if fails else "")
+)
+sys.exit(1 if fails else 0)
