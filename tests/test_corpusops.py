@@ -398,3 +398,69 @@ def test_exact_substring_spans_plan_shape(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                    "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert marker not in plan, f"unexpected {marker} in plan"
+
+
+def _ess_brute_force(texts: dict[int, str], L: int) -> list[tuple]:
+    """Independent O(n²) reference for t_exact_substring_spans: collect
+    every (doc, pos) whose L-gram occurs 2+ times corpus-wide, then merge
+    positions with gap <= L into maximal spans."""
+    from collections import Counter
+
+    counts = Counter()
+    for text in texts.values():
+        for i in range(len(text) - L + 1):
+            counts[text[i : i + L]] += 1
+    spans = []
+    for doc_id in sorted(texts):
+        text = texts[doc_id]
+        hits = [
+            i + 1  # 1-based
+            for i in range(len(text) - L + 1)
+            if counts[text[i : i + L]] >= 2
+        ]
+        start = prev = None
+        for p in hits:
+            if prev is not None and p - prev <= L:
+                prev = p
+                continue
+            if start is not None:
+                spans.append((doc_id, start, prev + L - 1, prev + L - start))
+            start = prev = p
+        if start is not None:
+            spans.append((doc_id, start, prev + L - 1, prev + L - start))
+    return spans
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_exact_substring_spans_random_cross_check(spark, tmp_path, seed):
+    """Randomized corpora from a 4-char alphabet (dense with natural
+    repeats, overlaps, and exact-adjacency edges) must match an
+    independent brute-force implementation of the span semantics —
+    guards against a blind spot shared by the Spark plan and the DuckDB
+    oracle (which mirror each other's shape)."""
+    import random
+
+    rng = random.Random(seed)
+    texts = {
+        i: "".join(rng.choice("abcd") for _ in range(rng.randint(30, 300)))
+        for i in range(1, 25)
+    }
+    # Plant a couple of exact long repeats so the >=L grams aren't only
+    # chance collisions (at L=40 a 4-char alphabet rarely repeats 40-grams
+    # by luck; the planted blocks create real cross-doc structure).
+    block = "".join(rng.choice("abcd") for _ in range(70))
+    texts[3] = texts[3][:10] + block + texts[3][10:]
+    texts[17] = block + texts[17]
+    texts[17] += texts[17][:55]  # within-doc tail repeat of its own head
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [(i, s, "en", "s") for i, s in sorted(texts.items())],
+    )
+    from culvert_spark.textops import _ESS_L
+
+    got = [
+        tuple(r)
+        for r in QUERIES["t_exact_substring_spans"](spark, d).collect()
+    ]
+    assert got == _ess_brute_force(texts, _ESS_L)
