@@ -1965,7 +1965,11 @@ def t_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     L = _ESS_L
     d = t(spark, sf_dir, "documents")
     grams = (
-        d.where(F.length("text") >= L)
+        # spread() AFTER the length filter: the gram fan-out is the
+        # compute-dense stage (length(text) md5s per doc), and a
+        # single-row-group documents file would otherwise pin it to one
+        # task (no-op whenever the scan already splits).
+        spread(d.where(F.length("text") >= L).select("doc_id", "text"))
         .select(
             "doc_id",
             F.explode(
