@@ -179,7 +179,12 @@ except ImportError:  # pragma: no cover
 #: t_stratified_sample, t_text_normalize, t_token_budget_mixture,
 #: t_unigram_lm_score, t_weighted_sample, v_arrow_vector_norms,
 #: v_grouped_agg_median, v_user_value_zscores — plus whatever round 8
-#: registers or changes (8 slots spare at 42/50).  Vintage distribution
+#: registers or changes (8 slots spare at 42/50).  PLANNED round-8
+#: change needing one of those slots: t_dedup_clusters pointer-doubling
+#: (see its docstring — the 15-round min-label cap silently splits
+#: components whose diameter exceeds 15; propagate through the label
+#: graph instead for O(log diameter) convergence, then re-drive the
+#: row in the round-8 window).  Vintage distribution
 #: entering round 8: 42×r3, 43×r4, 48×r5, 48×r6 (q01_pricing_summary
 #: joins this bucket — its spillover window slot went to the
 #: t_exact_substring_spans registration; entry() still smoke-runs q01

@@ -958,7 +958,16 @@ def t_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     list into actual keep/drop dedup decisions.
 
     Iterative (converges in O(component diameter) rounds — near-dup
-    clusters are tiny, so 2-4 rounds; hard cap 15). The oracle is a DuckDB
+    clusters are tiny, so 2-4 rounds; hard cap 15). KNOWN SCALE EDGE
+    (flagged round 7, fix planned round 8 with a fresh driver row): a
+    candidate chain with diameter > 15 (template-drift boilerplate can
+    build one at corpus scale) would exhaust the cap before the min
+    label reaches the far end and silently split the cluster — the
+    oracle's full-reachability CTE would mismatch, but only on data
+    containing such a chain. Round-8 fix: pointer-doubling (propagate
+    labels through the current label graph, not the edge graph), which
+    converges in O(log diameter) — 15 rounds then covers diameter 2^15.
+    The oracle is a DuckDB
     recursive CTE computing min-reachable-label per node, which is the same
     fixpoint. Each round shuffles only the candidate-graph nodes (O(dups),
     not O(corpus)); lineage is truncated with RELIABLE checkpoints
