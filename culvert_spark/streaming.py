@@ -1712,11 +1712,24 @@ def _statestore_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     files replayed one per micro-batch, availableNow) and return the
     surviving checkpoint path. The aggregation state after the final
     batch IS the full-data groupBy — which is what makes the state-store
-    reader row value-hash verifiable against a plain batch oracle."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    reader row value-hash verifiable against a plain batch oracle.
+
+    Lifecycle (round-4-verdict rule, same shape as corpusops'
+    ``_session_sigstore``): abspath-normalized session cache, the replay
+    INPUT parquet is removed as soon as the stream terminates (only the
+    checkpoint must outlive it), and the whole temp dir is atexit-reaped.
+    The replay scaffolding deliberately stays inline rather than being
+    factored out of :func:`replay_stream`: sharing a helper would change
+    every replay row's code path, and those rows' freshness slots belong
+    to their own rounds — revisit alongside the next replay-row window."""
+    import atexit
+    import shutil
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if key in _STATESTORE_CKPTS:
         return _STATESTORE_CKPTS[key]
     base = tempfile.mkdtemp(prefix="culvert_statestore_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     src, ck = os.path.join(base, "in"), os.path.join(base, "ck")
     ev = t(spark, sf_dir, "events").select("user_id", "event_id")
     ev.repartition(3).write.mode("overwrite").parquet(src)
@@ -1733,6 +1746,9 @@ def _statestore_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     spark.catalog.dropTempView(sink)
     q = run_to_memory_sink(agg, sink, ck, "update")
     q.awaitTermination()
+    # The readers only need the checkpoint; the replayed input copy of
+    # events is dead weight from here on.
+    shutil.rmtree(src, ignore_errors=True)
     _STATESTORE_CKPTS[key] = ck
     return ck
 

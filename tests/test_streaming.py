@@ -833,8 +833,9 @@ def test_statestore_reader_matches_batch_agg(spark):
 
     from culvert_spark import streaming as st
     from culvert_spark.queries import t
+    from tests.conftest import SF_SMALL
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_SMALL
     ck = st._statestore_checkpoint(spark, sf)
     state = (
         spark.read.format("statestore").load(ck)
