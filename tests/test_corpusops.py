@@ -464,3 +464,27 @@ def test_exact_substring_spans_random_cross_check(spark, tmp_path, seed):
         for r in QUERIES["t_exact_substring_spans"](spark, d).collect()
     ]
     assert got == _ess_brute_force(texts, _ESS_L)
+
+
+def test_identifier_binding_rejects_injection(spark):
+    """The injection-safety claim in q_params_identifier's docstring:
+    IDENTIFIER(:tbl) binds the parameter as ONE identifier, so a value
+    carrying statement syntax fails to resolve instead of splicing into
+    the statement; a bound predicate parameter is likewise a literal."""
+    from culvert_spark.sqlrunner import register_views
+
+    register_views(spark, SF_SMALL)
+    with pytest.raises(Exception):  # invalid/unresolvable identifier
+        spark.sql(
+            "SELECT COUNT(*) AS n FROM IDENTIFIER(:tbl)",
+            args={"tbl": "orders; DROP VIEW orders"},
+        ).collect()
+    # The view is untouched and still queryable afterwards.
+    assert spark.sql("SELECT COUNT(*) AS n FROM orders").collect()[0].n > 0
+    # A predicate parameter carrying SQL text is compared as a string
+    # literal (zero rows), never parsed as syntax.
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = :s",
+        args={"s": "' OR 1=1 --"},
+    ).collect()[0].n
+    assert n == 0
