@@ -21,6 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -737,6 +738,16 @@ def v_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: THE tokenization contract for the polymorphic UDTF, in regex-escape
+#: form: Python ``re`` and DuckDB's RE2 both interpret ``\t``/``\n``/
+#: ``\f``/``\r`` identically, so this ONE literal is compiled by eval()
+#: and interpolated into the registered oracle SQL — the two sides can
+#: no longer drift (str.split() would additionally split on \v and
+#: Unicode spaces, which RE2's \s does not).
+_LEAD_TOK_CLASS = r"[\t\n\f\r ]+"
+_LEAD_TOK_RE = re.compile(_LEAD_TOK_CLASS)
+
+
 def _make_lead_tokens_udtf():
     """Polymorphic Python UDTF (Spark 4 ``analyze()`` surface): the output
     SCHEMA is computed at plan time from the constant ``k`` argument —
@@ -764,18 +775,10 @@ def _make_lead_tokens_udtf():
             )
 
         def eval(self, text: str, k: int):
-            import re
-
-            # Explicit ASCII-whitespace class, NOT str.split(): the class
-            # is shared verbatim with the DuckDB oracle's RE2 pattern, so
-            # tabs/newlines/exotic Unicode whitespace can never make the
-            # two sides tokenize differently (str.split() also splits on
-            # \v and Unicode spaces, which RE2's \s does not).
-            toks = [
-                tok
-                for tok in re.split("[\t\n\f\r ]+", text or "")
-                if tok
-            ]
+            # One precompiled module-level pattern (no per-row import or
+            # regex-cache lookup); the literal itself is _LEAD_TOK_CLASS,
+            # the same string the oracle SQL interpolates.
+            toks = [tok for tok in _LEAD_TOK_RE.split(text or "") if tok]
             yield tuple(
                 toks[i] if i < len(toks) else None for i in range(k)
             )
@@ -785,10 +788,10 @@ def _make_lead_tokens_udtf():
 
 @register(
     "v_udtf_analyze_fanout",
-    r"""
+    f"""
     WITH tk AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '[\t\n\f\r ]+'),
+             list_filter(regexp_split_to_array(text, '{_LEAD_TOK_CLASS}'),
                          x -> x <> '') AS toks
       FROM documents)
     SELECT doc_id,

@@ -26,6 +26,10 @@ sf = "/root/testdata/sf0.01"
 qs = e.queries()
 if len(sys.argv) > 1:
     want = set(sys.argv[1:])
+    unknown = want - qs.keys()
+    if unknown:  # a typo must not produce a false-green 0/0 sweep
+        print(f"SWEEP: UNKNOWN QUERY NAMES {sorted(unknown)}")
+        sys.exit(2)
     qs = {k: v for k, v in qs.items() if k in want}
 fails = []
 for name, fn in sorted(qs.items()):
