@@ -182,9 +182,12 @@ except ImportError:  # pragma: no cover
 #: registers or changes (8 slots spare at 42/50).  PLANNED round-8
 #: change needing one of those slots: t_dedup_clusters pointer-doubling
 #: (see its docstring — the 15-round min-label cap silently splits
-#: components whose diameter exceeds 15; propagate through the label
-#: graph instead for O(log diameter) convergence, then re-drive the
-#: row in the round-8 window).  Vintage distribution
+#: components whose diameter exceeds 15).  The replacement ALREADY
+#: EXISTS and is pytest-proven: textops.min_label_components_doubling
+#: (O(log diameter) convergence — a 120-hop chain closes inside the
+#: same 15-round cap — raises instead of returning partial labels,
+#: matches union-find on random graphs); round 8 swaps the row's loop
+#: for one call and re-drives it in the window.  Vintage distribution
 #: entering round 8: 42×r3, 43×r4, 48×r5, 48×r6 (q01_pricing_summary
 #: joins this bucket — its spillover window slot went to the
 #: t_exact_substring_spans registration; entry() still smoke-runs q01

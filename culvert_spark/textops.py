@@ -2022,3 +2022,73 @@ def t_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "span_start", "span_end", "span_len")
         .orderBy("doc_id", "span_start")
     )
+
+
+def min_label_components_doubling(
+    edges: DataFrame, ckpt, max_rounds: int = 15
+) -> DataFrame:
+    """Connected components by min-label propagation WITH pointer
+    doubling: each round every node takes the least of (its label, its
+    LABEL'S label, its neighbors' min label). The extra self-join through
+    the label table halves pointer depth per round, so convergence is
+    O(log diameter) — ``max_rounds=15`` covers diameter 2^15, where the
+    plain neighbor-min recurrence (t_dedup_clusters' current form, round
+    7's documented scale edge) needs a round PER HOP and silently splits
+    any component whose diameter exceeds the cap.
+
+    Contract hardening over the plain form: if the fixpoint is NOT
+    reached within ``max_rounds`` this RAISES instead of returning
+    partially-propagated labels — at a fixpoint labels are provably
+    constant per component (stability across every edge forces equality,
+    and the component minimum keeps its own id), so a returned result is
+    always exact.
+
+    ``edges`` must be the symmetrized, distinct (src, dst) candidate
+    graph; ``ckpt`` is a lineage-truncating checkpoint function (see
+    :func:`_reliable_ckpt`). Planned round-8 swap target for
+    t_dedup_clusters (pytest-proven this round: random graphs vs
+    union-find, and a 120-hop chain the 15-round plain form cannot
+    close)."""
+    labels = ckpt(
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        jump = labels.join(
+            labels.select(
+                F.col("doc_id").alias("lbl"), F.col("lbl").alias("jlbl")
+            ),
+            "lbl",
+            "left",
+        )
+        new_labels = ckpt(
+            jump.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lbl"),
+                    F.coalesce(F.col("jlbl"), F.col("lbl")),
+                    F.coalesce(F.col("nlbl"), F.col("lbl")),
+                ).alias("lbl"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+    raise RuntimeError(
+        f"min_label_components_doubling: no fixpoint in {max_rounds} "
+        "rounds (component diameter > 2^rounds) — raise max_rounds"
+    )

@@ -488,3 +488,71 @@ def test_identifier_binding_rejects_injection(spark):
         args={"s": "' OR 1=1 --"},
     ).collect()[0].n
     assert n == 0
+
+
+# ---------------------------------------------------------------------------
+# min_label_components_doubling: the round-8 swap target for
+# t_dedup_clusters (pointer doubling closes the 15-round diameter cap
+# flagged as round 7's known scale edge)
+# ---------------------------------------------------------------------------
+
+
+def _union_find_components(n_nodes, edge_list):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # Min node id per component, for every node that appears in an edge.
+    touched = sorted({x for e in edge_list for x in e})
+    comp_min: dict[int, int] = {}
+    for x in touched:
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    return {x: comp_min[find(x)] for x in touched}
+
+
+def _run_doubling(spark, edge_list):
+    from culvert_spark.textops import (
+        _reliable_ckpt,
+        min_label_components_doubling,
+    )
+
+    sym = {(a, b) for a, b in edge_list} | {(b, a) for a, b in edge_list}
+    edges = spark.createDataFrame(
+        sorted(sym), "src bigint, dst bigint"
+    )
+    out = min_label_components_doubling(edges, _reliable_ckpt(spark))
+    return {r.doc_id: r.cluster_id for r in out.collect()}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_components_doubling_matches_union_find(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    n = 40
+    edge_list = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(30)
+    ]
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    assert _run_doubling(spark, edge_list) == _union_find_components(
+        n, edge_list
+    )
+
+
+def test_components_doubling_closes_long_chain(spark):
+    """A 120-hop chain: the plain one-hop-per-round recurrence cannot
+    close it in 15 rounds (round 7's documented t_dedup_clusters scale
+    edge); pointer doubling must label every node with the chain head
+    inside the same cap."""
+    edge_list = [(i, i + 1) for i in range(120)]
+    got = _run_doubling(spark, edge_list)
+    assert got == {i: 0 for i in range(121)}
