@@ -556,3 +556,66 @@ def test_components_doubling_closes_long_chain(spark):
     edge_list = [(i, i + 1) for i in range(120)]
     got = _run_doubling(spark, edge_list)
     assert got == {i: 0 for i in range(121)}
+
+
+# ---------------------------------------------------------------------------
+# q_graph_triangles: randomized brute-force cross-check (degree
+# orientation + wedge canonicalization is the most intricate relational
+# logic in the registry; oracle parity only exercises the shipped corpus)
+# ---------------------------------------------------------------------------
+
+
+def _triangles_brute_force(baskets):
+    """Edges = part pairs sharing >= 2 baskets; per-node triangle counts;
+    top-15 by (count DESC, node) — the registered row's exact contract."""
+    from collections import Counter
+    from itertools import combinations
+
+    pair_support = Counter()
+    for parts in baskets.values():
+        for a, b in combinations(sorted(set(parts)), 2):
+            pair_support[(a, b)] += 1
+    edges = {p for p, s in pair_support.items() if s >= 2}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = Counter()
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c once per triangle
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+    ranked = sorted(tri.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    return [(node, n) for node, n in ranked]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_graph_triangles_random_cross_check(spark, tmp_path, seed):
+    """Random basket corpora (dense enough that support>=2 edges form
+    real triangle structure, including hubs that stress the degree
+    orientation) must match the brute-force per-node triangle count."""
+    import os
+    import random
+
+    rng = random.Random(seed)
+    n_parts, n_orders = 30, 120
+    baskets = {
+        ok: [rng.randrange(n_parts) for _ in range(rng.randint(2, 6))]
+        for ok in range(n_orders)
+    }
+    rows = [
+        (ok, p)
+        for ok, parts in baskets.items()
+        for p in parts
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint"
+    ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    got = [
+        (r.node, r.n_triangles)
+        for r in QUERIES["q_graph_triangles"](spark, d).collect()
+    ]
+    assert got == _triangles_brute_force(baskets)
