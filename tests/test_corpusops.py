@@ -619,3 +619,82 @@ def test_graph_triangles_random_cross_check(spark, tmp_path, seed):
         for r in QUERIES["q_graph_triangles"](spark, d).collect()
     ]
     assert got == _triangles_brute_force(baskets)
+
+
+# ---------------------------------------------------------------------------
+# t_minhash_lsh_pairs: randomized cross-check against an independent
+# Python reference (the DuckDB oracle mirrors the Spark construction;
+# this is a third implementation from the written contract)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_brute_force(texts, n_hashes=12, band_size=3):
+    import hashlib
+    from collections import defaultdict
+
+    def md5hex(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    sigs = {}
+    for doc_id, text in texts.items():
+        toks = text.split(" ")
+        if len(toks) < 3:
+            continue  # no shingles -> no signature -> never a candidate
+        shingles = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        sigs[doc_id] = [
+            min(md5hex(f"{i}|{sh}") for sh in shingles)
+            for i in range(n_hashes)
+        ]
+    buckets = defaultdict(list)
+    for doc_id, mh in sorted(sigs.items()):
+        for b in range(n_hashes // band_size):
+            bsig = md5hex(",".join(mh[b * band_size : (b + 1) * band_size]))
+            buckets[(b, bsig)].append(doc_id)
+    shared = defaultdict(int)
+    for (_b, _s), members in buckets.items():
+        for i, a in enumerate(members):
+            for c in members[i + 1 :]:
+                shared[(min(a, c), max(a, c))] += 1
+    out = []
+    for (a, c), n_bands in sorted(shared.items()):
+        n_eq = sum(x == y for x, y in zip(sigs[a], sigs[c]))
+        out.append((a, c, n_bands, round(n_eq / n_hashes, 6)))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_minhash_lsh_random_cross_check(spark, tmp_path, seed):
+    """Random corpora with exact duplicates and one-token-edit near-dups
+    must produce the identical candidate-pair set, shared-band counts,
+    and estimated Jaccard as the independent reference."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = {}
+    for i in range(18):
+        texts[i] = " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 30)))
+    # Exact duplicates and near-duplicates of existing docs.
+    texts[100] = texts[0]
+    texts[101] = texts[1]
+    t2 = texts[2].split(" ")
+    t2[len(t2) // 2] = "EDITED"
+    texts[102] = " ".join(t2)
+    texts[103] = texts[3] + " " + " ".join(texts[3].split(" ")[:5])
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [(i, s, "en", "s") for i, s in sorted(texts.items())],
+    )
+    got = [
+        (r.doc_a, r.doc_b, r.shared_bands, r.est_jaccard)
+        for r in QUERIES["t_minhash_lsh_pairs"](spark, d).collect()
+    ]
+    want = _minhash_brute_force(texts)
+    assert got == want
+    # The planted exact dupes must be among the candidates at jaccard 1.
+    pairs = {(a, b): (nb, ej) for a, b, nb, ej in got}
+    assert pairs[(0, 100)] == (4, 1.0)
+    assert pairs[(1, 101)] == (4, 1.0)
