@@ -698,3 +698,127 @@ def test_minhash_lsh_random_cross_check(spark, tmp_path, seed):
     pairs = {(a, b): (nb, ej) for a, b, nb, ej in got}
     assert pairs[(0, 100)] == (4, 1.0)
     assert pairs[(1, 101)] == (4, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# q_graph_pagerank: randomized cross-check (third implementation beside
+# the Spark loop and its unrolled-CTE oracle; pins the integer-unit
+# arithmetic, floor divisions, dangling/left-join handling and tie-break)
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_brute_force(baskets, iters=3, scale=10**12):
+    from collections import Counter
+    from itertools import combinations
+
+    pair_support = Counter()
+    for parts in baskets.values():
+        for a, b in combinations(sorted(set(parts)), 2):
+            pair_support[(a, b)] += 1
+    und = [p for p, s in pair_support.items() if s >= 2]
+    edges = und + [(b, a) for a, b in und]
+    deg = Counter(src for src, _ in edges)
+    nodes = sorted(deg)
+    n = len(nodes)
+    if n == 0:
+        return []
+    rank = {x: scale // n for x in nodes}
+    for _ in range(iters):
+        inc = Counter()
+        for src, dst in edges:
+            inc[dst] += rank[src] // deg[src]
+        rank = {
+            x: (15 * scale) // (100 * n) + (85 * inc[x]) // 100
+            for x in nodes
+        }
+    ranked = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    return [(part, r) for part, r in ranked]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_graph_pagerank_random_cross_check(spark, tmp_path, seed):
+    import os
+    import random
+
+    rng = random.Random(seed)
+    n_parts, n_orders = 25, 100
+    baskets = {
+        ok: [rng.randrange(n_parts) for _ in range(rng.randint(2, 6))]
+        for ok in range(n_orders)
+    }
+    rows = [(ok, p) for ok, parts in baskets.items() for p in parts]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint"
+    ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    got = [
+        (r.part, r.rank_e12)
+        for r in QUERIES["q_graph_pagerank"](spark, d).collect()
+    ]
+    assert got == _pagerank_brute_force(baskets)
+
+
+# ---------------------------------------------------------------------------
+# t_bpe_learn_merges: randomized cross-check (third implementation of
+# the training contract beside the Spark loop and the unrolled-CTE
+# oracle; pins overlapping pair counting, the lexicographic tie-break,
+# and the greedy left-to-right merge fold)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_brute_force(texts, n_merges=5):
+    from collections import Counter
+
+    vocab = Counter()
+    for text in texts.values():
+        for tok in text.split(" "):
+            vocab[tok] += 1
+    words = {tok: list(tok) for tok in vocab}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for tok, syms in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += vocab[tok]
+        if not pairs:
+            break
+        (l, r), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, l + r, cnt))
+        for tok, syms in words.items():
+            acc = []
+            for x in syms:
+                if acc and acc[-1] == l and x == r:
+                    acc[-1] = l + r
+                else:
+                    acc.append(x)
+            words[tok] = acc
+    return merges
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_bpe_learn_random_cross_check(spark, tmp_path, seed):
+    """Random corpora over a tiny alphabet (dense pair-count ties and
+    runs like 'aaa' that exercise overlapping counting vs non-overlapping
+    rewrite) must learn the identical merge sequence."""
+    import random
+
+    rng = random.Random(seed)
+    texts = {
+        i: " ".join(
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(3, 20))
+        )
+        for i in range(12)
+    }
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [(i, s, "en", "s") for i, s in sorted(texts.items())],
+    )
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count)
+        for r in QUERIES["t_bpe_learn_merges"](spark, d).collect()
+    ]
+    assert got == _bpe_brute_force(texts)
