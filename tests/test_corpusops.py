@@ -822,3 +822,54 @@ def test_bpe_learn_random_cross_check(spark, tmp_path, seed):
         for r in QUERIES["t_bpe_learn_merges"](spark, d).collect()
     ]
     assert got == _bpe_brute_force(texts)
+
+
+# ---------------------------------------------------------------------------
+# q_bfs_reachable_parts: randomized cross-check (min-depth BFS over the
+# co-occurrence graph, depth cap 3, seeds = parts with id <= 3)
+# ---------------------------------------------------------------------------
+
+
+def _bfs_brute_force(baskets, seed_max=3, max_depth=3):
+    from itertools import combinations
+
+    adj: dict[int, set[int]] = {}
+    for parts in baskets.values():
+        for a, b in combinations(sorted(set(parts)), 2):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    all_parts = {p for parts in baskets.values() for p in parts}
+    frontier = {p for p in all_parts if p <= seed_max}
+    depth = {p: 0 for p in frontier}
+    for d in range(1, max_depth + 1):
+        nxt = set()
+        for p in frontier:
+            nxt |= adj.get(p, set())
+        nxt -= depth.keys()
+        for p in nxt:
+            depth[p] = d
+        frontier = nxt
+    return sorted(depth.items())
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_bfs_reachable_random_cross_check(spark, tmp_path, seed):
+    import os
+    import random
+
+    rng = random.Random(seed)
+    n_parts, n_orders = 40, 60  # sparse: some parts stay unreachable
+    baskets = {
+        ok: [rng.randrange(n_parts) for _ in range(rng.randint(1, 4))]
+        for ok in range(n_orders)
+    }
+    rows = [(ok, p) for ok, parts in baskets.items() for p in parts]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint"
+    ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    got = [
+        (r.part_id, r.depth)
+        for r in QUERIES["q_bfs_reachable_parts"](spark, d).collect()
+    ]
+    assert got == _bfs_brute_force(baskets)
