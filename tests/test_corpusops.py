@@ -873,3 +873,131 @@ def test_bfs_reachable_random_cross_check(spark, tmp_path, seed):
         for r in QUERIES["q_bfs_reachable_parts"](spark, d).collect()
     ]
     assert got == _bfs_brute_force(baskets)
+
+
+# ---------------------------------------------------------------------------
+# t_cdc_chunk_dedup + t_simhash_fingerprint: randomized cross-checks
+# (both algorithms are authored on BOTH engine sides — the remaining
+# same-author rows without an independent third implementation)
+# ---------------------------------------------------------------------------
+
+
+def _cdc_brute_force(texts, w=4):
+    import hashlib
+    from collections import defaultdict
+
+    def md5hex(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    chunks_by_doc = {}
+    for doc_id, text in sorted(texts.items()):
+        toks = text.split(" ")
+        n = len(toks)
+        bounds = (
+            [
+                p
+                for p in range(2, n - w + 2)  # sequence(2, n - w + 1)
+                if md5hex(" ".join(toks[p - 1 : p - 1 + w]))[0] < "2"
+            ]
+            if n >= w + 1
+            else []
+        )
+        starts = [1] + bounds
+        ends = [b - 1 for b in bounds] + [n]
+        chunks_by_doc[doc_id] = [
+            (md5hex(" ".join(toks[s - 1 : e])), e - s + 1)
+            for s, e in zip(starts, ends)
+        ]
+    docs_per_digest = defaultdict(set)
+    for doc_id, chunks in chunks_by_doc.items():
+        for h, _sz in chunks:
+            docs_per_digest[h].add(doc_id)
+    out = []
+    for doc_id, chunks in sorted(chunks_by_doc.items()):
+        n = len(texts[doc_id].split(" "))
+        dup = [(h, sz) for h, sz in chunks if len(docs_per_digest[h]) >= 2]
+        dup_tokens = sum(sz for _h, sz in dup)
+        out.append(
+            (
+                doc_id,
+                n,
+                len(chunks),
+                len(dup),
+                dup_tokens,
+                round(dup_tokens / n, 6),
+            )
+        )
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_cdc_chunk_dedup_random_cross_check(spark, tmp_path, seed):
+    """Random corpora where several docs embed the same ~20-token run at
+    DIFFERENT offsets: content-defined boundaries must re-synchronize so
+    the shared run dedups despite the shift — checked against a
+    from-scratch chunker."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    shared = " ".join(rng.choice(vocab) for _ in range(20))
+    texts = {}
+    for i in range(14):
+        body = [rng.choice(vocab) for _ in range(rng.randint(6, 40))]
+        if i % 3 == 0:  # plant the shared run at a doc-specific offset
+            at = rng.randint(0, len(body))
+            body = body[:at] + shared.split(" ") + body[at:]
+        texts[i] = " ".join(body)
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [(i, s, "en", "s") for i, s in sorted(texts.items())],
+    )
+    got = [
+        tuple(r) for r in QUERIES["t_cdc_chunk_dedup"](spark, d).collect()
+    ]
+    want = _cdc_brute_force(texts)
+    assert got == want
+    # CDC's defining property actually fired: some doc has duplicated
+    # chunks even though every planted offset differs.
+    assert any(row[3] > 0 for row in got)
+
+
+def _simhash_brute_force(texts, bits=60):
+    import hashlib
+
+    def hex60(tok):
+        h = hashlib.md5(tok.encode()).hexdigest()
+        return sum(int(h[p], 16) << (4 * p) for p in range(15))
+
+    out = []
+    for doc_id, text in sorted(texts.items()):
+        toks = text.split(" ")
+        sig = 0
+        for j in range(bits):
+            s = sum(1 if (hex60(t) >> j) & 1 else -1 for t in toks)
+            if s > 0:
+                sig |= 1 << j
+        out.append((doc_id, sig))
+    return out
+
+
+def test_simhash_random_cross_check(spark, tmp_path):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25)))
+        for i in range(12)
+    }
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [(i, s, "en", "s") for i, s in sorted(texts.items())],
+    )
+    got = [
+        (r.doc_id, r.simhash)
+        for r in QUERIES["t_simhash_fingerprint"](spark, d).collect()
+    ]
+    assert got == _simhash_brute_force(texts)
