@@ -2031,10 +2031,14 @@ def min_label_components_doubling(
     doubling: each round every node takes the least of (its label, its
     LABEL'S label, its neighbors' min label). The extra self-join through
     the label table halves pointer depth per round, so convergence is
-    O(log diameter) — ``max_rounds=15`` covers diameter 2^15, where the
-    plain neighbor-min recurrence (t_dedup_clusters' current form, round
-    7's documented scale edge) needs a round PER HOP and silently splits
-    any component whose diameter exceeds the cap.
+    O(log diameter): on a worst-case path the measured recurrence
+    (simulated exactly — round 1 is a single neighbor hop, the last
+    round must be all-quiet to return) gives coverage 2^(max_rounds-2),
+    so ``max_rounds=15`` guarantees a returned result for any component
+    diameter up to 8192, where the plain neighbor-min recurrence
+    (t_dedup_clusters' current form, round 7's documented scale edge)
+    needs a round PER HOP and silently splits any component whose
+    diameter exceeds the cap.
 
     Contract hardening over the plain form: if the fixpoint is NOT
     reached within ``max_rounds`` this RAISES instead of returning
@@ -2090,5 +2094,6 @@ def min_label_components_doubling(
             return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
     raise RuntimeError(
         f"min_label_components_doubling: no fixpoint in {max_rounds} "
-        "rounds (component diameter > 2^rounds) — raise max_rounds"
+        f"rounds (component diameter > 2^{max_rounds - 2}) — raise "
+        "max_rounds"
     )

@@ -596,7 +596,6 @@ def test_graph_triangles_random_cross_check(spark, tmp_path, seed):
     """Random basket corpora (dense enough that support>=2 edges form
     real triangle structure, including hubs that stress the degree
     orientation) must match the brute-force per-node triangle count."""
-    import os
     import random
 
     rng = random.Random(seed)
@@ -737,7 +736,6 @@ def _pagerank_brute_force(baskets, iters=3, scale=10**12):
 
 @pytest.mark.parametrize("seed", [0, 1])
 def test_graph_pagerank_random_cross_check(spark, tmp_path, seed):
-    import os
     import random
 
     rng = random.Random(seed)
@@ -854,7 +852,6 @@ def _bfs_brute_force(baskets, seed_max=3, max_depth=3):
 
 @pytest.mark.parametrize("seed", [0, 1])
 def test_bfs_reachable_random_cross_check(spark, tmp_path, seed):
-    import os
     import random
 
     rng = random.Random(seed)
