@@ -957,17 +957,16 @@ def t_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id as the canonical representative — the step that turns a pair
     list into actual keep/drop dedup decisions.
 
-    Iterative (converges in O(component diameter) rounds — near-dup
-    clusters are tiny, so 2-4 rounds; hard cap 15). KNOWN SCALE EDGE
-    (flagged round 7, fix planned round 8 with a fresh driver row): a
-    candidate chain with diameter > 15 (template-drift boilerplate can
-    build one at corpus scale) would exhaust the cap before the min
-    label reaches the far end and silently split the cluster — the
-    oracle's full-reachability CTE would mismatch, but only on data
-    containing such a chain. Round-8 fix: pointer-doubling (propagate
-    labels through the current label graph, not the edge graph), which
-    converges in O(log diameter) — 15 rounds then covers diameter 2^15.
-    The oracle is a DuckDB
+    Iterative via :func:`min_label_components_doubling` (round-8 swap,
+    closing round 7's one flagged scale edge): POINTER DOUBLING — each
+    round a node takes the least of (its label, its label's label, its
+    neighbors' min label), so convergence is O(log diameter); the
+    15-round cap covers any component diameter up to 8192 and the helper
+    RAISES instead of returning partially-propagated labels if the
+    fixpoint is not reached. The plain neighbor-min loop this replaces
+    needed a round PER HOP and silently split any candidate chain with
+    diameter > 15 (template-drift boilerplate builds exactly that at
+    corpus scale). The oracle is a DuckDB
     recursive CTE computing min-reachable-label per node, which is the same
     fixpoint. Each round shuffles only the candidate-graph nodes (O(dups),
     not O(corpus)); lineage is truncated with RELIABLE checkpoints
@@ -984,37 +983,7 @@ def t_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    labels = ckpt(
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("lbl", F.col("doc_id"))
-    )
-    for _ in range(15):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        new_labels = ckpt(
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
-                ).alias("lbl"),
-            )
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    comp = labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+    comp = min_label_components_doubling(edges, ckpt)
     sizes = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -2036,8 +2005,8 @@ def min_label_components_doubling(
     round must be all-quiet to return) gives coverage 2^(max_rounds-2),
     so ``max_rounds=15`` guarantees a returned result for any component
     diameter up to 8192, where the plain neighbor-min recurrence
-    (t_dedup_clusters' current form, round 7's documented scale edge)
-    needs a round PER HOP and silently splits any component whose
+    (t_dedup_clusters' pre-round-8 form, round 7's documented scale
+    edge) needs a round PER HOP and silently splits any component whose
     diameter exceeds the cap.
 
     Contract hardening over the plain form: if the fixpoint is NOT
@@ -2049,10 +2018,9 @@ def min_label_components_doubling(
 
     ``edges`` must be the symmetrized, distinct (src, dst) candidate
     graph; ``ckpt`` is a lineage-truncating checkpoint function (see
-    :func:`_reliable_ckpt`). Planned round-8 swap target for
-    t_dedup_clusters (pytest-proven this round: random graphs vs
-    union-find, and a 120-hop chain the 15-round plain form cannot
-    close)."""
+    :func:`_reliable_ckpt`). Production path of t_dedup_clusters since
+    round 8 (pytest-proven: random graphs vs union-find, and a 120-hop
+    chain the 15-round plain form cannot close)."""
     labels = ckpt(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()

@@ -5,13 +5,17 @@ and report failures. This is the gate that caught the round-6
 s_embedding_near_dup Janino 64 KB hard-fail class.
 
 Vanilla session + the one config; each query is executed to a noop sink
-at sf0.01. Usage: ``python tools/codegen_sweep.py [names...]`` (subset
+at sf0.01 (override via ``$SPARK_GRAFT_SWEEP_SF`` or ``--sf <dir>``).
+Usage: ``python tools/codegen_sweep.py [--sf DIR] [names...]`` (subset
 via argv, full registry otherwise). Expect ``SWEEP: ALL COMPILED``.
+The repo root is derived from this file's location (like bench.py), so
+the sweep imports the tree it lives in regardless of cwd or checkout
+path.
 """
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 
 spark = (
@@ -22,7 +26,10 @@ spark = (
 )
 import __spark_entry__ as e
 
-sf = "/root/testdata/sf0.01"
+sf = os.environ.get("SPARK_GRAFT_SWEEP_SF", "/root/testdata/sf0.01")
+if len(sys.argv) > 2 and sys.argv[1] == "--sf":
+    sf = sys.argv[2]
+    del sys.argv[1:3]
 qs = e.queries()
 if len(sys.argv) > 1:
     want = set(sys.argv[1:])
