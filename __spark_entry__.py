@@ -111,7 +111,45 @@ except ImportError:  # pragma: no cover
 #: landed exactly on the documented ROUND-5 ROTATION (49 hash-green + 1
 #: rows-only v_gram_matrix).
 #:
-#: Round 7 executes the ROUND-7 ROTATION from the round-6 verdict: the 2
+#: Round 8 executes the ROUND-8 ROTATION pre-computed at the end of round
+#: 7 (below), amended for the round's actual change set: 9 window slots go
+#: to rows registered or changed in round 8 —
+#:   t_dedup_clusters (the flagged scale edge: the row now runs
+#:     textops.min_label_components_doubling, pointer doubling,
+#:     O(log diameter), raises on non-convergence),
+#:   t_exact_substring_spans (body refactored onto
+#:     textops.exact_substring_spans with the promised 100 TB bucket
+#:     pre-prune behind an auto char-count probe; plain exact plan at
+#:     test scale, result-identical by construction and pytest),
+#:   q_sessionize_auto (NEW: the adaptive sessionize guard's auto
+#:     DECISION driven on both sides of the threshold, decisions stated
+#:     as oracle literals) and q_sessionize_events (rides: the auto
+#:     branch it executes now routes through twolevel.auto_mode),
+#:   m_cross_format_dedup (UPGRADED rows-only → full value-hash oracle:
+#:     invariant projection + constant-folding SQL ground truth) and
+#:   m_cross_format_dedup_odd (NEW: same collapse at 13×7 — the encoder
+#:     padding paths enter the driver record),
+#:   st_statestore_totals + st_state_metadata (the replay checkpoint now
+#:     writes its 3 micro-batch files explicitly — ntile slices, one
+#:     coalesced append each — instead of trusting repartition(3) to
+#:     leave every partition non-empty, and raises on <3 input rows),
+#:   y_generator_uuid_parity (the generator's UUID derivation constants
+#:     are now shared with the oracle builder — prefix/segments/pool
+#:     imported, not restated; oracle SQL text verified byte-identical,
+#:     and this row is the designed guard for any generator drift).
+#: The remaining 41 slots take the oldest rows (round-3 vintage), which
+#: covers 41 of the 42: v_user_value_zscores DEFERS to round 9 (heads
+#: the spillover right after the window) because the changed-row
+#: invariant outranks the freshness rotation when the two need 51 slots.
+#: y_ysb_windowed_counts also executes generator code but deliberately
+#: does NOT take a slot: its result provably never reads the changed
+#: uuid expressions (only ad_type/event_type/event_time reach the
+#: result), and y_generator_uuid_parity is the purpose-built guard row
+#: for exactly this change class.  After CORRECTNESS_r08: no query's
+#: newest row predates round 4 EXCEPT v_user_value_zscores (r3, one
+#: round late by the documented trade above).
+#:
+#: Round 7 executed the ROUND-7 ROTATION from the round-6 verdict: the 2
 #: new round-7 registrations + the 4 rows whose image/audio decode
 #: dispatch changed in round 7 + the 4 remaining round-1-vintage rows +
 #: all 34 round-2-vintage rows, so after this round NO registered
@@ -196,72 +234,37 @@ except ImportError:  # pragma: no cover
 #: from this list keep their module registration order after the priority
 #: block.
 _PRIORITY = [
-    # ===== ROUND-7 ROTATION (44 of the 50-slot window) =====
-    # (a) new round-7 registrations (2): per-frame video features
-    # (sample_frames fan-out piped into the shared image feature math,
-    # two chained narrow mapInPandas stages) and the cross-format
-    # perceptual-hash dedup row (the same md5-derived pixels encoded
-    # into PPM/PNG/BMP/QOI/TIFF by culvert_spark/mediagen.py collapse
-    # to one keeper group per document) — both rows-only like the
-    # other m_* pandas-UDF rows.
-    "m_video_frame_features", "m_cross_format_dedup",
-    # (a') late-round-7 registrations (2): the Spark-4 state-store
-    # introspection surface — st_statestore_totals reads the streaming
-    # aggregation's checkpoint back through spark.read.format(
-    # "statestore") and hash-matches the per-key agg buffers against
-    # the batch GROUP BY oracle; st_state_metadata pins the operator
-    # identity + retained-batch range via the state-metadata reader.
+    # ===== ROUND-8 ROTATION (exactly the 50-slot window) =====
+    # (a) registered or changed in round 8 (9 rows — see the rotation
+    # note above for what changed in each):
+    "t_dedup_clusters", "t_exact_substring_spans",
+    "q_sessionize_auto", "q_sessionize_events",
+    "m_cross_format_dedup", "m_cross_format_dedup_odd",
     "st_statestore_totals", "st_state_metadata",
-    # (a'') late-round-7 registrations (3), filling the window to exactly
-    # 50: y_generator_uuid_parity (DuckDB REGENERATES the three md5
-    # UUID-pool columns + both round-robin dicts from first principles —
-    # the driver-visible guard for round 6's byte-identical-UUID bug
-    # class), q_params_identifier (named parameter markers +
-    # IDENTIFIER(:tbl) — Spark-4 parameterized SQL bound vs inlined), and
-    # v_udtf_analyze_fanout (schema-polymorphic Python UDTF whose column
-    # set is computed by analyze() from the call-site constant).  The 3
-    # module-order spillover rows they displace (q06_revenue_forecast r5,
-    # q_order_status_dist r6, q_distinct_users_per_type r6) are all
-    # round-3+ fresh, so the freshness invariant is preserved.
-    "y_generator_uuid_parity", "q_params_identifier",
-    "v_udtf_analyze_fanout",
-    # (a''') final late-round-7 registration, taking the 50th window slot
-    # that the q01 flagship spillover held: t_exact_substring_spans — the
-    # Lee et al. 2022 ExactSubstr semantics (maximal repeated character
-    # spans >= 40 chars, cross-doc AND within-doc, L-gram anchoring +
-    # island merge instead of a single-node suffix array).  q01 stays
-    # r6-fresh in the record and is smoke-checked via entry() every
-    # round, so the freshness invariant is unaffected.
-    "t_exact_substring_spans",
-    # (b) changed in round 7 (4) — the image-decode dispatch hardened
-    # (bounded IDAT/fdAT inflate sized from the declared geometry,
-    # TIFF 16-bit palette round(v/257) to match the PNG convention,
-    # JPEG AC-refine band-overflow now raises like the first-pass
-    # decoder), so every row whose path decodes images gets a fresh
-    # row; m_audio_features rides along (FLAC annotation fix only).
-    "m_image_features", "m_frame_sample", "m_image_dedup_groups",
-    "m_audio_features",
-    # (c) freshness: the 4 remaining round-1-vintage rows...
-    "q_unpivot_rates", "q_string_funcs_parts",
-    "q_top_customer_per_nation", "q_union_active_parties",
-    # ...and all 34 remaining round-2-vintage rows — after this round
-    # NO registered query's newest driver row predates round 3.
-    "q_window_rank_suite", "q13_order_count_distribution",
-    "q14_promo_share", "q15_top_supplier", "q16_supplier_variety",
-    "q17_below_avg_quantity", "q18_large_orders",
-    "q19_disjunctive_brackets", "q20_supplier_part_share",
-    "q21_sole_late_supplier", "q22_idle_customers",
-    "q_agg_funcs_modern", "q_approx_percentile", "q_bitwise_agg",
-    "q_collect_set_segments", "q_first_last_value",
-    "q_histogram_acctbal", "q_like_predicates",
-    "q_null_handling_funcs", "q_posexplode_tokens",
-    "q_rollup_grouping_id", "q_sequence_active_months",
-    "t_bpe_token_estimate", "t_doc_fingerprint", "t_lang_id",
-    "t_quality_scores", "t_text_stats", "t_tfidf_top3",
-    "t_train_test_split", "v_cosine_topk_pandas", "v_ivf_ann_topk",
-    "v_plain_udf_slug", "v_udtf_shingle_top10",
-    "y_ysb_windowed_counts",
+    "y_generator_uuid_parity",
+    # (b) freshness: 41 of the 42 round-3-vintage rows (the oldest in
+    # the record; v_user_value_zscores defers to round 9 — it is the
+    # 51st name below, first past the window).
+    "q_basket_part_pairs", "q_cohort_retention", "q_data_quality_audit",
+    "q_dau_wau_mau", "q_equidepth_approx", "q_equidepth_histogram",
+    "q_event_transitions", "q_ewma_user_daily", "q_full_outer_join",
+    "q_funnel_steps", "q_fuzzy_name_match", "q_incremental_agg_refresh",
+    "q_interval_bucket_join", "q_lateral_topk_per_nation",
+    "q_merge_upsert", "q_nullsafe_join", "q_ohlc_downsample",
+    "q_pattern_match_sequences", "q_runtime_filter_prefilter_join",
+    "q_scd2_intervals", "q_skew_report", "q_sliding_distinct_users",
+    "q_snapshot_diff", "q_spatial_grid_nn", "q_sql_text_interface",
+    "q_string_agg_names", "q_timeseries_gapfill", "q_variant_props",
+    "s_embedding_quantize_int8", "t_contamination_check", "t_doc_chunks",
+    "t_hash_sample_rate", "t_pii_redaction", "t_repetition_metrics",
+    "t_stratified_sample", "t_text_normalize", "t_token_budget_mixture",
+    "t_unigram_lm_score", "t_weighted_sample", "v_arrow_vector_norms",
+    "v_grouped_agg_median",
+    # ===== past the 50-row window: ROUND-9 ROTATION starts here =====
+    # The one r3-vintage row the round-8 window could not fit:
+    "v_user_value_zscores",
 ]
+
 
 
 def _ordered(maps: list[dict]) -> dict:

@@ -68,6 +68,12 @@ SF_LARGE_QUERIES = [
     # suffix token), so CDC finds real cross-replica duplicate chunks —
     # the web-crawl shape its dup-fraction output exists for.
     "t_cdc_chunk_dedup",
+    # round 8: the ExactSubstr maximal-span pass — on the near-dup
+    # replicated corpus almost EVERY 40-gram is duplicated cross-replica
+    # (each doc has 3 near-copies), so this is the operator's worst-case
+    # shuffle shape: the duplicated-anchor semi-join passes ~the whole
+    # position stream.
+    "t_exact_substring_spans",
 ]
 SF_LARGE_REP = 4  # replicas of SF_DIR → effective sf ≈ 4 × headline sf
 SF_LARGE_REP_ND = 2  # near-dup replica factor (see note above)
@@ -236,11 +242,62 @@ def _bench_sf_large(spark, registry) -> dict:
             # per-query overheads (scan setup, codegen) flatten the
             # measured exponent BELOW the bound at these sizes.
             nd_pair["bound"] = 1.67
+        # Same-session scaling pair for exact-substring spans (round-7
+        # verdict item 4: the newest corpus-grain operator, gram fan-out
+        # is the thing to watch). Gram volume is linear in corpus chars
+        # (bound 1.0 for the narrow stages); the near-dup replicas push
+        # the duplicated-anchor fraction to ~1 at 4x, so the measured
+        # exponent ALSO carries the output/island-merge growth — the
+        # honest worst case, noted in the dict.
+        ess_small = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            registry["t_exact_substring_spans"](spark, SF_DIR).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            ess_small = min(ess_small, time.perf_counter() - start)
+        ess_pair = {
+            "sf_small_sec": round(ess_small, 3),
+            "sf_large_sec": timings.get("t_exact_substring_spans"),
+            "note": "4x corpus is near-dup replicated => dup-anchor "
+            "fraction ~1 at the large point (worst-case semi-join); "
+            "gram volume itself scales 1.0",
+        }
+        if ess_small > 0 and timings.get("t_exact_substring_spans"):
+            import math
+
+            ratio = timings["t_exact_substring_spans"] / ess_small
+            ess_pair["ratio"] = round(ratio, 2)
+            ess_pair["exponent"] = round(
+                math.log(ratio) / math.log(SF_LARGE_REP), 2
+            )
+        # Forced prune A/B at the large point (the auto probe keeps the
+        # plain plan below _ESS_PRUNE_CHARS, so the bucket path's cost
+        # is recorded here explicitly every round; at this tiny scale
+        # and ~100% dup fraction the prune SHOULD lose — the recorded
+        # number is the insurance price, same framing as sessionize_ab).
+        from culvert_spark.textops import exact_substring_spans
+
+        large_docs = spark.read.parquet(
+            os.path.join(large_dir, "documents.parquet")
+        )
+        ess_ab = {}
+        for mode in ("off", "bucket"):
+            best = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                exact_substring_spans(large_docs, prune=mode).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
+            ess_ab[f"{mode}_sec"] = round(best, 3)
         return {
             "sf": round(_sf_from_dir(SF_DIR) * SF_LARGE_REP, 3),
             "replicas": SF_LARGE_REP,
             "queries": timings,
             "triangles_scaling_pair": tri_pair,
+            "ess_scaling_pair": ess_pair,
+            "ess_prune_ab": ess_ab,
             "near_dup": {
                 "sf": round(_sf_from_dir(SF_DIR) * SF_LARGE_REP_ND, 3),
                 "replicas": SF_LARGE_REP_ND,
@@ -907,6 +964,13 @@ def main() -> None:
                     "near_dup_scaling": sf_large.get("near_dup", {}).get(
                         "scaling_pair", {}
                     ),
+                    "ess_scaling": {
+                        k: sf_large.get("ess_scaling_pair", {}).get(k)
+                        for k in ("sf_small_sec", "sf_large_sec", "ratio",
+                                  "exponent")
+                        if k in sf_large.get("ess_scaling_pair", {})
+                    },
+                    "ess_prune_ab": sf_large.get("ess_prune_ab", {}),
                 },
                 "sessionize_ab": sess_compact,
                 "uuid_ab": uuid_compact,

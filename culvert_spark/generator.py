@@ -111,9 +111,22 @@ def _pick(values: list[str], idx: Column) -> Column:
     return F.element_at(arr, (F.pmod(idx, F.lit(len(values))) + 1).cast("int"))
 
 
+#: md5 input prefix of one UUID-pool value — ``uuid<seed>|<salt>|`` with
+#: the pool index appended. Shared with queries._uuid_oracle_expr so the
+#: DuckDB parity oracle and this generator CANNOT drift independently
+#: (round-7 ADVICE: the oracle used to restate the literal).
+def uuid_pool_prefix(seed: int, salt: str) -> str:
+    return f"uuid{seed}|{salt}|"
+
+
+#: The 8-4-4-4-12 hex-segment widths of the UUID reshape (md5 is 32 hex
+#: chars; segments are consecutive). Shared with the parity oracle.
+UUID_SEGMENTS = (8, 4, 4, 4, 12)
+
+
 def _uuid_shaped(idx: Column, seed: int, salt: str) -> Column:
     """Deterministic UUID-shaped string: md5 of ``uuid<seed>|<salt>|<idx>``
-    reshaped 8-4-4-4-12.
+    reshaped 8-4-4-4-12 (:data:`UUID_SEGMENTS`).
 
     The reference's UUID pools are explicitly UNSEEDED (Column.java:58 uses
     UUID.randomUUID()) so run-to-run parity is impossible by design; we make
@@ -129,18 +142,15 @@ def _uuid_shaped(idx: Column, seed: int, salt: str) -> Column:
     hashing (a long→binary cast that would feed md5 8 raw bytes is
     blocked under ANSI mode)."""
     hx = F.md5(
-        F.concat(F.lit(f"uuid{seed}|{salt}|"), idx.cast("string")).cast(
-            "binary"
-        )
+        F.concat(
+            F.lit(uuid_pool_prefix(seed, salt)), idx.cast("string")
+        ).cast("binary")
     )
-    return F.concat_ws(
-        "-",
-        F.substring(hx, 1, 8),
-        F.substring(hx, 9, 4),
-        F.substring(hx, 13, 4),
-        F.substring(hx, 17, 4),
-        F.substring(hx, 21, 12),
-    )
+    parts, off = [], 1
+    for seg in UUID_SEGMENTS:
+        parts.append(F.substring(hx, off, seg))
+        off += seg
+    return F.concat_ws("-", *parts)
 
 
 def expr_for(spec: ColumnSpec, id_col: Column, seed: int) -> Column:

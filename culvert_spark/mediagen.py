@@ -215,13 +215,20 @@ _SIDE = 16  # 16x16 RGB planes: big enough for a meaningful phash
 
 
 def cross_format_media(
-    spark: SparkSession, sf_dir: str, n_docs: int = 40
+    spark: SparkSession,
+    sf_dir: str,
+    n_docs: int = 40,
+    width: int = _SIDE,
+    height: int = _SIDE,
 ) -> DataFrame:
     """(media_id, kind, payload, meta) frame where each of the first
     ``n_docs`` documents becomes SIX payloads — the same md5-derived
-    16×16 RGB pixels in PPM/PNG/BMP/QOI/TIFF plus a grayscale lossless
-    JPEG of their BT.601 luma — so container-insensitive dedup has
-    ground truth: exactly ``n_docs`` groups of 6."""
+    ``height×width`` RGB pixels (default 16×16) in PPM/PNG/BMP/QOI/TIFF
+    plus a grayscale lossless JPEG of their BT.601 luma — so
+    container-insensitive dedup has ground truth: exactly ``n_docs``
+    groups of 6. Non-default odd/non-square geometry exercises the
+    encoders' padding paths (BMP 4-byte row pad, TIFF strip byte counts,
+    PNG per-row filter bytes) through the registered surface."""
     from culvert_spark.queries import t
 
     docs = (
@@ -241,14 +248,14 @@ def cross_format_media(
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 rgb = np.frombuffer(
-                    _md5_plane(str(text), _SIDE * _SIDE * 3), dtype=np.uint8
-                ).reshape(_SIDE, _SIDE, 3)
+                    _md5_plane(str(text), width * height * 3), dtype=np.uint8
+                ).reshape(height, width, 3)
                 for i, (_, enc) in enumerate(ENCODERS):
                     rows.append({
                         "media_id": int(doc_id) * 8 + i,
                         "kind": "image",
                         "payload": enc(rgb),
-                        "meta": {"width": _SIDE, "height": _SIDE,
+                        "meta": {"width": width, "height": height,
                                  "sample_rate": 0, "n_frames": 1},
                     })
             yield pd.DataFrame(
@@ -259,7 +266,11 @@ def cross_format_media(
 
 
 def cross_format_dedup(
-    spark: SparkSession, sf_dir: str, n_docs: int = 40
+    spark: SparkSession,
+    sf_dir: str,
+    n_docs: int = 40,
+    width: int = _SIDE,
+    height: int = _SIDE,
 ) -> DataFrame:
     """Registered-query body: the six-container corpus through
     ``image_dedup_groups`` — each group's n_images is a multiple of 6
@@ -271,5 +282,7 @@ def cross_format_dedup(
     from culvert_spark.multimodal import image_dedup_groups
 
     return image_dedup_groups(
-        cross_format_media(spark, sf_dir, n_docs=n_docs)
+        cross_format_media(
+            spark, sf_dir, n_docs=n_docs, width=width, height=height
+        )
     ).orderBy("keeper_id")

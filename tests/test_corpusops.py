@@ -466,6 +466,70 @@ def test_exact_substring_spans_random_cross_check(spark, tmp_path, seed):
     assert got == _ess_brute_force(texts, _ESS_L)
 
 
+@pytest.mark.parametrize("seed", [5, 6])
+def test_exact_substring_prune_equality(spark, tmp_path, seed):
+    """The 100 TB bucket pre-prune is RESULT-IDENTICAL to the plain
+    exact plan — on a random planted corpus, prune="bucket" (forced, and
+    with a tiny bucket domain to force real bucket collisions through
+    the false-positive path) matches prune="off" AND the independent
+    brute force."""
+    import random
+
+    from culvert_spark.textops import _ESS_L, exact_substring_spans
+
+    rng = random.Random(seed)
+    texts = {
+        i: "".join(rng.choice("abcd") for _ in range(rng.randint(30, 300)))
+        for i in range(1, 20)
+    }
+    block = "".join(rng.choice("abcd") for _ in range(90))
+    texts[2] = block + texts[2]
+    texts[11] = texts[11][:35] + block + texts[11][35:]
+    texts[11] += texts[11][:48]  # within-doc repeat
+    d = _write_docs(
+        spark, tmp_path, [(i, s, "en", "s") for i, s in sorted(texts.items())]
+    )
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    plain = exact_substring_spans(docs, prune="off")
+    # n_buckets=7 guarantees collisions between unrelated grams, so the
+    # exact pass after the broadcast filter is genuinely exercised.
+    pruned = exact_substring_spans(docs, prune="bucket", n_buckets=7)
+    want = _ess_brute_force(texts, _ESS_L)
+    assert [tuple(r) for r in plain.collect()] == want
+    assert [tuple(r) for r in pruned.collect()] == want
+
+
+def test_exact_substring_prune_modes(spark, tmp_path):
+    """auto mode routes on the char-count probe (threshold 0 engages the
+    bucket plan, the default threshold keeps the plain plan at test
+    scale); the bucket plan broadcasts the hot-bucket set (no
+    cartesian/BNLJ) and stays JVM-only; unknown modes raise."""
+    from culvert_spark.textops import exact_substring_spans
+
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "A" * 60 + _filler("p", 40), "en", "s"),
+         (2, _filler("q", 25) + "A" * 60, "en", "s")],
+    )
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    rows_off = exact_substring_spans(docs, prune="auto").collect()
+    auto_bucket = exact_substring_spans(
+        docs, prune="auto", prune_threshold_chars=0
+    )
+    assert [tuple(r) for r in auto_bucket.collect()] == [
+        tuple(r) for r in rows_off
+    ]
+    auto_bucket.collect()
+    plan = auto_bucket._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and plan.count("LeftSemi") >= 2
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert marker not in plan, f"unexpected {marker} in prune plan"
+    with pytest.raises(ValueError, match="prune"):
+        exact_substring_spans(docs, prune="bogus").collect()
+
+
 def test_identifier_binding_rejects_injection(spark):
     """The injection-safety claim in q_params_identifier's docstring:
     IDENTIFIER(:tbl) binds the parameter as ONE identifier, so a value

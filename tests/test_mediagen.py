@@ -43,6 +43,33 @@ def test_encoders_distinct_bytes_same_pixels():
         assert (p == planes[0]).all()
 
 
+@pytest.mark.parametrize("dims", [(7, 13), (5, 5), (9, 2)])
+@pytest.mark.parametrize("name,enc", mg.ENCODERS)
+def test_encoders_roundtrip_odd_geometry(name, enc, dims):
+    """Non-square / odd dims exercise the padding paths (BMP 4-byte row
+    pad, TIFF strip byte counts, PNG per-row filter bytes, lossless-JPEG
+    row wrap at odd width) — every container still decodes to the same
+    luma bit-exactly."""
+    h, w = dims
+    rng = np.random.default_rng(h * 100 + w)
+    rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    plane = mm._decode_image(enc(rgb), w, h)
+    assert plane.shape == (h, w)
+    assert (plane == _luma(rgb)).all()
+
+
+def test_cross_format_dedup_odd_geometry_collapses(spark):
+    """The registered odd-geometry row's ground truth, checked
+    collision-tolerantly (the registered oracle additionally pins the
+    no-collision shape for the shipped test data)."""
+    got = mg.cross_format_dedup(spark, SF_DIR, n_docs=10, width=13, height=7).collect()
+    assert sum(r.n_images for r in got) == 60
+    for r in got:
+        assert r.n_images % 6 == 0 and r.n_images >= 6
+        assert r.n_dupes == r.n_images - 1
+        assert r.keeper_id % 8 == 0
+
+
 def test_md5_plane_deterministic_and_length():
     a = mg._md5_plane("hello", 768)
     b = mg._md5_plane("hello", 768)

@@ -236,6 +236,29 @@ def test_two_level_lead_pairs_match_single_window(spark):
     assert {tuple(r) for r in two.collect()} == {tuple(r) for r in naive.collect()}
 
 
+def test_sessionize_auto_mode_decision(spark):
+    """auto_mode is the exact branch mode="auto" takes: below the cutoff
+    it returns "single", at/above it "two_level", and
+    sessionize_session_rows(small_rows=...) produces identical session
+    rows either way (the decision changes the PLAN, never the result)."""
+    from culvert_spark.twolevel import auto_mode, sessionize_session_rows
+
+    ev = _hot_key_events(spark)
+    n = ev.count()
+    assert auto_mode(ev, small_rows=n) == "single"
+    assert auto_mode(ev, small_rows=n - 1) == "two_level"
+    assert auto_mode(ev, small_rows=0) == "two_level"
+    via_single = {
+        (r.user_id, r.n_events, r.min_us, r.max_us)
+        for r in sessionize_session_rows(ev, mode="auto", small_rows=n).collect()
+    }
+    via_two = {
+        (r.user_id, r.n_events, r.min_us, r.max_us)
+        for r in sessionize_session_rows(ev, mode="auto", small_rows=0).collect()
+    }
+    assert via_single == via_two and len(via_single) > 0
+
+
 def test_two_level_sessionize_matches_single_window(spark):
     import pyspark.sql.functions as F
     from pyspark.sql.window import Window
