@@ -149,6 +149,28 @@ except ImportError:  # pragma: no cover
 #: newest row predates round 4 EXCEPT v_user_value_zscores (r3, one
 #: round late by the documented trade above).
 #:
+#: ROUND-9 ROTATION (computed at end of round 8 from the cumulative
+#: record, assuming CORRECTNESS_r08 lands on the window above —
+#: distribution then: 1×r3, 43×r4, 47×r5, 47×r6, 45×r7, 50×r8): the
+#: deferred v_user_value_zscores FIRST, then the 43 round-4-vintage
+#: rows — q_bfs_reachable_parts, q_chi2_priority_status,
+#: q_churned_users, q_cms_heavy_hitters, q_collation_group_ci,
+#: q_conversion_latency, q_cumulative_distinct_users,
+#: q_embedding_dim_stats, q_from_xml_events, q_gini_concentration,
+#: q_histogram_2d, q_hll_sketch_users, q_json_key_profile,
+#: q_mom_revenue_growth, q_new_vs_returning, q_null_profile,
+#: q_ols_daily_revenue_trend, q_pareto_coverage, q_rfm_segments,
+#: q_robust_outlier_stats, q_sql_pipe_interface, q_table_fingerprint,
+#: q_trending_event_types, q_try_functions, q_weekday_seasonality,
+#: q_yoy_revenue_growth, t_bigram_lm_top, t_boilerplate_ngrams,
+#: t_bpe_learn_merges, t_bpe_tokenize_stats, t_char_class_profile,
+#: t_context_truncation_stats, t_deterministic_shuffle, t_doc_entropy,
+#: t_hashed_ngram_features, t_lang_id_confusion, t_length_band_filter,
+#: t_mix_temperature_weights, t_multimodal_manifest,
+#: t_quality_percentile_filter, t_token_coverage_topk, t_vocab_growth,
+#: v_pq_ann_topk — 44 of 50, leaving 6 slots for round-9
+#: registrations/changes (which, as always, take precedence).
+#:
 #: Round 7 executed the ROUND-7 ROTATION from the round-6 verdict: the 2
 #: new round-7 registrations + the 4 rows whose image/audio decode
 #: dispatch changed in round 7 + the 4 remaining round-1-vintage rows +

@@ -1896,12 +1896,21 @@ _ESS_PRUNE_CHARS = 32_000_000
 _ESS_PRUNE_BUCKETS = 1 << 20
 
 
+#: Default winnowing window (grams) for exact_substring_spans'
+#: ``anchor="winnow"`` — expected anchor density 2/(w+1) ≈ 0.12, recall
+#: guaranteed for repeats of length >= L + w - 1 (= 55 chars at the
+#: default L=40), span boundaries conservative by <= w-1 chars.
+_ESS_WINNOW_W = 16
+
+
 def exact_substring_spans(
     docs: DataFrame,
     L: int = _ESS_L,
     prune: str = "auto",
     n_buckets: int = _ESS_PRUNE_BUCKETS,
     prune_threshold_chars: int = _ESS_PRUNE_CHARS,
+    anchor: str = "stride1",
+    winnow_w: int = _ESS_WINNOW_W,
 ) -> DataFrame:
     """ExactSubstr maximal-span dedup over a (doc_id, text) frame — the
     operator body of t_exact_substring_spans (see its docstring for
@@ -1934,9 +1943,46 @@ def exact_substring_spans(
       the registered row stays on the exact plain plan at test scale
       and a 100 TB corpus gets the prune without a code change.
 
-    Result-identical across all three modes at any parallelism (pinned
-    by tests/test_corpusops.py::test_exact_substring_prune_equality
-    against the brute-force reference and mode "off")."""
+    Result-identical across all three prune modes at any parallelism
+    (pinned by tests/test_corpusops.py::test_exact_substring_prune_equality
+    against the brute-force reference and mode "off").
+
+    ``anchor`` picks the anchoring scheme:
+
+    - ``"stride1"`` (default, the registered row's mode): every gram
+      position is an anchor — EXACT maximal spans for all repeats >= L.
+    - ``"winnow"`` — winnowing / minimizer sampling (Schleimer et al.
+      2003, SIGMOD; the content-defined replacement for the naive
+      "stride L/2" idea, which is BROKEN across occurrence phases): a
+      position is an anchor iff its gram's xxhash64 is the minimum of
+      at least one window of ``winnow_w`` consecutive gram positions
+      (all ties selected — the choice depends only on gram CONTENT, so
+      every occurrence of a repeat samples the same relative
+      positions). Guarantees: expected anchor density 2/(w+1); zero
+      false positives (anchors are a subset of stride-1 anchors, so
+      every reported span lies inside an exact span); every repeat of
+      length >= L + w - 1 is detected in every occurrence (it contains
+      a full gram window at matching relative offsets, whose minimizer
+      matches), with span boundaries conservative by at most w-1 chars
+      and intra-repeat anchor gaps <= w <= L (so the island merge
+      cannot split a covered repeat). Repeats of length L..L+w-2 MAY be
+      missed — the documented recall trade, now with a real guarantee
+      instead of the stride heuristic. Implementation is entirely
+      NARROW: per-doc array HOFs (transform/slice/filter — O(n·w)
+      compute per doc, zero extra shuffles) select anchor positions
+      before the explode, so only the ~2/(w+1) sampled stream pays
+      md5, the count shuffle, and the semi-join. Regime honesty
+      (measured, bench `ess_anchor_ab`): at local[32] toy scale the
+      selection's interpreted-HOF constant (~2·n·w lambda evals +
+      n xxhash64-of-substring, which alone rivals stride-1's n md5s)
+      EXCEEDS the shuffle savings, so winnow loses there — its win is
+      the shuffle-/network-bound regime the mode exists for, where
+      8x fewer shuffled positions and 8x smaller dup-count state
+      dominate. (A shifted-zip_with formulation was also measured and
+      lost to this slice form single-task, 23.6 vs 19.3 s at 6M chars,
+      with identical anchor sets.) The identity ``winnow_w=1`` ==
+      ``stride1`` is pinned by pytest, as are the subset and detection
+      guarantees."""
     base = docs.where(F.length("text") >= L).select("doc_id", "text")
     if prune == "auto":
         total = base.agg(
@@ -1945,27 +1991,75 @@ def exact_substring_spans(
         prune = "bucket" if total >= prune_threshold_chars else "off"
     if prune not in ("off", "bucket"):
         raise ValueError(f"unknown prune mode {prune!r}")
-    grams = (
-        # spread() AFTER the length filter: the gram fan-out is the
-        # compute-dense stage (length(text) md5s per doc), and a
-        # single-row-group documents file would otherwise pin it to one
-        # task (no-op whenever the scan already splits).
-        spread(base)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.length("text") - (L - 1))
-            ).alias("pos"),
-            "text",
+    if anchor == "winnow":
+        if winnow_w < 1:
+            raise ValueError(f"winnow_w must be >= 1, got {winnow_w}")
+        w_ = winnow_w
+        grams = (
+            spread(base)
+            .withColumn(
+                "hvs",
+                F.expr(
+                    f"transform(sequence(1, length(text) - {L - 1}), "
+                    f"p -> xxhash64(substring(text, p, {L})))"
+                ),
+            )
+            .withColumn(
+                # wmin[q] = min gram hash of the window starting at q
+                # (partial windows near the end included — selects a few
+                # extra boundary anchors, harmless: still exact-subset).
+                "wmin",
+                F.expr(
+                    f"transform(sequence(1, size(hvs)), "
+                    f"q -> array_min(slice(hvs, q, {w_})))"
+                ),
+            )
+            .select(
+                "doc_id",
+                "text",
+                # p is an anchor iff it achieves the min of SOME window
+                # containing it <=> hvs[p] == max(wmin[p-w+1 .. p]).
+                F.explode(
+                    F.expr(
+                        f"filter(sequence(1, size(hvs)), "
+                        f"p -> element_at(hvs, p) == array_max(slice(wmin, "
+                        f"greatest(1, p - {w_ - 1}), "
+                        f"p - greatest(1, p - {w_ - 1}) + 1)))"
+                    )
+                ).alias("pos"),
+            )
+            .select(
+                "doc_id",
+                "pos",
+                F.md5(
+                    F.expr(f"cast(substring(text, pos, {L}) as binary)")
+                ).alias("h"),
+            )
         )
-        .select(
-            "doc_id",
-            "pos",
-            F.md5(
-                F.expr(f"cast(substring(text, pos, {L}) as binary)")
-            ).alias("h"),
+    elif anchor == "stride1":
+        grams = (
+            # spread() AFTER the length filter: the gram fan-out is the
+            # compute-dense stage (length(text) md5s per doc), and a
+            # single-row-group documents file would otherwise pin it to one
+            # task (no-op whenever the scan already splits).
+            spread(base)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.lit(1), F.length("text") - (L - 1))
+                ).alias("pos"),
+                "text",
+            )
+            .select(
+                "doc_id",
+                "pos",
+                F.md5(
+                    F.expr(f"cast(substring(text, pos, {L}) as binary)")
+                ).alias("h"),
+            )
         )
-    )
+    else:
+        raise ValueError(f"unknown anchor mode {anchor!r}")
     if prune == "bucket":
         bucket = F.pmod(F.xxhash64("h"), F.lit(n_buckets))
         hot = (

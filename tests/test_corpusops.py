@@ -528,6 +528,97 @@ def test_exact_substring_prune_modes(spark, tmp_path):
         assert marker not in plan, f"unexpected {marker} in prune plan"
     with pytest.raises(ValueError, match="prune"):
         exact_substring_spans(docs, prune="bogus").collect()
+    with pytest.raises(ValueError, match="anchor"):
+        exact_substring_spans(docs, anchor="stride2").collect()
+    with pytest.raises(ValueError, match="winnow_w"):
+        exact_substring_spans(docs, anchor="winnow", winnow_w=0).collect()
+
+
+def test_exact_substring_winnow_w1_identity(spark, tmp_path):
+    """winnow_w=1 degenerates to stride-1 (every window is one gram, so
+    every position is its own minimizer) — results must be identical on
+    a repeat-dense random corpus."""
+    import random
+
+    from culvert_spark.textops import exact_substring_spans
+
+    rng = random.Random(9)
+    texts = {
+        i: "".join(rng.choice("abcd") for _ in range(rng.randint(30, 250)))
+        for i in range(1, 15)
+    }
+    block = "".join(rng.choice("abcd") for _ in range(80))
+    texts[4] += block
+    texts[9] = block + texts[9]
+    d = _write_docs(
+        spark, tmp_path, [(i, s, "en", "s") for i, s in sorted(texts.items())]
+    )
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    exact = [tuple(r) for r in exact_substring_spans(docs).collect()]
+    win1 = [
+        tuple(r)
+        for r in exact_substring_spans(
+            docs, anchor="winnow", winnow_w=1
+        ).collect()
+    ]
+    assert win1 == exact and len(exact) > 0
+
+
+@pytest.mark.parametrize("w", [4, 16])
+def test_exact_substring_winnow_guarantees(spark, tmp_path, w):
+    """The two winnowing contracts, on randomized corpora with a planted
+    repeat of EXACTLY L + w - 1 chars (the guarantee boundary):
+
+    - zero false positives: every winnow span is contained in an exact
+      stride-1 span of the same doc;
+    - detection: the planted block is reported in BOTH docs, inside the
+      planted range, with span length >= L."""
+    import random
+
+    from culvert_spark.textops import _ESS_L, exact_substring_spans
+
+    rng = random.Random(100 + w)
+    texts = {
+        i: "".join(rng.choice("abcd") for _ in range(rng.randint(60, 300)))
+        for i in range(1, 15)
+    }
+    block = "".join(rng.choice("xyz") for _ in range(_ESS_L + w - 1))
+    # Plant at known offsets. The two planted docs get DISJOINT flank
+    # alphabets ("ab" vs "cd"): a shared flanking char would legitimately
+    # extend the true duplicated region past the planted range (observed
+    # at 1-in-4 per boundary with a common alphabet) and break the
+    # ground-truth bounds below.
+    off5, off12 = 13, 41
+    f5 = "".join(rng.choice("ab") for _ in range(len(texts[5])))
+    f12 = "".join(rng.choice("cd") for _ in range(len(texts[12])))
+    texts[5] = f5[:off5] + block + f5[off5:]
+    texts[12] = f12[:off12] + block + f12[off12:]
+    d = _write_docs(
+        spark, tmp_path, [(i, s, "en", "s") for i, s in sorted(texts.items())]
+    )
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    exact = [tuple(r) for r in exact_substring_spans(docs).collect()]
+    got = [
+        tuple(r)
+        for r in exact_substring_spans(
+            docs, anchor="winnow", winnow_w=w
+        ).collect()
+    ]
+    # subset guarantee
+    for doc_id, s, e, _ln in got:
+        assert any(
+            xd == doc_id and xs <= s and e <= xe for xd, xs, xe, _ in exact
+        ), f"winnow span ({doc_id},{s},{e}) not inside any exact span"
+    # detection guarantee at the boundary length
+    for doc_id, off in ((5, off5), (12, off12)):
+        start, end = off + 1, off + len(block)  # 1-based planted range
+        hits = [
+            (s, e, ln)
+            for xd, s, e, ln in got
+            if xd == doc_id and s >= start and e <= end
+        ]
+        assert hits, f"planted block not detected in doc {doc_id}"
+        assert max(ln for _, _, ln in hits) >= _ESS_L
 
 
 def test_identifier_binding_rejects_injection(spark):
