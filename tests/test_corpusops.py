@@ -621,6 +621,74 @@ def test_exact_substring_winnow_guarantees(spark, tmp_path, w):
         assert max(ln for _, _, ln in hits) >= _ESS_L
 
 
+def test_exact_substring_winnow_positional_guarantee(spark, tmp_path):
+    """The per-window detection contract, checked POSITIONALLY against
+    an independent brute force on a repeat-dense corpus (2-char
+    alphabet, L=8, w=3): for EVERY position p whose (L+w-1)-gram occurs
+    2+ times corpus-wide, some winnow span must cover [p+w-1, p+L-1] —
+    i.e. the guaranteed shared anchor q ∈ [p, p+w-1] was sampled as a
+    duplicated hit in this doc. Dense natural repeats exercise tie
+    selection (identical grams inside one window) far harder than the
+    planted-block tests."""
+    import random
+    from collections import Counter
+
+    from culvert_spark.textops import exact_substring_spans
+
+    L, w = 8, 3
+    rng = random.Random(77)
+    texts = {
+        i: "".join(rng.choice("ab") for _ in range(rng.randint(20, 120)))
+        for i in range(1, 31)
+    }
+    d = _write_docs(
+        spark, tmp_path, [(i, s, "en", "s") for i, s in sorted(texts.items())]
+    )
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    got = [
+        tuple(r)
+        for r in exact_substring_spans(
+            docs, L=L, anchor="winnow", winnow_w=w
+        ).collect()
+    ]
+    by_doc: dict[int, list[tuple]] = {}
+    for doc_id, s, e, _ln in got:
+        by_doc.setdefault(doc_id, []).append((s, e))
+    glen = L + w - 1
+    counts = Counter()
+    for text in texts.values():
+        for i in range(len(text) - glen + 1):
+            counts[text[i : i + glen]] += 1
+    checked = 0
+    for doc_id, text in texts.items():
+        for i in range(len(text) - glen + 1):
+            if counts[text[i : i + glen]] < 2:
+                continue
+            p = i + 1  # 1-based
+            checked += 1
+            assert any(
+                s <= p + w - 1 and e >= p + L - 1
+                for s, e in by_doc.get(doc_id, [])
+            ), f"duplicated {glen}-gram at doc {doc_id} pos {p} not covered"
+    # subset guarantee against the exact spans at the same L
+    exact = [tuple(r) for r in exact_substring_spans(docs, L=L).collect()]
+    for doc_id, s, e, _ln in got:
+        assert any(
+            xd == doc_id and xs <= s and e <= xe for xd, xs, xe, _ in exact
+        )
+    assert checked > 50, f"corpus too sparse to exercise the property ({checked})"
+    # the two scale knobs COMPOSE: bucket-pruning the winnowed anchor
+    # stream (tiny domain to force FP-path collisions) changes nothing
+    composed = [
+        tuple(r)
+        for r in exact_substring_spans(
+            docs, L=L, anchor="winnow", winnow_w=w, prune="bucket",
+            n_buckets=5,
+        ).collect()
+    ]
+    assert composed == got
+
+
 def test_identifier_binding_rejects_injection(spark):
     """The injection-safety claim in q_params_identifier's docstring:
     IDENTIFIER(:tbl) binds the parameter as ONE identifier, so a value
