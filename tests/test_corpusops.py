@@ -689,6 +689,120 @@ def test_exact_substring_winnow_positional_guarantee(spark, tmp_path):
     assert composed == got
 
 
+# ---------------------------------------------------------------------------
+# Independent-reference cross-checks, round 8 batch: the window-function
+# analytics rows whose DuckDB oracles MIRROR the Spark construction
+# (conditional-MIN funnel, LEAD adjacency, gaps-and-islands SCD2). The
+# reference implementations below are from-scratch Python over the raw
+# parquet rows (fetched via duckdb as a plain row source, epoch-integer
+# timestamps) — a blind spot shared by both engines' window semantics
+# would fail here.
+# ---------------------------------------------------------------------------
+
+
+def _raw_events():
+    import duckdb
+
+    return duckdb.sql(
+        "SELECT user_id, epoch_us(ts) AS us, event_id, event_type "
+        f"FROM '{SF_SMALL}/events.parquet'"
+    ).fetchall()
+
+
+def test_funnel_steps_independent_reference(spark):
+    """First-touch strict-order funnel recomputed from scratch: per user
+    min timestamp per step, strict > comparisons, None never converts."""
+    rows = _raw_events()
+    first: dict[int, dict[str, int]] = {}
+    for uid, us, _eid, etype in rows:
+        d = first.setdefault(uid, {})
+        if etype in ("view", "click", "purchase"):
+            if etype not in d or us < d[etype]:
+                d[etype] = us
+    n_users = len(first)
+    s1 = s2 = s3 = 0
+    for d in first.values():
+        v, c, p = d.get("view"), d.get("click"), d.get("purchase")
+        if v is not None:
+            s1 += 1
+            if c is not None and c > v:
+                s2 += 1
+                if p is not None and p > c:
+                    s3 += 1
+    got = QUERIES["q_funnel_steps"](spark, SF_SMALL).collect()[0]
+    assert (got.n_users, got.step1_view, got.step2_click,
+            got.step3_purchase) == (n_users, s1, s2, s3)
+    assert n_users > 0 and s1 > 0
+
+
+def test_event_transitions_independent_reference(spark):
+    """First-order transition matrix recomputed from scratch: per-user
+    (ts, event_id) sort, consecutive pairs, per-from_type normalization.
+    Also pins the two-level segmented-LEAD guard against a plain sorted
+    pairing (the guard must be invisible in the result)."""
+    from collections import Counter, defaultdict
+
+    by_user = defaultdict(list)
+    for uid, us, eid, etype in _raw_events():
+        by_user[uid].append((us, eid, etype))
+    pairs = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            pairs[(a, b)] += 1
+    totals = Counter()
+    for (a, _b), n in pairs.items():
+        totals[a] += n
+    want = {
+        (a, b): (n, round(n / totals[a], 6)) for (a, b), n in pairs.items()
+    }
+    got = QUERIES["q_event_transitions"](spark, SF_SMALL).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n, prob = want[(r.from_type, r.to_type)]
+        assert r.transitions == n
+        assert abs(r.prob - prob) <= 1e-6
+    assert len(got) > 10
+
+
+def test_scd2_intervals_independent_reference(spark):
+    """Gaps-and-islands SCD2 recomputed from scratch: per-user (ts,
+    event_id) sort, island break on type change (None opens one),
+    valid_to = next island's valid_from in ISLAND order, open interval
+    ends None."""
+    import calendar
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for uid, us, eid, etype in _raw_events():
+        by_user[uid].append((us, eid, etype))
+    want = []
+    for uid in sorted(by_user):
+        seq = sorted(by_user[uid])
+        islands = []  # (event_type, valid_from_us, n)
+        prev_type = object()  # sentinel != anything incl. None
+        for us, _eid, etype in seq:
+            if etype != prev_type:
+                islands.append([etype, us, 0])
+                prev_type = etype
+            islands[-1][2] += 1
+        for i, (etype, vf, n) in enumerate(islands):
+            vt = islands[i + 1][1] if i + 1 < len(islands) else None
+            want.append((uid, etype, vf, vt, n))
+
+    def us_of(dt):
+        if dt is None:
+            return None
+        return calendar.timegm(dt.utctimetuple()) * 1_000_000 + dt.microsecond
+
+    got = [
+        (r.user_id, r.event_type, us_of(r.valid_from), us_of(r.valid_to),
+         r.n_events)
+        for r in QUERIES["q_scd2_intervals"](spark, SF_SMALL).collect()
+    ]
+    assert got == want and len(want) > 100
+
+
 def test_identifier_binding_rejects_injection(spark):
     """The injection-safety claim in q_params_identifier's docstring:
     IDENTIFIER(:tbl) binds the parameter as ONE identifier, so a value
