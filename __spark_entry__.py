@@ -169,7 +169,15 @@ except ImportError:  # pragma: no cover
 #: t_mix_temperature_weights, t_multimodal_manifest,
 #: t_quality_percentile_filter, t_token_coverage_topk, t_vocab_growth,
 #: v_pq_ann_topk — 44 of 50, leaving 6 slots for round-9
-#: registrations/changes (which, as always, take precedence).
+#: registrations/changes (which, as always, take precedence).  Known
+#: round-9 registration candidates staged in round 8, both
+#: pytest-proven: m_phash_near_dup_groups
+#: (culvert_spark/imagesim.py — Hamming-LSH fuzzy phash grouping over
+#: the bounded value domain, exact pigeonhole recall, pointer-doubling
+#: components) and a winnow-anchored exact-substring row
+#: (textops.exact_substring_spans(anchor="winnow") — its DuckDB twin is
+#: expressible with two sliding-window min/max passes per doc, so it
+#: can land as a FULL hash oracle).
 #:
 #: Round 7 executed the ROUND-7 ROTATION from the round-6 verdict: the 2
 #: new round-7 registrations + the 4 rows whose image/audio decode
