@@ -1903,6 +1903,87 @@ _ESS_PRUNE_BUCKETS = 1 << 20
 _ESS_WINNOW_W = 16
 
 
+#: 60-bit integer from the first 15 hex chars of an ALREADY-COMPUTED md5
+#: hex string (lambda variable) — the _hex60_* idiom factored so a HOF
+#: lambda computes md5 once and the polynomial reads the bound variable
+#: 15 times, instead of inlining 15 md5 calls.
+def _hex60_of_hash_spark(h: str) -> str:
+    terms = [
+        f"shiftleft(cast(instr('0123456789abcdef', "
+        f"substring({h}, {p + 1}, 1)) as bigint) - 1, {4 * p})"
+        for p in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _hex60_of_hash_duck(h: str) -> str:
+    terms = [
+        f"((instr('0123456789abcdef', substr({h}, {p + 1}, 1)) - 1)"
+        f"::BIGINT << {4 * p})"
+        for p in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def winnow_oracle_sql(
+    L: int = _ESS_L, w: int = _ESS_WINNOW_W, table: str = "documents"
+) -> str:
+    """DuckDB twin of ``exact_substring_spans(anchor="winnow",
+    winnow_hash="md5hex60")`` — the winnowing SELECTION expressed as two
+    sliding window passes per doc (forward MIN of the 60-bit gram hash,
+    backward MAX of that), then the registered row's dup-count +
+    gaps-and-islands pipeline over the selected anchors only. Staged in
+    round 8 so a round-9 winnow row can register with a FULL value-hash
+    oracle; cross-engine equality is already pinned by
+    tests/test_corpusops.py::test_winnow_duckdb_oracle_parity."""
+    hv = _hex60_of_hash_duck(f"md5(substring(text, pos, {L}))")
+    return f"""
+    WITH g AS (
+      SELECT doc_id, pos,
+             md5(substring(text, pos, {L})) AS h,
+             {hv} AS hv
+      FROM (SELECT doc_id, text,
+                   UNNEST(range(1, length(text) - {L - 1} + 1)) AS pos
+            FROM {table} WHERE length(text) >= {L})),
+    wm AS (
+      SELECT doc_id, pos, h, hv,
+             MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW
+                           AND {w - 1} FOLLOWING) AS wmin
+      FROM g),
+    sel AS (
+      SELECT doc_id, pos, h
+      FROM (SELECT doc_id, pos, h, hv,
+                   MAX(wmin) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN {w - 1} PRECEDING
+                                   AND CURRENT ROW) AS smax
+            FROM wm)
+      WHERE hv = smax),
+    dup AS (
+      SELECT h FROM sel GROUP BY h HAVING COUNT(*) >= 2),
+    hits AS (
+      SELECT s.doc_id, s.pos FROM sel s SEMI JOIN dup d ON s.h = d.h),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) <= {L}
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits),
+    grp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl)
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + {L} - 1 AS span_end,
+           MAX(pos) + {L} - MIN(pos) AS span_len
+    FROM grp
+    GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """
+
+
 def exact_substring_spans(
     docs: DataFrame,
     L: int = _ESS_L,
@@ -1911,6 +1992,7 @@ def exact_substring_spans(
     prune_threshold_chars: int = _ESS_PRUNE_CHARS,
     anchor: str = "stride1",
     winnow_w: int = _ESS_WINNOW_W,
+    winnow_hash: str = "xxhash64",
 ) -> DataFrame:
     """ExactSubstr maximal-span dedup over a (doc_id, text) frame — the
     operator body of t_exact_substring_spans (see its docstring for
@@ -1994,16 +2076,29 @@ def exact_substring_spans(
     if anchor == "winnow":
         if winnow_w < 1:
             raise ValueError(f"winnow_w must be >= 1, got {winnow_w}")
+        if winnow_hash == "xxhash64":
+            # fastest JVM-side choice; no DuckDB twin function exists
+            hv_expr = (
+                f"transform(sequence(1, length(text) - {L - 1}), "
+                f"p -> xxhash64(substring(text, p, {L})))"
+            )
+        elif winnow_hash == "md5hex60":
+            # cross-engine selection hash (the _hex60 idiom): the inner
+            # transform computes each gram's md5 ONCE; the outer
+            # polynomial reads the bound hex string 15 times. This is
+            # what lets winnow_oracle_sql() regenerate the SELECTION in
+            # DuckDB — the round-9 registration path.
+            hv_expr = (
+                f"transform(transform(sequence(1, length(text) - {L - 1}), "
+                f"p -> md5(cast(substring(text, p, {L}) as binary))), "
+                f"h -> {_hex60_of_hash_spark('h')})"
+            )
+        else:
+            raise ValueError(f"unknown winnow_hash {winnow_hash!r}")
         w_ = winnow_w
         grams = (
             spread(base)
-            .withColumn(
-                "hvs",
-                F.expr(
-                    f"transform(sequence(1, length(text) - {L - 1}), "
-                    f"p -> xxhash64(substring(text, p, {L})))"
-                ),
-            )
+            .withColumn("hvs", F.expr(hv_expr))
             .withColumn(
                 # wmin[q] = min gram hash of the window starting at q
                 # (partial windows near the end included — selects a few

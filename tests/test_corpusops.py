@@ -689,6 +689,70 @@ def test_exact_substring_winnow_positional_guarantee(spark, tmp_path):
     assert composed == got
 
 
+def test_winnow_duckdb_oracle_parity(spark, tmp_path):
+    """Cross-engine parity for the winnow selection (staged round-9
+    registration path): Spark's array-HOF winnowing with the md5-hex60
+    selection hash must equal DuckDB executing winnow_oracle_sql() —
+    two sliding window passes per doc — on the same corpus, byte for
+    byte. Also sanity-checks that the md5hex60 and xxhash64 selection
+    hashes (different minimizers) both satisfy the subset guarantee."""
+    import random
+
+    import duckdb
+
+    from culvert_spark.textops import (
+        exact_substring_spans,
+        winnow_oracle_sql,
+    )
+
+    L, w = 12, 4
+    rng = random.Random(321)
+    texts = {
+        i: "".join(rng.choice("abc") for _ in range(rng.randint(30, 200)))
+        for i in range(1, 25)
+    }
+    block = "".join(rng.choice("abc") for _ in range(60))
+    texts[3] += block
+    texts[18] = block + texts[18]
+    d = _write_docs(
+        spark, tmp_path, [(i, s, "en", "s") for i, s in sorted(texts.items())]
+    )
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    got = [
+        tuple(r)
+        for r in exact_substring_spans(
+            docs, L=L, anchor="winnow", winnow_w=w, winnow_hash="md5hex60"
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(d, 'documents.parquet', '*.parquet')}'"
+    )
+    want = [
+        tuple(int(v) for v in row)
+        for row in con.execute(winnow_oracle_sql(L=L, w=w)).fetchall()
+    ]
+    assert got == want and len(want) > 0
+    # both selection hashes honor the subset guarantee vs exact spans
+    exact = [tuple(r) for r in exact_substring_spans(docs, L=L).collect()]
+    for hash_mode in ("xxhash64", "md5hex60"):
+        spans = [
+            tuple(r)
+            for r in exact_substring_spans(
+                docs, L=L, anchor="winnow", winnow_w=w,
+                winnow_hash=hash_mode,
+            ).collect()
+        ]
+        for doc_id, s, e, _ln in spans:
+            assert any(
+                xd == doc_id and xs <= s and e <= xe
+                for xd, xs, xe, _ in exact
+            )
+    with pytest.raises(ValueError, match="winnow_hash"):
+        exact_substring_spans(docs, anchor="winnow", winnow_hash="crc")
+
+
 # ---------------------------------------------------------------------------
 # Independent-reference cross-checks, round 8 batch: the window-function
 # analytics rows whose DuckDB oracles MIRROR the Spark construction
