@@ -80,6 +80,26 @@ def phash_value_clusters(
         raise ValueError(f"bands ({bands}) must divide nbits ({nbits})")
     width = nbits // bands
     vals = feats.select("phash").distinct()
+    # image_features emits min(width, 16)-char hashes, so an image
+    # narrower than 16 px produces a SHORT phash: comparing it here
+    # would read past the string (band substrings go empty, positions
+    # beyond both lengths compare '' == '' equal) and silently merge
+    # images of different geometry. Hard-fail with the offending widths
+    # instead — group each width separately (distinct geometry is never
+    # a near-duplicate of another).
+    bad = (
+        vals.where(F.length("phash") != nbits)
+        .select(F.length("phash").alias("w"))
+        .distinct()
+        .limit(10)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"phash values must be exactly {nbits} chars; found widths "
+            f"{sorted(r.w for r in bad)} — filter to one geometry (or "
+            f"pass the matching nbits) and group each width separately"
+        )
     band = vals.select(
         "phash",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("b"),

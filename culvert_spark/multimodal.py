@@ -1749,10 +1749,15 @@ def m_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: pytest-checked; the ground truth is fully deterministic, so state it
 #: in SQL). Exactly the first 40 documents, each collapsing to ONE group
 #: of 6 containers whose keeper is the PPM copy (media_id sub-index 0).
-#: Assumes no 16-bit phash collision among the 40 doc planes — verified
-#: for the shipped sf0.001/sf0.01 test data at both registered
-#: geometries; the collision-TOLERANT invariant (n_images = 6·k, keeper
-#: % 8 = 0) stays pinned by tests/test_mediagen.py for arbitrary data.
+#: Assumes no phash collision among the 40 doc planes — verified for
+#: the shipped sf0.001/sf0.01 test data at both registered geometries.
+#: NOTE the collision domain is the phash WIDTH, i.e. min(image width,
+#: 16) bits: 16 bits for the square row (~1.2% birthday odds for 40
+#: arbitrary planes) but only 13 bits for the 13×7 odd row (~9%) — fine
+#: for the FIXED shipped data, but regenerated or larger-sf fixtures
+#: must re-verify before trusting this oracle; the collision-TOLERANT
+#: invariant (n_images = 6·k, keeper % 8 = 0) stays pinned by
+#: tests/test_mediagen.py for arbitrary data.
 _CROSS_FORMAT_ORACLE = """
     SELECT CAST(doc_id * 8 AS BIGINT) AS keeper_id,
            CAST(6 AS BIGINT) AS n_images,

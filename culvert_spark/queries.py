@@ -1864,6 +1864,11 @@ def q_sessionize_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("below_threshold", SMALL_INPUT_ROWS),
     ):
         decided = auto_mode(ev, cutoff)
+        # mode="auto" (not mode=decided) is deliberate even though it
+        # re-runs the count probe: the row's claim is that the
+        # INTEGRATED auto path executes the plan it reports, so the
+        # sessionizer must make its own decision. Two extra
+        # metadata-cheap count() jobs at sf0.01 is the price.
         stats = (
             sessionize_session_rows(ev, mode="auto", small_rows=cutoff)
             .agg(

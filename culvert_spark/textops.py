@@ -37,22 +37,39 @@ from culvert_spark.queries import QUERIES, ORACLE, register, spread, t  # noqa: 
 # Shared expression generators (Spark SQL dialect vs DuckDB dialect)
 # ---------------------------------------------------------------------------
 
-# 60-bit integer from the first 15 hex chars of md5(expr) — DuckDB has no
-# conv(), so both sides evaluate the same digit polynomial.
-def _hex60_spark(expr: str) -> str:
+#: 60-bit integer from the first 15 hex chars of an ALREADY-COMPUTED md5
+#: hex string (e.g. a HOF lambda variable or a lateral column alias) —
+#: factored so callers compute md5 once and the polynomial reads the
+#: bound name 15 times, instead of inlining 15 md5 calls.
+def _hex60_of_hash_spark(h: str) -> str:
     terms = [
-        f"shiftleft(cast(instr('0123456789abcdef', substring(md5({expr}), {p + 1}, 1)) as bigint) - 1, {4 * p})"
+        f"shiftleft(cast(instr('0123456789abcdef', "
+        f"substring({h}, {p + 1}, 1)) as bigint) - 1, {4 * p})"
         for p in range(15)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def _hex60_of_hash_duck(h: str) -> str:
+    terms = [
+        f"((instr('0123456789abcdef', substr({h}, {p + 1}, 1)) - 1)"
+        f"::BIGINT << {4 * p})"
+        for p in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# 60-bit integer from the first 15 hex chars of md5(expr) — DuckDB has no
+# conv(), so both sides evaluate the same digit polynomial. Delegates to
+# the _hex60_of_hash_* builders above; the generated SQL text is
+# byte-identical to the pre-round-8 inline form, so every registered
+# oracle using these is unchanged.
+def _hex60_spark(expr: str) -> str:
+    return _hex60_of_hash_spark(f"md5({expr})")
 
 
 def _hex60_duck(expr: str) -> str:
-    terms = [
-        f"((instr('0123456789abcdef', substr(md5({expr}), {p + 1}, 1)) - 1)::BIGINT << {4 * p})"
-        for p in range(15)
-    ]
-    return "(" + " + ".join(terms) + ")"
+    return _hex60_of_hash_duck(f"md5({expr})")
 
 
 # Dot product of two 64-dim float vectors in double, fixed left-to-right
@@ -1903,28 +1920,6 @@ _ESS_PRUNE_BUCKETS = 1 << 20
 _ESS_WINNOW_W = 16
 
 
-#: 60-bit integer from the first 15 hex chars of an ALREADY-COMPUTED md5
-#: hex string (lambda variable) — the _hex60_* idiom factored so a HOF
-#: lambda computes md5 once and the polynomial reads the bound variable
-#: 15 times, instead of inlining 15 md5 calls.
-def _hex60_of_hash_spark(h: str) -> str:
-    terms = [
-        f"shiftleft(cast(instr('0123456789abcdef', "
-        f"substring({h}, {p + 1}, 1)) as bigint) - 1, {4 * p})"
-        for p in range(15)
-    ]
-    return "(" + " + ".join(terms) + ")"
-
-
-def _hex60_of_hash_duck(h: str) -> str:
-    terms = [
-        f"((instr('0123456789abcdef', substr({h}, {p + 1}, 1)) - 1)"
-        f"::BIGINT << {4 * p})"
-        for p in range(15)
-    ]
-    return "(" + " + ".join(terms) + ")"
-
-
 def winnow_oracle_sql(
     L: int = _ESS_L, w: int = _ESS_WINNOW_W, table: str = "documents"
 ) -> str:
@@ -1936,12 +1931,14 @@ def winnow_oracle_sql(
     round 8 so a round-9 winnow row can register with a FULL value-hash
     oracle; cross-engine equality is already pinned by
     tests/test_corpusops.py::test_winnow_duckdb_oracle_parity."""
-    hv = _hex60_of_hash_duck(f"md5(substring(text, pos, {L}))")
+    # DuckDB lateral alias reference: hv reads the already-computed h,
+    # so md5 runs once per row (the same compute-once shape as the
+    # Spark side's two-level transform).
     return f"""
     WITH g AS (
       SELECT doc_id, pos,
              md5(substring(text, pos, {L})) AS h,
-             {hv} AS hv
+             {_hex60_of_hash_duck('h')} AS hv
       FROM (SELECT doc_id, text,
                    UNNEST(range(1, length(text) - {L - 1} + 1)) AS pos
             FROM {table} WHERE length(text) >= {L})),
@@ -2019,7 +2016,9 @@ def exact_substring_spans(
       pass that follows. The price is one extra narrow gram pass
       (the fan-out lineage is recomputed 3x instead of 2x); the win is
       shuffling only the duplicated fraction of the corpus's positions.
-    - ``"auto"`` — a metadata-cheap ``sum(length(text))`` probe engages
+    - ``"auto"`` — a cheap corpus-size probe (``sum(n_chars)`` when the
+      frame declares that column — one pruned single-long-column scan —
+      else ``sum(length(text))``) engages
       ``"bucket"`` at >= ``prune_threshold_chars`` total chars (the
       same adaptive-guard shape as twolevel.sessionize_session_rows):
       the registered row stays on the exact plain plan at test scale
@@ -2067,15 +2066,34 @@ def exact_substring_spans(
       guarantees."""
     base = docs.where(F.length("text") >= L).select("doc_id", "text")
     if prune == "auto":
-        total = base.agg(
-            F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("c")
-        ).first()[0]
+        # The probe prefers a declared n_chars column (one pruned-column
+        # scan of a long — documents ships one) over summing
+        # length(text) (a full text-column pass, ~25-33% extra corpus
+        # I/O in exactly the regime the prune targets). Including
+        # sub-L docs in the n_chars total is immaterial: the threshold
+        # is a posture bound, not an exact crossover.
+        probe = (
+            docs.agg(F.coalesce(F.sum("n_chars"), F.lit(0)).alias("c"))
+            if "n_chars" in docs.columns
+            else base.agg(
+                F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("c")
+            )
+        )
+        total = probe.first()[0]
         prune = "bucket" if total >= prune_threshold_chars else "off"
     if prune not in ("off", "bucket"):
         raise ValueError(f"unknown prune mode {prune!r}")
     if anchor == "winnow":
         if winnow_w < 1:
             raise ValueError(f"winnow_w must be >= 1, got {winnow_w}")
+        if winnow_w > L:
+            # The island merge breaks on gaps > L, and intra-repeat
+            # anchor gaps reach w — w > L would silently split covered
+            # repeats, voiding the documented guarantees.
+            raise ValueError(
+                f"winnow_w ({winnow_w}) must be <= L ({L}): the gap-{L} "
+                "island merge cannot bridge anchor gaps up to w"
+            )
         if winnow_hash == "xxhash64":
             # fastest JVM-side choice; no DuckDB twin function exists
             hv_expr = (

@@ -532,6 +532,10 @@ def test_exact_substring_prune_modes(spark, tmp_path):
         exact_substring_spans(docs, anchor="stride2").collect()
     with pytest.raises(ValueError, match="winnow_w"):
         exact_substring_spans(docs, anchor="winnow", winnow_w=0).collect()
+    # w > L would let intra-repeat anchor gaps exceed the island-merge
+    # threshold and silently split covered repeats (review finding r8)
+    with pytest.raises(ValueError, match="must be <= L"):
+        exact_substring_spans(docs, anchor="winnow", winnow_w=41).collect()
 
 
 def test_exact_substring_winnow_w1_identity(spark, tmp_path):

@@ -130,6 +130,23 @@ def test_parameter_validation(spark):
         phash_near_dup_groups(f, bands=3)
 
 
+def test_short_phash_rejected(spark):
+    """image_features emits min(width,16)-char hashes, so an image
+    narrower than 16 px yields a short phash; comparing it would read
+    past the string and silently merge different geometries — the
+    function must hard-fail with the offending widths instead (review
+    finding r8)."""
+    f = _feats(spark, [(1, _bits(0)), (2, "0101")])
+    with pytest.raises(ValueError, match="exactly 16 chars"):
+        phash_near_dup_groups(f)
+    # and grouping a uniform non-16 width works when nbits says so
+    rows = [(1, "01010101"), (2, "01010100"), (3, "10101010")]
+    got = phash_near_dup_groups(
+        _feats(spark, rows), max_hamming=1, bands=2, nbits=8
+    ).collect()
+    assert {(r.n_images, r.keeper_id) for r in got} == {(2, 1), (1, 3)}
+
+
 def test_value_domain_broadcast_plan(spark):
     """The per-image join is a BroadcastHashJoin on the bounded value
     table — the image stream never enters a pair join."""
