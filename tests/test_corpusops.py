@@ -871,6 +871,85 @@ def test_scd2_intervals_independent_reference(spark):
     assert got == want and len(want) > 100
 
 
+def test_ewma_independent_reference(spark):
+    """EWMA(α=1/2, 10 lags) recomputed from scratch: per-user daily
+    counts from epoch-day truncation, then Σ cnt_{t-k}·2^-k over the
+    user's ordered day sequence. The dyadic weights make every term
+    exact in binary floating point, so equality is EXACT — any drift in
+    the window frame, lag coalescing, or day truncation shows as a hard
+    mismatch."""
+    import calendar
+    from collections import defaultdict
+
+    DAY_US = 86_400_000_000
+    daily = defaultdict(int)
+    for uid, us, _eid, _etype in _raw_events():
+        daily[(uid, us // DAY_US)] += 1
+    series = defaultdict(list)  # uid -> sorted [(day, cnt)]
+    for (uid, day), cnt in sorted(daily.items()):
+        series[uid].append((day, cnt))
+    want = {}
+    for uid, seq in series.items():
+        for t, (day, cnt) in enumerate(seq):
+            ewma = sum(
+                seq[t - k][1] / 2.0**k for k in range(10) if t - k >= 0
+            )
+            want[(uid, day)] = (cnt, ewma)
+
+    def day_of(dt):
+        return (
+            calendar.timegm(dt.utctimetuple()) * 1_000_000 + dt.microsecond
+        ) // DAY_US
+
+    got = QUERIES["q_ewma_user_daily"](spark, SF_SMALL).collect()
+    assert len(got) == len(want)
+    for r in got:
+        cnt, ewma = want[(r.user_id, day_of(r.day))]
+        assert r.cnt == cnt and r.ewma10 == ewma
+    assert len(got) > 100
+
+
+def test_ols_trend_independent_reference(spark):
+    """Closed-form OLS recomputed from scratch with EXACT arithmetic:
+    daily revenue summed as integer cents (duckdb DECIMAL fetch), the
+    five sufficient statistics as Python ints, then the same
+    closed-form float division. Slope/intercept/r² must match the
+    registered row within 2e-6 (one rounding step of slack for the
+    decimal→double cast orders)."""
+    from collections import defaultdict
+    from datetime import date
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT CAST(o_orderdate AS DATE), "
+        "CAST(o_totalprice AS DECIMAL(18,2)) "
+        f"FROM '{SF_SMALL}/orders.parquet'"
+    ).fetchall()
+    epoch = date(1992, 1, 1)
+    daily = defaultdict(int)  # x -> cents
+    for d, price in rows:
+        daily[(d - epoch).days] += int(price * 100)
+    n = len(daily)
+    sx = sum(daily.keys())
+    sxx = sum(x * x for x in daily)
+    sy = sum(daily.values())          # cents
+    sxy = sum(x * y for x, y in daily.items())
+    syy = sum(y * y for y in daily.values())
+    # convert the y-carrying sums back to dollars exactly
+    num = n * sxy / 100 - sx * (sy / 100)
+    denx = float(n * sxx - sx * sx)
+    deny = n * (syy / 10000) - (sy / 100) ** 2
+    slope = num / denx
+    intercept = (sy / 100 - slope * sx) / n
+    r2 = num * num / (denx * deny)
+    got = QUERIES["q_ols_daily_revenue_trend"](spark, SF_SMALL).collect()[0]
+    assert got.n_days == n
+    assert abs(got.slope - round(slope, 6)) <= 2e-6
+    assert abs(got.intercept - round(intercept, 6)) <= 2e-6
+    assert abs(got.r2 - round(r2, 6)) <= 2e-6
+    assert 0.0 <= got.r2 <= 1.0 and n > 100
+
+
 def test_identifier_binding_rejects_injection(spark):
     """The injection-safety claim in q_params_identifier's docstring:
     IDENTIFIER(:tbl) binds the parameter as ONE identifier, so a value
