@@ -103,6 +103,13 @@ try:  # custom Python DataSource connector row (round 6)
 except ImportError:  # pragma: no cover
     pass
 
+try:  # Hamming-LSH fuzzy image dedup (staged round 8, registered round 9)
+    from culvert_spark import imagesim as _is
+
+    _REGISTRIES.append(_is)
+except ImportError:  # pragma: no cover
+    pass
+
 
 #: Driver CORRECTNESS verification covers the first N registered queries in
 #: registration order (50-query window per round).  Rounds 1–5 recorded a
@@ -110,6 +117,67 @@ except ImportError:  # pragma: no cover
 #: rows (204 hash-green, 8 rows-only by design, 0 failures) — CORRECTNESS_r05
 #: landed exactly on the documented ROUND-5 ROTATION (49 hash-green + 1
 #: rows-only v_gram_matrix).
+#:
+#: Round 9 executes the ROUND-9 ROTATION pre-computed at the end of round
+#: 8 (kept below for provenance), amended for the round's actual change
+#: set — the verdict's 6 spare slots are exactly consumed by the 6 rows
+#: registered or changed in round 9:
+#:   m_phash_near_dup_groups (NEW: Hamming-LSH fuzzy image grouping,
+#:     imagesim.py — fixture planes through the real container encoders
+#:     and decoders, FULL constant-folding hash oracle from the fixture
+#:     design constants, import-time separation proof),
+#:   t_exact_substring_spans_winnow (NEW: the sampled-anchor ExactSubstr
+#:     configuration as a FULL hash row via winnow_hash="md5hex60" +
+#:     textops.winnow_oracle_sql — the staged round-8 path registered),
+#:   v_cosine_topk_pandas (UPGRADED rows-only → full rank-hash oracle:
+#:     shares s_cosine_topk's proven SQL byte-identically, pinned by
+#:     pytest),
+#:   v_gram_matrix (UPGRADED rows-only → full hash in the *_if_deviant
+#:     house style: exact integer-micros DECIMAL cross-moment rounded to
+#:     4 places + np_if_deviant NULL inside a rigorous per-pair rounding
+#:     bound),
+#:   m_cross_format_dedup + m_cross_format_dedup_odd (CHANGED: the
+#:     invariant projection now probes for the phash-collision signature
+#:     (any group with n_images != 6) and raises a diagnosable error
+#:     instead of leaving a collision to surface as an opaque oracle
+#:     mismatch — round-8 ADVICE).
+#: The remaining 44 slots execute the pre-computed freshness list
+#: verbatim: v_user_value_zscores FIRST (the record's only r3 row,
+#: deferred from round 8 by the documented 51-for-50 trade), then the 43
+#: round-4-vintage rows. After CORRECTNESS_r09: no query's newest row
+#: predates round 5. s_cosine_topk does NOT take a slot: its oracle
+#: string was hoisted to a shared constant BYTE-IDENTICALLY (pytest pins
+#: the two registrations' SQL equality), same disposition as round 8's
+#: y_generator refactor — with v_cosine_topk_pandas as the purpose-built
+#: guard row driving the shared text this round.
+#:
+#: ROUND-10 ROTATION (computed at end of round 9 from the cumulative
+#: record, assuming CORRECTNESS_r09 lands on the window above —
+#: distribution then over 235 registered queries: 46×r5, 47×r6, 44×r7,
+#: 48×r8, 50×r9): the oldest block is the 46 remaining round-5-vintage
+#: rows — q01_pricing_summary, q03_shipping_priority,
+#: q05_regional_revenue, q06_revenue_forecast, q_approx_distinct,
+#: q_asof_prior_view, q_embedding_covariance, q_graph_pagerank,
+#: q_graph_triangles, q_hive_bucket_histogram,
+#: q_hive_bucket_write_layout, q_hourly_event_counts,
+#: q_pivot_user_event_values, q_salted_join_parity,
+#: q_session_window_batch, q_sliding_distinct_hll,
+#: q_top3_orders_per_customer, s_ann_lsh_top1, s_cosine_topk,
+#: s_near_dup_lsh_verified, s_semantic_dedup_rep,
+#: st_dedup_digest_replay, st_dedup_expiry_replay, st_late_drop_replay,
+#: st_merge_dedup_replay, st_restart_recovery_replay,
+#: st_session_window_replay, st_sliding_counts_replay,
+#: st_stateful_totals_replay, st_stream_stream_join_replay,
+#: st_tumbling_counts_replay, t_bm25_topk, t_cdc_chunk_dedup,
+#: t_dedup_keep_best, t_dup_spans, t_exact_dedup_groups,
+#: t_exact_dedup_stats, t_gopher_quality_rules, t_incremental_dedup,
+#: t_incremental_dedup_persisted, t_minhash_lsh_pairs,
+#: t_ngram_jaccard_pairs, t_pack_sequences, t_pretrain_pipeline_e2e,
+#: t_simhash_fingerprint, t_token_top20 (v_gram_matrix left this block
+#: by taking a round-9 changed-row slot) — 46 of 50, leaving 4 slots
+#: for round-10 registrations/changes, which as always take precedence;
+#: plan an explicit deferral like round 8's if the change set needs
+#: more than 4.
 #:
 #: Round 8 executes the ROUND-8 ROTATION pre-computed at the end of round
 #: 7 (below), amended for the round's actual change set: 9 window slots go
@@ -264,35 +332,34 @@ except ImportError:  # pragma: no cover
 #: from this list keep their module registration order after the priority
 #: block.
 _PRIORITY = [
-    # ===== ROUND-8 ROTATION (exactly the 50-slot window) =====
-    # (a) registered or changed in round 8 (9 rows — see the rotation
+    # ===== ROUND-9 ROTATION (exactly the 50-slot window) =====
+    # (a) registered or changed in round 9 (6 rows — see the rotation
     # note above for what changed in each):
-    "t_dedup_clusters", "t_exact_substring_spans",
-    "q_sessionize_auto", "q_sessionize_events",
+    "m_phash_near_dup_groups", "t_exact_substring_spans_winnow",
+    "v_cosine_topk_pandas", "v_gram_matrix",
     "m_cross_format_dedup", "m_cross_format_dedup_odd",
-    "st_statestore_totals", "st_state_metadata",
-    "y_generator_uuid_parity",
-    # (b) freshness: 41 of the 42 round-3-vintage rows (the oldest in
-    # the record; v_user_value_zscores defers to round 9 — it is the
-    # 51st name below, first past the window).
-    "q_basket_part_pairs", "q_cohort_retention", "q_data_quality_audit",
-    "q_dau_wau_mau", "q_equidepth_approx", "q_equidepth_histogram",
-    "q_event_transitions", "q_ewma_user_daily", "q_full_outer_join",
-    "q_funnel_steps", "q_fuzzy_name_match", "q_incremental_agg_refresh",
-    "q_interval_bucket_join", "q_lateral_topk_per_nation",
-    "q_merge_upsert", "q_nullsafe_join", "q_ohlc_downsample",
-    "q_pattern_match_sequences", "q_runtime_filter_prefilter_join",
-    "q_scd2_intervals", "q_skew_report", "q_sliding_distinct_users",
-    "q_snapshot_diff", "q_spatial_grid_nn", "q_sql_text_interface",
-    "q_string_agg_names", "q_timeseries_gapfill", "q_variant_props",
-    "s_embedding_quantize_int8", "t_contamination_check", "t_doc_chunks",
-    "t_hash_sample_rate", "t_pii_redaction", "t_repetition_metrics",
-    "t_stratified_sample", "t_text_normalize", "t_token_budget_mixture",
-    "t_unigram_lm_score", "t_weighted_sample", "v_arrow_vector_norms",
-    "v_grouped_agg_median",
-    # ===== past the 50-row window: ROUND-9 ROTATION starts here =====
-    # The one r3-vintage row the round-8 window could not fit:
+    # (b) freshness, exactly the list pre-computed in round 8: the one
+    # deferred r3-vintage row, then the 43 round-4-vintage rows.
     "v_user_value_zscores",
+    "q_bfs_reachable_parts", "q_chi2_priority_status", "q_churned_users",
+    "q_cms_heavy_hitters", "q_collation_group_ci", "q_conversion_latency",
+    "q_cumulative_distinct_users", "q_embedding_dim_stats",
+    "q_from_xml_events", "q_gini_concentration", "q_histogram_2d",
+    "q_hll_sketch_users", "q_json_key_profile", "q_mom_revenue_growth",
+    "q_new_vs_returning", "q_null_profile", "q_ols_daily_revenue_trend",
+    "q_pareto_coverage", "q_rfm_segments", "q_robust_outlier_stats",
+    "q_sql_pipe_interface", "q_table_fingerprint",
+    "q_trending_event_types", "q_try_functions", "q_weekday_seasonality",
+    "q_yoy_revenue_growth", "t_bigram_lm_top", "t_boilerplate_ngrams",
+    "t_bpe_learn_merges", "t_bpe_tokenize_stats", "t_char_class_profile",
+    "t_context_truncation_stats", "t_deterministic_shuffle",
+    "t_doc_entropy", "t_hashed_ngram_features", "t_lang_id_confusion",
+    "t_length_band_filter", "t_mix_temperature_weights",
+    "t_multimodal_manifest", "t_quality_percentile_filter",
+    "t_token_coverage_topk", "t_vocab_growth", "v_pq_ann_topk",
+    # ===== past the 50-row window: ROUND-10 ROTATION starts here =====
+    # (the 46 r5-vintage rows, listed in the note above; they keep
+    # module registration order until round 10 promotes them)
 ]
 
 

@@ -276,10 +276,26 @@ def _bench_sf_large(spark, registry) -> dict:
         # is recorded here explicitly every round; at this tiny scale
         # and ~100% dup fraction the prune SHOULD lose — the recorded
         # number is the insurance price, same framing as sessionize_ab).
-        from culvert_spark.textops import exact_substring_spans
+        from culvert_spark.textops import (
+            _ESS_PRUNE_CHARS,
+            exact_substring_spans,
+        )
 
         large_docs = spark.read.parquet(
             os.path.join(large_dir, "documents.parquet")
+        )
+        # Record the auto probe's decision at the large point (round-8
+        # ADVICE): the scaling pair's sf_large time reuses the registry
+        # run (prune="auto"), so if a future sf/replica bump crosses
+        # _ESS_PRUNE_CHARS the small and large points would silently
+        # measure different plans — the recorded mode keeps the exponent
+        # auditable. Same probe the operator runs (n_chars column scan).
+        large_chars = int(
+            large_docs.agg(F.coalesce(F.sum("n_chars"), F.lit(0))).first()[0]
+        )
+        ess_pair["sf_large_total_chars"] = large_chars
+        ess_pair["sf_large_prune_mode"] = (
+            "bucket" if large_chars >= _ESS_PRUNE_CHARS else "off"
         )
         ess_ab = {}
         for mode in ("off", "bucket"):
@@ -324,6 +340,150 @@ def _bench_sf_large(spark, registry) -> dict:
         }
     finally:
         shutil.rmtree(large_dir, ignore_errors=True)
+
+
+def _stage_shuffle_stats(spark) -> dict[int, tuple[int, int]]:
+    """stageId -> (shuffleWriteBytes, shuffleWriteRecords) of completed
+    stages, via the UI REST API (bench enables spark.ui for exactly
+    this). Max across attempts per stage."""
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app}/stages?status=complete",
+        timeout=10,
+    ) as r:
+        stages = _json.load(r)
+    out: dict[int, tuple[int, int]] = {}
+    for s in stages:
+        sid = s["stageId"]
+        cur = out.get(sid, (0, 0))
+        out[sid] = (
+            max(cur[0], s.get("shuffleWriteBytes", 0)),
+            max(cur[1], s.get("shuffleWriteRecords", 0)),
+        )
+    return out
+
+
+def _timed_with_shuffle(spark, thunk) -> tuple[float, int, int]:
+    """(seconds, shuffle bytes written, shuffle records written) for one
+    action — bytes/records summed over the stages the action ran."""
+    before = set(_stage_shuffle_stats(spark))
+    start = time.perf_counter()
+    thunk()
+    sec = time.perf_counter() - start
+    after = _stage_shuffle_stats(spark)
+    wb = sum(v[0] for k, v in after.items() if k not in before)
+    wr = sum(v[1] for k, v in after.items() if k not in before)
+    return sec, wb, wr
+
+
+def _bench_ess_knob_regime(spark) -> dict:
+    """Round-8 verdict item 3: measure the exact-substring scale knobs in
+    the regime they EXIST for — a mostly-singleton corpus (the web-scale
+    shape after coarse dedup) — and record the measured SHUFFLE BYTES
+    alongside wall time, so the knobs' benefit is a number even where
+    local wall-clock (CPU-bound: one JVM, memory-speed shuffle) does not
+    cross. The existing ess_prune_ab block is the opposite regime
+    (near-dup corpus, dup fraction ~1 — the knobs' worst case); this one
+    is their best case.
+
+    Corpus: sf0.1 documents x 16 replicas where every replica doc gets
+    REGENERATED unique text (md5-chained, same length — all its grams
+    are corpus-unique) except doc_id % 32 == 0 docs, kept verbatim in
+    every replica (~3% planted cross-replica dup grams). ~23M grams.
+
+    Bucket sizing honesty: the default 2^20 domain is OVERFULL here
+    (lambda = grams/buckets ~ 22 - every bucket hot, the documented
+    graceful degradation to a no-op filter), so the bucket run
+    right-sizes n_buckets to 2^27 (lambda ~ 0.17: the filter passes the
+    ~3% true dups plus ~16% birthday FPs). That sizing also exposes the
+    structural cost recorded here: with lambda < 1 the pass-0
+    partial-agg stops combining (few in-task bucket repeats), so the
+    bucket-count exchange itself carries ~n rows (at ~1/3 the bytes of a
+    position row) — the prune's NET byte reduction is bounded around
+    2-3x, bought with one extra full gram pass. Winnow has no such
+    bound: it samples ~2/(w+1) of positions before ANY exchange, so
+    both its compute-heavy md5 pass and the count shuffle shrink ~8.5x
+    together."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from culvert_spark.textops import exact_substring_spans
+
+    reps = 16
+    stride = 100_000_000
+    tmp = tempfile.mkdtemp(prefix="culvert_bench_ess_knob_")
+    try:
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        rep = F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("rep")
+        # Unique regenerated text of the SAME length: md5 blocks chained
+        # from (doc_id, rep, block) — no 40-gram can repeat anywhere
+        # (distinct blocks, and cross-block grams embed distinct blocks).
+        fresh = F.expr(
+            "substring(array_join(transform("
+            "  sequence(0, cast(n_chars / 32 as int)), "
+            "  i -> md5(concat(cast(doc_id as string), '|', "
+            "           cast(rep as string), '|', cast(i as string)))), "
+            "  ''), 1, n_chars)"
+        )
+        (
+            docs.select("*", rep)
+            .select(
+                (F.col("doc_id") + F.col("rep") * stride).alias("doc_id"),
+                F.when(F.col("doc_id") % 32 == 0, F.col("text"))
+                .otherwise(fresh)
+                .alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "documents.parquet"))
+        )
+        corpus = spark.read.parquet(os.path.join(tmp, "documents.parquet"))
+        total_chars = int(
+            corpus.agg(F.coalesce(F.sum("n_chars"), F.lit(0))).first()[0]
+        )
+        out: dict = {
+            "replicas": reps,
+            "total_chars": total_chars,
+            "planted_dup_docs": "doc_id % 32 == 0 verbatim in all replicas",
+            "n_buckets": 1 << 27,
+        }
+        configs = {
+            "off": dict(prune="off"),
+            "bucket": dict(prune="bucket", n_buckets=1 << 27),
+            "winnow": dict(prune="off", anchor="winnow"),
+        }
+        for name, kw in configs.items():
+            best, wb, wr = float("inf"), 0, 0
+            for _ in range(2):
+                sec, wb, wr = _timed_with_shuffle(
+                    spark,
+                    lambda: exact_substring_spans(corpus, **kw)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save(),
+                )
+                best = min(best, sec)
+            out[f"{name}_sec"] = round(best, 3)
+            out[f"{name}_shuffle_mb"] = round(wb / 1e6, 1)
+            out[f"{name}_shuffle_rows"] = wr
+        out["note"] = (
+            "low-dup regime (~3% planted dups): shuffle bytes/rows are "
+            "the knobs' benefit stated as measured numbers; local[32] "
+            "wall time is CPU-bound (single-JVM memory-speed shuffle), "
+            "so the byte reduction, not the seconds, is what transfers "
+            "to the network-bound 100 TB regime"
+        )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _bench_sessionize_ab(spark) -> dict:
@@ -639,7 +799,14 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    spark = get_spark(app_name="culvert_bench", master=f"local[{CPUS}]")
+    # The UI (off by default for quiet runs) is enabled HERE because the
+    # ess-knob regime block reads measured shuffle write bytes/records
+    # from its REST endpoint — the only public per-stage metrics source.
+    spark = get_spark(
+        app_name="culvert_bench",
+        master=f"local[{CPUS}]",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     registry = entrymod.queries()
 
     # Warm up JVM codegen and the parquet reader path (footer parse, column
@@ -673,6 +840,42 @@ def main() -> None:
     # would point at residual interference from the preceding sections.
     n_streams = int(CPUS)
     early_stream = _measure_streaming(spark, n_streams, runs=1)
+
+    # EARLY batch-ingest measurement in the SAME quiet window (round-8
+    # verdict item 5): the r8 record showed batch ingest dipping
+    # 3.17M -> 2.76M rows/s cross-session with no in-session anchor to
+    # pin it on noise the way uuid_ab pins its deltas. Measured here —
+    # right after the early streaming run, before queries/sf_large churn
+    # the page cache — and again at the canonical late position below;
+    # agreement attributes round-over-round ingest deltas to host noise,
+    # an early surplus to session aging. A sync barrier afterwards keeps
+    # the dirty ORC pages from depressing the headline section.
+    import shutil
+    import tempfile
+
+    from culvert_spark import ingest as _ingest_early
+
+    rows_per_stream = 250_000
+    _warm_e = tempfile.mkdtemp(prefix="culvert_bench_ingest_earlywarm_")
+    _out_e = tempfile.mkdtemp(prefix="culvert_bench_ingest_early_")
+    try:
+        _ingest_early.static_parallel_ingest(spark, n_streams, 100_000, _warm_e)
+        early_ingest_sec = float("inf")
+        for _ in range(2):
+            shutil.rmtree(_out_e, ignore_errors=True)
+            start = time.perf_counter()
+            _ingest_early.static_parallel_ingest(
+                spark, n_streams, rows_per_stream, _out_e
+            )
+            early_ingest_sec = min(
+                early_ingest_sec, time.perf_counter() - start
+            )
+        early_ingest_rps = int(n_streams * rows_per_stream / early_ingest_sec)
+    finally:
+        shutil.rmtree(_warm_e, ignore_errors=True)
+        shutil.rmtree(_out_e, ignore_errors=True)
+    os.sync()
+    time.sleep(2)
 
     import hashlib
     import re
@@ -780,6 +983,14 @@ def main() -> None:
         sessionize_ab = _bench_sessionize_ab(spark)
     except Exception as exc:  # pragma: no cover - defensive
         sessionize_ab = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
+    # Exact-substring knob measurement in the LOW-DUP regime the knobs
+    # target, with measured shuffle bytes (round-8 verdict item 3) —
+    # same defensive posture.
+    try:
+        ess_knob = _bench_ess_knob_regime(spark)
+    except Exception as exc:  # pragma: no cover - defensive
+        ess_knob = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
     # Generator UUID-derivation A/B and the incremental-dedup
     # amortization numbers (round-6 verdict items 4 and 7) — same
@@ -893,6 +1104,7 @@ def main() -> None:
                 "queries_extended": extended,
                 "query_details": details,
                 "sf_large": sf_large,
+                "ess_knob_regime": ess_knob,
                 "sessionize_threshold_ab": sessionize_ab,
                 "uuid_derivation_ab": uuid_ab,
                 "incdedup_amortization": incdedup,
@@ -913,6 +1125,17 @@ def main() -> None:
                 ),
                 "streaming_window_rates": window_rates,
                 "streaming_run_medians": run_medians,
+                "ingest_early_vs_late": {
+                    "early_rows_per_sec": early_ingest_rps,
+                    "late_rows_per_sec": int(ingest_rows / ingest_sec),
+                    "note": (
+                        "same code, same session: early runs in the quiet "
+                        "window right after the early streaming run; late "
+                        "is the canonical position after queries + "
+                        "sf_large — agreement pins round-over-round batch-"
+                        "ingest deltas on host noise"
+                    ),
+                },
                 "streaming_early_vs_late": {
                     "early_median_rps": early_stream["median"],
                     "early_window_rates": early_stream["rates"],
@@ -983,7 +1206,7 @@ def main() -> None:
                     "ess_scaling": {
                         k: sf_large.get("ess_scaling_pair", {}).get(k)
                         for k in ("sf_small_sec", "sf_large_sec", "ratio",
-                                  "exponent")
+                                  "exponent", "sf_large_prune_mode")
                         if k in sf_large.get("ess_scaling_pair", {})
                     },
                     "ess_prune_ab": sf_large.get("ess_prune_ab", {}),
@@ -992,10 +1215,29 @@ def main() -> None:
                 "uuid_ab": uuid_compact,
                 "stream_sink_ab": sink_ab_compact,
                 "incdedup_amortization": incdedup,
+                # Round-8 verdict item 5: the two cross-session dips get
+                # in-session anchors — s_cosine_topk at the canonical
+                # early slot vs the late re-run (same session, same
+                # code), and batch ingest at the quiet-window early slot
+                # vs the canonical late slot.
+                "cosine_ab": {
+                    "early_sec": timings.get("s_cosine_topk"),
+                    "late_sec": late_timings.get("s_cosine_topk"),
+                },
+                "ess_knob_regime": {
+                    k: ess_knob.get(k)
+                    for k in (
+                        "total_chars", "off_sec", "bucket_sec", "winnow_sec",
+                        "off_shuffle_mb", "bucket_shuffle_mb",
+                        "winnow_shuffle_mb", "error",
+                    )
+                    if k in ess_knob
+                },
                 "ingest": {
                     "rows": ingest_rows,
                     "sec": round(ingest_sec, 3),
                     "rows_per_sec": int(ingest_rows / ingest_sec),
+                    "early_rows_per_sec": early_ingest_rps,
                 },
                 "streaming_ingest": {
                     "rows_committed": stream_rows,

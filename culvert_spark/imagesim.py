@@ -52,9 +52,14 @@ training-data multimodal family mandated by the build brief.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from culvert_spark.queries import QUERIES, ORACLE, register  # noqa: F401
 from culvert_spark.textops import _reliable_ckpt, min_label_components_doubling
 
 
@@ -86,9 +91,14 @@ def phash_value_clusters(
     # beyond both lengths compare '' == '' equal) and silently merge
     # images of different geometry. Hard-fail with the offending widths
     # instead — group each width separately (distinct geometry is never
-    # a near-duplicate of another).
+    # a near-duplicate of another). A NULL phash is malformed too
+    # (length(NULL) != n is NULL, not true, so it would otherwise slip
+    # past this guard and be dropped silently by the null-unsafe joins
+    # below — round-8 ADVICE): reject it with the other bad widths.
     bad = (
-        vals.where(F.length("phash") != nbits)
+        vals.where(
+            F.col("phash").isNull() | (F.length("phash") != nbits)
+        )
         .select(F.length("phash").alias("w"))
         .distinct()
         .limit(10)
@@ -97,8 +107,9 @@ def phash_value_clusters(
     if bad:
         raise ValueError(
             f"phash values must be exactly {nbits} chars; found widths "
-            f"{sorted(r.w for r in bad)} — filter to one geometry (or "
-            f"pass the matching nbits) and group each width separately"
+            f"{sorted((r.w if r.w is not None else -1) for r in bad)} "
+            f"(-1 = NULL) — filter to one geometry (or pass the matching "
+            f"nbits) and group each width separately"
         )
     band = vals.select(
         "phash",
@@ -172,3 +183,175 @@ def phash_near_dup_groups(
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Registered driver row: near-dup grouping over an encoder-real fixture
+# ---------------------------------------------------------------------------
+
+def _flip_bits(s: str, *positions: int) -> str:
+    out = list(s)
+    for p in positions:
+        out[p] = "1" if out[p] == "0" else "0"
+    return "".join(out)
+
+
+#: Near-dup fixture DESIGN (the oracle's ground truth): five clusters of
+#: three phash variants each — base, base with one bit flipped, base
+#: with two bits flipped — so within a cluster every pair is within
+#: Hamming distance 2 (a clique at max_hamming=2), plus two singleton
+#: values. Bases are pairwise >= 8 bits apart and variants deviate <= 2
+#: bits from their base, so every cross-cluster/singleton pair is >= 4
+#: bits apart (verified exhaustively at import by
+#: ``_check_near_dup_design``) — no chain can merge groups, making the
+#: expected clustering a DESIGN CONSTANT, not an output of the code
+#: under test. Every value has <= 8 one-bits so the constant-column
+#: plane encoding below realizes it exactly (plane median stays below
+#: the high-column value; see ``_plane_for_phash``).
+_ND_CLUSTERS: list[list[str]] = [
+    [b, _flip_bits(b, f1), _flip_bits(b, f1, f2)]
+    for b, f1, f2 in [
+        ("1111000000000000", 0, 1),
+        ("0000111100000000", 4, 5),
+        ("0000000011110000", 8, 9),
+        ("0000000000001111", 12, 13),
+        ("1010101010101010", 0, 2),
+    ]
+]
+_ND_SINGLETONS = ["0011001100110011", "0101010001010100"]
+
+#: Two encoded copies per phash variant: copy 0 is always PPM (so the
+#: keeper is a PPM media_id, echoing the cross-format rows) and copy 1
+#: cycles through the other real containers — the grouping must hold
+#: across container boundaries, not just across bit flips.
+_ND_COPIES = 2
+
+
+def _check_near_dup_design() -> None:
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    allv = [v for cl in _ND_CLUSTERS for v in cl] + _ND_SINGLETONS
+    assert len(set(allv)) == len(allv), "fixture phashes must be distinct"
+    assert all(len(v) == 16 and v.count("1") <= 8 for v in allv)
+    for cl in _ND_CLUSTERS:
+        assert all(
+            ham(a, b) <= 2 for i, a in enumerate(cl) for b in cl[i + 1:]
+        ), "within-cluster pair exceeds the radius"
+    groups = _ND_CLUSTERS + [[s] for s in _ND_SINGLETONS]
+    for i, gi in enumerate(groups):
+        for gj in groups[i + 1:]:
+            assert all(ham(a, b) >= 3 for a in gi for b in gj), (
+                "cross-group pair within the radius — ground truth broken"
+            )
+
+
+_check_near_dup_design()
+
+
+def _plane_for_phash(phash: str) -> np.ndarray:
+    """A 16x16 gray plane whose column-profile phash IS ``phash``:
+    1-bit columns at luma 200, 0-bit columns at 50. With <= 8 high
+    columns the plane median is 50 (or 125 at exactly 8), so column
+    mean 200 > median and 50 <= median — the feature extractor reads
+    the bits back exactly."""
+    vals = np.where(np.array(list(phash)) == "1", 200, 50).astype(np.uint8)
+    return np.broadcast_to(vals, (16, 16)).copy()
+
+
+def near_dup_media(spark: SparkSession) -> DataFrame:
+    """(media_id, kind, payload, meta) fixture corpus: every fixture
+    phash realized as real pixels and ENCODED through the production
+    container writers (mediagen) — copy 0 PPM, copy 1 a rotating other
+    container — so the registered row exercises encode → real decode →
+    phash extraction → Hamming-LSH grouping end-to-end. media_id
+    scheme: cluster c, variant v, copy k → 1000c + 10v + k; singleton
+    s, copy k → 9000 + 100s + k (keepers = the PPM copies)."""
+    from culvert_spark.mediagen import ENCODERS
+
+    spec = []  # (media_id, phash, container_idx)
+    alt = 0
+    for c, cl in enumerate(_ND_CLUSTERS):
+        for v, ph in enumerate(cl):
+            for k in range(_ND_COPIES):
+                idx = 0 if k == 0 else 1 + alt % (len(ENCODERS) - 1)
+                spec.append((1000 * c + 10 * v + k, ph, idx))
+                alt += k  # advance the rotation once per variant
+    for s, ph in enumerate(_ND_SINGLETONS):
+        for k in range(_ND_COPIES):
+            idx = 0 if k == 0 else 1 + alt % (len(ENCODERS) - 1)
+            spec.append((9000 + 100 * s + k, ph, idx))
+            alt += k
+    spec_df = spark.createDataFrame(
+        spec, "media_id bigint, phash string, enc int"
+    )
+
+    schema = (
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, ph, enc_i in zip(
+                pdf["media_id"], pdf["phash"], pdf["enc"]
+            ):
+                plane = _plane_for_phash(ph)
+                rgb = np.repeat(plane[:, :, None], 3, axis=2)
+                rows.append({
+                    "media_id": int(mid),
+                    "kind": "image",
+                    "payload": ENCODERS[int(enc_i)][1](rgb),
+                    "meta": {"width": 16, "height": 16,
+                             "sample_rate": 0, "n_frames": 1},
+                })
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return spec_df.mapInPandas(encode, schema)
+
+
+def _near_dup_oracle() -> str:
+    """Constant-folding DuckDB oracle from the fixture DESIGN (the same
+    constants ``near_dup_media`` encodes, independently re-stated as
+    literals — NOT derived from the clustering code): cluster_id is the
+    lexicographic-min member (phash_value_clusters' documented label),
+    each cluster holds 3 variants x 2 copies, singletons 1 x 2."""
+    rows = []
+    for c, cl in enumerate(_ND_CLUSTERS):
+        rows.append((min(cl), 3 * _ND_COPIES, 3, 1000 * c))
+    for s, ph in enumerate(_ND_SINGLETONS):
+        rows.append((ph, _ND_COPIES, 1, 9000 + 100 * s))
+    vals = ",\n      ".join(
+        f"('{cid}', {ni}, {nh}, {kid}, {ni - 1})"
+        for cid, ni, nh, kid in rows
+    )
+    return f"""
+    SELECT cluster_id,
+           CAST(n_images AS BIGINT) AS n_images,
+           CAST(n_hashes AS BIGINT) AS n_hashes,
+           CAST(keeper_id AS BIGINT) AS keeper_id,
+           CAST(n_dupes AS BIGINT) AS n_dupes
+    FROM (VALUES
+      {vals})
+      AS t(cluster_id, n_images, n_hashes, keeper_id, n_dupes)
+    ORDER BY cluster_id
+    """
+
+
+@register("m_phash_near_dup_groups", _near_dup_oracle())
+def m_phash_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-LSH fuzzy image dedup as a FULL hash row: the fixture's
+    five 3-variant phash cliques (bit-flipped re-encodes of a base
+    image — the slight-noise shape exact-phash dedup misses) plus two
+    singletons must group exactly as designed, across real container
+    boundaries (PPM keeper + rotating PNG/BMP/QOI/TIFF/JLS copies).
+    ``sf_dir`` is unused: like the cross-format rows the ground truth
+    is a shipped deterministic fixture, constant at every scale factor;
+    the operator itself (``phash_near_dup_groups``) is corpus-generic.
+    Any decoder regression, banding bug (off-by-one slice), Hamming
+    miscount, or component-labeling fault hash-mismatches against the
+    design constants."""
+    from culvert_spark.multimodal import image_features
+
+    return phash_near_dup_groups(image_features(near_dup_media(spark)))

@@ -1772,7 +1772,30 @@ def _cross_format_invariants(groups: DataFrame) -> DataFrame:
     """Project a cross-format dedup grouping onto its SQL-statable
     invariant columns (the raw phash bits stay pytest-pinned — they are
     not SQL-derivable, and dropping them is what upgrades the row from
-    rows-only to a full value-hash oracle)."""
+    rows-only to a full value-hash oracle).
+
+    Collision guard (round-8 ADVICE): _CROSS_FORMAT_ORACLE assumes the
+    doc planes' phashes are collision-free — verified for the shipped
+    fixtures, but the odd row's 13-bit domain has ~9% birthday odds
+    under REGENERATED data, and a collision would otherwise surface as
+    an opaque driver hash mismatch. A colliding pair collapses two
+    6-container groups into one 12-image group, so any group with
+    n_images != 6 is the collision signature: probe for it (one cheap
+    action over the ~40-group aggregate) and raise a diagnosable error
+    pointing at the caveat instead."""
+    bad = groups.where(F.col("n_images") != 6).limit(3).collect()
+    if bad:
+        raise ValueError(
+            "cross-format dedup oracle precondition violated: group(s) "
+            f"with n_images != 6 (e.g. {[(r.keeper_id, r.n_images) for r in bad]}) "
+            "— almost certainly a phash collision between document "
+            "planes (the 13-bit odd-geometry domain has ~9% birthday "
+            "odds on regenerated fixtures; see the _CROSS_FORMAT_ORACLE "
+            "note). Re-verify the fixture data before trusting the "
+            "constant-folding oracle; the collision-TOLERANT invariant "
+            "(n_images = 6k, keeper % 8 = 0) remains in "
+            "tests/test_mediagen.py."
+        )
     return groups.select(
         "keeper_id",
         F.col("n_images").cast("long").alias("n_images"),

@@ -1085,9 +1085,17 @@ def t_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "s_cosine_topk",
-    f"""
+#: Shared rank oracle for BOTH exact cosine top-3 rows (the JVM
+#: expression-chain s_cosine_topk and the Arrow/numpy
+#: v_cosine_topk_pandas): the two engines' float summation orders
+#: differ only at the ulp level, far inside this corpus's rank
+#: margins, and the (cos DESC, neighbor_id) tiebreak makes exact ties
+#: engine-independent — so the float-free (query_id, neighbor_id,
+#: rank) projection is one contract both implementations must meet.
+#: Hoisted verbatim from the round-1 s_cosine_topk registration
+#: (byte-identity pinned by tests/test_vectorops.py) so the upgraded
+#: vectorized row reuses it instead of restating it.
+_COSINE_TOPK_RANK_ORACLE = f"""
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
     q AS (SELECT vec_id, embedding FROM e WHERE vec_id % 50 = 0
           ORDER BY vec_id LIMIT 1024),
@@ -1104,8 +1112,10 @@ def t_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM scored)
     WHERE rank <= 3
     ORDER BY query_id, rank
-    """,
-)
+    """
+
+
+@register("s_cosine_topk", _COSINE_TOPK_RANK_ORACLE)
 def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 neighbors for a bounded query subset
     (vec_id % 50 = 0, deterministically capped at 1024 queries — the cap
@@ -1910,6 +1920,23 @@ _ESS_PRUNE_CHARS = 32_000_000
 #: (every bucket hot) degrades gracefully to a no-op filter, never to a
 #: wrong answer, because the exact per-digest count still runs on the
 #: survivors.
+#:
+#: Regime honesty (measured, bench `ess_knob_regime`, round 9): the
+#: filter is only selective while total grams / n_buckets stays ≲ 1, so
+#: big corpora must RAISE n_buckets with corpus size — and once
+#: n_buckets exceeds the per-task gram count the pass-0 partial agg
+#: stops combining (few in-task bucket repeats), leaving the
+#: bucket-count exchange itself carrying ~n rows, just ~3x smaller ones
+#: (8-byte bucket + count vs digest + doc_id + pos). Net effect on a
+#: mostly-singleton corpus: shuffle BYTES drop ~3x (74.7 → 23.4 MB
+#: measured at the smoke point; the bench records the full-size numbers
+#: every round) for one extra narrow gram pass of CPU — a knob that
+#: wins where the network, not the CPU, binds. When the dup-gram count
+#: itself is what's small AND total grams fit ~10x a broadcastable
+#: domain, the original cap argument applies and the win is larger. For
+#: corpora where neither holds, prefer anchor="winnow": it shrinks the
+#: compute pass AND both exchanges together (~2/(w+1) sampling before
+#: any shuffle) with a proven recall floor.
 _ESS_PRUNE_BUCKETS = 1 << 20
 
 
@@ -2282,6 +2309,37 @@ def t_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact."""
     return exact_substring_spans(
         t(spark, sf_dir, "documents"), L=_ESS_L, prune="auto"
+    )
+
+
+@register("t_exact_substring_spans_winnow", winnow_oracle_sql())
+def t_exact_substring_spans_winnow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAMPLED-ANCHOR ExactSubstr configuration a 100 TB corpus
+    actually runs, as its own FULL hash row: ``anchor="winnow"``
+    (minimizer sampling, Schleimer et al. 2003 — expected anchor
+    density 2/(w+1), every repeat >= L+w-1 detected in every
+    occurrence, anchors a strict subset of stride-1 so every reported
+    span lies inside an exact span; see exact_substring_spans'
+    docstring for the full guarantee set) with
+    ``winnow_hash="md5hex60"``, the cross-engine selection hash that
+    lets DuckDB regenerate the SAME anchor selection via two sliding
+    window min/max passes (winnow_oracle_sql). The oracle therefore
+    pins the sampled-anchor semantics end-to-end — selection, dup
+    count, island merge, span arithmetic — not just the stride-1 plan
+    the registered t_exact_substring_spans row covers. Spark<->DuckDB
+    byte-equality of the selection itself is additionally pinned by
+    tests/test_corpusops.py::test_winnow_duckdb_oracle_parity.
+    Production at scale keeps winnow_hash="xxhash64" (one JVM hash vs
+    an md5 + 15-term hex polynomial per gram); the selection contract
+    is identical in distribution."""
+    return exact_substring_spans(
+        t(spark, sf_dir, "documents"),
+        L=_ESS_L,
+        prune="auto",
+        anchor="winnow",
+        winnow_hash="md5hex60",
     )
 
 

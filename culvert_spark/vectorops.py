@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from culvert_spark.queries import QUERIES, ORACLE, register, t  # noqa: F401
+from culvert_spark.textops import _COSINE_TOPK_RANK_ORACLE
 
 TOPK_SCHEMA = "query_id bigint, neighbor_id bigint, cos double"
 
@@ -109,13 +110,18 @@ def cosine_topk_vectorized(
     )
 
 
-@register("v_cosine_topk_pandas")  # rows-only: numpy pairwise summation
+@register("v_cosine_topk_pandas", _COSINE_TOPK_RANK_ORACLE)
 def v_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics as s_cosine_topk (queries = vec_id % 50 == 0 capped
-    at ANN_MAX_QUERIES, top-3) on the vectorized path. No SQL oracle:
-    numpy's pairwise float summation is not bit-identical to a SQL
-    +-chain; rank output is compared against the expression-based twin in
-    tests instead."""
+    at ANN_MAX_QUERIES, top-3) on the vectorized Arrow/numpy path,
+    sharing the same FULL rank-hash oracle (round-8 verdict item 4 —
+    formerly rows-only): the (query_id, neighbor_id, rank) projection is
+    float-free, numpy's pairwise summation and the SQL +-chain agree far
+    inside this corpus's rank margins, and exact cosine ties break on
+    neighbor_id identically in both engines. The pytest twin-equality
+    check (test_vectorized_topk_matches_expression_twin) remains the
+    engine-side guard; the driver row now independently hash-gates the
+    numpy path against DuckDB every round."""
     e = t(spark, sf_dir, "embeddings")
     return cosine_topk_vectorized(e, default_query_set(e), k=3)
 
@@ -462,7 +468,44 @@ def v_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("v_gram_matrix")  # rows-only: numpy float matmul (SURVEY §5.1)
+_GRAM_D = 64  # embedding dimensionality
+
+#: Exact-twin oracle for v_gram_matrix in the *_if_deviant house style
+#: (round-8 verdict item 4 — formerly rows-only): gram_r4 is the
+#: integer-micros DECIMAL cross-moment (the proven q_embedding_covariance
+#: construction — per-element micros as bigint, primitive long products,
+#: DECIMAL(38,0) sums, the double math identical-expression-shaped on
+#: both engines) rounded to 4 places; np_if_deviant stays NULL while the
+#: numpy matmul path agrees with the exact value inside a RIGOROUS
+#: per-pair bound (micros rounding moves each product by at most
+#: 5e-7·(|vi|+|vj|) + 2.5e-13, so the summed bound is
+#: 5e-7·(Σ|vi| + Σ|vj|) plus slack for numpy's own ~1e-12-relative
+#: summation error) and carries the deviant numpy value — making any
+#: excursion a diagnosable hash mismatch, not a silent one.
+_GRAM_ORACLE = f"""
+    WITH pairs AS (
+      SELECT u.i AS di, v.j AS dj,
+             CAST(ROUND(CAST(embedding[u.i + 1] AS DOUBLE) * 1000000, 0)
+                  AS BIGINT) AS vi,
+             CAST(ROUND(CAST(embedding[v.j + 1] AS DOUBLE) * 1000000, 0)
+                  AS BIGINT) AS vj
+      FROM embeddings,
+           UNNEST(generate_series(0, {_GRAM_D - 1})) AS u(i),
+           UNNEST(generate_series(0, {_GRAM_D - 1})) AS v(j)
+      WHERE v.j >= u.i),
+    agg AS (
+      SELECT di, dj,
+             CAST(SUM(CAST(vi * vj AS DECIMAL(38,0))) AS DOUBLE) AS sp
+      FROM pairs GROUP BY di, dj)
+    SELECT CAST(di AS INT) AS dim_a, CAST(dj AS INT) AS dim_b,
+           ROUND(sp / 1000000000000.0, 4) + 0.0 AS gram_r4,
+           CAST(NULL AS DOUBLE) AS np_if_deviant
+    FROM agg
+    ORDER BY dim_a, dim_b
+    """
+
+
+@register("v_gram_matrix", _GRAM_ORACLE)
 def v_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle Gram matrix Σ xᵀx over the embedding corpus via
     mapInArrow — the 100 TB path to the covariance/PCA sufficient
@@ -471,13 +514,22 @@ def v_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d(d+1)/2 partial rows, and a single 2080-group aggregation merges
     partials — shuffle volume is pairs×partitions, never corpus-sized,
     and the per-row work runs at BLAS speed instead of expression-tree
-    speed. Rows-only: numpy's pairwise float summation differs from a
-    SQL +-chain at the ulp level; pytest pins agreement with the exact
-    DECIMAL pipeline to 1e-4."""
+    speed.
+
+    FULL hash row since round 9 (see _GRAM_ORACLE): the registered
+    output joins the numpy partials with the exact integer-micros
+    cross-moment and projects (gram_r4 = exact rounded to 4,
+    np_if_deviant = numpy value iff it leaves the rigorous rounding
+    bound, else NULL) — the driver hash gates BOTH the exact pipeline
+    and the numpy path every round. The exact side exists for the
+    contract; the bare numpy aggregation (one narrow matmul pass) is
+    what a 100 TB run executes when exactness yields to speed — its
+    plan shape is unchanged and pytest still pins it to 1e-4 against
+    the DECIMAL pipeline."""
     import pyarrow as pa
 
     e = t(spark, sf_dir, "embeddings").select("embedding")
-    d = 64
+    d = _GRAM_D
     iu = np.triu_indices(d)
 
     def gram(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -498,10 +550,56 @@ def v_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 names=["dim_a", "dim_b", "s"],
             )
 
-    return (
+    npg = (
         e.mapInArrow(gram, "dim_a int, dim_b int, s double")
         .groupBy("dim_a", "dim_b")
-        .agg(F.round(F.sum("s"), 4).alias("gram"))
+        .agg(F.sum("s").alias("np_gram"))
+    )
+    # Exact integer-micros cross-moment + the per-pair abs-sums the
+    # tolerance bound needs (Σ|vi| over all rows is the same value in
+    # every (i, j) group containing dim i). 2080 output groups; the
+    # shuffle carries pairs×partitions partial rows, like the twin.
+    lv = (
+        "cast(round(cast(element_at(embedding, {0} + 1) as double) "
+        "* 1000000, 0) as bigint)"
+    )
+    pair_expr = (
+        f"flatten(transform(sequence(0, {d - 1}), i -> "
+        f"transform(sequence(i, {d - 1}), j -> "
+        f"struct(i AS di, j AS dj, {lv.format('i')} AS vi, "
+        f"{lv.format('j')} AS vj))))"
+    )
+    exact = (
+        e.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.di", "p.dj", "p.vi", "p.vj")
+        .groupBy("di", "dj")
+        .agg(
+            F.sum((F.col("vi") * F.col("vj")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("sp"),
+            F.sum(F.abs("vi")).cast("double").alias("sa"),
+            F.sum(F.abs("vj")).cast("double").alias("sb"),
+        )
+    )
+    sp_val = F.col("sp") / F.lit(1e12)
+    # micros-rounding bound (see _GRAM_ORACLE comment) + numpy-summation
+    # slack; sa/sb are micros-scaled, hence the 1e6 normalization.
+    tol = (
+        F.lit(5.1e-7) * (F.col("sa") + F.col("sb")) / F.lit(1e6)
+        + F.lit(2e-6)
+    )
+    return (
+        npg.join(
+            exact,
+            (npg.dim_a == exact.di) & (npg.dim_b == exact.dj),
+        )
+        .select(
+            "dim_a",
+            "dim_b",
+            (F.round(sp_val, 4) + F.lit(0.0)).alias("gram_r4"),
+            F.when(F.abs(F.col("np_gram") - sp_val) > tol, F.col("np_gram"))
+            .alias("np_if_deviant"),
+        )
         .orderBy("dim_a", "dim_b")
     )
 

@@ -1482,3 +1482,26 @@ def test_simhash_random_cross_check(spark, tmp_path):
         for r in QUERIES["t_simhash_fingerprint"](spark, d).collect()
     ]
     assert got == _simhash_brute_force(texts)
+
+def test_registered_winnow_row_subset_of_stride1(spark):
+    """The round-9 registered t_exact_substring_spans_winnow row must
+    honor the subset guarantee on the REAL shipped corpus: every
+    sampled-anchor span lies inside some stride-1 exact span of the
+    registered t_exact_substring_spans row (anchors are a subset, so a
+    winnow span can never leave an exact repeat region), with identical
+    schema."""
+    import __spark_entry__ as entrymod
+
+    from tests.conftest import SF_SMALL
+
+    qs = entrymod.queries()
+    win_df = qs["t_exact_substring_spans_winnow"](spark, SF_SMALL)
+    exact_df = qs["t_exact_substring_spans"](spark, SF_SMALL)
+    assert win_df.schema == exact_df.schema
+    exact = [tuple(r) for r in exact_df.collect()]
+    spans = [tuple(r) for r in win_df.collect()]
+    assert spans, "winnow row found no spans on the shipped corpus"
+    for doc_id, s, e, _ln in spans:
+        assert any(
+            xd == doc_id and xs <= s and e <= xe for xd, xs, xe, _ in exact
+        ), (doc_id, s, e)

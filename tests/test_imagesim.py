@@ -130,6 +130,69 @@ def test_parameter_validation(spark):
         phash_near_dup_groups(f, bands=3)
 
 
+def test_null_phash_rejected(spark):
+    """length(NULL) != n is NULL (not true), so a NULL phash would slip
+    past a naive width guard and then vanish silently in the null-unsafe
+    band joins — the guard must reject it loudly with the other
+    malformed widths (round-8 ADVICE)."""
+    f = _feats(spark, [(1, _bits(0)), (2, None)])
+    with pytest.raises(ValueError, match="exactly 16 chars"):
+        phash_near_dup_groups(f)
+
+
+def test_registered_near_dup_row_matches_design(spark):
+    """The registered m_phash_near_dup_groups row (fixture planes →
+    real container encoders → real decoders → phash → Hamming-LSH →
+    components) must land exactly on the fixture DESIGN constants —
+    the same ground truth the DuckDB oracle states as literals,
+    re-derived here independently from _ND_CLUSTERS/_ND_SINGLETONS."""
+    from culvert_spark.imagesim import (
+        _ND_CLUSTERS,
+        _ND_COPIES,
+        _ND_SINGLETONS,
+        QUERIES,
+    )
+
+    want = {}
+    for c, cl in enumerate(_ND_CLUSTERS):
+        want[min(cl)] = (3 * _ND_COPIES, 3, 1000 * c, 3 * _ND_COPIES - 1)
+    for s, ph in enumerate(_ND_SINGLETONS):
+        want[ph] = (_ND_COPIES, 1, 9000 + 100 * s, _ND_COPIES - 1)
+    got = {
+        r.cluster_id: (r.n_images, r.n_hashes, r.keeper_id, r.n_dupes)
+        for r in QUERIES["m_phash_near_dup_groups"](spark, "unused").collect()
+    }
+    assert got == want
+
+
+def test_near_dup_fixture_exercises_every_container(spark):
+    """The copy-1 rotation must cover all five non-PPM encoders (the
+    row's cross-container claim is only as strong as its coverage)."""
+    from culvert_spark.imagesim import near_dup_media
+    from culvert_spark.mediagen import ENCODERS
+
+    payloads = [
+        bytes(r.payload)
+        for r in near_dup_media(spark).collect()
+        if r.media_id % 10 == 1 or r.media_id % 100 == 1
+    ]
+    magic = {
+        "ppm": b"P6",
+        "png": b"\x89PNG",
+        "bmp": b"BM",
+        "qoi": b"qoif",
+        "tiff": b"II*\x00",
+        "jls": b"\xff\xd8",
+    }
+    seen = {
+        name
+        for name, _ in ENCODERS
+        for p in payloads
+        if p.startswith(magic[name])
+    }
+    assert {"png", "bmp", "qoi", "tiff", "jls"} <= seen
+
+
 def test_short_phash_rejected(spark):
     """image_features emits min(width,16)-char hashes, so an image
     narrower than 16 px yields a short phash; comparing it would read

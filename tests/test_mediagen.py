@@ -96,3 +96,23 @@ def test_cross_format_dedup_collapses_containers(spark):
         assert r.n_dupes == r.n_images - 1
         # keeper is always a PPM copy (sub-index 0 = min media_id)
         assert r.keeper_id % 8 == 0
+
+
+def test_cross_format_collision_guard_raises(spark):
+    """A phash collision between doc planes collapses two 6-container
+    groups into one 12-image group; the invariant projection must turn
+    that into a diagnosable error pointing at the oracle's caveat, not
+    an opaque driver hash mismatch (round-8 ADVICE)."""
+    groups = spark.createDataFrame(
+        [(0, 12, 11), (16, 6, 5)],
+        "keeper_id bigint, n_images bigint, n_dupes bigint",
+    )
+    with pytest.raises(ValueError, match="collision"):
+        mm._cross_format_invariants(groups)
+    # clean groups pass through untouched
+    ok = spark.createDataFrame(
+        [(0, 6, 5), (8, 6, 5)],
+        "keeper_id bigint, n_images bigint, n_dupes bigint",
+    )
+    got = mm._cross_format_invariants(ok).collect()
+    assert [(r.keeper_id, r.keeper_fmt_idx) for r in got] == [(0, 0), (8, 0)]

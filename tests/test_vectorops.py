@@ -169,11 +169,11 @@ def test_pq_ann_recall_vs_exact(spark):
 
 
 def test_gram_matrix_matches_exact_decimal_pipeline(spark):
-    """The mapInArrow Gram partials must merge to the same cross-moments
-    the oracle-exact DECIMAL pipeline computes: gram(i,j) ~= sp(i,j)
-    (the Σ vi·vj term inside q_embedding_covariance) to 1e-4 — numpy
-    pairwise summation vs exact decimal sums differ only at the ulp
-    level. Also pins symmetry bookkeeping: exactly d(d+1)/2 rows with
+    """The registered row (round 9: full *_if_deviant hash shape) must
+    report every numpy partial-merge INSIDE the rigorous micros bound
+    (np_if_deviant all NULL) and its exact gram_r4 values must agree
+    with an independently recomputed DECIMAL cross-moment to 1e-4.
+    Also pins symmetry bookkeeping: exactly d(d+1)/2 rows with
     dim_a <= dim_b."""
     import __spark_entry__ as entrymod
     import pyspark.sql.functions as F
@@ -181,12 +181,16 @@ def test_gram_matrix_matches_exact_decimal_pipeline(spark):
     from tests.conftest import SF_SMALL
 
     qs = entrymod.queries()
-    gram = {
-        (r.dim_a, r.dim_b): r.gram
-        for r in qs["v_gram_matrix"](spark, SF_SMALL).collect()
-    }
+    rows = qs["v_gram_matrix"](spark, SF_SMALL).collect()
+    gram = {(r.dim_a, r.dim_b): r.gram_r4 for r in rows}
     assert len(gram) == 64 * 65 // 2
     assert all(a <= b for a, b in gram)
+    deviants = [
+        (r.dim_a, r.dim_b, r.np_if_deviant)
+        for r in rows
+        if r.np_if_deviant is not None
+    ]
+    assert deviants == [], f"numpy path left the micros bound: {deviants}"
     cov_rows = qs["q_embedding_covariance"](spark, SF_SMALL).collect()
     # Reconstruct sp = n * (cov + mean_a * mean_b) is lossy post-rounding;
     # instead recompute the exact decimal cross-moment directly.
@@ -207,3 +211,14 @@ def test_gram_matrix_matches_exact_decimal_pipeline(spark):
     for a, b in checks:
         assert abs(gram[(a, b)] - float(exact[f"s_{a}_{b}"])) < 1e-4, (a, b)
     assert len(cov_rows) == 64 * 65 // 2
+
+
+def test_cosine_topk_rank_oracle_is_shared_verbatim():
+    """The vectorized row's round-9 oracle upgrade reuses the
+    hash-proven s_cosine_topk SQL BYTE-IDENTICALLY — the two rows state
+    one rank contract, so an edit to either oracle string must be a
+    deliberate edit to both."""
+    import __spark_entry__ as entrymod
+
+    osql = entrymod.oracle_sql()
+    assert osql["v_cosine_topk_pandas"] == osql["s_cosine_topk"]
