@@ -367,14 +367,30 @@ def _stage_shuffle_stats(spark) -> dict[int, tuple[int, int]]:
     return out
 
 
+def _stage_shuffle_stats_settled(spark) -> dict[int, tuple[int, int]]:
+    """The status store is fed ASYNCHRONOUSLY from the listener bus, so a
+    read taken right after an action can miss just-completed stages or
+    carry unflushed metrics (round-9 review finding). Poll until two
+    consecutive reads agree (bounded at ~6 s) — the poll runs OUTSIDE
+    the timed region, so timings are unaffected."""
+    prev = _stage_shuffle_stats(spark)
+    for _ in range(20):
+        time.sleep(0.3)
+        cur = _stage_shuffle_stats(spark)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
+
+
 def _timed_with_shuffle(spark, thunk) -> tuple[float, int, int]:
     """(seconds, shuffle bytes written, shuffle records written) for one
     action — bytes/records summed over the stages the action ran."""
-    before = set(_stage_shuffle_stats(spark))
+    before = set(_stage_shuffle_stats_settled(spark))
     start = time.perf_counter()
     thunk()
     sec = time.perf_counter() - start
-    after = _stage_shuffle_stats(spark)
+    after = _stage_shuffle_stats_settled(spark)
     wb = sum(v[0] for k, v in after.items() if k not in before)
     wr = sum(v[1] for k, v in after.items() if k not in before)
     return sec, wb, wr
@@ -855,6 +871,12 @@ def main() -> None:
 
     from culvert_spark import ingest as _ingest_early
 
+    # Writeback barrier FIRST: the early streaming run just committed
+    # ~100M rows of ORC whose dirty pages would otherwise flush DURING
+    # this measurement (first preview without the barrier: 0.39M rows/s
+    # early vs 2.94M late — the flush, not the engine).
+    os.sync()
+    time.sleep(2)
     rows_per_stream = 250_000
     _warm_e = tempfile.mkdtemp(prefix="culvert_bench_ingest_earlywarm_")
     _out_e = tempfile.mkdtemp(prefix="culvert_bench_ingest_early_")

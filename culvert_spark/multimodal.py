@@ -1782,7 +1782,15 @@ def _cross_format_invariants(groups: DataFrame) -> DataFrame:
     6-container groups into one 12-image group, so any group with
     n_images != 6 is the collision signature: probe for it (one cheap
     action over the ~40-group aggregate) and raise a diagnosable error
-    pointing at the caveat instead."""
+    pointing at the caveat instead.
+
+    The aggregate is persisted first so the probe and the returned plan
+    share ONE execution of the encode→decode→phash→group pipeline (the
+    40-group OUTPUT is tiny; without the persist the caller's collect
+    would recompute the 240-image decode from scratch — round-9 review
+    finding). The handful of 40-row cached aggregates a session can
+    accumulate is noise next to one decode pass."""
+    groups = groups.persist()
     bad = groups.where(F.col("n_images") != 6).limit(3).collect()
     if bad:
         raise ValueError(

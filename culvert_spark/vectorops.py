@@ -82,12 +82,25 @@ def cosine_topk_vectorized(
             if not len(pdf):
                 continue
             ids = pdf["vec_id"].to_numpy()
-            emat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # Pre-sort the batch by neighbor_id so the STABLE argsort
+            # below breaks exact-cos ties on the smallest id — the same
+            # (cos DESC, neighbor_id ASC) total order the global window
+            # and the SQL oracle use. argpartition would keep an
+            # ARBITRARY member of a boundary tie group, so a batch with
+            # >= k+1 equal-cos rows (duplicate embeddings — exactly what
+            # a dedup corpus contains) could drop the winning id before
+            # the window reduce and hash-flip against the oracle
+            # (round-9 review finding).
+            ord0 = np.argsort(ids, kind="stable")
+            ids = ids[ord0]
+            emat = np.stack(pdf["embedding"].to_numpy()[ord0]).astype(
+                np.float64
+            )
             enorm = np.linalg.norm(emat, axis=1)
             cos = (emat @ qmat.T) / np.outer(enorm, qnorm)  # (batch, q)
             # Local top-(k+1) per query (self-match removed downstream).
             kk = min(k + 1, cos.shape[0])
-            idx = np.argpartition(-cos, kk - 1, axis=0)[:kk]  # (kk, q)
+            idx = np.argsort(-cos, axis=0, kind="stable")[:kk]  # (kk, q)
             out = {
                 "query_id": np.repeat(qids, kk),
                 "neighbor_id": ids[idx.T.ravel()],
@@ -559,18 +572,23 @@ def v_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tolerance bound needs (Σ|vi| over all rows is the same value in
     # every (i, j) group containing dim i). 2080 output groups; the
     # shuffle carries pairs×partitions partial rows, like the twin.
-    lv = (
-        "cast(round(cast(element_at(embedding, {0} + 1) as double) "
-        "* 1000000, 0) as bigint)"
+    # The micros conversion is hoisted into ONE 64-element array per row
+    # (Catalyst does not CSE across lambda instances, so inlining it in
+    # the pair transform would run 4160 round/cast chains per row where
+    # 64 suffice — round-9 review finding).
+    m_expr = (
+        "transform(embedding, x -> "
+        "cast(round(cast(x as double) * 1000000, 0) as bigint))"
     )
     pair_expr = (
         f"flatten(transform(sequence(0, {d - 1}), i -> "
         f"transform(sequence(i, {d - 1}), j -> "
-        f"struct(i AS di, j AS dj, {lv.format('i')} AS vi, "
-        f"{lv.format('j')} AS vj))))"
+        f"struct(i AS di, j AS dj, element_at(m, i + 1) AS vi, "
+        f"element_at(m, j + 1) AS vj))))"
     )
     exact = (
-        e.select(F.explode(F.expr(pair_expr)).alias("p"))
+        e.select(F.expr(m_expr).alias("m"))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.di", "p.dj", "p.vi", "p.vj")
         .groupBy("di", "dj")
         .agg(

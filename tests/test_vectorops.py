@@ -222,3 +222,27 @@ def test_cosine_topk_rank_oracle_is_shared_verbatim():
 
     osql = entrymod.oracle_sql()
     assert osql["v_cosine_topk_pandas"] == osql["s_cosine_topk"]
+
+
+def test_vectorized_topk_tie_break_on_neighbor_id(spark):
+    """>= k+2 candidates with EXACTLY equal cosine to the query in one
+    partition: the local prune must keep the smallest neighbor_ids (the
+    oracle's (cos DESC, neighbor_id) tie order), not an arbitrary
+    argpartition pick — duplicate embeddings are exactly what a dedup
+    corpus contains (round-9 review finding)."""
+    import pandas as pd
+
+    from culvert_spark.vectorops import cosine_topk_vectorized
+
+    rows = [(i, [1.0, 0.0]) for i in (5, 9, 3, 7, 1, 8)] + [
+        (100, [1.0, 0.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).coalesce(1)
+    qpdf = pd.DataFrame({"query_id": [100], "qv": [[1.0, 0.0]]})
+    got = [
+        (r.neighbor_id, r.rank)
+        for r in cosine_topk_vectorized(df, qpdf, k=3).collect()
+    ]
+    assert got == [(1, 1), (3, 2), (5, 3)]
