@@ -177,7 +177,15 @@ except ImportError:  # pragma: no cover
 #: by taking a round-9 changed-row slot) — 46 of 50, leaving 4 slots
 #: for round-10 registrations/changes, which as always take precedence;
 #: plan an explicit deferral like round 8's if the change set needs
-#: more than 4.
+#: more than 4.  Known round-10 registration candidates staged in
+#: round 9, both pytest-proven with design-exact fixtures and staged
+#: constant-folding oracles: m_video_shot_dedup
+#: (culvert_spark/videoshots.py — Hamming-tolerant shot segmentation
+#: over the frame-feature stream + cross-video shot dedup through the
+#: imagesim value-domain clustering) and m_audio_near_dup_groups
+#: (culvert_spark/audiosim.py — band-pair energy-sign fingerprint,
+#: volume-invariant, real WAV encode/decode path, oracle builder
+#: audio_near_dup_oracle()).
 #:
 #: Round 8 executes the ROUND-8 ROTATION pre-computed at the end of round
 #: 7 (below), amended for the round's actual change set: 9 window slots go
