@@ -182,10 +182,15 @@ except ImportError:  # pragma: no cover
 #: constant-folding oracles: m_video_shot_dedup
 #: (culvert_spark/videoshots.py — Hamming-tolerant shot segmentation
 #: over the frame-feature stream + cross-video shot dedup through the
-#: imagesim value-domain clustering) and m_audio_near_dup_groups
-#: (culvert_spark/audiosim.py — band-pair energy-sign fingerprint,
-#: volume-invariant, real WAV encode/decode path, oracle builder
-#: audio_near_dup_oracle()).
+#: imagesim value-domain clustering; fixture goes through a REAL
+#: RIFF/AVI MJPEG container via encode_avi_mjpeg + per-frame lossless
+#: JPEGs, oracle builder video_shot_oracle()) and
+#: m_audio_near_dup_groups (culvert_spark/audiosim.py — band-pair
+#: energy-sign fingerprint, volume-invariant, real WAV encode/decode
+#: path, oracle builder audio_near_dup_oracle()). Registration body
+#: for each is one line: the fixture media -> feature/fingerprint
+#: extraction -> the *_near_dup_groups operator, against the staged
+#: oracle string.
 #:
 #: Round 8 executes the ROUND-8 ROTATION pre-computed at the end of round
 #: 7 (below), amended for the round's actual change set: 9 window slots go

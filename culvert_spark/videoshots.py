@@ -33,9 +33,15 @@ aggregate is the only corpus-grain shuffle.
 Staged in round 9 (pytest-proven: hand-built cut/noise geometry,
 cross-video shared shots, single-frame videos, randomized
 run-segmentation cross-check, real-path run over synthetic_media
-videos); registration as a driver row (``m_video_shot_dedup``) is a
-ROUND-10 candidate — the round-9 50-row window was fully allocated
-(see ``__spark_entry__.py``'s ROUND-9 ROTATION note).
+videos, AND a DESIGN-EXACT container fixture — designed phash
+sequences realized as real pixels, per-frame lossless JPEGs packed
+into a real RIFF/AVI MJPEG container by ``encode_avi_mjpeg``, demuxed
+and decoded back through the production path, with the staged
+constant-folding oracle ``video_shot_oracle()`` already matching the
+pipeline in DuckDB); registration as a driver row
+(``m_video_shot_dedup``) is a ROUND-10 candidate — the round-9 50-row
+window was fully allocated (see ``__spark_entry__.py``'s ROUND-9
+ROTATION note).
 
 Reference scope: prasanthj/culvert has no multimodal surface (SURVEY
 §0); this extends the training-data multimodal family mandated by the
@@ -44,11 +50,22 @@ build brief.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from culvert_spark.imagesim import phash_value_clusters
+from culvert_spark.imagesim import (
+    _ND_CLUSTERS,
+    _ND_SINGLETONS,
+    _flip_bits,
+    _plane_for_phash,
+    phash_value_clusters,
+)
 
 
 def _hamming_expr(a: str, b: str, nbits: int) -> str:
@@ -151,3 +168,181 @@ def shot_near_dup_groups(
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Design-exact fixture (round-10 registration candidate)
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_mjpeg(frames: list[bytes], width: int = 16,
+                     height: int = 16) -> bytes:
+    """Minimal RIFF/AVI Motion-JPEG writer (public container spec): a
+    'hdrl' LIST with the 56-byte main header + one video stream, then a
+    'movi' LIST of word-aligned '00dc' chunks, one complete JPEG per
+    frame. ``_avi_video_frames`` demuxes it back bit-exactly."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<14I", 40_000, 0, 0, 0x10, len(frames), 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"vids", b"MJPG", 0, 0, 0, 0, 1, 25,
+        0, len(frames), 0, 0xFFFFFFFF, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh)
+                                   + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _last_one_flip(phash: str) -> str:
+    """The intra-shot noise frame: the rep with its LAST '1' bit
+    cleared — 1 bit from the rep (stays inside the shot radius) and
+    one FEWER one-bit (stays inside the plane encoding's <= 8-ones
+    constraint)."""
+    return _flip_bits(phash, phash.rindex("1"))
+
+
+#: Fixture layout: media_id -> ordered shot REP phashes, reusing the
+#: image fixture's import-proven cluster geometry. Every shot is (rep,
+#: rep-with-last-1-cleared): intra-shot steps are 1 bit (no cut), and
+#: adjacent shots' reps come from different geometry groups, so every
+#: boundary frame pair is >= 3 bits apart (cross-group min distance 4,
+#: minus 1 for the noise flip) — a guaranteed cut. Verified
+#: exhaustively at import by ``_check_video_fixture_design``.
+_VS_VIDEOS: dict[int, list[str]] = {
+    10: [_ND_CLUSTERS[0][0], _ND_CLUSTERS[1][0], _ND_CLUSTERS[2][0]],
+    20: [_ND_CLUSTERS[0][1], _ND_CLUSTERS[3][0]],
+    30: [_ND_CLUSTERS[0][2], _ND_CLUSTERS[1][1], _ND_SINGLETONS[0]],
+    40: [_ND_CLUSTERS[4][0], _ND_SINGLETONS[1], _ND_CLUSTERS[4][1]],
+}
+
+#: Expected cluster table, stated from the DESIGN (cluster = the set of
+#: rep phashes drawn from one geometry group; cluster_id = min PRESENT
+#: rep; keeper = lexicographically first (media_id, shot_id)).
+def _vs_expected() -> list[tuple[str, int, int, int, int, int]]:
+    groups: dict[int, list[tuple[str, int, int]]] = {}
+    lookup = {}
+    for gi, cl in enumerate(_ND_CLUSTERS):
+        for v in cl:
+            lookup[v] = gi
+    for si, s in enumerate(_ND_SINGLETONS):
+        lookup[s] = 100 + si
+    for mid, reps in _VS_VIDEOS.items():
+        for shot_idx, rep in enumerate(reps, start=1):
+            groups.setdefault(lookup[rep], []).append(
+                (rep, mid, shot_idx)
+            )
+    out = []
+    for members in groups.values():
+        cid = min(m[0] for m in members)
+        keeper = min((m[1], m[2]) for m in members)
+        n_shots = len(members)
+        n_videos = len({m[1] for m in members})
+        out.append(
+            (cid, n_shots, n_videos, keeper[0], keeper[1], n_shots - 1)
+        )
+    out.sort()
+    return out
+
+
+def _check_video_fixture_design() -> None:
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    for reps in _VS_VIDEOS.values():
+        frames = []
+        for rep in reps:
+            frames += [rep, _last_one_flip(rep)]
+        assert all(len(f) == 16 and f.count("1") <= 8 for f in frames)
+        for i, (a, b) in enumerate(zip(frames, frames[1:])):
+            d = ham(a, b)
+            if i % 2 == 0:
+                assert d <= 2, ("intra-shot step cut", a, b, d)
+            else:
+                assert d >= 3, ("shot boundary missed", a, b, d)
+
+
+_check_video_fixture_design()
+
+
+def near_dup_video_media(spark: SparkSession) -> DataFrame:
+    """(media_id, kind, payload, meta) fixture corpus: each video's
+    designed phash sequence realized as REAL pixels, each frame encoded
+    as a complete lossless JPEG (mediagen's SOF3 writer — decoded
+    bit-exactly by jpegcodec), packed into a real RIFF/AVI MJPEG
+    container that ``sample_frames`` demuxes for real. The registered
+    round-10 row would therefore gate container demux -> per-frame JPEG
+    decode -> phash -> shot segmentation -> cross-video clustering
+    end-to-end against design constants."""
+    from culvert_spark.mediagen import encode_jpeg_lossless
+
+    spec = sorted(_VS_VIDEOS.items())
+    spec_df = spark.createDataFrame(
+        [(mid, "|".join(reps)) for mid, reps in spec],
+        "media_id bigint, reps string",
+    )
+    schema = (
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, reps in zip(pdf["media_id"], pdf["reps"]):
+                frames = []
+                for rep in reps.split("|"):
+                    for ph in (rep, _last_one_flip(rep)):
+                        plane = _plane_for_phash(ph)
+                        rgb = np.repeat(plane[:, :, None], 3, axis=2)
+                        frames.append(encode_jpeg_lossless(rgb))
+                rows.append({
+                    "media_id": int(mid),
+                    "kind": "video",
+                    "payload": encode_avi_mjpeg(frames),
+                    "meta": {"width": 16, "height": 16,
+                             "sample_rate": 0, "n_frames": len(frames)},
+                })
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return spec_df.mapInPandas(encode, schema)
+
+
+def video_shot_oracle() -> str:
+    """Constant-folding DuckDB oracle from the fixture DESIGN (staged
+    for the round-10 ``m_video_shot_dedup`` registration)."""
+    vals = ",\n      ".join(
+        f"('{cid}', {ns}, {nv}, {km}, {ks}, {nd})"
+        for cid, ns, nv, km, ks, nd in _vs_expected()
+    )
+    return f"""
+    SELECT cluster_id,
+           CAST(n_shots AS BIGINT) AS n_shots,
+           CAST(n_videos AS BIGINT) AS n_videos,
+           CAST(keeper_media_id AS BIGINT) AS keeper_media_id,
+           CAST(keeper_shot_id AS BIGINT) AS keeper_shot_id,
+           CAST(n_dupes AS BIGINT) AS n_dupes
+    FROM (VALUES
+      {vals})
+      AS t(cluster_id, n_shots, n_videos, keeper_media_id,
+           keeper_shot_id, n_dupes)
+    ORDER BY cluster_id
+    """

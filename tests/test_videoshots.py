@@ -172,3 +172,55 @@ def test_real_path_over_synthetic_media(spark):
         assert [r.shot_id for r in ss] == list(range(1, len(ss) + 1))
         for prev, cur in zip(ss, ss[1:]):
             assert prev.end_frame < cur.start_frame
+
+
+def test_avi_mjpeg_roundtrip_bit_exact():
+    """encode_avi_mjpeg -> the production demuxer returns the exact
+    frame payloads in order."""
+    from culvert_spark.multimodal import _avi_video_frames
+    from culvert_spark.videoshots import encode_avi_mjpeg
+
+    frames = [b"JPEGDATA%d" % i for i in range(5)]
+    got = _avi_video_frames(encode_avi_mjpeg(frames))
+    assert got == frames
+
+
+def test_video_fixture_end_to_end_matches_design(spark):
+    """The full real chain — AVI demux -> per-frame lossless-JPEG
+    decode -> phash -> segmentation -> cross-video clustering — must
+    land exactly on the design constants (the truth the staged DuckDB
+    oracle states)."""
+    from culvert_spark.multimodal import video_frame_features
+    from culvert_spark.videoshots import (
+        _vs_expected,
+        near_dup_video_media,
+    )
+
+    frames = video_frame_features(near_dup_video_media(spark), every_n=1)
+    got = sorted(
+        (
+            r.cluster_id, r.n_shots, r.n_videos, r.keeper_media_id,
+            r.keeper_shot_id, r.n_dupes,
+        )
+        for r in shot_near_dup_groups(frames).collect()
+    )
+    assert got == _vs_expected()
+
+
+def test_staged_video_oracle_matches_design(spark):
+    """The staged round-10 oracle SQL must state the same truth the
+    Spark pipeline produces."""
+    import duckdb
+
+    from culvert_spark.multimodal import video_frame_features
+    from culvert_spark.videoshots import (
+        near_dup_video_media,
+        video_shot_oracle,
+    )
+
+    frames = video_frame_features(near_dup_video_media(spark), every_n=1)
+    spdf = shot_near_dup_groups(frames).toPandas()
+    ddf = duckdb.connect().execute(video_shot_oracle()).fetchdf()
+    a = sorted(map(str, spdf.itertuples(index=False, name=None)))
+    b = sorted(map(str, ddf.itertuples(index=False, name=None)))
+    assert a == b
