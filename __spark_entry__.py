@@ -110,6 +110,20 @@ try:  # Hamming-LSH fuzzy image dedup (staged round 8, registered round 9)
 except ImportError:  # pragma: no cover
     pass
 
+try:  # video shot segmentation + dedup (staged round 9, registered round 10)
+    from culvert_spark import videoshots as _vs
+
+    _REGISTRIES.append(_vs)
+except ImportError:  # pragma: no cover
+    pass
+
+try:  # audio fingerprint dedup (staged round 9, registered round 10)
+    from culvert_spark import audiosim as _as
+
+    _REGISTRIES.append(_as)
+except ImportError:  # pragma: no cover
+    pass
+
 
 #: Driver CORRECTNESS verification covers the first N registered queries in
 #: registration order (50-query window per round).  Rounds 1–5 recorded a
@@ -117,6 +131,36 @@ except ImportError:  # pragma: no cover
 #: rows (204 hash-green, 8 rows-only by design, 0 failures) — CORRECTNESS_r05
 #: landed exactly on the documented ROUND-5 ROTATION (49 hash-green + 1
 #: rows-only v_gram_matrix).
+#:
+#: Round 10 executes the ROUND-10 ROTATION pre-computed at the end of
+#: round 9 (kept below for provenance). The 4 spare slots are exactly
+#: consumed by the round's change set:
+#:   m_video_shot_dedup (NEW: the round-9-staged video shot
+#:     segmentation + cross-video shot dedup registered, videoshots.py —
+#:     real RIFF/AVI MJPEG fixture through the production demux/decode,
+#:     constant-folding oracle video_shot_oracle(); every_n=1 is passed
+#:     EXPLICITLY so the fixture's intra-shot noise frames reach the
+#:     Hamming-tolerance path the fixture was designed to prove —
+#:     round-9 ADVICE),
+#:   m_audio_near_dup_groups (NEW: the round-9-staged volume-invariant
+#:     audio fingerprint dedup registered, audiosim.py — real WAV
+#:     encode/decode, half-volume copies proving exact invariance,
+#:     constant-folding oracle audio_near_dup_oracle()),
+#:   m_cross_format_dedup + m_cross_format_dedup_odd (CHANGED: the
+#:     phash-collision guard moved INTO the returned plan — raise_error
+#:     in a CASE branch that only evaluates on a violating row — so the
+#:     pipeline runs exactly once with no eager probe job and no persist
+#:     leak at query-construction time; round-9 ADVICE. Values unchanged
+#:     on clean data).
+#: The remaining 46 slots execute the pre-computed round-5-vintage
+#: freshness list verbatim (the ROUND-10 ROTATION note below).
+#: q_embedding_covariance additionally carries the round-10
+#: micros-conversion hoist (ONE 64-element array per row instead of
+#: 4160 inline round/cast chains — the v_gram_matrix round-9 pattern;
+#: values unchanged), slot-free because the row is already in the
+#: freshness list. After CORRECTNESS_r10: no query's newest row
+#: predates round 6 (distribution over 237 registered queries:
+#: 47×r6, 44×r7, 48×r8, 48×r9, 50×r10).
 #:
 #: Round 9 executes the ROUND-9 ROTATION pre-computed at the end of round
 #: 8 (kept below for provenance), amended for the round's actual change
@@ -345,34 +389,37 @@ except ImportError:  # pragma: no cover
 #: from this list keep their module registration order after the priority
 #: block.
 _PRIORITY = [
-    # ===== ROUND-9 ROTATION (exactly the 50-slot window) =====
-    # (a) registered or changed in round 9 (6 rows — see the rotation
+    # ===== ROUND-10 ROTATION (exactly the 50-slot window) =====
+    # (a) registered or changed in round 10 (4 rows — see the rotation
     # note above for what changed in each):
-    "m_phash_near_dup_groups", "t_exact_substring_spans_winnow",
-    "v_cosine_topk_pandas", "v_gram_matrix",
+    "m_video_shot_dedup", "m_audio_near_dup_groups",
     "m_cross_format_dedup", "m_cross_format_dedup_odd",
-    # (b) freshness, exactly the list pre-computed in round 8: the one
-    # deferred r3-vintage row, then the 43 round-4-vintage rows.
-    "v_user_value_zscores",
-    "q_bfs_reachable_parts", "q_chi2_priority_status", "q_churned_users",
-    "q_cms_heavy_hitters", "q_collation_group_ci", "q_conversion_latency",
-    "q_cumulative_distinct_users", "q_embedding_dim_stats",
-    "q_from_xml_events", "q_gini_concentration", "q_histogram_2d",
-    "q_hll_sketch_users", "q_json_key_profile", "q_mom_revenue_growth",
-    "q_new_vs_returning", "q_null_profile", "q_ols_daily_revenue_trend",
-    "q_pareto_coverage", "q_rfm_segments", "q_robust_outlier_stats",
-    "q_sql_pipe_interface", "q_table_fingerprint",
-    "q_trending_event_types", "q_try_functions", "q_weekday_seasonality",
-    "q_yoy_revenue_growth", "t_bigram_lm_top", "t_boilerplate_ngrams",
-    "t_bpe_learn_merges", "t_bpe_tokenize_stats", "t_char_class_profile",
-    "t_context_truncation_stats", "t_deterministic_shuffle",
-    "t_doc_entropy", "t_hashed_ngram_features", "t_lang_id_confusion",
-    "t_length_band_filter", "t_mix_temperature_weights",
-    "t_multimodal_manifest", "t_quality_percentile_filter",
-    "t_token_coverage_topk", "t_vocab_growth", "v_pq_ann_topk",
-    # ===== past the 50-row window: ROUND-10 ROTATION starts here =====
-    # (the 46 r5-vintage rows, listed in the note above; they keep
-    # module registration order until round 10 promotes them)
+    # (b) freshness: the 46 round-5-vintage rows, exactly the list
+    # pre-computed in round 9 (q_embedding_covariance carries the
+    # slot-free micros-conversion hoist).
+    "q01_pricing_summary", "q03_shipping_priority",
+    "q05_regional_revenue", "q06_revenue_forecast", "q_approx_distinct",
+    "q_asof_prior_view", "q_embedding_covariance", "q_graph_pagerank",
+    "q_graph_triangles", "q_hive_bucket_histogram",
+    "q_hive_bucket_write_layout", "q_hourly_event_counts",
+    "q_pivot_user_event_values", "q_salted_join_parity",
+    "q_session_window_batch", "q_sliding_distinct_hll",
+    "q_top3_orders_per_customer", "s_ann_lsh_top1", "s_cosine_topk",
+    "s_near_dup_lsh_verified", "s_semantic_dedup_rep",
+    "st_dedup_digest_replay", "st_dedup_expiry_replay",
+    "st_late_drop_replay", "st_merge_dedup_replay",
+    "st_restart_recovery_replay", "st_session_window_replay",
+    "st_sliding_counts_replay", "st_stateful_totals_replay",
+    "st_stream_stream_join_replay", "st_tumbling_counts_replay",
+    "t_bm25_topk", "t_cdc_chunk_dedup", "t_dedup_keep_best",
+    "t_dup_spans", "t_exact_dedup_groups", "t_exact_dedup_stats",
+    "t_gopher_quality_rules", "t_incremental_dedup",
+    "t_incremental_dedup_persisted", "t_minhash_lsh_pairs",
+    "t_ngram_jaccard_pairs", "t_pack_sequences",
+    "t_pretrain_pipeline_e2e", "t_simhash_fingerprint", "t_token_top20",
+    # ===== past the 50-row window: ROUND-11 ROTATION starts here =====
+    # (the 47 r6-vintage rows become the oldest block; they keep module
+    # registration order until round 11 promotes them)
 ]
 
 

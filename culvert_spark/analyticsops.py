@@ -1716,18 +1716,24 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (v_gram_matrix: one float64 matmul per Arrow batch, 64×64 partials)
     when exactness can yield to speed."""
     e = t(spark, sf_dir, "embeddings")
-    lv = (
-        "cast(round(cast(element_at(embedding, {0} + 1) as double) "
-        "* 1000000, 0) as bigint)"
+    # The micros conversion is hoisted into ONE 64-element array per row
+    # (Catalyst does not CSE across lambda instances, so inlining it in
+    # the pair transform would run 4160 round/cast chains per row where
+    # 64 suffice — the v_gram_matrix fix, applied here in round 10).
+    m_expr = (
+        "transform(embedding, x -> "
+        "cast(round(cast(x as double) * 1000000, 0) as bigint))"
     )
     pair_expr = (
         f"flatten(transform(sequence(0, {_COV_D - 1}), i -> "
         f"transform(sequence(i, {_COV_D - 1}), j -> "
-        f"struct(i AS di, j AS dj, {lv.format('i')} AS vi, "
-        f"{lv.format('j')} AS vj))))"
+        f"struct(i AS di, j AS dj, element_at(m, i + 1) AS vi, "
+        f"element_at(m, j + 1) AS vj))))"
     )
-    pairs = e.select(F.explode(F.expr(pair_expr)).alias("p")).select(
-        "p.di", "p.dj", "p.vi", "p.vj"
+    pairs = (
+        e.select(F.expr(m_expr).alias("m"))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.di", "p.dj", "p.vi", "p.vj")
     )
     agg = pairs.groupBy("di", "dj").agg(
         F.count(F.lit(1)).alias("n"),

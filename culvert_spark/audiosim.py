@@ -36,9 +36,9 @@ import-proven cluster geometry (within-cluster ≤ 2 bits, cross-group
 Staged in round 9 (pytest-proven: per-clip fingerprint == design
 target through real encode/decode, a quantization margin proof on
 decoded band energies, exact volume invariance, end-to-end grouping
-vs the design constants, WAV round-trip); registration as a driver
-row (``m_audio_near_dup_groups``) is a ROUND-10 candidate — the
-round-9 window was fully allocated (see ``__spark_entry__.py``).
+vs the design constants, WAV round-trip); REGISTERED as the driver
+row ``m_audio_near_dup_groups`` in round 10 (the round-9 window was
+fully allocated — see ``__spark_entry__.py``'s rotation notes).
 
 Reference scope: prasanthj/culvert has no multimodal surface (SURVEY
 §0); this extends the training-data multimodal family mandated by the
@@ -64,7 +64,12 @@ from culvert_spark.imagesim import (
 _AF_NBITS = 16
 _AF_BANDS = 2 * _AF_NBITS   # 32 disjoint bands, compared in pairs
 _AF_N = 2048                # samples analyzed (and generated) per clip
-_AF_BPB = 1024 // _AF_BANDS  # rfft bins per band (DC bin excluded)
+# rfft bins per band, derived from _AF_N so the band boundaries track
+# the analysis length (round-9 ADVICE: a hard-coded 1024 was correct
+# only for _AF_N=2048 and would silently misalign with the tone
+# placement in samples_for_fingerprint if _AF_N changed). The DC bin
+# is excluded; the Nyquist bin falls outside the last band.
+_AF_BPB = (_AF_N // 2) // _AF_BANDS
 _AF_RATE = 16_000
 
 #: Amplitudes for the (greater, lesser) tone of each band pair. The
@@ -286,3 +291,30 @@ def audio_near_dup_oracle() -> str:
       AS t(cluster_id, n_clips, n_prints, keeper_id, n_dupes)
     ORDER BY cluster_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Driver registration (staged round 9, registered round 10)
+# ---------------------------------------------------------------------------
+
+from culvert_spark.queries import (  # noqa: E402
+    QUERIES,  # noqa: F401  (re-export: __spark_entry__ registry merge)
+    ORACLE,  # noqa: F401
+    register,
+)
+
+
+@register("m_audio_near_dup_groups", audio_near_dup_oracle())
+def m_audio_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint near-dup grouping as a FULL hash row,
+    end-to-end through the production media path: real PCM16 WAV encode
+    -> the production WAV decode -> rfft band-pair energy-sign
+    fingerprint -> Hamming-LSH clustering, gated against the fixture's
+    design constants. The fixture's half-volume copies make the row
+    prove exact volume invariance (they must collapse onto the
+    full-volume fingerprint: n_prints < n_clips in every group).
+    ``sf_dir`` is unused: like the imagesim/videoshots rows the ground
+    truth is a shipped deterministic fixture, constant at every scale
+    factor; the operator (``audio_near_dup_groups``) is
+    corpus-generic."""
+    return audio_near_dup_groups(near_dup_audio_media(spark))

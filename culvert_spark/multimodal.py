@@ -1780,33 +1780,40 @@ def _cross_format_invariants(groups: DataFrame) -> DataFrame:
     under REGENERATED data, and a collision would otherwise surface as
     an opaque driver hash mismatch. A colliding pair collapses two
     6-container groups into one 12-image group, so any group with
-    n_images != 6 is the collision signature: probe for it (one cheap
-    action over the ~40-group aggregate) and raise a diagnosable error
-    pointing at the caveat instead.
-
-    The aggregate is persisted first so the probe and the returned plan
-    share ONE execution of the encode→decode→phash→group pipeline (the
-    40-group OUTPUT is tiny; without the persist the caller's collect
-    would recompute the 240-image decode from scratch — round-9 review
-    finding). The handful of 40-row cached aggregates a session can
-    accumulate is noise next to one decode pass."""
-    groups = groups.persist()
-    bad = groups.where(F.col("n_images") != 6).limit(3).collect()
-    if bad:
-        raise ValueError(
-            "cross-format dedup oracle precondition violated: group(s) "
-            f"with n_images != 6 (e.g. {[(r.keeper_id, r.n_images) for r in bad]}) "
-            "— almost certainly a phash collision between document "
+    n_images != 6 is the collision signature. The guard lives IN the
+    returned plan (``raise_error`` inside a CASE branch that only
+    evaluates on a violating row), so the encode→decode→phash→group
+    pipeline runs exactly once — when the caller executes the plan —
+    with no eager probe job and no persist to leak (round-9 ADVICE:
+    the previous persist()+collect() probe cached one 40-row aggregate
+    per call for the session's lifetime and ran a Spark job at
+    query-CONSTRUCTION time even if the plan was never executed)."""
+    guard_msg = F.concat(
+        F.lit(
+            "cross-format dedup oracle precondition violated: group with "
+            "n_images != 6 (keeper_id="
+        ),
+        F.col("keeper_id").cast("string"),
+        F.lit(", n_images="),
+        F.col("n_images").cast("string"),
+        F.lit(
+            ") — almost certainly a phash collision between document "
             "planes (the 13-bit odd-geometry domain has ~9% birthday "
             "odds on regenerated fixtures; see the _CROSS_FORMAT_ORACLE "
             "note). Re-verify the fixture data before trusting the "
             "constant-folding oracle; the collision-TOLERANT invariant "
             "(n_images = 6k, keeper % 8 = 0) remains in "
             "tests/test_mediagen.py."
-        )
+        ),
+    )
+    n_guarded = (
+        F.when(F.col("n_images") != 6, F.raise_error(guard_msg))
+        .otherwise(F.col("n_images"))
+        .cast("long")
+    )
     return groups.select(
         "keeper_id",
-        F.col("n_images").cast("long").alias("n_images"),
+        n_guarded.alias("n_images"),
         F.col("n_dupes").cast("long").alias("n_dupes"),
         F.pmod(F.col("keeper_id"), F.lit(8)).cast("long").alias(
             "keeper_fmt_idx"

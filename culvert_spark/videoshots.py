@@ -38,10 +38,11 @@ sequences realized as real pixels, per-frame lossless JPEGs packed
 into a real RIFF/AVI MJPEG container by ``encode_avi_mjpeg``, demuxed
 and decoded back through the production path, with the staged
 constant-folding oracle ``video_shot_oracle()`` already matching the
-pipeline in DuckDB); registration as a driver row
-(``m_video_shot_dedup``) is a ROUND-10 candidate — the round-9 50-row
-window was fully allocated (see ``__spark_entry__.py``'s ROUND-9
-ROTATION note).
+pipeline in DuckDB); REGISTERED as the driver row
+``m_video_shot_dedup`` in round 10, with ``every_n=1`` explicit so the
+fixture's intra-shot noise frames reach segmentation (round-9 ADVICE —
+the round-9 50-row window was fully allocated, see
+``__spark_entry__.py``'s rotation notes).
 
 Reference scope: prasanthj/culvert has no multimodal surface (SURVEY
 §0); this extends the training-data multimodal family mandated by the
@@ -328,7 +329,7 @@ def near_dup_video_media(spark: SparkSession) -> DataFrame:
 
 def video_shot_oracle() -> str:
     """Constant-folding DuckDB oracle from the fixture DESIGN (staged
-    for the round-10 ``m_video_shot_dedup`` registration)."""
+    in round 9; registered as ``m_video_shot_dedup`` in round 10)."""
     vals = ",\n      ".join(
         f"('{cid}', {ns}, {nv}, {km}, {ks}, {nd})"
         for cid, ns, nv, km, ks, nd in _vs_expected()
@@ -346,3 +347,37 @@ def video_shot_oracle() -> str:
            keeper_shot_id, n_dupes)
     ORDER BY cluster_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Driver registration (staged round 9, registered round 10)
+# ---------------------------------------------------------------------------
+
+from culvert_spark.queries import (  # noqa: E402
+    QUERIES,  # noqa: F401  (re-export: __spark_entry__ registry merge)
+    ORACLE,  # noqa: F401
+    register,
+)
+
+
+@register("m_video_shot_dedup", video_shot_oracle())
+def m_video_shot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video shot segmentation + cross-video shot dedup as a FULL hash
+    row, end-to-end through the production media path: real RIFF/AVI
+    MJPEG container demux -> per-frame lossless-JPEG decode -> phash ->
+    Hamming-tolerant shot segmentation -> cross-video clustering, gated
+    against the fixture's design constants. ``every_n=1`` is explicit
+    and load-bearing (round-9 ADVICE): the fixture interleaves a 1-bit
+    noise frame after every shot rep, and sampling every frame is what
+    forces those noise frames through the intra-shot Hamming-tolerance
+    path the fixture was designed to prove — ``video_frame_features``'s
+    default every_n=2 would skip them and the row would pass without
+    exercising it. ``sf_dir`` is unused: like the imagesim row the
+    ground truth is a shipped deterministic fixture, constant at every
+    scale factor; the operators (``shot_near_dup_groups`` over any
+    frame-feature stream) are corpus-generic."""
+    from culvert_spark.multimodal import video_frame_features
+
+    return shot_near_dup_groups(
+        video_frame_features(near_dup_video_media(spark), every_n=1)
+    )

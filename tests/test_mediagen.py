@@ -102,13 +102,15 @@ def test_cross_format_collision_guard_raises(spark):
     """A phash collision between doc planes collapses two 6-container
     groups into one 12-image group; the invariant projection must turn
     that into a diagnosable error pointing at the oracle's caveat, not
-    an opaque driver hash mismatch (round-8 ADVICE)."""
+    an opaque driver hash mismatch (round-8 ADVICE). Since round 10 the
+    guard lives IN the plan (raise_error, no eager probe/persist —
+    round-9 ADVICE), so it fires when the plan EXECUTES."""
     groups = spark.createDataFrame(
         [(0, 12, 11), (16, 6, 5)],
         "keeper_id bigint, n_images bigint, n_dupes bigint",
     )
-    with pytest.raises(ValueError, match="collision"):
-        mm._cross_format_invariants(groups)
+    with pytest.raises(Exception, match="collision"):
+        mm._cross_format_invariants(groups).collect()
     # clean groups pass through untouched
     ok = spark.createDataFrame(
         [(0, 6, 5), (8, 6, 5)],
