@@ -262,15 +262,124 @@ def ivf_search(
     )
 
 
-@register("v_ivf_ann_topk")  # rows-only: iterative/approximate (SURVEY §5.1)
+def ivf_rank_oracle_sql(
+    n_cells: int = 16,
+    iters: int = 3,
+    k: int = 3,
+    n_probe: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB SQL that re-derives the ENTIRE v_ivf_ann_topk pipeline —
+    md5 seeding, ``iters`` unrolled Lloyd rounds (assign by cosine
+    argmax, per-(cell, dim) mean, empty cells keeping their previous
+    centroid), the final assignment, the per-query top-``n_probe`` cell
+    probe, and the exact cosine re-rank inside the probed cells —
+    against the same parquet, ending at the float-free
+    (query_id, neighbor_id, rank) projection the Spark row returns.
+
+    Staged in round 10 for the ROUND-11 registration that upgrades
+    v_ivf_ann_topk from rows-only to a full hash row (the BPE-unroll
+    precedent: a driver-state-producing iteration restated as unrolled
+    SQL). Cross-engine premises, each pinned by pytest with a measured
+    number on the shipped corpora
+    (tests/test_vectorops.py::test_ivf_margins / test_ivf_oracle...):
+
+    - Seeding is integer/text-exact: DuckDB md5(CAST(vec_id AS
+      VARCHAR)) == Spark md5(cast(vec_id as string as binary)) ==
+      hashlib, hex-for-hex; the seed ORDER is the cell index on both
+      sides.
+    - Every float DECISION (argmax cell assignment per round, the
+      probe-set boundary, the final rank boundaries) has a measured
+      margin ≥ 5e-5 on the shipped corpora — eight decades above a
+      conservative 2·10·d·eps cross-engine summation-error bound — so
+      numpy/Spark-AVG and DuckDB arithmetic cannot flip any decision.
+      Exact ties (duplicate vectors) break on deterministic integer
+      columns (cell, neighbor_id) identically in both engines.
+    - Empty-cell carry is replicated with the LEFT JOIN + COALESCE.
+
+    The FLOATS never reach the compared output — only the integer
+    decisions they drive, which is what makes the hash stable."""
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell
+               ) AS rn
+        FROM emb e CROSS JOIN {cents} c) WHERE rn = 1)"""
+
+    def means(aname: str, prev_c: str, new_c: str) -> str:
+        return f"""{new_c} AS (
+      SELECT c.cell, COALESCE(g.v, c.v) AS v
+      FROM {prev_c} c LEFT JOIN (
+        SELECT cell, list(m ORDER BY i) AS v FROM (
+          SELECT cell, i, AVG(v[i]) AS m
+          FROM {aname}, UNNEST(generate_series(1, {dim})) AS t(i)
+          GROUP BY cell, i)
+        GROUP BY cell) g USING (cell))"""
+
+    seed_rank = "ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))"
+    ctes = [
+        "emb AS (\n      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        f"c0 AS (\n      SELECT ({seed_rank}) - 1 AS cell, v\n"
+        f"      FROM emb\n      QUALIFY ({seed_rank}) <= {n_cells})",
+    ]
+    for r in range(iters):
+        ctes.append(assign(f"a{r}", f"c{r}"))
+        ctes.append(means(f"a{r}", f"c{r}", f"c{r + 1}"))
+    ctes.append(assign("afinal", f"c{iters}"))
+    ctes.append(
+        f"""q AS (
+      SELECT vec_id AS query_id, v AS qv FROM emb
+      WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {ANN_MAX_QUERIES})"""
+    )
+    ctes.append(
+        f"""probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.cell
+               ) AS rn
+        FROM q CROSS JOIN c{iters} c) WHERE rn <= {n_probe})"""
+    )
+    ctes.append(
+        """cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(p.qv, a.v) AS cos
+      FROM probes p JOIN afinal a USING (cell)
+      WHERE a.vec_id != p.query_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM cand)
+    WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+    )
+
+
+@register("v_ivf_ann_topk")  # rows-only: ROUND-11 hash upgrade staged
 def v_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN end-to-end: train a 16-cell coarse quantizer (3 Lloyd
     rounds), then top-3 search probing 8/16 cells for the bounded
     vec_id % 50 query set (≤ ANN_MAX_QUERIES rows reach the driver) —
     half the brute-force work at 93% recall@3 on this corpus (synthetic
     embeddings are weakly clustered; real embedding spaces cluster far
-    better and need fewer probes). Genuinely iterative — no SQL oracle;
-    recall vs brute force is asserted in tests."""
+    better and need fewer probes). Recall vs brute force is asserted in
+    tests. Rows-only THIS round; the full-pipeline DuckDB oracle
+    (``ivf_rank_oracle_sql`` — the whole k-means unrolled in SQL, with
+    measured cross-engine decision margins) is staged and pytest-proven
+    for the round-11 registration slot."""
     e = t(spark, sf_dir, "embeddings")
     centroids = ivf_train(e, n_cells=16, iters=3)
     return ivf_search(e, default_query_set(e), centroids, k=3, n_probe=8)

@@ -33,6 +33,62 @@ def test_vectorized_topk_matches_expression_twin(spark):
     )
 
 
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_cosine_topk_rank_margins_exceed_float_error(sf_dir):
+    """v_cosine_topk_pandas shares s_cosine_topk's full rank-hash oracle
+    on the premise that numpy's pairwise summation and DuckDB's +-chain
+    never flip two near-tied (but not exactly equal) cosines across a
+    rank boundary. This pins that premise with a NUMBER (round-9
+    ADVICE): the minimum positive cosine gap at any top-3 rank boundary
+    (ranks 1-2, 2-3, 3-4 — rank 4 is the inclusion boundary) on the
+    shipped corpus must exceed a conservative cross-engine summation
+    error bound, so margin erosion from a future corpus change fails
+    HERE diagnosably before the driver hash flips. Exact ties (gap 0,
+    duplicate embeddings) are excluded: both engines compute identical
+    cosines for bit-identical vectors and break the tie on neighbor_id
+    identically. Engine-independent by design — pure numpy float64 over
+    the shipped parquet, same query rule as the registered row
+    (vec_id % 50 == 0, capped, top-3, self-match removed)."""
+    import pyarrow.parquet as pq
+
+    from culvert_spark.vectorops import ANN_MAX_QUERIES
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = tbl["vec_id"].to_numpy()
+    emb = np.stack(tbl["embedding"].to_pylist()).astype(np.float64)
+    order = np.argsort(ids)
+    ids, emb = ids[order], emb[order]
+    qmask = ids % 50 == 0
+    qids = ids[qmask][:ANN_MAX_QUERIES]
+    qmat = emb[qmask][:ANN_MAX_QUERIES]
+    cos = (emb @ qmat.T) / np.outer(
+        np.linalg.norm(emb, axis=1), np.linalg.norm(qmat, axis=1)
+    )
+    min_gap = np.inf
+    for qi, qid in enumerate(qids):
+        c = cos[:, qi].copy()
+        c[ids == qid] = -np.inf  # self-match removed downstream
+        top4 = np.sort(c)[::-1][:4]
+        gaps = top4[:-1] - top4[1:]
+        pos = gaps[gaps > 0]
+        if len(pos):
+            min_gap = min(min_gap, float(pos.min()))
+    # Cross-engine bound: each engine's cosine (d-term dot product,
+    # two norms, one divide) is within ~a few·d·eps of the real-number
+    # value; 10·d·eps per engine is generous, doubled for two engines.
+    d = emb.shape[1]
+    bound = 2 * 10 * d * np.finfo(np.float64).eps  # ≈ 2.8e-13 at d=64
+    assert min_gap > bound, (min_gap, bound)
+    # Early-warning floor: the shipped corpora measure ≥ 3.7e-4 —
+    # nine decades above the bound. Anything under 1e-9 means the
+    # corpus changed character; investigate before trusting the hash.
+    assert min_gap > 1e-9, min_gap
+
+
 def test_zscores_hand_computed(spark):
     out = QUERIES["v_user_value_zscores"](spark, SF_SMALL).toPandas()
     one_user = out[out.user_id == out.user_id.iloc[0]].sort_values("event_id")
@@ -246,3 +302,108 @@ def test_vectorized_topk_tie_break_on_neighbor_id(spark):
         for r in cosine_topk_vectorized(df, qpdf, k=3).collect()
     ]
     assert got == [(1, 1), (3, 2), (5, 3)]
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_ivf_margins_exceed_float_error(sf_dir):
+    """Every float DECISION in the IVF pipeline (cell argmax per Lloyd
+    round, the final assignment, the top-8 probe boundary, the top-3
+    rank boundaries among probed candidates) must clear a conservative
+    cross-engine summation-error bound on the shipped corpora —
+    the premise that makes ivf_rank_oracle_sql's DuckDB re-derivation
+    land on identical integer decisions (staged round 10)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    n_cells, iters, n_probe, k = 16, 3, 8, 3
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = tbl["vec_id"].to_numpy()
+    emb = np.stack(tbl["embedding"].to_pylist()).astype(np.float64)
+    order = np.argsort(ids)
+    ids, emb = ids[order], emb[order]
+    h = np.array(
+        [hashlib.md5(str(int(v)).encode()).hexdigest() for v in ids]
+    )
+    cent = emb[np.argsort(h)[:n_cells]].copy()
+
+    def sims(mat, c):
+        return (mat @ c.T) / np.outer(
+            np.linalg.norm(mat, axis=1), np.linalg.norm(c, axis=1)
+        )
+
+    margins = {}
+    for r in range(iters):
+        s = sims(emb, cent)
+        srt = np.sort(s, axis=1)
+        margins[f"assign_round{r}"] = float((srt[:, -1] - srt[:, -2]).min())
+        cells = s.argmax(axis=1)
+        new = cent.copy()
+        for c in range(n_cells):
+            m = cells == c
+            if m.any():
+                new[c] = emb[m].mean(axis=0)
+        cent = new
+    s = sims(emb, cent)
+    srt = np.sort(s, axis=1)
+    margins["assign_final"] = float((srt[:, -1] - srt[:, -2]).min())
+    final_cells = s.argmax(axis=1)
+
+    qmask = ids % 50 == 0
+    qids = ids[qmask][:1024]
+    qmat = emb[qmask][:1024]
+    qsim = sims(qmat, cent)
+    qsrt = np.sort(qsim, axis=1)[:, ::-1]
+    margins["probe_boundary"] = float(
+        (qsrt[:, n_probe - 1] - qsrt[:, n_probe]).min()
+    )
+    probes = np.argsort(-qsim, axis=1)[:, :n_probe]
+
+    rank_min = np.inf
+    for qi, qid in enumerate(qids):
+        cand = np.isin(final_cells, probes[qi]) & (ids != qid)
+        cos = sims(qmat[qi : qi + 1], emb[cand])[0] if cand.any() else None
+        if cos is None or len(cos) < 2:
+            continue
+        top = np.sort(cos)[::-1][: k + 1]
+        gaps = top[:-1] - top[1:]
+        pos = gaps[gaps > 0]  # exact ties break on neighbor_id, both engines
+        if len(pos):
+            rank_min = min(rank_min, float(pos.min()))
+    margins["rank_boundary"] = rank_min
+
+    d = emb.shape[1]
+    bound = 2 * 10 * d * np.finfo(np.float64).eps  # ≈ 2.8e-13 at d=64
+    for name, m in margins.items():
+        assert m > bound, (name, m, bound)
+        # early-warning floor: shipped corpora measure ≥ 5e-5; anything
+        # under 1e-9 means the corpus changed character — investigate
+        # before trusting the staged oracle's hash.
+        assert m > 1e-9, (name, m)
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_ivf_staged_oracle_matches_pipeline(spark, sf_dir):
+    """The staged round-11 oracle SQL (the whole IVF pipeline unrolled
+    in DuckDB) must state the same truth the Spark pipeline produces —
+    at BOTH shipped SFs, including the driver's comparison SF (0.01)."""
+    import duckdb
+
+    from culvert_spark.vectorops import ivf_rank_oracle_sql
+
+    spdf = QUERIES["v_ivf_ann_topk"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    ddf = con.execute(ivf_rank_oracle_sql()).fetchdf()
+    a = sorted(map(str, spdf.itertuples(index=False, name=None)))
+    b = sorted(map(str, ddf.itertuples(index=False, name=None)))
+    assert len(a) > 0 and a == b
