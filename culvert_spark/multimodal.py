@@ -1529,16 +1529,61 @@ def _avi_video_frames(payload: bytes) -> list[bytes]:
     return frames
 
 
+def payload_frames(
+    raw: bytes, meta, every_n: int
+) -> list[tuple[int, bytes]]:
+    """Row-LOCAL frame extraction for one video payload — the single
+    shared implementation behind ``sample_frames`` (the batch fan-out)
+    and the streaming shot path (``videoshots.shot_rep_stream``, where
+    a video's frames must never cross a row boundary because streaming
+    has no per-video window). Returns (frame_idx, frame_payload) in
+    frame order, sampled every ``every_n``. RIFF/AVI demuxes for real
+    (``_avi_video_frames``; MJPEG frames are decodable JPEGs); animated
+    GIF/APNG composite for real (disposal/blending/transparency; a
+    static PNG is its single frame), each emitted as a binary PGM;
+    other payloads fall back to deterministic byte slices (STUB for an
+    ffmpeg seek+decode). Hoisted verbatim from sample_frames' closure
+    in round 10 (byte-identical output; parity additionally pinned by
+    the streaming-vs-batch pytest in tests/test_videoshots.py)."""
+    out: list[tuple[int, bytes]] = []
+    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+        real = _avi_video_frames(raw)
+        for i in range(0, len(real), every_n):
+            out.append((i, real[i]))
+        return out
+    lumas = None
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        lumas = _gif_frames_luma(raw)
+    elif raw[:8] == _PNG_SIG:
+        animated = False
+        for cid, _ in _png_chunks(raw):
+            if cid == b"acTL":
+                animated = True
+            if animated or cid == b"IDAT":
+                break  # acTL must precede IDAT (APNG spec)
+        lumas = (_apng_frames_luma(raw) if animated
+                 else [_decode_png(raw)])
+    if lumas is not None:
+        for i, luma in enumerate(lumas):
+            if i % every_n:
+                continue
+            head = (f"P5\n{luma.shape[1]} "
+                    f"{luma.shape[0]}\n255\n").encode()
+            out.append((i, head + luma.tobytes()))
+        return out
+    n = int(meta["n_frames"])
+    for i in range(0, n, every_n):
+        lo = (i * len(raw)) // n
+        hi = ((i + 1) * len(raw)) // n
+        out.append((i, raw[lo:hi]))
+    return out
+
+
 def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Video → frames fan-out (1 row in, n_frames/every_n rows out), the
-    mapInPandas shape for frame extraction. RIFF/AVI payloads demux for
-    real (``_avi_video_frames``; with MJPEG inside, each emitted frame
-    is a decodable JPEG); animated GIFs and APNGs composite for real
-    (``_gif_frames_luma`` / ``_apng_frames_luma``: disposal, blending
-    and transparency semantics; a static PNG is its single frame),
-    each sampled frame emitted as a binary PGM that the image path
-    decodes; other payloads fall back to deterministic byte slices
-    (STUB for an ffmpeg seek+decode)."""
+    mapInPandas shape for frame extraction — ``payload_frames`` applied
+    per row (see its docstring for the real-demux/composite/stub
+    dispatch)."""
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1546,53 +1591,12 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             for mid, payload, meta in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
-                raw = bytes(payload)
-                if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
-                    real = _avi_video_frames(raw)
-                    for i in range(0, len(real), every_n):
-                        rows.append(
-                            {
-                                "media_id": mid,
-                                "frame_idx": i,
-                                "frame_payload": real[i],
-                            }
-                        )
-                    continue
-                lumas = None
-                if raw[:6] in (b"GIF87a", b"GIF89a"):
-                    lumas = _gif_frames_luma(raw)
-                elif raw[:8] == _PNG_SIG:
-                    animated = False
-                    for cid, _ in _png_chunks(raw):
-                        if cid == b"acTL":
-                            animated = True
-                        if animated or cid == b"IDAT":
-                            break  # acTL must precede IDAT (APNG spec)
-                    lumas = (_apng_frames_luma(raw) if animated
-                             else [_decode_png(raw)])
-                if lumas is not None:
-                    for i, luma in enumerate(lumas):
-                        if i % every_n:
-                            continue
-                        head = (f"P5\n{luma.shape[1]} "
-                                f"{luma.shape[0]}\n255\n").encode()
-                        rows.append(
-                            {
-                                "media_id": mid,
-                                "frame_idx": i,
-                                "frame_payload": head + luma.tobytes(),
-                            }
-                        )
-                    continue
-                n = int(meta["n_frames"])
-                for i in range(0, n, every_n):
-                    lo = (i * len(raw)) // n
-                    hi = ((i + 1) * len(raw)) // n
+                for i, fp in payload_frames(bytes(payload), meta, every_n):
                     rows.append(
                         {
                             "media_id": mid,
                             "frame_idx": i,
-                            "frame_payload": raw[lo:hi],
+                            "frame_payload": fp,
                         }
                     )
             yield pd.DataFrame(

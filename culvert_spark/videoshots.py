@@ -350,6 +350,233 @@ def video_shot_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Streaming twin (staged round 10 for the round-11 registration)
+# ---------------------------------------------------------------------------
+
+SHOT_REP_SCHEMA = "media_id bigint, shot_id bigint, rep_phash string"
+
+SHOT_PAIR_SCHEMA = (
+    "a_media bigint, a_shot bigint, b_media bigint, b_shot bigint, band int"
+)
+
+
+def _hamming_py(a: str, b: str) -> int:
+    return sum(x != y for x, y in zip(a, b))
+
+
+def shot_rep_stream(
+    media: DataFrame, max_hamming: int = 2, every_n: int = 1
+) -> DataFrame:
+    """(media_id, shot_id, rep_phash) per arriving VIDEO row — the
+    streaming form of ``video_shots``'s rep projection. Streaming-safe
+    because it is ROW-local: all of a video's frames live inside its
+    payload, so demux -> per-frame decode -> phash -> segmentation runs
+    in ONE narrow mapInPandas with no window and no shuffle (the batch
+    path's LAG window exists only because its frames are separate
+    rows). Frame extraction is byte-shared with the batch path
+    (``multimodal.payload_frames``) and the cut rule is the identical
+    hamming(prev, cur) > max_hamming; rep = first frame of the shot.
+    Parity with ``video_shots(video_frame_features(...))`` is pinned by
+    pytest on the design fixture AND the synthetic corpus.
+
+    Scale (100 TB): per-video CPU scales with executors; the fan-out is
+    shots (not frames) — orders of magnitude fewer rows reach the
+    stateful consumer."""
+    from culvert_spark.multimodal import (
+        _decode_image,
+        _plane_features,
+        payload_frames,
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                prev, shot_id = None, 0
+                for _, fp in payload_frames(bytes(payload), meta, every_n):
+                    ph = _plane_features(_decode_image(bytes(fp), 16, 16))[
+                        "phash"
+                    ]
+                    if prev is None or _hamming_py(prev, ph) > max_hamming:
+                        shot_id += 1
+                        rows.append(
+                            {
+                                "media_id": int(mid),
+                                "shot_id": shot_id,
+                                "rep_phash": ph,
+                            }
+                        )
+                    prev = ph
+            yield pd.DataFrame(
+                rows, columns=["media_id", "shot_id", "rep_phash"]
+            )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload", "meta")
+        .mapInPandas(extract, SHOT_REP_SCHEMA)
+    )
+
+
+def shot_stream_dedup(
+    shots: DataFrame,
+    max_hamming: int = 2,
+    bands: int = 4,
+    nbits: int = 16,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Streaming cross-video shot near-duplicate detection: flag each
+    arriving shot against every previously seen shot — without ever
+    re-scanning the corpus — the video twin of
+    ``streaming.near_dup_stream_filter`` with the imagesim pigeonhole
+    replacing MinHash. Each shot's rep phash explodes to its ``bands``
+    exact band chunks; a (band, chunk)-keyed ``applyInPandasWithState``
+    holds up to ``bucket_cap`` anchor shots per bucket and emits one
+    row per VERIFIED (Hamming ≤ max_hamming) pair in canonical order
+    (smaller (media_id, shot_id) first), tagged with the band that
+    caught it.
+
+    Determinism for the staged driver row: the DISTINCT
+    (a_media, a_shot, b_media, b_shot) projection is micro-batch-
+    boundary-INVARIANT — any within-radius pair agrees exactly on ≥ 1
+    band (pigeonhole: max_hamming < bands), both members land in that
+    bucket in whatever order they arrive, and the pair emits exactly
+    when the second member does. Which band column tags the hit can
+    vary with nothing (bands are value-determined), so even ``band``
+    is stable; the projection drops it anyway. Same-batch arrivals are
+    processed in (media_id, shot_id) order so intra-batch pairs emit
+    deterministically too.
+
+    Scale (100 TB): state is buckets × (≤ cap) shot triples at SHOT
+    grain (already orders of magnitude below frame grain); the cap is
+    the streaming form of the batch mega-bucket guard. At the cap a
+    bucket stops accruing anchors (a pair of two UNSEEN post-cap shots
+    in a saturated bucket would be missed — the documented trade, same
+    as near_dup_stream_filter); expire cold buckets with a timeout or
+    RocksDB in production."""
+    if nbits % bands or max_hamming >= bands:
+        raise ValueError("need bands | nbits and max_hamming < bands")
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    width = nbits // bands
+    chunks = F.array(
+        *[
+            F.substring("rep_phash", b * width + 1, width)
+            for b in range(bands)
+        ]
+    )
+    keyed = shots.select(
+        "media_id",
+        "shot_id",
+        "rep_phash",
+        F.posexplode(chunks).alias("band", "chunk"),
+    )
+
+    state_schema = "media array<bigint>, shot array<bigint>, ph array<string>"
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            media, shot, ph = (list(x) for x in state.get)
+        else:
+            media, shot, ph = [], [], []
+        band = int(key[0])
+        arrivals: list[tuple[int, int, str]] = []
+        for pdf in pdf_iter:
+            arrivals.extend(
+                (int(m), int(s), p)
+                for m, s, p in zip(
+                    pdf["media_id"], pdf["shot_id"], pdf["rep_phash"]
+                )
+            )
+        hits = []
+        seen = set(zip(media, shot))
+        for m, s, p in sorted(arrivals):
+            if (m, s) in seen:
+                continue  # exactly-once replays / duplicate keys
+            for am, ash, ap in zip(media, shot, ph):
+                if _hamming_py(ap, p) <= max_hamming:
+                    a, b = sorted([(am, ash), (m, s)])
+                    hits.append((a[0], a[1], b[0], b[1], band))
+            if len(media) < bucket_cap:
+                media.append(m)
+                shot.append(s)
+                ph.append(p)
+                seen.add((m, s))
+        state.update((media, shot, ph))
+        if hits:
+            yield pd.DataFrame(
+                hits,
+                columns=["a_media", "a_shot", "b_media", "b_shot", "band"],
+            )
+
+    return keyed.groupBy("band", "chunk").applyInPandasWithState(
+        update,
+        outputStructType=SHOT_PAIR_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def shot_pair_replay(spark: SparkSession, n_files: int = 4) -> DataFrame:
+    """The staged ROUND-11 row body (``st_shot_dedup_replay``): the
+    design fixture replayed through a REAL file-split stream —
+    row-local shot extraction, band-keyed stateful pairing, then the
+    batch-boundary-invariant distinct-pair projection (see
+    shot_stream_dedup's determinism note)."""
+    from culvert_spark.streaming import replay_stream
+
+    out = replay_stream(
+        spark,
+        near_dup_video_media(spark),
+        lambda s: shot_stream_dedup(shot_rep_stream(s)),
+        "st_shot_pairs",
+        n_files=n_files,
+        output_mode="update",
+    )
+    return (
+        out.select("a_media", "a_shot", "b_media", "b_shot")
+        .distinct()
+        .orderBy("a_media", "a_shot", "b_media", "b_shot")
+    )
+
+
+def shot_pair_oracle(max_hamming: int = 2) -> str:
+    """Constant-folding DuckDB oracle for the staged streaming row: ALL
+    unordered within-radius rep pairs, stated from the fixture DESIGN
+    (pigeonhole recall is exact, so the streamed pair set must equal
+    this regardless of file split or arrival order)."""
+    shots = [
+        (mid, si, rep)
+        for mid, reps in sorted(_VS_VIDEOS.items())
+        for si, rep in enumerate(reps, start=1)
+    ]
+    pairs = []
+    for i in range(len(shots)):
+        for j in range(i + 1, len(shots)):
+            if _hamming_py(shots[i][2], shots[j][2]) <= max_hamming:
+                a, b = sorted(
+                    [shots[i][:2], shots[j][:2]]
+                )
+                pairs.append((a[0], a[1], b[0], b[1]))
+    pairs.sort()
+    vals = ",\n      ".join(f"({am}, {ash}, {bm}, {bs})"
+                            for am, ash, bm, bs in pairs)
+    return f"""
+    SELECT CAST(a_media AS BIGINT) AS a_media,
+           CAST(a_shot AS BIGINT) AS a_shot,
+           CAST(b_media AS BIGINT) AS b_media,
+           CAST(b_shot AS BIGINT) AS b_shot
+    FROM (VALUES
+      {vals})
+      AS t(a_media, a_shot, b_media, b_shot)
+    ORDER BY a_media, a_shot, b_media, b_shot
+    """
+
+
+# ---------------------------------------------------------------------------
 # Driver registration (staged round 9, registered round 10)
 # ---------------------------------------------------------------------------
 

@@ -224,3 +224,66 @@ def test_staged_video_oracle_matches_design(spark):
     a = sorted(map(str, spdf.itertuples(index=False, name=None)))
     b = sorted(map(str, ddf.itertuples(index=False, name=None)))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin (staged round 10 -> round-11 registration candidate)
+# ---------------------------------------------------------------------------
+
+
+def test_shot_rep_stream_matches_batch(spark):
+    """Row-local (streaming-safe) segmentation must equal the batch
+    window segmentation's rep projection — on the design fixture AND
+    the synthetic corpus (both paths share payload_frames byte-for-byte
+    and the same cut rule; this pins it)."""
+    from culvert_spark.multimodal import synthetic_media, video_frame_features
+    from culvert_spark.videoshots import (
+        near_dup_video_media,
+        shot_rep_stream,
+        video_shots,
+    )
+    from tests.conftest import SF_SMALL
+
+    for media, every_n in (
+        (near_dup_video_media(spark), 1),
+        (synthetic_media(spark, SF_SMALL), 2),
+    ):
+        batch = sorted(
+            (r.media_id, r.shot_id, r.rep_phash)
+            for r in video_shots(
+                video_frame_features(media, every_n=every_n)
+            ).collect()
+        )
+        streamed = sorted(
+            (r.media_id, r.shot_id, r.rep_phash)
+            for r in shot_rep_stream(media, every_n=every_n).collect()
+        )
+        assert streamed == batch and len(batch) > 0
+
+
+def test_shot_stream_dedup_pairs_match_design_order_invariant(spark):
+    """The replayed streaming pair set must equal the staged
+    constant-folding oracle (ALL within-radius rep pairs from the
+    fixture design) at DIFFERENT file splits — the batch-boundary
+    invariance the round-11 registration relies on. The fixture covers
+    both cross-video and within-video pairs."""
+    import duckdb
+
+    from culvert_spark.videoshots import shot_pair_oracle, shot_pair_replay
+
+    exp = sorted(
+        tuple(r)
+        for r in duckdb.connect()
+        .execute(shot_pair_oracle())
+        .fetchdf()
+        .itertuples(index=False, name=None)
+    )
+    assert len(exp) > 0
+    assert any(a == b for a, _, b, _ in exp)      # within-video pair
+    assert any(a != b for a, _, b, _ in exp)      # cross-video pairs
+    for n_files in (4, 1):
+        got = sorted(
+            (r.a_media, r.a_shot, r.b_media, r.b_shot)
+            for r in shot_pair_replay(spark, n_files=n_files).collect()
+        )
+        assert got == exp, (n_files, got, exp)
