@@ -68,7 +68,11 @@ _AF_N = 2048                # samples analyzed (and generated) per clip
 # the analysis length (round-9 ADVICE: a hard-coded 1024 was correct
 # only for _AF_N=2048 and would silently misalign with the tone
 # placement in samples_for_fingerprint if _AF_N changed). The DC bin
-# is excluded; the Nyquist bin falls outside the last band.
+# is excluded, so the covered bins are 1.._AF_BANDS*_AF_BPB = 1.._AF_N/2
+# — the LAST band therefore INCLUDES the Nyquist bin (the fixture's
+# tones sit at band centers, far from it; anything injecting energy at
+# Nyquist perturbs band _AF_BANDS-1 and can flip fingerprint bit
+# _AF_NBITS-1).
 _AF_BPB = (_AF_N // 2) // _AF_BANDS
 _AF_RATE = 16_000
 

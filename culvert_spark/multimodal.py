@@ -1791,7 +1791,17 @@ def _cross_format_invariants(groups: DataFrame) -> DataFrame:
     with no eager probe job and no persist to leak (round-9 ADVICE:
     the previous persist()+collect() probe cached one 40-row aggregate
     per call for the session's lifetime and ran a Spark job at
-    query-CONSTRUCTION time even if the plan was never executed)."""
+    query-CONSTRUCTION time even if the plan was never executed).
+
+    Two narrowings of the in-plan form, acceptable for the registered
+    rows but binding on future consumers: (1) the guard lives in the
+    n_images column — a consumer that prunes that column out (or never
+    executes the plan) skips the check entirely, so any NEW caller must
+    keep n_images in its projection; the two registered rows do, and
+    the driver always executes them; (2) the error reports the first
+    violating row the executor evaluates rather than the old probe's
+    up-to-3 sample — one (keeper_id, n_images) witness is still enough
+    to identify the colliding documents."""
     guard_msg = F.concat(
         F.lit(
             "cross-format dedup oracle precondition violated: group with "

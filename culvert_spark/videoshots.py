@@ -69,6 +69,10 @@ from culvert_spark.imagesim import (
 )
 
 
+def _hamming_py(a: str, b: str) -> int:
+    return sum(x != y for x, y in zip(a, b))
+
+
 def _hamming_expr(a: str, b: str, nbits: int) -> str:
     """Character-compare fold (the imagesim idiom): bit count of a XOR b
     over two fixed-width bitstrings."""
@@ -265,7 +269,7 @@ def _vs_expected() -> list[tuple[str, int, int, int, int, int]]:
 
 
 def _check_video_fixture_design() -> None:
-    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    ham = _hamming_py
     for reps in _VS_VIDEOS.values():
         frames = []
         for rep in reps:
@@ -358,10 +362,6 @@ SHOT_REP_SCHEMA = "media_id bigint, shot_id bigint, rep_phash string"
 SHOT_PAIR_SCHEMA = (
     "a_media bigint, a_shot bigint, b_media bigint, b_shot bigint, band int"
 )
-
-
-def _hamming_py(a: str, b: str) -> int:
-    return sum(x != y for x, y in zip(a, b))
 
 
 def shot_rep_stream(

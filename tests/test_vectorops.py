@@ -318,6 +318,8 @@ def test_ivf_margins_exceed_float_error(sf_dir):
 
     import pyarrow.parquet as pq
 
+    from culvert_spark.vectorops import ANN_MAX_QUERIES
+
     n_cells, iters, n_probe, k = 16, 3, 8, 3
     tbl = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -354,8 +356,8 @@ def test_ivf_margins_exceed_float_error(sf_dir):
     final_cells = s.argmax(axis=1)
 
     qmask = ids % 50 == 0
-    qids = ids[qmask][:1024]
-    qmat = emb[qmask][:1024]
+    qids = ids[qmask][:ANN_MAX_QUERIES]
+    qmat = emb[qmask][:ANN_MAX_QUERIES]
     qsim = sims(qmat, cent)
     qsrt = np.sort(qsim, axis=1)[:, ::-1]
     margins["probe_boundary"] = float(
