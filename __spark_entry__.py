@@ -162,6 +162,39 @@ except ImportError:  # pragma: no cover
 #: predates round 6 (distribution over 237 registered queries:
 #: 47×r6, 44×r7, 48×r8, 48×r9, 50×r10).
 #:
+#: ROUND-11 ROTATION (computed at end of round 10 from the cumulative
+#: record, assuming CORRECTNESS_r10 lands on the window above): the
+#: oldest block is the 47 round-6-vintage rows — pds_synth_docs,
+#: pds_synth_stream, q02_cheapest_part_per_type, q04_priority_exists,
+#: q07_nation_volume, q08_market_share, q09_profit_by_nation_year,
+#: q10_returned_items, q11_supplier_concentration,
+#: q12_priority_case_agg, q_anti_join_no_big_order,
+#: q_cross_join_region_status, q_cube_lineitem, q_date_math_shipping,
+#: q_distinct_users_per_type, q_except_all, q_from_json_struct,
+#: q_group_by_all, q_grouping_sets_events, q_higher_order_array_funcs,
+#: q_json_props, q_latest_event_per_user, q_listagg_members,
+#: q_map_functions, q_math_funcs, q_order_status_dist,
+#: q_outer_join_order_counts, q_percentiles, q_range_frame_window,
+#: q_range_pred_join, q_recursive_cte_chain, q_rollup_orders,
+#: q_running_customer_total, q_salted_count_parity,
+#: q_salted_left_join_parity, q_semi_join_urgent, q_set_except,
+#: q_set_intersect, q_set_ops_all, q_sliding_window_counts,
+#: q_sql_udf_revenue, q_stats_corr, s_embedding_near_dup,
+#: st_outer_join_expiry_replay, st_session_finalize_tws_replay,
+#: st_stateful_totals_tws, t_quality_percentile_filter_approx —
+#: 47 of 50, leaving 3 slots for round-11 registrations/changes, which
+#: as always take precedence; plan an explicit deferral if the change
+#: set needs more than 3. Known round-11 candidates, BOTH staged +
+#: pytest-proven in round 10:
+#:   v_ivf_ann_topk hash upgrade (vectorops.ivf_rank_oracle_sql() — the
+#:     full pipeline re-derived in DuckDB, already matching the Spark
+#:     row at both shipped SFs; registration = pass the oracle string
+#:     to the existing @register call), and
+#:   st_shot_dedup_replay (NEW row; body = videoshots.shot_pair_replay
+#:     — the streaming shot near-dup pair set replayed through a real
+#:     file-split stream, batch-boundary-invariant distinct-pair
+#:     projection — against videoshots.shot_pair_oracle()).
+#:
 #: Round 9 executes the ROUND-9 ROTATION pre-computed at the end of round
 #: 8 (kept below for provenance), amended for the round's actual change
 #: set — the verdict's 6 spare slots are exactly consumed by the 6 rows
