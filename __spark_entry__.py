@@ -184,16 +184,24 @@ except ImportError:  # pragma: no cover
 #: st_stateful_totals_tws, t_quality_percentile_filter_approx —
 #: 47 of 50, leaving 3 slots for round-11 registrations/changes, which
 #: as always take precedence; plan an explicit deferral if the change
-#: set needs more than 3. Known round-11 candidates, BOTH staged +
-#: pytest-proven in round 10:
+#: set needs more than 3. Known round-11 candidates — ALL THREE staged
+#: + pytest-proven in round 10, exactly filling the 3 spare slots:
 #:   v_ivf_ann_topk hash upgrade (vectorops.ivf_rank_oracle_sql() — the
 #:     full pipeline re-derived in DuckDB, already matching the Spark
 #:     row at both shipped SFs; registration = pass the oracle string
-#:     to the existing @register call), and
+#:     to the existing @register call),
+#:   v_pq_ann_topk hash upgrade (vectorops.pq_rank_oracle_sql() — the
+#:     same treatment for the PQ pipeline: normalization, codebook
+#:     Lloyd rounds, ADC scan, re-rank unrolled in DuckDB, already
+#:     matching at both shipped SFs; margins + the zero-exact-ADC-ties
+#:     condition pinned by pytest), and
 #:   st_shot_dedup_replay (NEW row; body = videoshots.shot_pair_replay
 #:     — the streaming shot near-dup pair set replayed through a real
 #:     file-split stream, batch-boundary-invariant distinct-pair
 #:     projection — against videoshots.shot_pair_oracle()).
+#: After all three register, rows-only drops to exactly the 5 m_*
+#: binary-decoder rows — the floor that is non-SQL-expressible by
+#: nature (binary payloads), not by iteration.
 #:
 #: Round 9 executes the ROUND-9 ROTATION pre-computed at the end of round
 #: 8 (kept below for provenance), amended for the round's actual change

@@ -845,7 +845,143 @@ def pq_train(
     return codebooks
 
 
-@register("v_pq_ann_topk")  # rows-only: iterative/approximate (SURVEY §5.1)
+def pq_rank_oracle_sql(
+    m_sub: int = _PQ_M,
+    k_codes: int = _PQ_K,
+    iters: int = 2,
+    rerank: int = _PQ_RERANK,
+    k: int = 3,
+    dim: int = 64,
+) -> str:
+    """DuckDB SQL that re-derives the ENTIRE v_pq_ann_topk pipeline —
+    L2 normalization, md5-seeded codebooks, ``iters`` unrolled Lloyd
+    rounds per subspace (argmin code assignment via the identical
+    ||a||² − 2a·c + ||c||² expansion, per-(sub, code, dim) means with
+    LEFT JOIN + COALESCE empty-code carry), the final encode, the ADC
+    lookup-table scan (SUM of per-subspace table entries), the global
+    top-``rerank`` candidate cut by (adc, neighbor_id), and the exact
+    cosine re-rank — ending at the float-free (query_id, neighbor_id,
+    rank) projection the Spark row returns.
+
+    Staged in round 10 for the ROUND-11 registration that upgrades
+    v_pq_ann_topk from rows-only to a full hash row (the third of the
+    round-11 spare-slot candidates, alongside the IVF upgrade and the
+    streaming shot row). Cross-engine premises, pinned with measured
+    numbers by tests/test_vectorops.py::test_pq_margins... /
+    test_pq_staged_oracle...:
+
+    - Every float DECISION has a measured margin on the shipped
+      corpora: per-round code-assignment argmin ≥ 1.7e-6, the ADC
+      candidate boundary ≥ 3.5e-6 with ZERO exact ADC ties anywhere in
+      the top-60 (the no-exact-ties condition is ALSO what makes the
+      Spark row's own per-partition top-k candidate cut equal the
+      global cut at any partitioning), and the re-rank cosine
+      boundaries ≥ 3.7e-4 — all ≥ six decades above the conservative
+      2·10·d·eps cross-engine summation bound.
+    - ADC sums 8 LUT terms per (query, neighbor): numpy adds them in
+      subspace order, SQL in join order — an eps-scale difference
+      against a 3.5e-6 margin.
+    - Seeding is integer/text-exact (md5 hex parity, seed order = code
+      index on both sides)."""
+    dsub = dim // m_sub
+
+    def enc(name: str, cb: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT n.vec_id, n.sub, c.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id, n.sub
+                 ORDER BY list_inner_product(n.sv, n.sv)
+                          - 2 * list_inner_product(n.sv, c.w)
+                          + list_inner_product(c.w, c.w),
+                          c.code) AS rn
+        FROM subvecs n JOIN {cb} c USING (sub)) WHERE rn = 1)"""
+
+    def means(aname: str, prev: str, new: str) -> str:
+        return f"""{new} AS (
+      SELECT c.sub, c.code, COALESCE(g.w, c.w) AS w
+      FROM {prev} c LEFT JOIN (
+        SELECT sub, code, list(m ORDER BY d) AS w FROM (
+          SELECT a.sub, a.code, t.d, AVG(n.nv[a.sub * {dsub} + t.d]) AS m
+          FROM {aname} a JOIN nrm n USING (vec_id),
+               UNNEST(generate_series(1, {dsub})) AS t(d)
+          GROUP BY a.sub, a.code, t.d)
+        GROUP BY sub, code) g USING (sub, code))"""
+
+    seed_rank = "ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))"
+    ctes = [
+        "emb AS (\n      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "nrm AS (\n      SELECT vec_id, v, list_transform(v, x -> x /"
+        " sqrt(list_inner_product(v, v))) AS nv FROM emb)",
+        f"subs AS (\n      SELECT UNNEST(generate_series(0, {m_sub - 1}))"
+        " AS sub)",
+        "subvecs AS (\n      SELECT vec_id, sub,"
+        f" nv[sub * {dsub} + 1 : sub * {dsub} + {dsub}] AS sv"
+        " FROM nrm, subs)",
+        f"seeds AS (\n      SELECT ({seed_rank}) - 1 AS code, nv FROM nrm"
+        f"\n      QUALIFY ({seed_rank}) <= {k_codes})",
+        "cb0 AS (\n      SELECT s.sub, seeds.code,"
+        f" nv[s.sub * {dsub} + 1 : s.sub * {dsub} + {dsub}] AS w"
+        " FROM seeds, subs s)",
+    ]
+    for r in range(iters):
+        ctes.append(enc(f"a{r}", f"cb{r}"))
+        ctes.append(means(f"a{r}", f"cb{r}", f"cb{r + 1}"))
+    ctes.append(enc("afinal", f"cb{iters}"))
+    ctes.append(
+        f"""q AS (
+      SELECT vec_id AS query_id, nv AS qv, v AS qraw FROM nrm
+      WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {ANN_MAX_QUERIES})"""
+    )
+    ctes.append(
+        f"""lut AS (
+      SELECT qs.query_id, qs.sub, c.code,
+             list_inner_product(qs.qs, qs.qs)
+             - 2 * list_inner_product(qs.qs, c.w)
+             + list_inner_product(c.w, c.w) AS d2
+      FROM (SELECT query_id, s.sub AS sub,
+                   qv[s.sub * {dsub} + 1 : s.sub * {dsub} + {dsub}] AS qs
+            FROM q, subs s) qs
+      JOIN cb{iters} c USING (sub))"""
+    )
+    ctes.append(
+        """adc AS (
+      SELECT l.query_id, a.vec_id AS neighbor_id, SUM(l.d2) AS d2
+      FROM afinal a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+      GROUP BY l.query_id, a.vec_id)"""
+    )
+    ctes.append(
+        f"""cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY d2, neighbor_id) AS r
+        FROM adc WHERE neighbor_id != query_id) WHERE r <= {rerank})"""
+    )
+    ctes.append(
+        """scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_cosine_similarity(e.v, q.qraw) AS cos
+      FROM cand c JOIN emb e ON e.vec_id = c.neighbor_id
+                  JOIN q USING (query_id))"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+    )
+
+
+@register("v_pq_ann_topk")  # rows-only: ROUND-11 hash upgrade staged
 def v_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN end-to-end: 8 subspaces x 16 codes (4
     bits each — 4 bytes per vector, 64x smaller than the float32
@@ -856,9 +992,13 @@ def v_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a 10^9-vector shard fit in executor RAM (2 GB) where the raw
     floats (256 GB) cannot, so candidate generation runs at memory
     bandwidth, and only the re-rank touches the full vectors — a
-    broadcast-sized candidate set, never the corpus. Genuinely iterative
-    (Lloyd training) — no SQL oracle; recall vs brute force is asserted
-    in tests (pytest pins recall@3 against the exact cosine twin).
+    broadcast-sized candidate set, never the corpus. Recall vs brute
+    force is asserted in tests (pytest pins recall@3 against the exact
+    cosine twin). Rows-only THIS round; the full-pipeline DuckDB oracle
+    (``pq_rank_oracle_sql`` — normalization, codebook training, ADC
+    scan and re-rank unrolled in SQL, with measured cross-engine
+    decision margins) is staged and pytest-proven for a round-11
+    registration slot.
 
     Scale shape: training shuffles are codebook-sized (1,024 rows); the
     ADC scan is a narrow mapInPandas emitting per-partition top-50 per

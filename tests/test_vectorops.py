@@ -409,3 +409,142 @@ def test_ivf_staged_oracle_matches_pipeline(spark, sf_dir):
     a = sorted(map(str, spdf.itertuples(index=False, name=None)))
     b = sorted(map(str, ddf.itertuples(index=False, name=None)))
     assert len(a) > 0 and a == b
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_pq_margins_exceed_float_error(sf_dir):
+    """Every float DECISION in the PQ pipeline (per-round code-assignment
+    argmin in each subspace, the ADC top-candidate boundary, the re-rank
+    cosine boundaries) must clear a conservative cross-engine
+    summation-error bound on the shipped corpora, and the ADC distances
+    must have ZERO exact ties in the decision region — the premises that
+    make pq_rank_oracle_sql's DuckDB re-derivation land on identical
+    integer decisions AND make the Spark row's own per-partition
+    candidate cut partitioning-invariant (staged round 10)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from culvert_spark.vectorops import (
+        ANN_MAX_QUERIES,
+        _PQ_K,
+        _PQ_M,
+        _PQ_RERANK,
+    )
+
+    iters, topk = 2, 3
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = tbl["vec_id"].to_numpy()
+    emb = np.stack(tbl["embedding"].to_pylist()).astype(np.float64)
+    order = np.argsort(ids)
+    ids, emb = ids[order], emb[order]
+    nv = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    d = nv.shape[1]
+    dsub = d // _PQ_M
+    h = np.array(
+        [hashlib.md5(str(int(v)).encode()).hexdigest() for v in ids]
+    )
+    seeds = nv[np.argsort(h)[:_PQ_K]]
+    cb = np.stack([seeds[:, m * dsub:(m + 1) * dsub] for m in range(_PQ_M)])
+
+    def encode(cbk):
+        codes = np.empty((len(nv), _PQ_M), dtype=np.int64)
+        margin = np.inf
+        for m in range(_PQ_M):
+            sub = nv[:, m * dsub:(m + 1) * dsub]
+            d2 = (
+                (sub * sub).sum(1, keepdims=True)
+                - 2.0 * sub @ cbk[m].T
+                + (cbk[m] * cbk[m]).sum(1)
+            )
+            codes[:, m] = d2.argmin(1)
+            srt = np.sort(d2, 1)
+            margin = min(margin, float((srt[:, 1] - srt[:, 0]).min()))
+        return codes, margin
+
+    margins = {}
+    for it in range(iters):
+        codes, mm = encode(cb)
+        margins[f"assign_round{it}"] = mm
+        new = cb.copy()
+        for m in range(_PQ_M):
+            for c in range(_PQ_K):
+                mask = codes[:, m] == c
+                if mask.any():
+                    new[m, c] = nv[mask, m * dsub:(m + 1) * dsub].mean(0)
+        cb = new
+    codes, mm = encode(cb)
+    margins["assign_final"] = mm
+
+    qmask = ids % 50 == 0
+    qids = ids[qmask][:ANN_MAX_QUERIES]
+    qmat = nv[qmask][:ANN_MAX_QUERIES]
+    lut = np.empty((len(qids), _PQ_M, _PQ_K))
+    for m in range(_PQ_M):
+        qs = qmat[:, m * dsub:(m + 1) * dsub]
+        lut[:, m, :] = (
+            (qs * qs).sum(1, keepdims=True)
+            - 2.0 * qs @ cb[m].T
+            + (cb[m] * cb[m]).sum(1)
+        )
+    approx = np.zeros((len(qids), len(ids)))
+    for m in range(_PQ_M):
+        approx += lut[:, m, codes[:, m]]
+
+    adc_margin, n_ties, rank_margin = np.inf, 0, np.inf
+    for qi, qid in enumerate(qids):
+        a = approx[qi].copy()
+        a[ids == qid] = np.inf
+        top = np.sort(a)[: _PQ_RERANK + 10]
+        gaps = np.diff(top)
+        n_ties += int((gaps == 0).sum())
+        pos = gaps[gaps > 0]
+        if len(pos):
+            adc_margin = min(adc_margin, float(pos.min()))
+        cand = np.lexsort((ids, a))[:_PQ_RERANK]
+        qraw = emb[ids == qid]
+        cos = (emb[cand] @ qraw.T).ravel() / (
+            np.linalg.norm(emb[cand], axis=1) * np.linalg.norm(qraw)
+        )
+        tops = np.sort(cos)[::-1][: topk + 1]
+        g = tops[:-1] - tops[1:]
+        p = g[g > 0]
+        if len(p):
+            rank_margin = min(rank_margin, float(p.min()))
+    margins["adc_boundary"] = adc_margin
+    margins["rerank_boundary"] = rank_margin
+
+    assert n_ties == 0, f"exact ADC ties in the decision region: {n_ties}"
+    bound = 2 * 10 * d * np.finfo(np.float64).eps  # ≈ 2.8e-13 at d=64
+    for name, m in margins.items():
+        assert m > bound, (name, m, bound)
+        # early-warning floor: shipped corpora measure ≥ 1.7e-6;
+        # anything under 1e-9 means the corpus changed character.
+        assert m > 1e-9, (name, m)
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_pq_staged_oracle_matches_pipeline(spark, sf_dir):
+    """The staged round-11 oracle SQL (the whole PQ pipeline unrolled in
+    DuckDB) must state the same truth the Spark pipeline produces — at
+    BOTH shipped SFs, including the driver's comparison SF (0.01)."""
+    import duckdb
+
+    from culvert_spark.vectorops import pq_rank_oracle_sql
+
+    spdf = QUERIES["v_pq_ann_topk"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    ddf = con.execute(pq_rank_oracle_sql()).fetchdf()
+    a = sorted(map(str, spdf.itertuples(index=False, name=None)))
+    b = sorted(map(str, ddf.itertuples(index=False, name=None)))
+    assert len(a) > 0 and a == b
