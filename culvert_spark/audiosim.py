@@ -298,6 +298,97 @@ def audio_near_dup_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Streaming twin (staged round 10 for a round-12 registration)
+# ---------------------------------------------------------------------------
+
+
+def audio_stream_dedup(
+    media: DataFrame,
+    max_hamming: int = 2,
+    bands: int = 4,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Streaming audio near-duplicate PAIR detection: flag each
+    arriving clip against every previously seen clip — the audio twin
+    of ``videoshots.shot_stream_dedup``, sharing
+    ``streaming.hamming_pair_stream`` (and therefore its pigeonhole
+    batch-boundary-invariance and capped-state guarantees) verbatim.
+    ``audio_fingerprints`` is already streaming-safe (one narrow
+    mapInPandas per clip row — decode + rfft need no cross-row state),
+    so the whole path is fingerprint -> band explode -> stateful
+    verify. Output: canonical (a_media, b_media, band) verified pairs;
+    volume copies collide at Hamming distance 0 by exact invariance."""
+    items = audio_fingerprints(media).select(
+        F.col("media_id").alias("id_a"),
+        F.lit(0).cast("long").alias("id_b"),
+        F.col("fingerprint").alias("phash"),
+    )
+    from culvert_spark.streaming import hamming_pair_stream
+
+    return hamming_pair_stream(
+        items, max_hamming, bands, _AF_NBITS, bucket_cap
+    ).select(
+        F.col("a_id1").alias("a_media"),
+        F.col("b_id1").alias("b_media"),
+        "band",
+    )
+
+
+def audio_pair_replay(spark: SparkSession, n_files: int = 4) -> DataFrame:
+    """The staged ROUND-12 row body (``st_audio_dedup_replay``): the
+    design fixture replayed through a REAL file-split stream —
+    per-clip fingerprinting, band-keyed stateful pairing, then the
+    batch-boundary-invariant distinct-pair projection."""
+    from culvert_spark.streaming import replay_stream
+
+    out = replay_stream(
+        spark,
+        near_dup_audio_media(spark),
+        lambda s: audio_stream_dedup(s),
+        "st_audio_pairs",
+        n_files=n_files,
+        output_mode="update",
+    )
+    return (
+        out.select("a_media", "b_media")
+        .distinct()
+        .orderBy("a_media", "b_media")
+    )
+
+
+def audio_pair_oracle(max_hamming: int = 2) -> str:
+    """Constant-folding DuckDB oracle for the staged streaming row: ALL
+    unordered within-radius clip pairs stated from the fixture DESIGN —
+    volume copies pair at distance 0, cluster variants at 1-2 bits,
+    cross-group never (≥ 3 by the import-proven geometry)."""
+    from culvert_spark.imagesim import hamming_py
+
+    clips = []  # (media_id, fingerprint)
+    for c, cl in enumerate(_ND_CLUSTERS):
+        for v, fp in enumerate(cl):
+            for k in range(_AF_COPIES):
+                clips.append((1000 * c + 10 * v + k, fp))
+    for s, fp in enumerate(_ND_SINGLETONS):
+        for k in range(_AF_COPIES):
+            clips.append((9000 + 100 * s + k, fp))
+    pairs = sorted(
+        (min(a, b), max(a, b))
+        for i, (a, fa) in enumerate(clips)
+        for b, fb in clips[i + 1 :]
+        if hamming_py(fa, fb) <= max_hamming
+    )
+    vals = ",\n      ".join(f"({a}, {b})" for a, b in pairs)
+    return f"""
+    SELECT CAST(a_media AS BIGINT) AS a_media,
+           CAST(b_media AS BIGINT) AS b_media
+    FROM (VALUES
+      {vals})
+      AS t(a_media, b_media)
+    ORDER BY a_media, b_media
+    """
+
+
+# ---------------------------------------------------------------------------
 # Driver registration (staged round 9, registered round 10)
 # ---------------------------------------------------------------------------
 

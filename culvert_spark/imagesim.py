@@ -227,8 +227,16 @@ _ND_SINGLETONS = ["0011001100110011", "0101010001010100"]
 _ND_COPIES = 2
 
 
+def hamming_py(a: str, b: str) -> int:
+    """Driver-side Hamming distance over two equal-width bitstrings —
+    the single shared implementation for fixture checkers, oracle
+    builders, and the streaming pair filters' exact verify (videoshots,
+    audiosim, streaming.hamming_pair_stream)."""
+    return sum(x != y for x, y in zip(a, b))
+
+
 def _check_near_dup_design() -> None:
-    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    ham = hamming_py
     allv = [v for cl in _ND_CLUSTERS for v in cl] + _ND_SINGLETONS
     assert len(set(allv)) == len(allv), "fixture phashes must be distinct"
     assert all(len(v) == 16 and v.count("1") <= 8 for v in allv)

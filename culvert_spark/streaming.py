@@ -603,6 +603,106 @@ def near_dup_stream_filter(docs: DataFrame, bucket_cap: int = 64) -> DataFrame:
     )
 
 
+#: Output schema of :func:`hamming_pair_stream` — canonical (a < b)
+#: verified pairs, tagged with the band that caught them.
+HAMMING_PAIR_SCHEMA = (
+    "a_id1 bigint, a_id2 bigint, b_id1 bigint, b_id2 bigint, band int"
+)
+
+
+def hamming_pair_stream(
+    items: DataFrame,
+    max_hamming: int = 2,
+    bands: int = 4,
+    nbits: int = 16,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Streaming Hamming near-duplicate PAIR detection over any
+    fixed-width bitstring stream — the shared stateful core behind the
+    video (``videoshots.shot_stream_dedup``) and audio
+    (``audiosim.audio_stream_dedup``) twins, staged round 10. Input
+    columns: ``(id_a bigint, id_b bigint, phash string)`` where
+    (id_a, id_b) is the item's identity (use id_b = 0 for single-part
+    ids). Each item's bitstring explodes to its ``bands`` exact band
+    chunks; a (band, chunk)-keyed ``applyInPandasWithState`` holds up
+    to ``bucket_cap`` anchors per bucket and emits one row per VERIFIED
+    (Hamming ≤ max_hamming) pair in canonical order (smaller
+    (id_a, id_b) first), tagged with the band that caught it.
+
+    Determinism for replayed driver rows: the DISTINCT pair projection
+    is micro-batch-boundary-INVARIANT — any within-radius pair agrees
+    exactly on ≥ 1 band (pigeonhole: max_hamming < bands), both members
+    land in that bucket in whatever order they arrive, and the pair
+    emits exactly when the second member does. Same-batch arrivals are
+    processed in id order so intra-batch pairs emit deterministically.
+
+    Scale (100 TB): state is buckets × (≤ cap) item triples; the cap
+    is the streaming form of the batch mega-bucket guard (at the cap a
+    bucket stops accruing anchors — a pair of two UNSEEN post-cap
+    items in a saturated bucket would be missed, the documented trade
+    shared with near_dup_stream_filter); expire cold buckets with a
+    timeout or back the store with RocksDB in production."""
+    if nbits % bands or max_hamming >= bands:
+        raise ValueError("need bands | nbits and max_hamming < bands")
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from culvert_spark.imagesim import hamming_py
+
+    width = nbits // bands
+    chunks = F.array(
+        *[F.substring("phash", b * width + 1, width) for b in range(bands)]
+    )
+    keyed = items.select(
+        "id_a",
+        "id_b",
+        "phash",
+        F.posexplode(chunks).alias("band", "chunk"),
+    )
+
+    state_schema = "ida array<bigint>, idb array<bigint>, ph array<string>"
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            ida, idb, ph = (list(x) for x in state.get)
+        else:
+            ida, idb, ph = [], [], []
+        band = int(key[0])
+        arrivals: list[tuple[int, int, str]] = []
+        for pdf in pdf_iter:
+            arrivals.extend(
+                (int(a), int(b), p)
+                for a, b, p in zip(pdf["id_a"], pdf["id_b"], pdf["phash"])
+            )
+        hits = []
+        seen = set(zip(ida, idb))
+        for a, b, p in sorted(arrivals):
+            if (a, b) in seen:
+                continue  # exactly-once replays / duplicate keys
+            for xa, xb, xp in zip(ida, idb, ph):
+                if hamming_py(xp, p) <= max_hamming:
+                    lo, hi = sorted([(xa, xb), (a, b)])
+                    hits.append((lo[0], lo[1], hi[0], hi[1], band))
+            if len(ida) < bucket_cap:
+                ida.append(a)
+                idb.append(b)
+                ph.append(p)
+                seen.add((a, b))
+        state.update((ida, idb, ph))
+        if hits:
+            yield pd.DataFrame(
+                hits, columns=["a_id1", "a_id2", "b_id1", "b_id2", "band"]
+            )
+
+    return keyed.groupBy("band", "chunk").applyInPandasWithState(
+        update,
+        outputStructType=HAMMING_PAIR_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch-replayable streaming parity queries (driver-checkable streaming)
 # ---------------------------------------------------------------------------

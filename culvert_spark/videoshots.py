@@ -65,12 +65,9 @@ from culvert_spark.imagesim import (
     _ND_SINGLETONS,
     _flip_bits,
     _plane_for_phash,
+    hamming_py,
     phash_value_clusters,
 )
-
-
-def _hamming_py(a: str, b: str) -> int:
-    return sum(x != y for x, y in zip(a, b))
 
 
 def _hamming_expr(a: str, b: str, nbits: int) -> str:
@@ -269,7 +266,7 @@ def _vs_expected() -> list[tuple[str, int, int, int, int, int]]:
 
 
 def _check_video_fixture_design() -> None:
-    ham = _hamming_py
+    ham = hamming_py
     for reps in _VS_VIDEOS.values():
         frames = []
         for rep in reps:
@@ -399,7 +396,7 @@ def shot_rep_stream(
                     ph = _plane_features(_decode_image(bytes(fp), 16, 16))[
                         "phash"
                     ]
-                    if prev is None or _hamming_py(prev, ph) > max_hamming:
+                    if prev is None or hamming_py(prev, ph) > max_hamming:
                         shot_id += 1
                         rows.append(
                             {
@@ -456,67 +453,21 @@ def shot_stream_dedup(
     in a saturated bucket would be missed — the documented trade, same
     as near_dup_stream_filter); expire cold buckets with a timeout or
     RocksDB in production."""
-    if nbits % bands or max_hamming >= bands:
-        raise ValueError("need bands | nbits and max_hamming < bands")
-    from pyspark.sql.streaming.state import GroupStateTimeout
+    from culvert_spark.streaming import hamming_pair_stream
 
-    width = nbits // bands
-    chunks = F.array(
-        *[
-            F.substring("rep_phash", b * width + 1, width)
-            for b in range(bands)
-        ]
+    items = shots.select(
+        F.col("media_id").alias("id_a"),
+        F.col("shot_id").alias("id_b"),
+        F.col("rep_phash").alias("phash"),
     )
-    keyed = shots.select(
-        "media_id",
-        "shot_id",
-        "rep_phash",
-        F.posexplode(chunks).alias("band", "chunk"),
-    )
-
-    state_schema = "media array<bigint>, shot array<bigint>, ph array<string>"
-
-    def update(key, pdf_iter, state):
-        if state.exists:
-            media, shot, ph = (list(x) for x in state.get)
-        else:
-            media, shot, ph = [], [], []
-        band = int(key[0])
-        arrivals: list[tuple[int, int, str]] = []
-        for pdf in pdf_iter:
-            arrivals.extend(
-                (int(m), int(s), p)
-                for m, s, p in zip(
-                    pdf["media_id"], pdf["shot_id"], pdf["rep_phash"]
-                )
-            )
-        hits = []
-        seen = set(zip(media, shot))
-        for m, s, p in sorted(arrivals):
-            if (m, s) in seen:
-                continue  # exactly-once replays / duplicate keys
-            for am, ash, ap in zip(media, shot, ph):
-                if _hamming_py(ap, p) <= max_hamming:
-                    a, b = sorted([(am, ash), (m, s)])
-                    hits.append((a[0], a[1], b[0], b[1], band))
-            if len(media) < bucket_cap:
-                media.append(m)
-                shot.append(s)
-                ph.append(p)
-                seen.add((m, s))
-        state.update((media, shot, ph))
-        if hits:
-            yield pd.DataFrame(
-                hits,
-                columns=["a_media", "a_shot", "b_media", "b_shot", "band"],
-            )
-
-    return keyed.groupBy("band", "chunk").applyInPandasWithState(
-        update,
-        outputStructType=SHOT_PAIR_SCHEMA,
-        stateStructType=state_schema,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    return hamming_pair_stream(
+        items, max_hamming, bands, nbits, bucket_cap
+    ).select(
+        F.col("a_id1").alias("a_media"),
+        F.col("a_id2").alias("a_shot"),
+        F.col("b_id1").alias("b_media"),
+        F.col("b_id2").alias("b_shot"),
+        "band",
     )
 
 
@@ -556,7 +507,7 @@ def shot_pair_oracle(max_hamming: int = 2) -> str:
     pairs = []
     for i in range(len(shots)):
         for j in range(i + 1, len(shots)):
-            if _hamming_py(shots[i][2], shots[j][2]) <= max_hamming:
+            if hamming_py(shots[i][2], shots[j][2]) <= max_hamming:
                 a, b = sorted(
                     [shots[i][:2], shots[j][:2]]
                 )

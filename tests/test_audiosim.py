@@ -103,3 +103,40 @@ def test_staged_oracle_matches_design(spark):
     a = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
     b = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
     assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin (staged round 10 -> round-12 registration candidate)
+# ---------------------------------------------------------------------------
+
+
+def test_audio_stream_dedup_pairs_match_design_order_invariant(spark):
+    """The replayed streaming pair set must equal the staged
+    constant-folding oracle (ALL within-radius clip pairs from the
+    fixture design) at DIFFERENT file splits — the same
+    batch-boundary-invariance contract as the video twin, through the
+    shared streaming.hamming_pair_stream core. The fixture covers both
+    distance-0 pairs (volume copies: exact invariance) and 1-2-bit
+    pairs (cluster variants)."""
+    import duckdb
+
+    from culvert_spark.audiosim import audio_pair_oracle, audio_pair_replay
+
+    exp = sorted(
+        tuple(r)
+        for r in duckdb.connect()
+        .execute(audio_pair_oracle())
+        .fetchdf()
+        .itertuples(index=False, name=None)
+    )
+    assert len(exp) > 0
+    # volume-copy (distance-0) pairs: same cluster+variant, copies 0/1
+    assert any(b - a == 1 and a % 10 == 0 for a, b in exp)
+    # cross-variant pairs (1-2 bits): different variant digits
+    assert any((a // 10) % 100 != (b // 10) % 100 for a, b in exp)
+    for n_files in (4, 1):
+        got = sorted(
+            (r.a_media, r.b_media)
+            for r in audio_pair_replay(spark, n_files=n_files).collect()
+        )
+        assert got == exp, (n_files, len(got), len(exp))
