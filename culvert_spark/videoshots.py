@@ -356,10 +356,6 @@ def video_shot_oracle() -> str:
 
 SHOT_REP_SCHEMA = "media_id bigint, shot_id bigint, rep_phash string"
 
-SHOT_PAIR_SCHEMA = (
-    "a_media bigint, a_shot bigint, b_media bigint, b_shot bigint, band int"
-)
-
 
 def shot_rep_stream(
     media: DataFrame, max_hamming: int = 2, every_n: int = 1

@@ -68,15 +68,23 @@ def test_cosine_topk_rank_margins_exceed_float_error(sf_dir):
     cos = (emb @ qmat.T) / np.outer(
         np.linalg.norm(emb, axis=1), np.linalg.norm(qmat, axis=1)
     )
-    min_gap = np.inf
+    min_gap, n_boundary_ties = np.inf, 0
     for qi, qid in enumerate(qids):
         c = cos[:, qi].copy()
         c[ids == qid] = -np.inf  # self-match removed downstream
         top4 = np.sort(c)[::-1][:4]
         gaps = top4[:-1] - top4[1:]
+        n_boundary_ties += int((gaps == 0).sum())
         pos = gaps[gaps > 0]
         if len(pos):
             min_gap = min(min_gap, float(pos.min()))
+    # Exact float ties between NON-identical vectors are only
+    # cross-engine-stable for bitwise-identical embeddings; rather than
+    # reason about which kind a tie is, require NONE in the decision
+    # region (review finding: a tie-saturated boundary would otherwise
+    # make the margin assertions pass vacuously). Shipped corpora: 0.
+    assert n_boundary_ties == 0, n_boundary_ties
+    assert np.isfinite(min_gap), "no measurable boundary gap"
     # Cross-engine bound: each engine's cosine (d-term dot product,
     # two norms, one divide) is within ~a few·d·eps of the real-number
     # value; 10·d·eps per engine is generous, doubled for two engines.
@@ -365,7 +373,7 @@ def test_ivf_margins_exceed_float_error(sf_dir):
     )
     probes = np.argsort(-qsim, axis=1)[:, :n_probe]
 
-    rank_min = np.inf
+    rank_min, n_rank_ties = np.inf, 0
     for qi, qid in enumerate(qids):
         cand = np.isin(final_cells, probes[qi]) & (ids != qid)
         cos = sims(qmat[qi : qi + 1], emb[cand])[0] if cand.any() else None
@@ -373,9 +381,14 @@ def test_ivf_margins_exceed_float_error(sf_dir):
             continue
         top = np.sort(cos)[::-1][: k + 1]
         gaps = top[:-1] - top[1:]
-        pos = gaps[gaps > 0]  # exact ties break on neighbor_id, both engines
+        n_rank_ties += int((gaps == 0).sum())
+        pos = gaps[gaps > 0]
         if len(pos):
             rank_min = min(rank_min, float(pos.min()))
+    # require NO exact ties in the decision region (see the cosine
+    # margin test's note) and a finite measured margin.
+    assert n_rank_ties == 0, n_rank_ties
+    assert np.isfinite(rank_min), "no measurable rank boundary gap"
     margins["rank_boundary"] = rank_min
 
     d = emb.shape[1]
@@ -512,13 +525,15 @@ def test_pq_margins_exceed_float_error(sf_dir):
         )
         tops = np.sort(cos)[::-1][: topk + 1]
         g = tops[:-1] - tops[1:]
+        n_ties += int((g == 0).sum())  # re-rank ties counted with ADC ties
         p = g[g > 0]
         if len(p):
             rank_margin = min(rank_margin, float(p.min()))
     margins["adc_boundary"] = adc_margin
     margins["rerank_boundary"] = rank_margin
 
-    assert n_ties == 0, f"exact ADC ties in the decision region: {n_ties}"
+    assert np.isfinite(rank_margin), "no measurable re-rank boundary gap"
+    assert n_ties == 0, f"exact ties in the decision region: {n_ties}"
     bound = 2 * 10 * d * np.finfo(np.float64).eps  # ≈ 2.8e-13 at d=64
     for name, m in margins.items():
         assert m > bound, (name, m, bound)
