@@ -684,3 +684,31 @@ def test_udtf_analyze_schema_is_polymorphic(spark):
     assert ws == {"tok1": "a", "tok2": "b", "tok3": "c", "tok4": None}
     with pytest.raises(Exception, match="k must be a constant int >= 1"):
         spark.sql("SELECT * FROM culvert_lead_tokens_t('a b c', 0)").collect()
+
+
+def test_video_shot_dedup_broadcasts_labels_no_cartesian(spark):
+    """m_video_shot_dedup (round 10): the shot→cluster-label join must
+    broadcast (the distinct rep-phash label table is ≤ 2^nbits rows at
+    ANY corpus size — shipping it beats shuffling the shot table), and
+    nothing in the pipeline may degrade to a cartesian; the final group
+    aggregate must keep map-side partial aggregation."""
+    plan = executed_plan(spark, "m_video_shot_dedup")
+    assert "BroadcastHashJoin" in plan, "cluster-label join must broadcast"
+    assert "CartesianProduct" not in plan
+    # min(struct(media_id, shot_id)) has no mutable HashAggregate buffer,
+    # so Spark plans ObjectHashAggregate (still partial+final — that's
+    # what the gate pins; a single-phase agg would shuffle raw rows).
+    n_agg = sum(
+        plan.count(k)
+        for k in ("HashAggregate", "ObjectHashAggregate", "SortAggregate")
+    )
+    assert n_agg >= 2 and "partial_" in plan, "group agg must be partial+final"
+
+
+def test_audio_near_dup_broadcasts_labels_no_cartesian(spark):
+    """m_audio_near_dup_groups (round 10): same contract as the video
+    twin — broadcast label join, no cartesian, partial+final agg."""
+    plan = executed_plan(spark, "m_audio_near_dup_groups")
+    assert "BroadcastHashJoin" in plan, "cluster-label join must broadcast"
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2, "group agg must be partial+final"
