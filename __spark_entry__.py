@@ -132,6 +132,57 @@ except ImportError:  # pragma: no cover
 #: landed exactly on the documented ROUND-5 ROTATION (49 hash-green + 1
 #: rows-only v_gram_matrix).
 #:
+#: Round 11 executes the ROUND-11 ROTATION pre-computed at the end of
+#: round 10 (kept below for provenance). The 3 spare slots are exactly
+#: consumed by the round's change set — the three registrations the
+#: round-10 verdict staged:
+#:   v_ivf_ann_topk (UPGRADED rows-only → full hash: the staged
+#:     ivf_rank_oracle_sql() passed to the existing @register call;
+#:     the Spark probe cut additionally made tie-DETERMINISTIC first —
+#:     np.argsort(kind="stable") mirrors the oracle's ORDER BY sim
+#:     DESC, cell — per round-10 ADVICE, so oracle parity no longer
+#:     rests solely on the margin test's no-ties precondition),
+#:   v_pq_ann_topk (UPGRADED rows-only → full hash: the staged
+#:     pq_rank_oracle_sql() registered; its re-rank CTE now scores the
+#:     L2-NORMALIZED query exactly like the Spark row — round-10
+#:     ADVICE closed the one undocumented eps-divergence channel),
+#:   st_shot_dedup_replay (NEW: the streaming video-shot near-dup pair
+#:     set replayed through a real file-split stream, videoshots.py —
+#:     batch-boundary-invariant distinct-pair projection vs the
+#:     constant-folding shot_pair_oracle(); the oracle builders also
+#:     gained the empty-pair-list guard from round-10 ADVICE).
+#: The remaining 47 slots execute the pre-computed round-6-vintage
+#: freshness list verbatim (the ROUND-11 ROTATION note below). After
+#: CORRECTNESS_r11: no query's newest row predates round 7, and
+#: rows-only drops to exactly the 5 m_* binary-decoder rows — the
+#: by-NATURE floor (binary payloads are not SQL-expressible), not an
+#: iteration artifact. Distribution over 238 registered queries:
+#: 43×r7, 48×r8, 47×r9, 50×r10, 50×r11.
+#:
+#: ROUND-12 ROTATION (computed at end of round 11 from the cumulative
+#: record, assuming CORRECTNESS_r11 lands on the window above): the
+#: oldest block is the 43 round-7-vintage rows — m_audio_features,
+#: m_frame_sample, m_image_dedup_groups, m_image_features,
+#: m_video_frame_features, q13_order_count_distribution,
+#: q14_promo_share, q15_top_supplier, q16_supplier_variety,
+#: q17_below_avg_quantity, q18_large_orders, q19_disjunctive_brackets,
+#: q20_supplier_part_share, q21_sole_late_supplier, q22_idle_customers,
+#: q_agg_funcs_modern, q_approx_percentile, q_bitwise_agg,
+#: q_collect_set_segments, q_first_last_value, q_histogram_acctbal,
+#: q_like_predicates, q_null_handling_funcs, q_params_identifier,
+#: q_posexplode_tokens, q_rollup_grouping_id, q_sequence_active_months,
+#: q_string_funcs_parts, q_top_customer_per_nation,
+#: q_union_active_parties, q_unpivot_rates, q_window_rank_suite,
+#: t_bpe_token_estimate, t_doc_fingerprint, t_lang_id, t_quality_scores,
+#: t_text_stats, t_tfidf_top3, t_train_test_split, v_plain_udf_slug,
+#: v_udtf_analyze_fanout, v_udtf_shingle_top10, y_ysb_windowed_counts —
+#: 43 of 50, leaving 7 slots for round-12 registrations/changes, which
+#: as always take precedence. Known round-12 candidates staged and
+#: pytest-proven: st_audio_dedup_replay (audiosim.audio_pair_replay vs
+#: audio_pair_oracle(), matching at n_files 4 and 1 — staged round 10)
+#: and the round-11-staged PDF/document-layout rows (see pdfops.py if
+#: present).
+#:
 #: Round 10 executes the ROUND-10 ROTATION pre-computed at the end of
 #: round 9 (kept below for provenance). The 4 spare slots are exactly
 #: consumed by the round's change set:
@@ -430,37 +481,34 @@ except ImportError:  # pragma: no cover
 #: from this list keep their module registration order after the priority
 #: block.
 _PRIORITY = [
-    # ===== ROUND-10 ROTATION (exactly the 50-slot window) =====
-    # (a) registered or changed in round 10 (4 rows — see the rotation
+    # ===== ROUND-11 ROTATION (exactly the 50-slot window) =====
+    # (a) registered or changed in round 11 (3 rows — see the rotation
     # note above for what changed in each):
-    "m_video_shot_dedup", "m_audio_near_dup_groups",
-    "m_cross_format_dedup", "m_cross_format_dedup_odd",
-    # (b) freshness: the 46 round-5-vintage rows, exactly the list
-    # pre-computed in round 9 (q_embedding_covariance carries the
-    # slot-free micros-conversion hoist).
-    "q01_pricing_summary", "q03_shipping_priority",
-    "q05_regional_revenue", "q06_revenue_forecast", "q_approx_distinct",
-    "q_asof_prior_view", "q_embedding_covariance", "q_graph_pagerank",
-    "q_graph_triangles", "q_hive_bucket_histogram",
-    "q_hive_bucket_write_layout", "q_hourly_event_counts",
-    "q_pivot_user_event_values", "q_salted_join_parity",
-    "q_session_window_batch", "q_sliding_distinct_hll",
-    "q_top3_orders_per_customer", "s_ann_lsh_top1", "s_cosine_topk",
-    "s_near_dup_lsh_verified", "s_semantic_dedup_rep",
-    "st_dedup_digest_replay", "st_dedup_expiry_replay",
-    "st_late_drop_replay", "st_merge_dedup_replay",
-    "st_restart_recovery_replay", "st_session_window_replay",
-    "st_sliding_counts_replay", "st_stateful_totals_replay",
-    "st_stream_stream_join_replay", "st_tumbling_counts_replay",
-    "t_bm25_topk", "t_cdc_chunk_dedup", "t_dedup_keep_best",
-    "t_dup_spans", "t_exact_dedup_groups", "t_exact_dedup_stats",
-    "t_gopher_quality_rules", "t_incremental_dedup",
-    "t_incremental_dedup_persisted", "t_minhash_lsh_pairs",
-    "t_ngram_jaccard_pairs", "t_pack_sequences",
-    "t_pretrain_pipeline_e2e", "t_simhash_fingerprint", "t_token_top20",
-    # ===== past the 50-row window: ROUND-11 ROTATION starts here =====
-    # (the 47 r6-vintage rows become the oldest block; they keep module
-    # registration order until round 11 promotes them)
+    "v_ivf_ann_topk", "v_pq_ann_topk", "st_shot_dedup_replay",
+    # (b) freshness: the 47 round-6-vintage rows, exactly the list
+    # pre-computed in round 10.
+    "pds_synth_docs", "pds_synth_stream", "q02_cheapest_part_per_type",
+    "q04_priority_exists", "q07_nation_volume", "q08_market_share",
+    "q09_profit_by_nation_year", "q10_returned_items",
+    "q11_supplier_concentration", "q12_priority_case_agg",
+    "q_anti_join_no_big_order", "q_cross_join_region_status",
+    "q_cube_lineitem", "q_date_math_shipping",
+    "q_distinct_users_per_type", "q_except_all", "q_from_json_struct",
+    "q_group_by_all", "q_grouping_sets_events",
+    "q_higher_order_array_funcs", "q_json_props",
+    "q_latest_event_per_user", "q_listagg_members", "q_map_functions",
+    "q_math_funcs", "q_order_status_dist", "q_outer_join_order_counts",
+    "q_percentiles", "q_range_frame_window", "q_range_pred_join",
+    "q_recursive_cte_chain", "q_rollup_orders",
+    "q_running_customer_total", "q_salted_count_parity",
+    "q_salted_left_join_parity", "q_semi_join_urgent", "q_set_except",
+    "q_set_intersect", "q_set_ops_all", "q_sliding_window_counts",
+    "q_sql_udf_revenue", "q_stats_corr", "s_embedding_near_dup",
+    "st_outer_join_expiry_replay", "st_session_finalize_tws_replay",
+    "st_stateful_totals_tws", "t_quality_percentile_filter_approx",
+    # ===== past the 50-row window: ROUND-12 ROTATION starts here =====
+    # (the 43 r7-vintage rows become the oldest block; they keep module
+    # registration order until round 12 promotes them)
 ]
 
 

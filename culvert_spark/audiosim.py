@@ -377,6 +377,11 @@ def audio_pair_oracle(max_hamming: int = 2) -> str:
         for b, fb in clips[i + 1 :]
         if hamming_py(fa, fb) <= max_hamming
     )
+    if not pairs:  # round-10 ADVICE: typed empty relation, not `VALUES )`
+        return """
+    SELECT CAST(NULL AS BIGINT) AS a_media, CAST(NULL AS BIGINT) AS b_media
+    WHERE FALSE
+    """
     vals = ",\n      ".join(f"({a}, {b})" for a, b in pairs)
     return f"""
     SELECT CAST(a_media AS BIGINT) AS a_media,

@@ -636,6 +636,18 @@ def hamming_pair_stream(
     emits exactly when the second member does. Same-batch arrivals are
     processed in id order so intra-batch pairs emit deterministically.
 
+    Identity contract (round-10 ADVICE — assumptions, not incidentals):
+    the stream is APPEND-ONLY with IMMUTABLE ids — ``seen`` keys on
+    (id_a, id_b) alone, so an id re-arriving with a DIFFERENT phash is
+    treated as an exactly-once re-delivery and IGNORED (no pair
+    detection for the new payload; mutable content needs a versioned
+    id). And an item that arrives while its bucket is at ``bucket_cap``
+    is never added to ``seen``, so its re-deliveries re-verify against
+    the anchors and re-emit the same pairs each delivery — consumers
+    MUST apply a distinct/idempotent projection (every registered
+    consumer does; at-least-once re-emission of identical rows is the
+    standard update-mode contract).
+
     Scale (100 TB): state is buckets × (≤ cap) item triples; the cap
     is the streaming form of the batch mega-bucket guard (at the cap a
     bucket stops accruing anchors — a pair of two UNSEEN post-cap

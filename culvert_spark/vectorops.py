@@ -212,7 +212,11 @@ def ivf_search(
     qmat = np.stack(query_pdf["qv"].to_numpy()).astype(np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
     sim = (qmat @ centroids.T) / np.outer(qnorm, cnorm)
-    probes = np.argsort(-sim, axis=1)[:, :n_probe]  # (q, n_probe)
+    # Tie-deterministic probe cut (round-10 ADVICE): stable sort keeps
+    # ascending cell order among equal similarities, mirroring the
+    # oracle's ORDER BY sim DESC, cell — an exact probe-boundary tie
+    # cannot make the two engines probe different cells.
+    probes = np.argsort(-sim, axis=1, kind="stable")[:, :n_probe]  # (q, n_probe)
 
     spark = embeddings.sparkSession
     probe_df = spark.createDataFrame(
@@ -368,7 +372,7 @@ def ivf_rank_oracle_sql(
     )
 
 
-@register("v_ivf_ann_topk")  # rows-only: ROUND-11 hash upgrade staged
+@register("v_ivf_ann_topk", ivf_rank_oracle_sql())  # FULL hash (round 11)
 def v_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN end-to-end: train a 16-cell coarse quantizer (3 Lloyd
     rounds), then top-3 search probing 8/16 cells for the bounded
@@ -376,10 +380,11 @@ def v_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     half the brute-force work at 93% recall@3 on this corpus (synthetic
     embeddings are weakly clustered; real embedding spaces cluster far
     better and need fewer probes). Recall vs brute force is asserted in
-    tests. Rows-only THIS round; the full-pipeline DuckDB oracle
-    (``ivf_rank_oracle_sql`` — the whole k-means unrolled in SQL, with
-    measured cross-engine decision margins) is staged and pytest-proven
-    for the round-11 registration slot."""
+    tests. FULL hash row since round 11: the oracle is
+    ``ivf_rank_oracle_sql`` — the whole k-means pipeline unrolled in
+    DuckDB SQL (the staged round-10 artifact), with measured
+    cross-engine decision margins and a tie-deterministic probe cut on
+    both sides (stable argsort here, ORDER BY sim DESC, cell there)."""
     e = t(spark, sf_dir, "embeddings")
     centroids = ivf_train(e, n_cells=16, iters=3)
     return ivf_search(e, default_query_set(e), centroids, k=3, n_probe=8)
@@ -881,6 +886,10 @@ def pq_rank_oracle_sql(
     - ADC sums 8 LUT terms per (query, neighbor): numpy adds them in
       subspace order, SQL in join order — an eps-scale difference
       against a 3.5e-6 margin.
+    - The re-rank mirrors the Spark row exactly: cosine of the
+      L2-NORMALIZED query (qv) against the raw neighbor vector on both
+      sides (round-10 ADVICE — the oracle used to pass the raw query,
+      mathematically identical but an unlisted eps-divergence channel).
     - Seeding is integer/text-exact (md5 hex parity, seed order = code
       index on both sides)."""
     dsub = dim // m_sub
@@ -931,7 +940,7 @@ def pq_rank_oracle_sql(
     ctes.append(enc("afinal", f"cb{iters}"))
     ctes.append(
         f"""q AS (
-      SELECT vec_id AS query_id, nv AS qv, v AS qraw FROM nrm
+      SELECT vec_id AS query_id, nv AS qv FROM nrm
       WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {ANN_MAX_QUERIES})"""
     )
     ctes.append(
@@ -962,7 +971,7 @@ def pq_rank_oracle_sql(
     ctes.append(
         """scored AS (
       SELECT c.query_id, c.neighbor_id,
-             list_cosine_similarity(e.v, q.qraw) AS cos
+             list_cosine_similarity(e.v, q.qv) AS cos
       FROM cand c JOIN emb e ON e.vec_id = c.neighbor_id
                   JOIN q USING (query_id))"""
     )
@@ -981,7 +990,7 @@ def pq_rank_oracle_sql(
     )
 
 
-@register("v_pq_ann_topk")  # rows-only: ROUND-11 hash upgrade staged
+@register("v_pq_ann_topk", pq_rank_oracle_sql())  # FULL hash (round 11)
 def v_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN end-to-end: 8 subspaces x 16 codes (4
     bits each — 4 bytes per vector, 64x smaller than the float32
@@ -994,11 +1003,11 @@ def v_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bandwidth, and only the re-rank touches the full vectors — a
     broadcast-sized candidate set, never the corpus. Recall vs brute
     force is asserted in tests (pytest pins recall@3 against the exact
-    cosine twin). Rows-only THIS round; the full-pipeline DuckDB oracle
-    (``pq_rank_oracle_sql`` — normalization, codebook training, ADC
-    scan and re-rank unrolled in SQL, with measured cross-engine
-    decision margins) is staged and pytest-proven for a round-11
-    registration slot.
+    cosine twin). FULL hash row since round 11: the oracle is
+    ``pq_rank_oracle_sql`` — normalization, codebook training, ADC
+    scan and re-rank unrolled in DuckDB SQL (the staged round-10
+    artifact), with measured cross-engine decision margins and the
+    zero-exact-ADC-ties condition pinned by pytest.
 
     Scale shape: training shuffles are codebook-sized (1,024 rows); the
     ADC scan is a narrow mapInPandas emitting per-partition top-50 per

@@ -509,6 +509,14 @@ def shot_pair_oracle(max_hamming: int = 2) -> str:
                 )
                 pairs.append((a[0], a[1], b[0], b[1]))
     pairs.sort()
+    if not pairs:  # round-10 ADVICE: a tighter max_hamming can
+        # legitimately yield zero pairs — emit a typed empty relation
+        # instead of the syntax error `FROM (VALUES )`.
+        return """
+    SELECT CAST(NULL AS BIGINT) AS a_media, CAST(NULL AS BIGINT) AS a_shot,
+           CAST(NULL AS BIGINT) AS b_media, CAST(NULL AS BIGINT) AS b_shot
+    WHERE FALSE
+    """
     vals = ",\n      ".join(f"({am}, {ash}, {bm}, {bs})"
                             for am, ash, bm, bs in pairs)
     return f"""
@@ -555,3 +563,22 @@ def m_video_shot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shot_near_dup_groups(
         video_frame_features(near_dup_video_media(spark), every_n=1)
     )
+
+
+@register("st_shot_dedup_replay", shot_pair_oracle())
+def st_shot_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING video shot dedup as a FULL hash row (staged round 10,
+    registered round 11): the design fixture's AVI media replayed
+    through a REAL file-split Structured Streaming job — row-local
+    demux -> per-frame phash -> shot segmentation in ONE narrow
+    mapInPandas, then band-keyed capped-anchor stateful pairing via the
+    shared ``streaming.hamming_pair_stream`` core — projected to the
+    batch-boundary-invariant distinct within-radius pair set and gated
+    against the fixture's design constants (``shot_pair_oracle``:
+    pigeonhole recall is exact, so the streamed pair set must equal the
+    all-pairs ground truth at ANY file split or arrival order; pytest
+    proves it at n_files 4 and 1). ``sf_dir`` is unused: like the other
+    fixture rows the ground truth is a shipped deterministic fixture;
+    the operator (``shot_stream_dedup`` over any bitstring stream) is
+    corpus-generic."""
+    return shot_pair_replay(spark)

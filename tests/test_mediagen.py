@@ -118,3 +118,45 @@ def test_cross_format_collision_guard_raises(spark):
     )
     got = mm._cross_format_invariants(ok).collect()
     assert [(r.keeper_id, r.keeper_fmt_idx) for r in got] == [(0, 0), (8, 0)]
+
+
+def test_collision_guard_survives_single_column_pruning(spark):
+    """The in-plan guard lives in the n_images column expression, so a
+    consumer that prunes n_images would silently skip the safety check
+    (round-10 ADVICE). Two backstops: (a) even under single-column
+    pruning of every OTHER column the guard still fires as long as
+    n_images itself is kept — pinned here on a violating frame — and
+    (b) a source-level contract: every production call site of
+    _cross_format_invariants is enumerated, so adding a caller fails
+    this test until its projection provably keeps n_images."""
+    bad = spark.createDataFrame(
+        [(0, 12, 11)], "keeper_id bigint, n_images bigint, n_dupes bigint"
+    )
+    # (a) pruning down TO n_images alone still evaluates the guard
+    with pytest.raises(Exception, match="collision"):
+        mm._cross_format_invariants(bad).select("n_images").collect()
+    # ...while pruning n_images AWAY skips it — the documented narrowing
+    # this contract test exists to police in future callers.
+    assert (
+        mm._cross_format_invariants(bad).select("keeper_id").collect()[0][0]
+        == 0
+    )
+    # (b) enumerate production call sites; each known one keeps n_images
+    # in its projection (the registered rows return the full invariant
+    # frame). A NEW caller must be audited for that and added here.
+    import re
+    from pathlib import Path
+
+    pkg = Path(mm.__file__).resolve().parent
+    call_lines = [
+        (py.name, i)
+        for py in sorted(pkg.glob("*.py"))
+        for i, line in enumerate(py.read_text().splitlines(), start=1)
+        if re.search(r"_cross_format_invariants\s*\(", line)
+        and "def _cross_format_invariants" not in line
+    ]
+    assert [name for name, _ in call_lines] == ["multimodal.py"] * 2, (
+        f"new _cross_format_invariants caller(s) {call_lines}: verify the "
+        "caller keeps n_images projected (the collision guard lives in "
+        "that column) and extend this contract test."
+    )
