@@ -1,0 +1,1135 @@
+"""PDF document parsing, text/layout extraction and layout dedup.
+
+The training-data document family has text analysis over the
+``documents`` table but nothing that reads a real DOCUMENT CONTAINER;
+this module closes that gap for PDF — the dominant container for
+scanned/laid-out corpora — with a from-scratch reader of the PUBLIC
+spec (PDF is ISO 32000-1; the subset implemented here — classic
+cross-reference tables, object/dictionary/stream syntax, FlateDecode
+via zlib (RFC 1950/1951, Python stdlib), the page tree with attribute
+inheritance, and the text-showing operators of the content-stream
+language — is fully described in the freely published spec text):
+
+1. **Writer** (fixture generation, ``encode_pdf``): minimal-but-valid
+   PDF 1.4 — catalog/pages/page objects, Helvetica Type1 font, literal
+   or Flate-compressed content streams, classic xref + trailer. Like
+   mediagen's image writers it is deliberately small but emits REAL
+   files any conforming reader accepts.
+2. **Parser** (production path, ``PdfDocument``): tokenizer for the
+   object syntax (dicts, arrays, names with #xx escapes, literal
+   strings with octal/escape/nesting, hex strings, numbers, booleans,
+   indirect references), classic xref tables with /Prev chaining plus
+   a scan-for-``N 0 obj`` fallback for damaged files, stream payloads
+   via /Length (direct or indirect) + /FlateDecode, page-tree walk
+   with /MediaBox inheritance, and a content-stream interpreter for
+   the text operators (BT/ET, Tf, TL, Td, TD, Tm, T*, Tj, TJ, ', ")
+   tracking the text/line matrices — emitting one (x, y, size, text)
+   RUN per show op at its text-space origin.
+3. **Features** (``pdf_doc_features``): per-document page count, run/
+   char/token counts, max font size, the page-1 title run, page-1
+   geometry — the document-corpus quality columns.
+4. **Layout fingerprint + dedup** (``pdf_layout_dedup_groups``): a
+   16-bit occupancy grid (4x4 cells over the page-1 MediaBox, bit =
+   some run originates in the cell, row 0 at the TOP) feeds
+   :func:`culvert_spark.imagesim.phash_value_clusters` — the same
+   bounded-value-domain Hamming clustering as the image/video/audio
+   paths (band-LSH on the DISTINCT value table, exact pigeonhole
+   recall, pointer-doubling components) — grouping documents that
+   share a layout template modulo small edits even when their TEXT is
+   entirely different (the template-dedup step of scanned-corpus
+   cleanup).
+
+Scale posture (100 TB): parse + extract run inside one narrow
+``mapInPandas`` (decoder CPU scales with executors; nothing shuffles
+until the final grouped aggregate); the layout pairing never touches
+document rows (the 16-bit value domain is <= 65 536 values at ANY
+corpus size).
+
+Out of scope, labeled: PDF 1.5+ cross-reference STREAMS and object
+streams (/ObjStm), encryption, and non-Flate filters raise
+``NotImplementedError`` with the feature name — the classic-table
+subset is what the fixtures (and the long tail of generator-produced
+corpora) use. Text-run origins do not advance by glyph widths (no
+font metrics shipped); every emitted run is positioned by its show
+op's text matrix, which is exact for the fixture writers here and the
+common one-show-per-line layout.
+
+Staged in round 11 (pytest-proven: byte round-trip across all four
+content styles x raw/Flate x direct/indirect /Length, escape/hex
+strings, MediaBox inheritance AND override, nested page trees, xref
+fallback on a damaged startxref, features == design constants through
+the full encode->parse path, layout groups == the import-proven
+cluster geometry, staged DuckDB oracles matching) for round-12
+registration slots (the round-11 window is fully allocated — see
+``__spark_entry__.py``'s rotation notes).
+
+Reference scope: prasanthj/culvert has no document-container surface
+(SURVEY §0); this extends the training-data document family mandated
+by the build brief.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from culvert_spark.imagesim import (
+    _ND_CLUSTERS,
+    _ND_SINGLETONS,
+    hamming_py,
+    phash_value_clusters,
+)
+
+_PDF_NBITS = 16
+_PDF_GRID = 4                     # 4x4 occupancy grid -> 16 bits
+_PDF_MEDIABOX = (612, 792)        # US-letter default, points
+
+
+# ---------------------------------------------------------------------------
+# Writer (fixture generation): minimal-but-valid PDF 1.4
+# ---------------------------------------------------------------------------
+
+
+def _esc_pdf_string(s: str) -> str:
+    """Escape a text for a PDF LITERAL string: backslash, parens."""
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _num(v: float) -> str:
+    """PDF number token: integer form when exact (the spec has one
+    numeric type; this just keeps the files tidy and the tests
+    readable)."""
+    return str(int(v)) if float(v) == int(v) else repr(float(v))
+
+
+def _content_ops(
+    elements: list[tuple[float, float, float, str]], style: str
+) -> bytes:
+    """Content-stream bytes showing each (x, y, size, text) element as
+    exactly ONE text run at (x, y), via the operator family ``style``
+    selects — so the extracted runs are style-INVARIANT by design and
+    each style exercises a different parser path:
+
+    - ``td``:    Tf + Td + literal-string Tj
+    - ``tm``:    Tf + full text MATRIX (Tm) + Tj
+    - ``tj``:    Tf + Td + a TJ array (two string halves + a kerning
+                 number the extractor must skip)
+    - ``quote``: Tf + TL/Td one line ABOVE + the ' (next-line-show)
+                 operator
+    - ``hex``:   Tf + Td + a HEX string operand to Tj
+    """
+    leading = 14
+    parts = []
+    for x, y, size, text in elements:
+        e = _esc_pdf_string(text)
+        if style == "td":
+            body = f"{_num(x)} {_num(y)} Td\n({e}) Tj"
+        elif style == "tm":
+            body = f"1 0 0 1 {_num(x)} {_num(y)} Tm\n({e}) Tj"
+        elif style == "tj":
+            m = text.find(" ", len(text) // 2)
+            if m < 0:
+                arr = f"[({e})]"
+            else:
+                a, b = text[: m + 1], text[m + 1 :]
+                arr = (
+                    f"[({_esc_pdf_string(a)}) -250 ({_esc_pdf_string(b)})]"
+                )
+            body = f"{_num(x)} {_num(y)} Td\n{arr} TJ"
+        elif style == "quote":
+            body = (
+                f"{leading} TL\n{_num(x)} {_num(y + leading)} Td\n({e}) '"
+            )
+        elif style == "hex":
+            hexstr = text.encode("latin-1").hex().upper()
+            body = f"{_num(x)} {_num(y)} Td\n<{hexstr}> Tj"
+        else:
+            raise ValueError(f"unknown content style {style!r}")
+        parts.append(f"BT\n/F1 {_num(size)} Tf\n{body}\nET")
+    return "\n".join(parts).encode("latin-1")
+
+
+def encode_pdf(
+    pages: list[dict],
+    style: str = "td",
+    compress: bool = False,
+    indirect_length: bool = False,
+    nested: bool = False,
+    mediabox: tuple[int, int] = _PDF_MEDIABOX,
+) -> bytes:
+    """A real PDF 1.4 file (header, numbered objects, classic xref
+    table, trailer). Each page dict: ``{"elements": [(x, y, size,
+    text), ...], "mediabox": (w, h) | None}`` — a None mediabox
+    INHERITS the /MediaBox written on the /Pages node (the inheritance
+    path), a concrete one overrides it on the page. ``compress``
+    Flate-encodes every content stream (/Filter /FlateDecode);
+    ``indirect_length`` writes each stream's /Length as an indirect
+    reference to a separate integer object (both forms are legal and
+    both appear in the wild); ``nested`` parents pages[1:] under an
+    intermediate /Pages node (inheritance must survive tree depth)."""
+    n = len(pages)
+    if nested and n < 2:
+        raise ValueError("nested layout needs >= 2 pages")
+    objs: dict[int, bytes] = {}
+    page_ids = [4 + 2 * i for i in range(n)]
+    content_ids = [5 + 2 * i for i in range(n)]
+    next_id = 4 + 2 * n
+    inner_pages_id = 0
+    if nested:
+        inner_pages_id = next_id
+        next_id += 1
+
+    kids_top = (
+        page_ids
+        if not nested
+        else [page_ids[0], inner_pages_id]
+    )
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        "<< /Type /Pages /Kids ["
+        + " ".join(f"{k} 0 R" for k in kids_top)
+        + f"] /Count {n} /MediaBox [0 0 {_num(mediabox[0])}"
+        f" {_num(mediabox[1])}] >>"
+    ).encode("latin-1")
+    objs[3] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    if nested:
+        objs[inner_pages_id] = (
+            "<< /Type /Pages /Parent 2 0 R /Kids ["
+            + " ".join(f"{k} 0 R" for k in page_ids[1:])
+            + f"] /Count {n - 1} >>"
+        ).encode("latin-1")
+
+    for i, page in enumerate(pages):
+        parent = 2 if (not nested or i == 0) else inner_pages_id
+        mb = page.get("mediabox")
+        mb_entry = (
+            f" /MediaBox [0 0 {_num(mb[0])} {_num(mb[1])}]" if mb else ""
+        )
+        objs[page_ids[i]] = (
+            f"<< /Type /Page /Parent {parent} 0 R"
+            f" /Resources << /Font << /F1 3 0 R >> >>"
+            f" /Contents {content_ids[i]} 0 R{mb_entry} >>"
+        ).encode("latin-1")
+        data = _content_ops(page["elements"], style)
+        filt = b""
+        if compress:
+            data = zlib.compress(data)
+            filt = b" /Filter /FlateDecode"
+        if indirect_length:
+            len_id = next_id
+            next_id += 1
+            objs[len_id] = str(len(data)).encode("latin-1")
+            len_entry = f"{len_id} 0 R".encode("latin-1")
+        else:
+            len_entry = str(len(data)).encode("latin-1")
+        objs[content_ids[i]] = (
+            b"<< /Length " + len_entry + filt + b" >>\nstream\n"
+            + data
+            + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n")  # binary marker line
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode("latin-1")
+        out += objs[num]
+        out += b"\nendobj\n"
+    xref_at = len(out)
+    max_id = max(objs)
+    out += f"xref\n0 {max_id + 1}\n".encode("latin-1")
+    out += b"0000000000 65535 f \n"
+    for num in range(1, max_id + 1):
+        out += f"{offsets[num]:010d} 00000 n \n".encode("latin-1")
+    out += (
+        f"trailer\n<< /Size {max_id + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode("latin-1")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Parser (production path)
+# ---------------------------------------------------------------------------
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Ref:
+    """Indirect object reference (``n g R``)."""
+
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+    def __repr__(self) -> str:  # pragma: no cover — debug aid
+        return f"_Ref({self.num})"
+
+
+def _skip_ws(data: bytes, p: int) -> int:
+    while p < len(data):
+        c = data[p : p + 1]
+        if c == b"%":  # comment to end of line
+            while p < len(data) and data[p : p + 1] not in b"\r\n":
+                p += 1
+        elif c in _WS:
+            p += 1
+        else:
+            break
+    return p
+
+
+def _parse_name(data: bytes, p: int) -> tuple[str, int]:
+    assert data[p : p + 1] == b"/"
+    p += 1
+    out = bytearray()
+    while p < len(data):
+        c = data[p : p + 1]
+        if c in _WS or c in _DELIM:
+            break
+        if c == b"#" and p + 2 < len(data):
+            out.append(int(data[p + 1 : p + 3], 16))
+            p += 3
+        else:
+            out += c
+            p += 1
+    return out.decode("latin-1"), p
+
+
+def _parse_literal_string(data: bytes, p: int) -> tuple[bytes, int]:
+    assert data[p : p + 1] == b"("
+    p += 1
+    out = bytearray()
+    depth = 1
+    esc = {
+        b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\x08",
+        b"f": b"\x0c", b"(": b"(", b")": b")", b"\\": b"\\",
+    }
+    while p < len(data):
+        c = data[p : p + 1]
+        if c == b"\\":
+            nxt = data[p + 1 : p + 2]
+            if nxt in esc:
+                out += esc[nxt]
+                p += 2
+            elif nxt.isdigit():  # 1-3 octal digits
+                q = p + 1
+                while q < min(p + 4, len(data)) and data[q : q + 1].isdigit():
+                    q += 1
+                out.append(int(data[p + 1 : q], 8) & 0xFF)
+                p = q
+            elif nxt in b"\r\n":  # line continuation
+                p += 2
+                if nxt == b"\r" and data[p : p + 1] == b"\n":
+                    p += 1
+            else:  # lone backslash: drop it (spec)
+                p += 1
+        elif c == b"(":
+            depth += 1
+            out += c
+            p += 1
+        elif c == b")":
+            depth -= 1
+            if depth == 0:
+                return bytes(out), p + 1
+            out += c
+            p += 1
+        else:
+            out += c
+            p += 1
+    raise ValueError("unterminated PDF literal string")
+
+
+def _parse_hex_string(data: bytes, p: int) -> tuple[bytes, int]:
+    assert data[p : p + 1] == b"<"
+    end = data.index(b">", p)
+    hx = re.sub(rb"[\x00\t\n\x0c\r ]", b"", data[p + 1 : end])
+    if len(hx) % 2:
+        hx += b"0"  # spec: odd final digit implies trailing 0
+    return bytes.fromhex(hx.decode("ascii")), end + 1
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_KW_RE = re.compile(rb"[A-Za-z']['\"A-Za-z*0-9]*|\"")
+
+
+def _parse_obj(data: bytes, p: int):
+    """Parse ONE object of the PDF object syntax at ``p`` (after any
+    whitespace); returns (value, next_pos). Indirect references are
+    collapsed to :class:`_Ref` via number-number-R lookahead."""
+    p = _skip_ws(data, p)
+    c = data[p : p + 1]
+    if c == b"<":
+        if data[p : p + 2] == b"<<":
+            p += 2
+            d: dict[str, object] = {}
+            while True:
+                p = _skip_ws(data, p)
+                if data[p : p + 2] == b">>":
+                    return d, p + 2
+                key, p = _parse_name(data, p)
+                val, p = _parse_obj(data, p)
+                d[key] = val
+        return _parse_hex_string(data, p)
+    if c == b"(":
+        return _parse_literal_string(data, p)
+    if c == b"/":
+        return _parse_name(data, p)
+    if c == b"[":
+        p += 1
+        arr: list[object] = []
+        while True:
+            p = _skip_ws(data, p)
+            if data[p : p + 1] == b"]":
+                return arr, p + 1
+            val, p = _parse_obj(data, p)
+            arr.append(val)
+    m = _NUM_RE.match(data, p)
+    if m:
+        tok = m.group(0)
+        p2 = m.end()
+        # indirect ref lookahead: <int> <int> R
+        if b"." not in tok:
+            q = _skip_ws(data, p2)
+            m2 = _NUM_RE.match(data, q)
+            if m2 and b"." not in m2.group(0):
+                r = _skip_ws(data, m2.end())
+                if data[r : r + 1] == b"R" and (
+                    r + 1 >= len(data)
+                    or data[r + 1 : r + 2] in _WS
+                    or data[r + 1 : r + 2] in _DELIM
+                ):
+                    return _Ref(int(tok)), r + 1
+            return int(tok), p2
+        return float(tok), p2
+    m = _KW_RE.match(data, p)
+    if m:
+        kw = m.group(0)
+        if kw == b"true":
+            return True, m.end()
+        if kw == b"false":
+            return False, m.end()
+        if kw == b"null":
+            return None, m.end()
+        # content-stream OPERATOR (Tj, TJ, ', ", BT, ...)
+        return ("op", kw.decode("latin-1")), m.end()
+    raise ValueError(f"cannot parse PDF object at byte {p}")
+
+
+class PdfDocument:
+    """Parsed classic-xref PDF: object access, page tree, text runs."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self._cache: dict[int, object] = {}
+        try:
+            self.offsets, self.root_ref = self._load_xref()
+        except Exception:
+            # damaged/absent xref: scan for "N 0 obj" markers — the
+            # standard robust-reader fallback.
+            self.offsets, self.root_ref = self._scan_objects()
+
+    # -- cross-reference machinery -----------------------------------
+
+    def _load_xref(self) -> tuple[dict[int, int], _Ref]:
+        data = self.data
+        at = data.rindex(b"startxref")
+        start = int(data[at + 9 : data.index(b"%%EOF", at)].strip())
+        offsets: dict[int, int] = {}
+        root = None
+        seen = set()
+        while True:
+            if start in seen:
+                raise ValueError("xref /Prev cycle")
+            seen.add(start)
+            p = _skip_ws(data, start)
+            if data[p : p + 4] != b"xref":
+                raise NotImplementedError(
+                    "PDF 1.5 cross-reference streams are not supported "
+                    "(classic xref tables only)"
+                )
+            p = _skip_ws(data, p + 4)
+            while not data.startswith(b"trailer", p):
+                m = _NUM_RE.match(data, p)
+                first = int(m.group(0))
+                p = _skip_ws(data, m.end())
+                m = _NUM_RE.match(data, p)
+                count = int(m.group(0))
+                p = _skip_ws(data, m.end())
+                for i in range(count):
+                    entry = data[p : p + 20]
+                    if entry[17:18] == b"n":
+                        offsets.setdefault(first + i, int(entry[:10]))
+                    p += 20
+                p = _skip_ws(data, p)
+            trailer, _ = _parse_obj(data, p + 7)
+            if root is None and "Root" in trailer:
+                root = trailer["Root"]
+            if "Prev" in trailer:
+                start = int(trailer["Prev"])  # type: ignore[arg-type]
+            else:
+                break
+        if not isinstance(root, _Ref):
+            raise ValueError("trailer has no /Root reference")
+        return offsets, root
+
+    def _scan_objects(self) -> tuple[dict[int, int], _Ref]:
+        offsets: dict[int, int] = {}
+        for m in re.finditer(rb"(\d+)\s+\d+\s+obj\b", self.data):
+            offsets[int(m.group(1))] = m.start()
+        # resolve() needs self.offsets during the scan (a stream's
+        # /Length may be an indirect reference).
+        self.offsets = offsets
+        root = None
+        for num in sorted(offsets):
+            try:
+                val = self._parse_indirect(num, offsets)
+            except Exception:
+                continue  # unparseable garbage between markers
+            obj = val[0] if isinstance(val, tuple) else val
+            if isinstance(obj, dict) and obj.get("Type") == "Catalog":
+                root = _Ref(num)
+                break
+        if root is None:
+            raise ValueError("no /Type /Catalog object found in scan")
+        return offsets, root
+
+    # -- object access ------------------------------------------------
+
+    def _parse_indirect(self, num: int, offsets: dict[int, int]):
+        data = self.data
+        p = offsets[num]
+        p = _skip_ws(data, p)
+        m = _NUM_RE.match(data, p)  # obj number
+        p = _skip_ws(data, m.end())
+        m = _NUM_RE.match(data, p)  # generation
+        p = _skip_ws(data, m.end())
+        if data[p : p + 3] != b"obj":
+            raise ValueError(f"object {num}: 'obj' keyword missing")
+        val, p = _parse_obj(data, p + 3)
+        p = _skip_ws(data, p)
+        if isinstance(val, dict) and data.startswith(b"stream", p):
+            p += 6
+            if data[p : p + 2] == b"\r\n":
+                p += 2
+            elif data[p : p + 1] == b"\n":
+                p += 1
+            length = self.resolve(val["Length"])
+            raw = data[p : p + int(length)]
+            filt = val.get("Filter")
+            if filt is None:
+                body = raw
+            elif filt == "FlateDecode" or filt == ["FlateDecode"]:
+                body = zlib.decompress(raw)
+            else:
+                raise NotImplementedError(
+                    f"PDF stream filter {filt!r} not supported "
+                    "(FlateDecode only)"
+                )
+            return (val, body)
+        return val
+
+    def obj(self, num: int):
+        if num not in self._cache:
+            self._cache[num] = self._parse_indirect(num, self.offsets)
+        return self._cache[num]
+
+    def resolve(self, v):
+        """Follow indirect references (possibly chained) to a value."""
+        while isinstance(v, _Ref):
+            v = self.obj(v.num)
+        return v
+
+    # -- page tree -----------------------------------------------------
+
+    def pages(self) -> list[dict]:
+        """Leaf /Page dicts in tree order, each with the INHERITED
+        ``MediaBox`` resolved onto the returned dict."""
+        catalog = self.resolve(self.root_ref)
+        out: list[dict] = []
+
+        def walk(node_ref, inherited_mb):
+            node = self.resolve(node_ref)
+            mb = node.get("MediaBox", inherited_mb)
+            if node.get("Type") == "Page":
+                page = dict(node)
+                page["MediaBox"] = [self.resolve(x) for x in mb]
+                out.append(page)
+                return
+            for kid in self.resolve(node["Kids"]):
+                walk(kid, mb)
+
+        walk(catalog["Pages"], None)
+        return out
+
+    def _page_content(self, page: dict) -> bytes:
+        contents = page["Contents"]
+        refs = contents if isinstance(contents, list) else [contents]
+        parts = []
+        for r in refs:
+            obj = self.resolve(r)
+            if not (isinstance(obj, tuple) and len(obj) == 2):
+                raise ValueError("/Contents object is not a stream")
+            parts.append(obj[1])
+        return b"\n".join(parts)
+
+    # -- text extraction ----------------------------------------------
+
+    @staticmethod
+    def _mat_mul(m1, m2):
+        a1, b1, c1, d1, e1, f1 = m1
+        a2, b2, c2, d2, e2, f2 = m2
+        return (
+            a1 * a2 + b1 * c2,
+            a1 * b2 + b1 * d2,
+            c1 * a2 + d1 * c2,
+            c1 * b2 + d1 * d2,
+            e1 * a2 + f1 * c2 + e2,
+            e1 * b2 + f1 * d2 + f2,
+        )
+
+    def page_runs(self, page: dict) -> list[tuple[float, float, float, str]]:
+        """(x, y, size, text) per show operator, at the op's text-space
+        origin (see the module note on glyph-width advance)."""
+        content = self._page_content(page)
+        ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        tm = tlm = ident
+        size = 0.0
+        leading = 0.0
+        runs: list[tuple[float, float, float, str]] = []
+        stack: list[object] = []
+        p = 0
+        n = len(content)
+
+        def show(raw) -> None:
+            if isinstance(raw, list):  # TJ: strings interleaved with
+                text = b"".join(x for x in raw if isinstance(x, bytes))
+            else:
+                text = raw
+            runs.append((tm[4], tm[5], size, text.decode("latin-1")))
+
+        while True:
+            p = _skip_ws(content, p)
+            if p >= n:
+                break
+            val, p = _parse_obj(content, p)
+            if not (isinstance(val, tuple) and val and val[0] == "op"):
+                stack.append(val)
+                continue
+            op = val[1]
+            if op == "BT":
+                tm = tlm = ident
+            elif op == "Tf":
+                size = float(stack[-1])
+            elif op == "TL":
+                leading = float(stack[-1])
+            elif op in ("Td", "TD"):
+                ty = float(stack[-1])
+                tx = float(stack[-2])
+                if op == "TD":
+                    leading = -ty
+                tlm = self._mat_mul((1, 0, 0, 1, tx, ty), tlm)
+                tm = tlm
+            elif op == "Tm":
+                tlm = tuple(float(x) for x in stack[-6:])
+                tm = tlm
+            elif op == "T*":
+                tlm = self._mat_mul((1, 0, 0, 1, 0, -leading), tlm)
+                tm = tlm
+            elif op == "Tj":
+                show(stack[-1])
+            elif op == "TJ":
+                show(stack[-1])
+            elif op == "'":
+                tlm = self._mat_mul((1, 0, 0, 1, 0, -leading), tlm)
+                tm = tlm
+                show(stack[-1])
+            elif op == '"':
+                tlm = self._mat_mul((1, 0, 0, 1, 0, -leading), tlm)
+                tm = tlm
+                show(stack[-1])  # aw/ac spacing operands are ignored
+            # all other operators (ET, graphics state, ...) are no-ops
+            # for text-run extraction
+            stack.clear()
+        return runs
+
+    def doc_runs(self) -> list[tuple[int, float, float, float, str]]:
+        """(page_no, x, y, size, text) across the whole document, page
+        numbers 1-based in tree order."""
+        out = []
+        for i, page in enumerate(self.pages(), start=1):
+            for x, y, size, text in self.page_runs(page):
+                out.append((i, x, y, size, text))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+PDF_FEATURES_SCHEMA = (
+    "media_id bigint, n_pages int, n_runs int, n_chars int, n_tokens int, "
+    "max_font int, title string, p1_width int, p1_height int"
+)
+
+
+def _features_of(payload: bytes) -> dict:
+    doc = PdfDocument(payload)
+    pages = doc.pages()
+    runs = doc.doc_runs()
+    n_chars = sum(len(t) for _, _, _, _, t in runs)
+    n_tokens = sum(len(t.split()) for _, _, _, _, t in runs)
+    p1 = [(x, y, s, t) for pg, x, y, s, t in runs if pg == 1]
+    title = ""
+    if p1:
+        title = sorted(p1, key=lambda r: (-r[2], -r[1], r[0]))[0][3]
+    mb = pages[0]["MediaBox"]
+    return {
+        "n_pages": len(pages),
+        "n_runs": len(runs),
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "max_font": int(round(max((s for _, _, _, s, _ in runs),
+                                  default=0.0))),
+        "title": title,
+        "p1_width": int(round(float(mb[2]) - float(mb[0]))),
+        "p1_height": int(round(float(mb[3]) - float(mb[1]))),
+    }
+
+
+def pdf_doc_features(media: DataFrame) -> DataFrame:
+    """Per-document PDF features — page/run/char/token counts, max
+    font size, the page-1 title (largest font, then topmost y, then
+    leftmost x), page-1 geometry — one narrow ``mapInPandas`` over
+    (media_id, payload); no shuffle (the ORDER BY is the registered
+    row's presentation sort)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                feats = _features_of(bytes(payload))
+                feats["media_id"] = int(mid)
+                rows.append(feats)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_pages", "n_runs", "n_chars", "n_tokens",
+                    "max_font", "title", "p1_width", "p1_height",
+                ],
+            )
+
+    return (
+        media.filter(F.col("kind") == "pdf")
+        .select("media_id", "payload")
+        .mapInPandas(extract, PDF_FEATURES_SCHEMA)
+        .orderBy("media_id")
+    )
+
+
+def layout_fingerprint_of(payload: bytes) -> str:
+    """16-bit page-1 layout occupancy grid: 4x4 cells over the page-1
+    MediaBox, bit (row * 4 + col) = 1 iff some text run ORIGINATES in
+    the cell; row 0 is the TOP band (PDF y grows upward). Runs exactly
+    on a cell boundary belong to the higher-index cell, and runs
+    outside the MediaBox clamp to the border cells — both decisions
+    are deterministic and shared with the fixture design, whose run
+    origins sit at cell CENTERS (maximal margin from every
+    boundary)."""
+    doc = PdfDocument(payload)
+    pages = doc.pages()
+    mb = pages[0]["MediaBox"]
+    x0, y0 = float(mb[0]), float(mb[1])
+    w = float(mb[2]) - x0
+    h = float(mb[3]) - y0
+    bits = [0] * _PDF_NBITS
+    for x, y, _, _ in doc.page_runs(pages[0]):
+        col = min(_PDF_GRID - 1, max(0, int((x - x0) / (w / _PDF_GRID))))
+        row = min(
+            _PDF_GRID - 1, max(0, int((y0 + h - y) / (h / _PDF_GRID)))
+        )
+        bits[row * _PDF_GRID + col] = 1
+    return "".join(map(str, bits))
+
+
+def pdf_layout_fingerprints(media: DataFrame) -> DataFrame:
+    """(media_id, fingerprint) for every pdf row: real parse + grid
+    fold per document, one narrow ``mapInPandas`` — no shuffle."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {
+                    "media_id": int(mid),
+                    "fingerprint": layout_fingerprint_of(bytes(payload)),
+                }
+                for mid, payload in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "fingerprint"])
+
+    return (
+        media.filter(F.col("kind") == "pdf")
+        .select("media_id", "payload")
+        .mapInPandas(extract, "media_id bigint, fingerprint string")
+    )
+
+
+def pdf_layout_dedup_groups(
+    media: DataFrame, max_hamming: int = 2, bands: int = 4
+) -> DataFrame:
+    """Layout-template near-dup groups: one row per fingerprint
+    cluster with document count, distinct-layout count, keeper (min
+    media_id) and dupe count — documents sharing a template modulo
+    ``max_hamming`` grid-cell edits group together even when their
+    text differs entirely. Shares
+    :func:`culvert_spark.imagesim.phash_value_clusters` (and therefore
+    its bounded-value-domain, exact-pigeonhole-recall scale
+    guarantees) verbatim."""
+    prints = pdf_layout_fingerprints(media)
+    clusters = phash_value_clusters(
+        prints.select(F.col("fingerprint").alias("phash")),
+        max_hamming,
+        bands,
+        _PDF_NBITS,
+    )
+    return (
+        prints.join(
+            F.broadcast(clusters), prints.fingerprint == clusters.phash
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_layouts"),
+            F.min("media_id").alias("keeper_id"),
+            (F.count(F.lit(1)) - 1).alias("n_dupes"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Design-exact fixtures (round-12 registration candidates)
+# ---------------------------------------------------------------------------
+
+#: Two generated documents per layout variant: copy 0 raw content
+#: streams, copy 1 Flate-COMPRESSED with entirely different text —
+#: same fingerprint by construction, so the grouping must collapse
+#: them (n_layouts < n_docs): the compression/content axis mirroring
+#: the image fixture's container axis and the audio fixture's volume
+#: axis.
+_PL_COPIES = 2
+
+#: Content styles cycled per (variant, copy) so the registered layout
+#: row exercises every text-operator path of the parser, not just Td.
+_PL_STYLES = ["td", "tm", "tj", "quote", "hex"]
+
+
+def _words(seed: str, n: int) -> str:
+    """``n`` deterministic 4-hex-char words from an md5 chain — the
+    document-text analog of mediagen's ``_md5_plane`` (pure python, so
+    oracle builders can fold the SAME text the fixture embeds)."""
+    out = []
+    h = hashlib.md5(seed.encode("utf-8")).hexdigest()
+    while len(out) < n:
+        out.extend(h[i : i + 4] for i in range(0, 32, 4))
+        h = hashlib.md5(h.encode("ascii")).hexdigest()
+    return " ".join(out[:n])
+
+
+def _elements_for_fingerprint(
+    fp: str, seed: str
+) -> list[tuple[float, float, float, str]]:
+    """One 6-word, 10pt run at the CENTER of each set grid cell — a
+    page whose layout fingerprint IS ``fp`` exactly (centers are
+    maximally far from every cell boundary, so the grid fold cannot
+    waver)."""
+    w, h = _PDF_MEDIABOX
+    els = []
+    for b, bit in enumerate(fp):
+        if bit != "1":
+            continue
+        row, col = divmod(b, _PDF_GRID)
+        x = (col + 0.5) * (w / _PDF_GRID)
+        y = h - (row + 0.5) * (h / _PDF_GRID)
+        els.append((x, y, 10.0, _words(f"{seed}|cell{b}", 6)))
+    return els
+
+
+def near_dup_pdf_media(spark: SparkSession) -> DataFrame:
+    """(media_id, kind, payload, meta) fixture corpus: the image
+    fixture's import-proven cluster geometry re-used as target LAYOUT
+    fingerprints, realized as real single-page PDFs (copy 1
+    Flate-compressed with different text — fingerprint-identical by
+    construction; content style cycles through every parser path).
+    media_id scheme matches imagesim/audiosim: cluster c, variant v,
+    copy k -> 1000c + 10v + k; singleton s -> 9000 + 100s + k."""
+    spec = []  # (media_id, fingerprint, copy, style)
+    for c, cl in enumerate(_ND_CLUSTERS):
+        for v, fp in enumerate(cl):
+            for k in range(_PL_COPIES):
+                style = _PL_STYLES[(c * 3 + v + k) % len(_PL_STYLES)]
+                spec.append((1000 * c + 10 * v + k, fp, k, style))
+    for s, fp in enumerate(_ND_SINGLETONS):
+        for k in range(_PL_COPIES):
+            style = _PL_STYLES[(s + k) % len(_PL_STYLES)]
+            spec.append((9000 + 100 * s + k, fp, k, style))
+    spec_df = spark.createDataFrame(
+        spec, "media_id bigint, fp string, copy int, style string"
+    )
+
+    schema = (
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, fp, copy, style in zip(
+                pdf["media_id"], pdf["fp"], pdf["copy"], pdf["style"]
+            ):
+                els = _elements_for_fingerprint(fp, seed=f"doc{mid}")
+                rows.append({
+                    "media_id": int(mid),
+                    "kind": "pdf",
+                    "payload": encode_pdf(
+                        [{"elements": els}],
+                        style=str(style),
+                        compress=bool(copy % 2),
+                    ),
+                    "meta": {"width": _PDF_MEDIABOX[0],
+                             "height": _PDF_MEDIABOX[1],
+                             "sample_rate": 0, "n_frames": 1},
+                })
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return spec_df.mapInPandas(encode, schema)
+
+
+def pdf_layout_oracle() -> str:
+    """Constant-folding DuckDB oracle from the fixture DESIGN (staged
+    for a round-12 ``m_pdf_layout_dedup`` registration): same cluster
+    geometry as the image/audio rows, compressed different-text copies
+    collapsing onto one fingerprint (n_layouts = variants, n_docs =
+    variants x copies)."""
+    rows = []
+    for c, cl in enumerate(_ND_CLUSTERS):
+        rows.append((min(cl), len(cl) * _PL_COPIES, len(cl), 1000 * c))
+    for s, fp in enumerate(_ND_SINGLETONS):
+        rows.append((fp, _PL_COPIES, 1, 9000 + 100 * s))
+    rows.sort()
+    vals = ",\n      ".join(
+        f"('{cid}', {nd}, {nl}, {kid}, {nd - 1})"
+        for cid, nd, nl, kid in rows
+    )
+    return f"""
+    SELECT cluster_id,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_layouts AS BIGINT) AS n_layouts,
+           CAST(keeper_id AS BIGINT) AS keeper_id,
+           CAST(n_dupes AS BIGINT) AS n_dupes
+    FROM (VALUES
+      {vals})
+      AS t(cluster_id, n_docs, n_layouts, keeper_id, n_dupes)
+    ORDER BY cluster_id
+    """
+
+
+#: Feature-fixture DESIGN (the oracle's ground truth): five documents
+#: covering every writer/parser axis — content style, Flate
+#: compression, direct/indirect /Length, nested page trees, MediaBox
+#: inheritance AND per-page override, escape-heavy text, hex strings.
+#: Element = (x, y, size, n_words); the TEXT is _words(seed, n_words)
+#: with seed "fdoc{media_id}|p{page}|e{idx}" — shared by the fixture
+#: writer and the oracle builder, so the two cannot drift. Doc 103
+#: APPENDS the escape-torture suffix _FEAT_ESCAPE_SUFFIX to every
+#: element text (parens, backslashes — the literal-string escape
+#: path).
+_FEAT_ESCAPE_SUFFIX = " (q\\r)"
+_FEAT_DOCS: list[dict] = [
+    {
+        "media_id": 100, "style": "td", "compress": False,
+        "indirect_length": False, "nested": False,
+        "pages": [
+            {"mediabox": None,
+             "elements": [(72, 720, 24, 4), (72, 680, 10, 8),
+                          (72, 660, 10, 6)]},
+        ],
+    },
+    {
+        "media_id": 101, "style": "tm", "compress": True,
+        "indirect_length": False, "nested": False,
+        "pages": [
+            {"mediabox": None,
+             "elements": [(72, 700, 18, 5), (72, 650, 10, 9)]},
+            {"mediabox": (400, 500),
+             "elements": [(50, 450, 10, 7)]},
+        ],
+    },
+    {
+        "media_id": 102, "style": "tj", "compress": False,
+        "indirect_length": True, "nested": True,
+        "pages": [
+            {"mediabox": None, "elements": [(72, 720, 14, 10)]},
+            {"mediabox": None, "elements": [(72, 720, 10, 12)]},
+            {"mediabox": None, "elements": [(300, 400, 10, 3)]},
+        ],
+    },
+    {
+        "media_id": 103, "style": "quote", "compress": True,
+        "indirect_length": True, "nested": False, "escapes": True,
+        "pages": [
+            {"mediabox": None,
+             "elements": [(72, 720, 20, 3), (72, 690, 10, 5)]},
+        ],
+    },
+    {
+        "media_id": 104, "style": "hex", "compress": False,
+        "indirect_length": False, "nested": False,
+        "pages": [
+            {"mediabox": (300, 300),
+             "elements": [(30, 270, 12, 6), (150, 150, 10, 4)]},
+        ],
+    },
+]
+
+
+def _feat_doc_text(doc: dict, page_idx: int, el_idx: int, n: int) -> str:
+    text = _words(
+        f"fdoc{doc['media_id']}|p{page_idx}|e{el_idx}", n
+    )
+    if doc.get("escapes"):
+        text += _FEAT_ESCAPE_SUFFIX
+    return text
+
+
+def _feat_doc_pages(doc: dict) -> list[dict]:
+    return [
+        {
+            "mediabox": page["mediabox"],
+            "elements": [
+                (x, y, size, _feat_doc_text(doc, pi, ei, n))
+                for ei, (x, y, size, n) in enumerate(page["elements"])
+            ],
+        }
+        for pi, page in enumerate(doc["pages"])
+    ]
+
+
+def feature_pdf_media(spark: SparkSession) -> DataFrame:
+    """(media_id, kind, payload, meta) fixture corpus for the features
+    row: the five _FEAT_DOCS documents through ``encode_pdf`` — every
+    writer axis in one corpus (see the design-constant note)."""
+    payloads = [
+        (
+            doc["media_id"],
+            encode_pdf(
+                _feat_doc_pages(doc),
+                style=doc["style"],
+                compress=doc["compress"],
+                indirect_length=doc["indirect_length"],
+                nested=doc["nested"],
+            ),
+        )
+        for doc in _FEAT_DOCS
+    ]
+    schema = (
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+    )
+    return spark.createDataFrame(
+        [
+            (
+                mid,
+                "pdf",
+                bytearray(payload),
+                (_PDF_MEDIABOX[0], _PDF_MEDIABOX[1], 0, 1),
+            )
+            for mid, payload in payloads
+        ],
+        schema,
+    )
+
+
+def pdf_features_oracle() -> str:
+    """Constant-folding DuckDB oracle for the features row (staged for
+    a round-12 ``m_pdf_doc_features`` registration): every expected
+    value re-derived in pure python from _FEAT_DOCS + the SHARED
+    ``_feat_doc_text`` generator — page counts from the page lists,
+    run counts from the element lists (every content style shows each
+    element as exactly ONE run), char/token counts from the generated
+    text itself, the title from the (size desc, y desc, x asc) rule,
+    page-1 geometry from the mediabox (None = the inherited default)."""
+    rows = []
+    for doc in _FEAT_DOCS:
+        runs = []  # (page, x, y, size, text)
+        for pi, page in enumerate(doc["pages"]):
+            for ei, (x, y, size, n) in enumerate(page["elements"]):
+                runs.append(
+                    (pi + 1, x, y, size, _feat_doc_text(doc, pi, ei, n))
+                )
+        p1 = [r for r in runs if r[0] == 1]
+        title = sorted(p1, key=lambda r: (-r[3], -r[2], r[1]))[0][4]
+        mb = doc["pages"][0]["mediabox"] or _PDF_MEDIABOX
+        rows.append((
+            doc["media_id"],
+            len(doc["pages"]),
+            len(runs),
+            sum(len(t) for _, _, _, _, t in runs),
+            sum(len(t.split()) for _, _, _, _, t in runs),
+            int(max(s for _, _, _, s, _ in runs)),
+            title,
+            int(mb[0]),
+            int(mb[1]),
+        ))
+    vals = ",\n      ".join(
+        "({}, {}, {}, {}, {}, {}, '{}', {}, {})".format(
+            mid, np_, nr, nc, nt, mf, title.replace("'", "''"), w, h
+        )
+        for mid, np_, nr, nc, nt, mf, title, w, h in rows
+    )
+    return f"""
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(n_pages AS INT) AS n_pages,
+           CAST(n_runs AS INT) AS n_runs,
+           CAST(n_chars AS INT) AS n_chars,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(max_font AS INT) AS max_font,
+           title,
+           CAST(p1_width AS INT) AS p1_width,
+           CAST(p1_height AS INT) AS p1_height
+    FROM (VALUES
+      {vals})
+      AS t(media_id, n_pages, n_runs, n_chars, n_tokens, max_font,
+           title, p1_width, p1_height)
+    ORDER BY media_id
+    """
+
+
+def _check_layout_design() -> None:
+    """Import-time proof that the reused cluster geometry still holds
+    in LAYOUT space (the element synthesis is exact, so this is the
+    same check imagesim runs — re-asserted here so a drift in either
+    module fails loudly at import, like audiosim does implicitly by
+    importing the constants)."""
+    allv = [v for cl in _ND_CLUSTERS for v in cl] + _ND_SINGLETONS
+    assert all(len(v) == _PDF_NBITS for v in allv)
+    groups = _ND_CLUSTERS + [[s] for s in _ND_SINGLETONS]
+    for i, gi in enumerate(groups):
+        for gj in groups[i + 1 :]:
+            assert all(hamming_py(a, b) >= 3 for a in gi for b in gj)
+
+
+_check_layout_design()

@@ -1,0 +1,249 @@
+"""PDF writer/parser/features/layout-dedup tests (culvert_spark.pdfops).
+
+Staged round 11 for round-12 registrations (m_pdf_doc_features,
+m_pdf_layout_dedup): writer round-trips through the production parser
+across every content-style/compression/length-form axis, the grid
+fingerprint realizes the import-proven cluster geometry exactly, and
+the staged DuckDB oracles state the same truth the Spark pipelines
+produce.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from culvert_spark import pdfops as P
+from culvert_spark.imagesim import _ND_CLUSTERS, _ND_SINGLETONS
+
+STYLES = ["td", "tm", "tj", "quote", "hex"]
+
+
+def _two_page_doc(style: str, compress: bool, indirect: bool) -> bytes:
+    pages = [
+        {
+            "mediabox": None,
+            "elements": [
+                (72, 720, 24, "hello world one two"),
+                (100.5, 650, 10, "body (text) \\ with escapes"),
+            ],
+        },
+        {"mediabox": (400, 500), "elements": [(50, 450, 12, "second page")]},
+    ]
+    return P.encode_pdf(
+        pages,
+        style=style,
+        compress=compress,
+        indirect_length=indirect,
+        nested=True,
+    )
+
+
+@pytest.mark.parametrize("style", STYLES)
+@pytest.mark.parametrize("compress", [False, True])
+def test_roundtrip_styles_compression_nesting(style, compress):
+    """Every content style x raw/Flate x direct/indirect /Length:
+    pages in order, MediaBox inherited through the NESTED tree on page
+    1 and overridden on page 2, one run per element with exact (x, y,
+    size, text) — so the extracted runs are style-invariant, the
+    property the layout fingerprint relies on."""
+    for indirect in (False, True):
+        doc = P.PdfDocument(_two_page_doc(style, compress, indirect))
+        pages = doc.pages()
+        assert len(pages) == 2
+        assert pages[0]["MediaBox"] == [0, 0, 612, 792]  # inherited
+        assert pages[1]["MediaBox"] == [0, 0, 400, 500]  # overridden
+        runs = doc.doc_runs()
+        assert [(pg, x, y, s) for pg, x, y, s, _ in runs] == [
+            (1, 72.0, 720.0, 24.0),
+            (1, 100.5, 650.0, 10.0),
+            (2, 50.0, 450.0, 12.0),
+        ]
+        assert [t for *_, t in runs] == [
+            "hello world one two",
+            "body (text) \\ with escapes",
+            "second page",
+        ]
+
+
+def test_encode_deterministic():
+    a = _two_page_doc("td", True, True)
+    b = _two_page_doc("td", True, True)
+    assert a == b  # fixtures must be bit-reproducible at any parallelism
+
+
+def test_literal_string_octal_nesting_continuation():
+    """Spec corners of the literal-string escape grammar: 1-3 digit
+    octal codes, balanced NESTED parens without escapes, backslash
+    line-continuation, and the named escapes."""
+    s, p = P._parse_literal_string(rb"(\101\12\0418 (nested (deep)) a\
+b \t\) end)", 0)
+    assert s == b"A\n!8 (nested (deep)) ab \t) end"
+
+
+def test_hex_string_odd_digit_and_whitespace():
+    s, _ = P._parse_hex_string(b"<48 65 6C6C 6F2>", 0)
+    assert s == b"Hello "  # odd count implies trailing 0 -> 0x20
+
+
+def test_name_hash_escapes():
+    n, _ = P._parse_name(b"/A#20B#2FC", 0)
+    assert n == "A B/C"
+
+
+def test_xref_fallback_on_damaged_startxref():
+    data = P.encode_pdf(
+        [{"mediabox": None, "elements": [(72, 720, 10, "x y z")]}]
+    )
+    for breakage in (
+        data.replace(b"startxref", b"startxrfX"),  # keyword gone
+        data[: data.rindex(b"startxref")],         # tail truncated
+    ):
+        doc = P.PdfDocument(breakage)
+        assert [t for *_, t in doc.doc_runs()] == ["x y z"]
+
+
+def test_unknown_stream_filter_raises():
+    data = P.encode_pdf(
+        [{"mediabox": None, "elements": [(72, 720, 10, "x")]}],
+        compress=True,
+    )
+    bad = data.replace(b"/Filter /FlateDecode", b"/Filter /DCTDecode ")
+    doc = P.PdfDocument(bad)
+    with pytest.raises(NotImplementedError, match="DCTDecode"):
+        doc.doc_runs()
+
+
+def test_contents_array_concatenates_streams():
+    """/Contents may be an ARRAY of stream refs; their bytes form one
+    logical content stream. Hand-assembled file (no xref at all — the
+    scan fallback is the entry path, which this also exercises)."""
+    c1 = b"BT\n/F1 10 Tf\n72 700 Td\n(part one) Tj\nET"
+    c2 = b"BT\n/F1 12 Tf\n72 650 Td\n(part two) Tj\nET"
+    def stream_obj(num: int, data: bytes) -> bytes:
+        return (
+            b"%d 0 obj\n<< /Length %d >>\nstream\n" % (num, len(data))
+            + data
+            + b"\nendstream\nendobj\n"
+        )
+
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1"
+        b" /MediaBox [0 0 612 792] >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R"
+        b" /Contents [4 0 R 5 0 R] >>\nendobj\n"
+        + stream_obj(4, c1)
+        + stream_obj(5, c2)
+    )
+    doc = P.PdfDocument(body)
+    runs = doc.doc_runs()
+    assert [(s, t) for _, _, _, s, t in runs] == [
+        (10.0, "part one"),
+        (12.0, "part two"),
+    ]
+
+
+def test_grid_fold_boundary_and_clamp():
+    """Grid decisions at the edges are deterministic: a run exactly on
+    a cell boundary goes to the higher-index cell, runs outside the
+    MediaBox clamp to border cells."""
+    els = [
+        (0, 792, 10, "corner"),     # top-left corner -> bit 0
+        (153, 792 - 198, 10, "b"),  # on both boundaries -> row 1, col 1
+        (-5, 900, 10, "clamp-tl"),  # outside -> clamps to bit 0
+        (9999, -5, 10, "clamp-br"),  # outside -> clamps to bit 15
+    ]
+    fp = P.layout_fingerprint_of(P.encode_pdf([{"elements": els}]))
+    want = ["0"] * 16
+    want[0] = "1"
+    want[1 * 4 + 1] = "1"
+    want[15] = "1"
+    assert fp == "".join(want)
+
+
+@pytest.mark.parametrize(
+    "fp", [v for cl in _ND_CLUSTERS for v in cl] + _ND_SINGLETONS
+)
+def test_fingerprint_synthesis_exact(fp):
+    """The element synthesis realizes every design fingerprint exactly
+    through the full encode -> parse -> grid path, for every content
+    style, raw and compressed."""
+    for style in STYLES:
+        for compress in (False, True):
+            pdf = P.encode_pdf(
+                [{"elements": P._elements_for_fingerprint(fp, "s")}],
+                style=style,
+                compress=compress,
+            )
+            assert P.layout_fingerprint_of(pdf) == fp
+
+
+def test_fixture_layouts_and_grouping_match_design(spark):
+    """End-to-end through real PDF bytes: compressed different-TEXT
+    copies land on the same fingerprint (layout is a function of run
+    origins, not content), and the clustering lands exactly on the
+    design constants (the same truth the staged oracle states)."""
+    media = P.near_dup_pdf_media(spark)
+    prints = {
+        r.media_id: r.fingerprint
+        for r in P.pdf_layout_fingerprints(media).collect()
+    }
+    for mid, fp in prints.items():
+        if mid % 10 == 1 or mid % 100 == 1:
+            assert fp == prints[mid - 1]
+    want = {}
+    for c, cl in enumerate(_ND_CLUSTERS):
+        want[min(cl)] = (
+            3 * P._PL_COPIES, 3, 1000 * c, 3 * P._PL_COPIES - 1
+        )
+    for s, fp in enumerate(_ND_SINGLETONS):
+        want[fp] = (P._PL_COPIES, 1, 9000 + 100 * s, P._PL_COPIES - 1)
+    got = {
+        r.cluster_id: (r.n_docs, r.n_layouts, r.keeper_id, r.n_dupes)
+        for r in P.pdf_layout_dedup_groups(media).collect()
+    }
+    assert got == want
+
+
+def test_staged_layout_oracle_matches(spark):
+    import duckdb
+
+    spdf = P.pdf_layout_dedup_groups(P.near_dup_pdf_media(spark)).toPandas()
+    ddf = duckdb.connect().execute(P.pdf_layout_oracle()).fetchdf()
+    a = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+    b = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_staged_features_oracle_matches(spark):
+    """pdf_doc_features over the feature fixture == the staged
+    constant-folding oracle, column for column (page counts, run/char/
+    token counts, max font, the title rule, inherited vs overridden
+    page-1 geometry)."""
+    import duckdb
+
+    spdf = P.pdf_doc_features(P.feature_pdf_media(spark)).toPandas()
+    ddf = duckdb.connect().execute(P.pdf_features_oracle()).fetchdf()
+    assert list(spdf.columns) == list(ddf.columns)
+    a = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+    b = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    # the escape-torture doc survived the round trip into the record
+    titles = dict(zip(spdf["media_id"], spdf["title"]))
+    assert titles[103].endswith(P._FEAT_ESCAPE_SUFFIX)
+
+
+def test_features_escape_doc_python_side():
+    doc = next(d for d in P._FEAT_DOCS if d.get("escapes"))
+    feats = P._features_of(
+        P.encode_pdf(
+            P._feat_doc_pages(doc),
+            style=doc["style"],
+            compress=doc["compress"],
+            indirect_length=doc["indirect_length"],
+            nested=doc["nested"],
+        )
+    )
+    assert feats["title"].endswith(" (q\\r)")
+    assert feats["n_pages"] == 1 and feats["max_font"] == 20
