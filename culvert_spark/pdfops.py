@@ -322,9 +322,14 @@ def _parse_literal_string(data: bytes, p: int) -> tuple[bytes, int]:
             if nxt in esc:
                 out += esc[nxt]
                 p += 2
-            elif nxt.isdigit():  # 1-3 octal digits
+            elif nxt and nxt in b"01234567":  # 1-3 OCTAL digits — \8/\9
+                # are NOT octal (spec 7.3.4.2: the backslash is simply
+                # dropped), and \48 is octal 4 then a literal '8'.
                 q = p + 1
-                while q < min(p + 4, len(data)) and data[q : q + 1].isdigit():
+                while (
+                    q < min(p + 4, len(data))
+                    and data[q : q + 1] in b"01234567"
+                ):
                     q += 1
                 out.append(int(data[p + 1 : q], 8) & 0xFF)
                 p = q
@@ -434,6 +439,8 @@ class PdfDocument:
         self._cache: dict[int, object] = {}
         try:
             self.offsets, self.root_ref = self._load_xref()
+        except NotImplementedError:
+            raise  # xref STREAMS: the documented boundary, not damage
         except Exception:
             # damaged/absent xref: scan for "N 0 obj" markers — the
             # standard robust-reader fallback.
@@ -441,11 +448,11 @@ class PdfDocument:
 
     # -- cross-reference machinery -----------------------------------
 
-    def _load_xref(self) -> tuple[dict[int, int], _Ref]:
+    def _load_xref(self) -> tuple[dict[int, int | None], _Ref]:
         data = self.data
         at = data.rindex(b"startxref")
         start = int(data[at + 9 : data.index(b"%%EOF", at)].strip())
-        offsets: dict[int, int] = {}
+        offsets: dict[int, int | None] = {}
         root = None
         seen = set()
         while True:
@@ -454,9 +461,18 @@ class PdfDocument:
             seen.add(start)
             p = _skip_ws(data, start)
             if data[p : p + 4] != b"xref":
-                raise NotImplementedError(
-                    "PDF 1.5 cross-reference streams are not supported "
-                    "(classic xref tables only)"
+                # an OBJECT at the startxref target is the PDF 1.5
+                # xref-stream shape — the documented boundary; anything
+                # else is damage, which the caller's scan fallback
+                # handles (self-review: don't mislabel a shifted
+                # classic table as an xref stream).
+                if re.match(rb"\d+\s+\d+\s+obj\b", data[p : p + 32]):
+                    raise NotImplementedError(
+                        "PDF 1.5 cross-reference streams are not "
+                        "supported (classic xref tables only)"
+                    )
+                raise ValueError(
+                    "startxref does not point at a classic xref table"
                 )
             p = _skip_ws(data, p + 4)
             while not data.startswith(b"trailer", p):
@@ -468,8 +484,15 @@ class PdfDocument:
                 p = _skip_ws(data, m.end())
                 for i in range(count):
                     entry = data[p : p + 20]
-                    if entry[17:18] == b"n":
-                        offsets.setdefault(first + i, int(entry[:10]))
+                    # freed ('f') entries record a None sentinel so a
+                    # NEWER section's deletion shadows an OLDER
+                    # section's in-use offset across the /Prev chain
+                    # (referencing a free object reads as null, spec
+                    # 7.3.10) — setdefault keeps newest-wins either way.
+                    offsets.setdefault(
+                        first + i,
+                        int(entry[:10]) if entry[17:18] == b"n" else None,
+                    )
                     p += 20
                 p = _skip_ws(data, p)
             trailer, _ = _parse_obj(data, p + 7)
@@ -541,7 +564,11 @@ class PdfDocument:
 
     def obj(self, num: int):
         if num not in self._cache:
-            self._cache[num] = self._parse_indirect(num, self.offsets)
+            # absent or freed (None sentinel) objects read as null
+            if self.offsets.get(num) is None:
+                self._cache[num] = None
+            else:
+                self._cache[num] = self._parse_indirect(num, self.offsets)
         return self._cache[num]
 
     def resolve(self, v):
@@ -996,11 +1023,15 @@ _FEAT_DOCS: list[dict] = [
         ],
     },
     {
+        # 13.5pt: a FRACTIONAL font size, so the shared int(round(.))
+        # rule is exercised end-to-end (writer emits "13.5", parser
+        # floats it, both sides round to 14 — self-review pinned this
+        # as a divergence channel when the oracle truncated instead).
         "media_id": 104, "style": "hex", "compress": False,
         "indirect_length": False, "nested": False,
         "pages": [
             {"mediabox": (300, 300),
-             "elements": [(30, 270, 12, 6), (150, 150, 10, 4)]},
+             "elements": [(30, 270, 13.5, 6), (150, 150, 10, 4)]},
         ],
     },
 ]
@@ -1089,7 +1120,10 @@ def pdf_features_oracle() -> str:
             len(runs),
             sum(len(t) for _, _, _, _, t in runs),
             sum(len(t.split()) for _, _, _, _, t in runs),
-            int(max(s for _, _, _, s, _ in runs)),
+            # same rounding rule as _features_of (int(round(.)) on both
+            # sides — self-review: int() truncation would diverge from
+            # the Spark row on fractional font sizes)
+            int(round(max(s for _, _, _, s, _ in runs))),
             title,
             int(mb[0]),
             int(mb[1]),

@@ -80,6 +80,58 @@ b \t\) end)", 0)
     assert s == b"A\n!8 (nested (deep)) ab \t) end"
 
 
+def test_literal_string_backslash_before_non_octal_digit():
+    """Spec 7.3.4.2: \\8 and \\9 are NOT octal — the backslash is
+    dropped and the digit kept; \\48 is octal 4 followed by a literal
+    '8' (self-review: treating 8/9 as octal crashed int(_, 8))."""
+    s, _ = P._parse_literal_string(rb"(a\9b \8 \48 \0757)", 0)
+    assert s == b"a9b 8 \x048 =7"
+
+
+def test_freed_xref_entry_shadows_older_section():
+    """An incremental update marking an object FREE must shadow the
+    base section's in-use offset across the /Prev chain — a reference
+    to a freed object reads as null (spec 7.3.10), not as the deleted
+    object's stale bytes."""
+    base = P.encode_pdf(
+        [{"mediabox": None, "elements": [(72, 720, 10, "alive")]}]
+    )
+    prev_at = base.index(b"xref\n0 ")  # the TABLE (not "startxref")
+    update_at = len(base)
+    update = (
+        b"xref\n0 1\n0000000000 65535 f \n3 1\n0000000000 65535 f \n"
+        b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (prev_at, update_at)
+    )
+    doc = P.PdfDocument(base + update)
+    assert doc.resolve(P._Ref(3)) is None      # freed -> null
+    assert doc.resolve(P._Ref(1)) is not None  # untouched objs intact
+
+
+def test_xref_stream_raises_not_implemented():
+    """A startxref pointing at an OBJECT (the PDF 1.5 xref-stream
+    shape) must surface the documented NotImplementedError, not be
+    swallowed into the damaged-file scan fallback (self-review)."""
+    data = P.encode_pdf(
+        [{"mediabox": None, "elements": [(72, 720, 10, "x")]}]
+    )
+    obj1_at = data.index(b"1 0 obj")
+    tail_at = data.rindex(b"startxref")
+    broken = data[:tail_at] + (
+        b"startxref\n%d\n%%%%EOF\n" % obj1_at
+    )
+    with pytest.raises(NotImplementedError, match="cross-reference"):
+        P.PdfDocument(broken)
+
+
+def test_fractional_font_size_rounds_identically():
+    doc = next(d for d in P._FEAT_DOCS if d["media_id"] == 104)
+    feats = P._features_of(
+        P.encode_pdf(P._feat_doc_pages(doc), style=doc["style"])
+    )
+    assert feats["max_font"] == 14  # int(round(13.5)) on BOTH sides
+
+
 def test_hex_string_odd_digit_and_whitespace():
     s, _ = P._parse_hex_string(b"<48 65 6C6C 6F2>", 0)
     assert s == b"Hello "  # odd count implies trailing 0 -> 0x20
@@ -107,7 +159,8 @@ def test_unknown_stream_filter_raises():
         [{"mediabox": None, "elements": [(72, 720, 10, "x")]}],
         compress=True,
     )
-    bad = data.replace(b"/Filter /FlateDecode", b"/Filter /DCTDecode ")
+    # length-preserving swap (20 chars both) so the xref stays valid
+    bad = data.replace(b"/Filter /FlateDecode", b"/Filter  /DCTDecode ")
     doc = P.PdfDocument(bad)
     with pytest.raises(NotImplementedError, match="DCTDecode"):
         doc.doc_runs()

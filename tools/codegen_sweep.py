@@ -34,10 +34,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _watchdog(argv: list[str]) -> int:
-    """Supervise ``python codegen_sweep.py <argv>`` with stale-output
-    kill + restart-from-remaining. Returns the exit code to propagate."""
-    import selectors
+    """Supervise ``python -u codegen_sweep.py <argv>`` with stale-output
+    kill + restart-from-remaining. Returns the exit code to propagate.
+
+    Plumbing invariants (self-review findings): the child runs with
+    ``-u`` so its per-query lines reach the pipe as they print (a
+    block-buffered child would look stale for the whole sweep and get
+    killed while healthy); a pump THREAD is the single reader/parser of
+    child stdout, so burst-buffered lines can't be lost to a
+    select/readline mismatch, and after a stall kill the thread drains
+    whatever the pipe still holds (completed-query lines written before
+    the hang keep their credit — only genuinely unreported work
+    re-runs)."""
+    import signal
     import subprocess
+    import threading
+    import time
 
     stall = float(os.environ.get("SWEEP_STALL_SECS", "300"))
     max_restarts = int(os.environ.get("SWEEP_MAX_RESTARTS", "2"))
@@ -48,12 +60,20 @@ def _watchdog(argv: list[str]) -> int:
         sf_args, names = names[:2], names[2:]
 
     done: dict[str, bool] = {}  # name -> passed
+
+    def note(line: str) -> None:
+        m = line.strip()
+        if m.endswith(": compiled+ran"):
+            done[m.split(":")[0].strip()] = True
+        elif ": FAILED " in m:
+            done[m.split(":")[0].strip()] = False
+
     for attempt in range(max_restarts + 1):
         remaining = [n for n in names if n not in done] if names else []
         if names and not remaining:
             break
         cmd = (
-            [sys.executable, os.path.abspath(__file__)]
+            [sys.executable, "-u", os.path.abspath(__file__)]
             + sf_args
             + remaining
         )
@@ -64,13 +84,20 @@ def _watchdog(argv: list[str]) -> int:
             text=True,
             start_new_session=True,  # kill the JVM with the driver
         )
-        sel = selectors.DefaultSelector()
-        sel.register(child.stdout, selectors.EVENT_READ)
+        state = {"last": time.monotonic()}
+
+        def pump(stream=child.stdout, state=state) -> None:
+            for line in stream:  # EOF after exit OR kill (pipe drains)
+                sys.stdout.write(line)
+                sys.stdout.flush()
+                note(line)
+                state["last"] = time.monotonic()
+
+        pumper = threading.Thread(target=pump, daemon=True)
+        pumper.start()
         hung = False
-        while True:
-            if not sel.select(timeout=stall):
-                if child.poll() is not None:
-                    break  # exited; EOF races the poll — drain below
+        while child.poll() is None:
+            if time.monotonic() - state["last"] > stall:
                 hung = True
                 print(
                     f"WATCHDOG: no output for {stall:.0f}s "
@@ -78,29 +105,13 @@ def _watchdog(argv: list[str]) -> int:
                     "from the first unreported query",
                     flush=True,
                 )
-                import signal
-
                 os.killpg(child.pid, signal.SIGKILL)
                 child.wait()
                 break
-            line = child.stdout.readline()
-            if not line:
-                break  # EOF: child finished
-            sys.stdout.write(line)
-            sys.stdout.flush()
-            m = line.strip()
-            if m.endswith(": compiled+ran"):
-                done[m.split(":")[0].strip()] = True
-            elif ": FAILED " in m:
-                done[m.split(":")[0].strip()] = False
+            time.sleep(min(5.0, stall / 10))
+        # the pump thread drains the pipe to EOF in both exits
+        pumper.join(timeout=30)
         if not hung:
-            for line in child.stdout:  # drain any buffered tail
-                sys.stdout.write(line)
-                m = line.strip()
-                if m.endswith(": compiled+ran"):
-                    done[m.split(":")[0].strip()] = True
-                elif ": FAILED " in m:
-                    done[m.split(":")[0].strip()] = False
             child.wait()
             if not names:
                 return child.returncode  # full run completed: its own
