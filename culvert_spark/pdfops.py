@@ -1167,3 +1167,259 @@ def _check_layout_design() -> None:
 
 
 _check_layout_design()
+
+
+# ---------------------------------------------------------------------------
+# Text dedup across containers/layouts (round-12/13 registration candidate)
+# ---------------------------------------------------------------------------
+#
+# The INVERSE claim of the layout row: documents with the SAME text in
+# entirely different presentations — different layout positions, content
+# styles, compression — must collapse to one text group (the
+# container-insensitive text dedup step of document-corpus cleanup,
+# exactly what byte-level dedup misses). Canonicalization is reading
+# order, (page, y desc, x asc), so the grouping is independent of the
+# order show ops happen to appear in the content stream.
+
+
+def pdf_canonical_text(payload: bytes) -> str:
+    """The document's text in READING order: runs sorted by (page,
+    y desc, x asc), joined with newlines — the canonical form whose md5
+    is the dedup key (two files with the same words laid out by
+    different producers digest equal; run-emission order inside the
+    content stream does not matter)."""
+    doc = PdfDocument(payload)
+    runs = doc.doc_runs()
+    runs.sort(key=lambda r: (r[0], -r[2], r[1]))
+    return "\n".join(t for *_, t in runs)
+
+
+def pdf_text_digests(media: DataFrame) -> DataFrame:
+    """(media_id, text_digest): md5 of the canonical reading-order
+    text, one narrow ``mapInPandas`` — no shuffle."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {
+                    "media_id": int(mid),
+                    "text_digest": hashlib.md5(
+                        pdf_canonical_text(bytes(payload)).encode("utf-8")
+                    ).hexdigest(),
+                }
+                for mid, payload in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "text_digest"])
+
+    return (
+        media.filter(F.col("kind") == "pdf")
+        .select("media_id", "payload")
+        .mapInPandas(extract, "media_id bigint, text_digest string")
+    )
+
+
+def pdf_text_dedup_groups(media: DataFrame) -> DataFrame:
+    """Exact text-dedup groups over PDF payloads: one row per distinct
+    canonical text with document count, keeper (min media_id) and dupe
+    count — the textops exact-dedup shape applied through the container
+    parser. ONE shuffle, on uniform md5 digests (the same scale posture
+    as t_exact_dedup_groups)."""
+    return (
+        pdf_text_digests(media)
+        .groupBy("text_digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("media_id").alias("keeper_id"),
+            (F.count(F.lit(1)) - 1).alias("n_dupes"),
+        )
+        .orderBy("keeper_id")
+    )
+
+
+#: Text-dup fixture DESIGN: _TD_GROUPS groups of _TD_PER_GROUP docs
+#: sharing one generated text, each doc presenting it at DIFFERENT grid
+#: positions with a different content style and alternating Flate
+#: compression — plus _TD_SINGLES unique-text singletons. The text
+#: splits into two runs whose READING order (part 1 strictly above
+#: part 2) is constant while the content-stream EMISSION order flips on
+#: odd docs, so the canonicalization (not luck) is what makes digests
+#: agree. media_id: group g doc j -> 100g + j; singleton s -> 900 + 100s.
+_TD_GROUPS = 4
+_TD_PER_GROUP = 3
+_TD_SINGLES = 2
+_TD_WORDS = 24
+_TD_SPLIT = 10  # words in part 1
+
+
+def _td_text(gid: str) -> tuple[str, str]:
+    words = _words(f"textgrp|{gid}", _TD_WORDS).split(" ")
+    return " ".join(words[:_TD_SPLIT]), " ".join(words[_TD_SPLIT:])
+
+
+def _td_pages(gid: str, j: int) -> list[dict]:
+    part1, part2 = _td_text(gid)
+    w, h = _PDF_MEDIABOX
+    cw, ch = w / _PDF_GRID, h / _PDF_GRID
+    # part 1 in top row, column j; part 2 two+ rows LOWER, shifted col —
+    # positions vary per doc, reading order does not.
+    e1 = ((j % _PDF_GRID + 0.5) * cw, h - 0.5 * ch, 12, part1)
+    e2 = (((j + 1) % _PDF_GRID + 0.5) * cw,
+          h - (2 + j % 2 + 0.5) * ch, 10, part2)
+    elements = [e2, e1] if j % 2 else [e1, e2]  # emission order flips
+    return [{"mediabox": None, "elements": elements}]
+
+
+def text_dup_pdf_media(spark: SparkSession) -> DataFrame:
+    """(media_id, kind, payload, meta) fixture corpus for the text-dedup
+    row (see the _TD_* design note)."""
+    spec = [
+        (100 * g + j, f"g{g}", j)
+        for g in range(_TD_GROUPS)
+        for j in range(_TD_PER_GROUP)
+    ] + [(900 + 100 * s, f"s{s}", s) for s in range(_TD_SINGLES)]
+    payloads = [
+        (
+            mid,
+            encode_pdf(
+                _td_pages(gid, j),
+                style=_PL_STYLES[(mid + j) % len(_PL_STYLES)],
+                compress=bool(j % 2),
+            ),
+        )
+        for mid, gid, j in spec
+    ]
+    schema = (
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+    )
+    return spark.createDataFrame(
+        [
+            (mid, "pdf", bytearray(p),
+             (_PDF_MEDIABOX[0], _PDF_MEDIABOX[1], 0, 1))
+            for mid, p in payloads
+        ],
+        schema,
+    )
+
+
+def pdf_text_oracle() -> str:
+    """Constant-folding DuckDB oracle for the text-dedup row: digests
+    re-derived in pure python from the SAME text generator the fixture
+    embeds (md5 of part1 + newline + part2)."""
+    rows = []
+    for g in range(_TD_GROUPS):
+        part1, part2 = _td_text(f"g{g}")
+        digest = hashlib.md5(f"{part1}\n{part2}".encode()).hexdigest()
+        rows.append((digest, _TD_PER_GROUP, 100 * g, _TD_PER_GROUP - 1))
+    for s in range(_TD_SINGLES):
+        part1, part2 = _td_text(f"s{s}")
+        digest = hashlib.md5(f"{part1}\n{part2}".encode()).hexdigest()
+        rows.append((digest, 1, 900 + 100 * s, 0))
+    rows.sort(key=lambda r: r[2])
+    vals = ",\n      ".join(
+        f"('{d}', {n}, {k}, {nd})" for d, n, k, nd in rows
+    )
+    return f"""
+    SELECT text_digest,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(keeper_id AS BIGINT) AS keeper_id,
+           CAST(n_dupes AS BIGINT) AS n_dupes
+    FROM (VALUES
+      {vals})
+      AS t(text_digest, n_docs, keeper_id, n_dupes)
+    ORDER BY keeper_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Streaming layout-dedup twin (round-12/13 registration candidate)
+# ---------------------------------------------------------------------------
+
+
+def pdf_layout_stream_dedup(
+    media: DataFrame,
+    max_hamming: int = 2,
+    bands: int = 4,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Streaming PDF layout near-duplicate PAIR detection: flag each
+    arriving document against every previously seen one — the THIRD
+    consumer of the shared ``streaming.hamming_pair_stream`` core
+    (video shots, audio clips, now document layouts), inheriting its
+    pigeonhole batch-boundary-invariance, capped-state guarantees and
+    append-only identity contract verbatim. ``pdf_layout_fingerprints``
+    is already streaming-safe (one narrow mapInPandas per document
+    row), so the whole path is parse -> grid fold -> band explode ->
+    stateful verify."""
+    from culvert_spark.streaming import hamming_pair_stream
+
+    items = pdf_layout_fingerprints(media).select(
+        F.col("media_id").alias("id_a"),
+        F.lit(0).cast("long").alias("id_b"),
+        F.col("fingerprint").alias("phash"),
+    )
+    return hamming_pair_stream(
+        items, max_hamming, bands, _PDF_NBITS, bucket_cap
+    ).select(
+        F.col("a_id1").alias("a_media"),
+        F.col("b_id1").alias("b_media"),
+        "band",
+    )
+
+
+def pdf_pair_replay(spark: SparkSession, n_files: int = 4) -> DataFrame:
+    """The staged row body (``st_pdf_layout_dedup_replay``): the design
+    fixture replayed through a REAL file-split stream — per-document
+    parse + fingerprint, band-keyed stateful pairing, then the
+    batch-boundary-invariant distinct-pair projection."""
+    from culvert_spark.streaming import replay_stream
+
+    out = replay_stream(
+        spark,
+        near_dup_pdf_media(spark),
+        lambda s: pdf_layout_stream_dedup(s),
+        "st_pdf_pairs",
+        n_files=n_files,
+        output_mode="update",
+    )
+    return (
+        out.select("a_media", "b_media")
+        .distinct()
+        .orderBy("a_media", "b_media")
+    )
+
+
+def pdf_pair_oracle(max_hamming: int = 2) -> str:
+    """Constant-folding DuckDB oracle for the staged streaming row: ALL
+    unordered within-radius document pairs stated from the fixture
+    DESIGN — compressed different-text copies pair at distance 0 (same
+    layout by construction), cluster variants at 1-2 bits, cross-group
+    never (>= 3 by the import-proven geometry)."""
+    docs = []  # (media_id, fingerprint)
+    for c, cl in enumerate(_ND_CLUSTERS):
+        for v, fp in enumerate(cl):
+            for k in range(_PL_COPIES):
+                docs.append((1000 * c + 10 * v + k, fp))
+    for s, fp in enumerate(_ND_SINGLETONS):
+        for k in range(_PL_COPIES):
+            docs.append((9000 + 100 * s + k, fp))
+    pairs = sorted(
+        (min(a, b), max(a, b))
+        for i, (a, fa) in enumerate(docs)
+        for b, fb in docs[i + 1 :]
+        if hamming_py(fa, fb) <= max_hamming
+    )
+    if not pairs:  # typed empty relation, never `FROM (VALUES )`
+        return """
+    SELECT CAST(NULL AS BIGINT) AS a_media, CAST(NULL AS BIGINT) AS b_media
+    WHERE FALSE
+    """
+    vals = ",\n      ".join(f"({a}, {b})" for a, b in pairs)
+    return f"""
+    SELECT CAST(a_media AS BIGINT) AS a_media,
+           CAST(b_media AS BIGINT) AS b_media
+    FROM (VALUES
+      {vals})
+      AS t(a_media, b_media)
+    ORDER BY a_media, b_media
+    """

@@ -300,3 +300,97 @@ def test_features_escape_doc_python_side():
     )
     assert feats["title"].endswith(" (q\\r)")
     assert feats["n_pages"] == 1 and feats["max_font"] == 20
+
+
+# ---------------------------------------------------------------------------
+# Text dedup across containers/layouts (staged r11 -> r12/13 candidate)
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_text_is_reading_order_not_emission_order():
+    """Two files with the same words laid out at different positions,
+    with the content-stream SHOW ORDER flipped, must digest equal: the
+    canonicalization sorts runs by (page, y desc, x asc)."""
+    a = P.encode_pdf(
+        [{"mediabox": None,
+          "elements": [(72, 700, 10, "first part"),
+                       (200, 300, 10, "second part")]}]
+    )
+    b = P.encode_pdf(
+        [{"mediabox": None,
+          "elements": [(500, 250, 10, "second part"),   # emitted FIRST
+                       (30, 720, 10, "first part")]}],
+        style="tm", compress=True,
+    )
+    assert P.pdf_canonical_text(a) == P.pdf_canonical_text(b) == (
+        "first part\nsecond part"
+    )
+
+
+def test_text_dup_fixture_and_grouping_match_design(spark):
+    """Same text, different positions/styles/compression -> one group
+    per designed text; layouts must actually DIFFER within a group
+    (the inverse claim of the layout row)."""
+    media = P.text_dup_pdf_media(spark)
+    got = {
+        r.keeper_id: (r.n_docs, r.n_dupes)
+        for r in P.pdf_text_dedup_groups(media).collect()
+    }
+    want = {100 * g: (P._TD_PER_GROUP, P._TD_PER_GROUP - 1)
+            for g in range(P._TD_GROUPS)}
+    want.update({900 + 100 * s: (1, 0) for s in range(P._TD_SINGLES)})
+    assert got == want
+    # within a text group the LAYOUT fingerprints are not all equal
+    prints = {
+        r.media_id: r.fingerprint
+        for r in P.pdf_layout_fingerprints(media).collect()
+    }
+    for g in range(P._TD_GROUPS):
+        fps = {prints[100 * g + j] for j in range(P._TD_PER_GROUP)}
+        assert len(fps) > 1, f"group {g} layouts identical — claim hollow"
+
+
+def test_staged_text_oracle_matches(spark):
+    import duckdb
+
+    spdf = P.pdf_text_dedup_groups(P.text_dup_pdf_media(spark)).toPandas()
+    ddf = duckdb.connect().execute(P.pdf_text_oracle()).fetchdf()
+    a = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+    b = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+# ---------------------------------------------------------------------------
+# Streaming layout-dedup twin (staged r11 -> r12/13 candidate)
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_stream_dedup_pairs_match_design_order_invariant(spark):
+    """The replayed streaming pair set must equal the staged
+    constant-folding oracle (ALL within-radius document pairs from the
+    fixture design) at DIFFERENT file splits — the same
+    batch-boundary-invariance contract as the video/audio twins,
+    through the shared streaming.hamming_pair_stream core. The fixture
+    covers both distance-0 pairs (compressed different-text copies:
+    layout identical by construction) and 1-2-bit pairs (cluster
+    variants)."""
+    import duckdb
+
+    exp = sorted(
+        tuple(r)
+        for r in duckdb.connect()
+        .execute(P.pdf_pair_oracle())
+        .fetchdf()
+        .itertuples(index=False, name=None)
+    )
+    assert len(exp) > 0
+    # copy (distance-0) pairs: same cluster+variant, copies 0/1
+    assert any(b - a == 1 and a % 10 == 0 for a, b in exp)
+    # cross-variant pairs (1-2 bits): different variant digits
+    assert any((a // 10) % 100 != (b // 10) % 100 for a, b in exp)
+    for n_files in (4, 1):
+        got = sorted(
+            (r.a_media, r.b_media)
+            for r in P.pdf_pair_replay(spark, n_files=n_files).collect()
+        )
+        assert got == exp, f"n_files={n_files}"

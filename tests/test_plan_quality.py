@@ -712,3 +712,45 @@ def test_audio_near_dup_broadcasts_labels_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan, "cluster-label join must broadcast"
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2, "group agg must be partial+final"
+
+
+def test_pq_ann_rerank_broadcasts_candidates(spark):
+    """v_pq_ann_topk (full-hash since round 11): the exact re-rank
+    joins the tiny candidate set (queries x 50 rows) and the query
+    vectors to the embeddings via BROADCAST — never a cartesian or
+    nested loop — and the ADC candidate cut is a window over
+    per-partition top-k emissions, not a global sort."""
+    plan = executed_plan(spark, "v_pq_ann_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" in plan
+    assert "Window" in plan
+
+
+def test_pdf_features_and_digests_are_narrow(spark):
+    """Staged pdfops rows: parsing/feature extraction must be scan →
+    mapInPandas → project with NO join and NO mid-plan exchange (the
+    final orderBy is presentation-only). The 100 TB posture is 'decoder
+    CPU scales with executors, nothing shuffles'."""
+    from culvert_spark import pdfops as P
+
+    feats = P.pdf_doc_features(P.feature_pdf_media(spark))
+    plan = feats._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, "feature extraction must not join"
+    digests = P.pdf_text_digests(P.text_dup_pdf_media(spark))
+    dplan = digests._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in dplan and "Repartition" not in dplan
+
+
+def test_pdf_layout_dedup_broadcasts_labels_no_cartesian(spark):
+    """Staged m_pdf_layout_dedup: the document→cluster-label join must
+    be a BROADCAST (the label table is ≤ 2^16 rows at ANY corpus size)
+    and nothing in the plan may be a cartesian/nested-loop pairing."""
+    from culvert_spark import pdfops as P
+
+    df = P.pdf_layout_dedup_groups(P.near_dup_pdf_media(spark))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
