@@ -780,3 +780,52 @@ def t_pretrain_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source document cap (staged round 11 -> round-12/13 registration
+# candidate: t_source_cap_sample)
+# ---------------------------------------------------------------------------
+
+_CAP_K = 10
+
+
+def source_cap_sample(docs: DataFrame, k: int = _CAP_K) -> DataFrame:
+    """The web-corpus "domain cap": keep at most ``k`` documents per
+    source, selected by a DETERMINISTIC hash rank — md5 of the doc_id
+    (the ivf_train seeding rule: DuckDB md5(CAST(x AS VARCHAR)) ==
+    Spark md5(cast(string as binary)), hex-for-hex), tie-broken on
+    doc_id — so the "random" cap is reproducible at any parallelism
+    and any arrival order, unlike rand()-based sampling. Returns the
+    KEPT rows (doc_id, source, cap_rank) so downstream stages consume
+    the capped corpus directly.
+
+    Scale (100 TB): ONE shuffle — the window partitions by source; a
+    pathological mega-source serializes its partition's sort, the same
+    hot-key class as the percentile filter above, and routes through
+    the two-level segmentation guard (twolevel.py) the same way. The
+    hash rank needs no global state, so map-side nothing precedes the
+    single exchange."""
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= k)
+        .orderBy("source", "cap_rank")
+    )
+
+
+def source_cap_oracle_sql(k: int = _CAP_K) -> str:
+    """DuckDB twin of ``source_cap_sample`` (staged for registration):
+    the same md5 rank restated with QUALIFY."""
+    return f"""
+    SELECT doc_id, source, CAST(rnk AS BIGINT) AS cap_rank FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM documents)
+    WHERE rnk <= {k}
+    ORDER BY source, cap_rank
+    """
