@@ -162,17 +162,22 @@ def encode_pdf(
     indirect_length: bool = False,
     nested: bool = False,
     mediabox: tuple[int, int] = _PDF_MEDIABOX,
+    rotate: int = 0,
 ) -> bytes:
     """A real PDF 1.4 file (header, numbered objects, classic xref
     table, trailer). Each page dict: ``{"elements": [(x, y, size,
-    text), ...], "mediabox": (w, h) | None}`` — a None mediabox
-    INHERITS the /MediaBox written on the /Pages node (the inheritance
-    path), a concrete one overrides it on the page. ``compress``
-    Flate-encodes every content stream (/Filter /FlateDecode);
-    ``indirect_length`` writes each stream's /Length as an indirect
-    reference to a separate integer object (both forms are legal and
-    both appear in the wild); ``nested`` parents pages[1:] under an
-    intermediate /Pages node (inheritance must survive tree depth)."""
+    text), ...], "mediabox": (w, h) | None, "rotate": 0|90|180|270 |
+    absent}`` — a None mediabox INHERITS the /MediaBox written on the
+    /Pages node (the inheritance path), a concrete one overrides it on
+    the page; ``rotate`` (the /Rotate viewer-rotation attribute, also
+    inheritable) is written on the /Pages node when the TOP-LEVEL
+    ``rotate`` is nonzero and overridden per page when the page dict
+    carries one. ``compress`` Flate-encodes every content stream
+    (/Filter /FlateDecode); ``indirect_length`` writes each stream's
+    /Length as an indirect reference to a separate integer object
+    (both forms are legal and both appear in the wild); ``nested``
+    parents pages[1:] under an intermediate /Pages node (inheritance
+    must survive tree depth)."""
     n = len(pages)
     if nested and n < 2:
         raise ValueError("nested layout needs >= 2 pages")
@@ -191,11 +196,12 @@ def encode_pdf(
         else [page_ids[0], inner_pages_id]
     )
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    rot_entry = f" /Rotate {int(rotate)}" if rotate else ""
     objs[2] = (
         "<< /Type /Pages /Kids ["
         + " ".join(f"{k} 0 R" for k in kids_top)
         + f"] /Count {n} /MediaBox [0 0 {_num(mediabox[0])}"
-        f" {_num(mediabox[1])}] >>"
+        f" {_num(mediabox[1])}]{rot_entry} >>"
     ).encode("latin-1")
     objs[3] = (
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
@@ -213,10 +219,14 @@ def encode_pdf(
         mb_entry = (
             f" /MediaBox [0 0 {_num(mb[0])} {_num(mb[1])}]" if mb else ""
         )
+        page_rot = page.get("rotate")
+        pr_entry = (
+            f" /Rotate {int(page_rot)}" if page_rot is not None else ""
+        )
         objs[page_ids[i]] = (
             f"<< /Type /Page /Parent {parent} 0 R"
             f" /Resources << /Font << /F1 3 0 R >> >>"
-            f" /Contents {content_ids[i]} 0 R{mb_entry} >>"
+            f" /Contents {content_ids[i]} 0 R{mb_entry}{pr_entry} >>"
         ).encode("latin-1")
         data = _content_ops(page["elements"], style)
         filt = b""
@@ -581,22 +591,25 @@ class PdfDocument:
 
     def pages(self) -> list[dict]:
         """Leaf /Page dicts in tree order, each with the INHERITED
-        ``MediaBox`` resolved onto the returned dict."""
+        ``MediaBox`` and ``Rotate`` (viewer rotation, normalized to
+        0/90/180/270) resolved onto the returned dict."""
         catalog = self.resolve(self.root_ref)
         out: list[dict] = []
 
-        def walk(node_ref, inherited_mb):
+        def walk(node_ref, inherited_mb, inherited_rot):
             node = self.resolve(node_ref)
             mb = node.get("MediaBox", inherited_mb)
+            rot = node.get("Rotate", inherited_rot)
             if node.get("Type") == "Page":
                 page = dict(node)
                 page["MediaBox"] = [self.resolve(x) for x in mb]
+                page["Rotate"] = int(self.resolve(rot) or 0) % 360
                 out.append(page)
                 return
             for kid in self.resolve(node["Kids"]):
-                walk(kid, mb)
+                walk(kid, mb, rot)
 
-        walk(catalog["Pages"], None)
+        walk(catalog["Pages"], None, 0)
         return out
 
     def _page_content(self, page: dict) -> bytes:
@@ -764,29 +777,76 @@ def pdf_doc_features(media: DataFrame) -> DataFrame:
     )
 
 
+def _display_point(
+    x: float, y: float, rotate: int, w: float, h: float
+) -> tuple[float, float, float, float]:
+    """Map a content-space point onto the DISPLAYED page under the
+    /Rotate viewer rotation (clockwise, spec 7.7.3.3): returns
+    (dx, dy, display_w, display_h). Corners check out: R90 sends the
+    content bottom-left (0,0) to display top-left (0, w) of the h×w
+    displayed page."""
+    if rotate == 90:
+        return y, w - x, h, w
+    if rotate == 180:
+        return w - x, h - y, w, h
+    if rotate == 270:
+        return h - y, x, h, w
+    return x, y, w, h
+
+
 def layout_fingerprint_of(payload: bytes) -> str:
     """16-bit page-1 layout occupancy grid: 4x4 cells over the page-1
-    MediaBox, bit (row * 4 + col) = 1 iff some text run ORIGINATES in
-    the cell; row 0 is the TOP band (PDF y grows upward). Runs exactly
-    on a cell boundary belong to the higher-index cell, and runs
-    outside the MediaBox clamp to the border cells — both decisions
-    are deterministic and shared with the fixture design, whose run
-    origins sit at cell CENTERS (maximal margin from every
-    boundary)."""
+    MediaBox AS DISPLAYED, bit (row * 4 + col) = 1 iff some text run
+    ORIGINATES in the cell; row 0 is the TOP band (PDF y grows upward).
+    Run origins are mapped through the page's /Rotate viewer rotation
+    first, so the fingerprint describes what a READER sees — a scanned
+    page stored rotated with /Rotate 90 (ubiquitous in scan corpora)
+    fingerprints identically to its upright twin, making the layout
+    dedup rotation-INVARIANT. Runs exactly on a cell boundary belong
+    to the higher-index cell, and runs outside the MediaBox clamp to
+    the border cells — both decisions are deterministic and shared
+    with the fixture design, whose run origins sit at cell CENTERS
+    (maximal margin from every boundary)."""
     doc = PdfDocument(payload)
     pages = doc.pages()
     mb = pages[0]["MediaBox"]
     x0, y0 = float(mb[0]), float(mb[1])
     w = float(mb[2]) - x0
     h = float(mb[3]) - y0
+    rot = pages[0].get("Rotate", 0)
     bits = [0] * _PDF_NBITS
     for x, y, _, _ in doc.page_runs(pages[0]):
-        col = min(_PDF_GRID - 1, max(0, int((x - x0) / (w / _PDF_GRID))))
-        row = min(
-            _PDF_GRID - 1, max(0, int((y0 + h - y) / (h / _PDF_GRID)))
-        )
+        dx, dy, dw, dh = _display_point(x - x0, y - y0, rot, w, h)
+        col = min(_PDF_GRID - 1, max(0, int(dx / (dw / _PDF_GRID))))
+        row = min(_PDF_GRID - 1, max(0, int((dh - dy) / (dh / _PDF_GRID))))
         bits[row * _PDF_GRID + col] = 1
     return "".join(map(str, bits))
+
+
+def content_layout_for_display(
+    elements: list[tuple[float, float, float, str]],
+    rotate: int,
+    display_box: tuple[int, int] = _PDF_MEDIABOX,
+) -> tuple[list[tuple[float, float, float, str]], tuple[int, int]]:
+    """Inverse of :func:`_display_point`: the content-space elements
+    (and content MediaBox) for a page STORED with ``rotate`` whose
+    DISPLAYED layout equals ``elements`` on ``display_box`` — how a
+    scanner that writes rotated pages produces them. Used by tests and
+    fixture builders to prove the fingerprint's rotation invariance."""
+    dw, dh = display_box
+    w, h = (dh, dw) if rotate % 180 else (dw, dh)
+    out = []
+    for dx, dy, size, text in elements:
+        if rotate == 90:
+            x, y = w - dy, dx
+        elif rotate == 180:
+            x, y = w - dx, h - dy
+        elif rotate == 270:
+            x, y = dy, h - dx
+        else:
+            x, y = dx, dy
+        out.append((x, y, size, text))
+    return out, (w, h)
 
 
 def pdf_layout_fingerprints(media: DataFrame) -> DataFrame:

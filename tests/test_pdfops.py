@@ -394,3 +394,45 @@ def test_pdf_stream_dedup_pairs_match_design_order_invariant(spark):
             for r in P.pdf_pair_replay(spark, n_files=n_files).collect()
         )
         assert got == exp, f"n_files={n_files}"
+
+
+# ---------------------------------------------------------------------------
+# /Rotate: viewer rotation (inheritable) + rotation-invariant layout
+# ---------------------------------------------------------------------------
+
+
+def test_rotate_inherited_and_overridden():
+    data = P.encode_pdf(
+        [
+            {"mediabox": None, "elements": [(72, 700, 10, "a")]},
+            {"mediabox": None, "elements": [(72, 700, 10, "b")],
+             "rotate": 180},
+        ],
+        rotate=90,
+        nested=True,
+    )
+    pages = P.PdfDocument(data).pages()
+    assert pages[0]["Rotate"] == 90   # inherited through the tree
+    assert pages[1]["Rotate"] == 180  # page override wins
+    # negative multiples normalize (the spec allows any multiple of 90)
+    neg = P.encode_pdf(
+        [{"mediabox": None, "elements": [(72, 700, 10, "c")]}],
+        rotate=-270,
+    )
+    assert P.PdfDocument(neg).pages()[0]["Rotate"] == 90
+
+
+@pytest.mark.parametrize("fp", [_ND_CLUSTERS[0][0], _ND_CLUSTERS[4][2],
+                                _ND_SINGLETONS[0]])
+@pytest.mark.parametrize("rotate", [0, 90, 180, 270])
+def test_layout_fingerprint_rotation_invariant(fp, rotate):
+    """A page STORED rotated (content transformed, /Rotate set — how
+    scanners emit sideways pages) must fingerprint identically to its
+    upright twin: the grid reads DISPLAY space."""
+    els = P._elements_for_fingerprint(fp, "rotinv")
+    cels, cbox = P.content_layout_for_display(els, rotate)
+    pdf = P.encode_pdf(
+        [{"mediabox": None, "elements": cels, "rotate": rotate}],
+        mediabox=cbox,
+    )
+    assert P.layout_fingerprint_of(pdf) == fp
