@@ -908,13 +908,15 @@ def pdf_layout_dedup_groups(
 # Design-exact fixtures (round-12 registration candidates)
 # ---------------------------------------------------------------------------
 
-#: Two generated documents per layout variant: copy 0 raw content
-#: streams, copy 1 Flate-COMPRESSED with entirely different text —
+#: Three generated documents per layout variant: copy 0 raw content
+#: streams, copy 1 Flate-COMPRESSED with entirely different text, and
+#: copy 2 STORED ROTATED (content transformed + /Rotate set, the way
+#: scanners emit sideways pages; angle cycles 90/180/270) — all the
 #: same fingerprint by construction, so the grouping must collapse
-#: them (n_layouts < n_docs): the compression/content axis mirroring
-#: the image fixture's container axis and the audio fixture's volume
-#: axis.
-_PL_COPIES = 2
+#: them (n_layouts < n_docs): the compression/content/rotation axes
+#: mirroring the image fixture's container axis and the audio
+#: fixture's volume axis.
+_PL_COPIES = 3
 
 #: Content styles cycled per (variant, copy) so the registered layout
 #: row exercises every text-operator path of the parser, not just Td.
@@ -956,10 +958,11 @@ def near_dup_pdf_media(spark: SparkSession) -> DataFrame:
     """(media_id, kind, payload, meta) fixture corpus: the image
     fixture's import-proven cluster geometry re-used as target LAYOUT
     fingerprints, realized as real single-page PDFs (copy 1
-    Flate-compressed with different text — fingerprint-identical by
-    construction; content style cycles through every parser path).
-    media_id scheme matches imagesim/audiosim: cluster c, variant v,
-    copy k -> 1000c + 10v + k; singleton s -> 9000 + 100s + k."""
+    Flate-compressed with different text, copy 2 STORED ROTATED —
+    fingerprint-identical by construction; content style cycles
+    through every parser path). media_id scheme matches
+    imagesim/audiosim: cluster c, variant v, copy k -> 1000c + 10v + k;
+    singleton s -> 9000 + 100s + k."""
     spec = []  # (media_id, fingerprint, copy, style)
     for c, cl in enumerate(_ND_CLUSTERS):
         for v, fp in enumerate(cl):
@@ -986,14 +989,22 @@ def near_dup_pdf_media(spark: SparkSession) -> DataFrame:
                 pdf["media_id"], pdf["fp"], pdf["copy"], pdf["style"]
             ):
                 els = _elements_for_fingerprint(fp, seed=f"doc{mid}")
-                rows.append({
-                    "media_id": int(mid),
-                    "kind": "pdf",
-                    "payload": encode_pdf(
+                if copy == 2:  # stored-rotated twin (angle per doc)
+                    rot = (90, 180, 270)[int(mid) % 3]
+                    els, box = content_layout_for_display(els, rot)
+                    pages = [{"elements": els, "rotate": rot}]
+                    payload = encode_pdf(pages, style=str(style),
+                                         mediabox=box)
+                else:
+                    payload = encode_pdf(
                         [{"elements": els}],
                         style=str(style),
                         compress=bool(copy % 2),
-                    ),
+                    )
+                rows.append({
+                    "media_id": int(mid),
+                    "kind": "pdf",
+                    "payload": payload,
                     "meta": {"width": _PDF_MEDIABOX[0],
                              "height": _PDF_MEDIABOX[1],
                              "sample_rate": 0, "n_frames": 1},
@@ -1243,15 +1254,26 @@ _check_layout_design()
 
 
 def pdf_canonical_text(payload: bytes) -> str:
-    """The document's text in READING order: runs sorted by (page,
-    y desc, x asc), joined with newlines — the canonical form whose md5
-    is the dedup key (two files with the same words laid out by
-    different producers digest equal; run-emission order inside the
-    content stream does not matter)."""
+    """The document's text in READING order AS DISPLAYED: runs sorted
+    by (page, display-y desc, display-x asc) — run origins are mapped
+    through each page's /Rotate first — joined with newlines. This is
+    the canonical form whose md5 is the dedup key: two files with the
+    same words laid out by different producers digest equal, whether
+    they differ in content-stream emission order, layout positions, or
+    stored page rotation (a scanner emitting sideways pages with
+    /Rotate 90 reads the same as the upright original)."""
     doc = PdfDocument(payload)
-    runs = doc.doc_runs()
-    runs.sort(key=lambda r: (r[0], -r[2], r[1]))
-    return "\n".join(t for *_, t in runs)
+    keyed = []
+    for i, page in enumerate(doc.pages(), start=1):
+        mb = page["MediaBox"]
+        x0, y0 = float(mb[0]), float(mb[1])
+        w, h = float(mb[2]) - x0, float(mb[3]) - y0
+        rot = page.get("Rotate", 0)
+        for x, y, _, text in doc.page_runs(page):
+            dx, dy, _, _ = _display_point(x - x0, y - y0, rot, w, h)
+            keyed.append((i, -dy, dx, text))
+    keyed.sort()
+    return "\n".join(t for *_, t in keyed)
 
 
 def pdf_text_digests(media: DataFrame) -> DataFrame:
@@ -1303,7 +1325,10 @@ def pdf_text_dedup_groups(media: DataFrame) -> DataFrame:
 #: splits into two runs whose READING order (part 1 strictly above
 #: part 2) is constant while the content-stream EMISSION order flips on
 #: odd docs, so the canonicalization (not luck) is what makes digests
-#: agree. media_id: group g doc j -> 100g + j; singleton s -> 900 + 100s.
+#: agree; doc j = 2 of every group is additionally STORED ROTATED
+#: (/Rotate 90, content transformed), so the digest parity also proves
+#: the display-space reading-order normalization. media_id: group g
+#: doc j -> 100g + j; singleton s -> 900 + 100s.
 _TD_GROUPS = 4
 _TD_PER_GROUP = 3
 _TD_SINGLES = 2
@@ -1337,17 +1362,20 @@ def text_dup_pdf_media(spark: SparkSession) -> DataFrame:
         for g in range(_TD_GROUPS)
         for j in range(_TD_PER_GROUP)
     ] + [(900 + 100 * s, f"s{s}", s) for s in range(_TD_SINGLES)]
-    payloads = [
-        (
-            mid,
-            encode_pdf(
-                _td_pages(gid, j),
-                style=_PL_STYLES[(mid + j) % len(_PL_STYLES)],
-                compress=bool(j % 2),
-            ),
-        )
-        for mid, gid, j in spec
-    ]
+    def build(mid: int, gid: str, j: int) -> bytes:
+        style = _PL_STYLES[(mid + j) % len(_PL_STYLES)]
+        pages = _td_pages(gid, j)
+        if j == 2:  # stored-rotated member of every text group
+            els, box = content_layout_for_display(
+                pages[0]["elements"], 90
+            )
+            return encode_pdf(
+                [{"elements": els, "rotate": 90}], style=style,
+                mediabox=box,
+            )
+        return encode_pdf(pages, style=style, compress=bool(j % 2))
+
+    payloads = [(mid, build(mid, gid, j)) for mid, gid, j in spec]
     schema = (
         "media_id bigint, kind string, payload binary, "
         "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"

@@ -436,3 +436,19 @@ def test_layout_fingerprint_rotation_invariant(fp, rotate):
         mediabox=cbox,
     )
     assert P.layout_fingerprint_of(pdf) == fp
+
+
+def test_canonical_text_rotation_normalized():
+    """A stored-rotated file with the same words must digest equal to
+    the upright one: the canonicalization reads DISPLAY space."""
+    els = [(72, 700, 10, "first part"), (200, 300, 10, "second part")]
+    upright = P.encode_pdf([{"mediabox": None, "elements": els}])
+    cels, cbox = P.content_layout_for_display(els, 270)
+    rotated = P.encode_pdf(
+        [{"elements": cels, "rotate": 270}], mediabox=cbox, compress=True
+    )
+    assert (
+        P.pdf_canonical_text(rotated)
+        == P.pdf_canonical_text(upright)
+        == "first part\nsecond part"
+    )
