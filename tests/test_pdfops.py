@@ -452,3 +452,75 @@ def test_canonical_text_rotation_normalized():
         == P.pdf_canonical_text(upright)
         == "first part\nsecond part"
     )
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): string grammar + writer/parser round-trip
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_PROP = settings(max_examples=40, deadline=None)
+
+#: Texts the fixture writer can emit: latin-1-safe, no raw newlines
+#: (the writer shows one run per line), escape-heavy characters
+#: included deliberately.
+_texts = st.text(
+    alphabet=st.sampled_from(
+        "abcxyz0189 ()\\/<>[]#%'\"éü"
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@_PROP
+@given(text=_texts)
+def test_prop_literal_string_roundtrip(text):
+    """escape -> wrap -> parse == original, for arbitrary escape-heavy
+    text (parens, backslashes, name/comment/array delimiters)."""
+    lit = f"({P._esc_pdf_string(text)})".encode("latin-1")
+    s, pos = P._parse_literal_string(lit, 0)
+    assert s.decode("latin-1") == text
+    assert pos == len(lit)
+
+
+@_PROP
+@given(payload=st.binary(min_size=0, max_size=64))
+def test_prop_hex_string_roundtrip(payload):
+    hx = f"<{payload.hex().upper()}>".encode("ascii")
+    s, pos = P._parse_hex_string(hx, 0)
+    assert s == payload and pos == len(hx)
+
+
+@_PROP
+@given(
+    data=st.data(),
+    style=st.sampled_from(STYLES),
+    compress=st.booleans(),
+    rotate=st.sampled_from([0, 90, 180, 270]),
+)
+def test_prop_writer_parser_roundtrip(data, style, compress, rotate):
+    """Arbitrary element sets through every style/compression/rotation:
+    the parser recovers exactly one run per element with the element's
+    text and position (positions quantized to .5 to keep repr exact)."""
+    n = data.draw(st.integers(1, 4))
+    els = []
+    for i in range(n):
+        x = data.draw(st.integers(0, 1200)) / 2
+        y = data.draw(st.integers(0, 1500)) / 2
+        size = data.draw(st.integers(4, 64))
+        text = data.draw(_texts.filter(lambda t: t.strip() != ""))
+        els.append((x, y, float(size), text))
+    pdf = P.encode_pdf(
+        [{"mediabox": None, "elements": els, "rotate": rotate}],
+        style=style,
+        compress=compress,
+    )
+    doc = P.PdfDocument(pdf)
+    pages = doc.pages()
+    assert pages[0]["Rotate"] == rotate
+    runs = doc.page_runs(pages[0])
+    assert [(x, y, s, t) for x, y, s, t in runs] == [
+        (x, y, s, t) for x, y, s, t in els
+    ]
