@@ -318,19 +318,11 @@ def audio_stream_dedup(
     so the whole path is fingerprint -> band explode -> stateful
     verify. Output: canonical (a_media, b_media, band) verified pairs;
     volume copies collide at Hamming distance 0 by exact invariance."""
-    items = audio_fingerprints(media).select(
-        F.col("media_id").alias("id_a"),
-        F.lit(0).cast("long").alias("id_b"),
-        F.col("fingerprint").alias("phash"),
-    )
-    from culvert_spark.streaming import hamming_pair_stream
+    from culvert_spark.streaming import single_id_pair_stream
 
-    return hamming_pair_stream(
-        items, max_hamming, bands, _AF_NBITS, bucket_cap
-    ).select(
-        F.col("a_id1").alias("a_media"),
-        F.col("b_id1").alias("b_media"),
-        "band",
+    return single_id_pair_stream(
+        audio_fingerprints(media), max_hamming, bands, _AF_NBITS,
+        bucket_cap,
     )
 
 
@@ -371,26 +363,15 @@ def audio_pair_oracle(max_hamming: int = 2) -> str:
     for s, fp in enumerate(_ND_SINGLETONS):
         for k in range(_AF_COPIES):
             clips.append((9000 + 100 * s + k, fp))
+    from culvert_spark.imagesim import pairs_values_oracle
+
     pairs = sorted(
         (min(a, b), max(a, b))
         for i, (a, fa) in enumerate(clips)
         for b, fb in clips[i + 1 :]
         if hamming_py(fa, fb) <= max_hamming
     )
-    if not pairs:  # round-10 ADVICE: typed empty relation, not `VALUES )`
-        return """
-    SELECT CAST(NULL AS BIGINT) AS a_media, CAST(NULL AS BIGINT) AS b_media
-    WHERE FALSE
-    """
-    vals = ",\n      ".join(f"({a}, {b})" for a, b in pairs)
-    return f"""
-    SELECT CAST(a_media AS BIGINT) AS a_media,
-           CAST(b_media AS BIGINT) AS b_media
-    FROM (VALUES
-      {vals})
-      AS t(a_media, b_media)
-    ORDER BY a_media, b_media
-    """
+    return pairs_values_oracle(pairs, ["a_media", "b_media"])
 
 
 # ---------------------------------------------------------------------------

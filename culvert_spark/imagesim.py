@@ -235,6 +235,33 @@ def hamming_py(a: str, b: str) -> int:
     return sum(x != y for x, y in zip(a, b))
 
 
+def pairs_values_oracle(rows: list[tuple], cols: list[str]) -> str:
+    """The shared constant-folding SQL shape for within-radius PAIR
+    oracles (videoshots/audiosim/pdfops streaming twins): a typed
+    VALUES literal of integer tuples, BIGINT-cast and ordered on every
+    column — or a typed EMPTY relation when the design yields no pairs
+    (round-10 ADVICE: `FROM (VALUES )` is a syntax error). One
+    implementation so a fix lands once, not per twin (round-11
+    self-review: the empty-guard had to be applied three times)."""
+    if not rows:
+        sel = ", ".join(f"CAST(NULL AS BIGINT) AS {c}" for c in cols)
+        return f"""
+    SELECT {sel}
+    WHERE FALSE
+    """
+    vals = ",\n      ".join(
+        "(" + ", ".join(str(v) for v in row) + ")" for row in rows
+    )
+    sel = ",\n           ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+    return f"""
+    SELECT {sel}
+    FROM (VALUES
+      {vals})
+      AS t({", ".join(cols)})
+    ORDER BY {", ".join(cols)}
+    """
+
+
 def _check_near_dup_design() -> None:
     ham = hamming_py
     allv = [v for cl in _ND_CLUSTERS for v in cl] + _ND_SINGLETONS

@@ -603,7 +603,13 @@ class PdfDocument:
             if node.get("Type") == "Page":
                 page = dict(node)
                 page["MediaBox"] = [self.resolve(x) for x in mb]
-                page["Rotate"] = int(self.resolve(rot) or 0) % 360
+                # snap to the nearest multiple of 90: the spec requires
+                # one, but malformed values (45, 90.5) occur in the
+                # wild — truncating or passing them through would make
+                # the display-space consumers silently fall back to
+                # content space (round-11 self-review).
+                raw = float(self.resolve(rot) or 0)
+                page["Rotate"] = int(90 * round(raw / 90)) % 360
                 out.append(page)
                 return
             for kid in self.resolve(node["Kids"]):
@@ -724,16 +730,20 @@ PDF_FEATURES_SCHEMA = (
 
 
 def _features_of(payload: bytes) -> dict:
+    """Per-document features in DISPLAY semantics: the title rule and
+    page-1 geometry read the displayed page (through /Rotate, like the
+    layout fingerprint and canonical text — round-11 self-review made
+    all three consumers share one display-space helper), so a scanner's
+    stored-rotated file features identically to its upright twin."""
     doc = PdfDocument(payload)
     pages = doc.pages()
     runs = doc.doc_runs()
     n_chars = sum(len(t) for _, _, _, _, t in runs)
     n_tokens = sum(len(t.split()) for _, _, _, _, t in runs)
-    p1 = [(x, y, s, t) for pg, x, y, s, t in runs if pg == 1]
+    p1, p1_w, p1_h = _display_page_runs(doc, pages[0])
     title = ""
     if p1:
         title = sorted(p1, key=lambda r: (-r[2], -r[1], r[0]))[0][3]
-    mb = pages[0]["MediaBox"]
     return {
         "n_pages": len(pages),
         "n_runs": len(runs),
@@ -742,8 +752,8 @@ def _features_of(payload: bytes) -> dict:
         "max_font": int(round(max((s for _, _, _, s, _ in runs),
                                   default=0.0))),
         "title": title,
-        "p1_width": int(round(float(mb[2]) - float(mb[0]))),
-        "p1_height": int(round(float(mb[3]) - float(mb[1]))),
+        "p1_width": int(round(p1_w)),
+        "p1_height": int(round(p1_h)),
     }
 
 
@@ -794,6 +804,27 @@ def _display_point(
     return x, y, w, h
 
 
+def _display_page_runs(
+    doc: "PdfDocument", page: dict
+) -> tuple[list[tuple[float, float, float, str]], float, float]:
+    """The page's text runs in DISPLAY space — origins mapped through
+    /Rotate — plus the displayed page dims: the ONE helper behind
+    every display-semantics consumer (features title/geometry, layout
+    fingerprint, canonical text), so they cannot drift apart
+    (round-11 self-review: features used to read content space while
+    the dedup operators read display space, splitting rotated twins)."""
+    mb = page["MediaBox"]
+    x0, y0 = float(mb[0]), float(mb[1])
+    w, h = float(mb[2]) - x0, float(mb[3]) - y0
+    rot = page.get("Rotate", 0)
+    _, _, dw, dh = _display_point(0.0, 0.0, rot, w, h)
+    runs = [
+        (*_display_point(x - x0, y - y0, rot, w, h)[:2], size, text)
+        for x, y, size, text in doc.page_runs(page)
+    ]
+    return runs, dw, dh
+
+
 def layout_fingerprint_of(payload: bytes) -> str:
     """16-bit page-1 layout occupancy grid: 4x4 cells over the page-1
     MediaBox AS DISPLAYED, bit (row * 4 + col) = 1 iff some text run
@@ -808,15 +839,9 @@ def layout_fingerprint_of(payload: bytes) -> str:
     with the fixture design, whose run origins sit at cell CENTERS
     (maximal margin from every boundary)."""
     doc = PdfDocument(payload)
-    pages = doc.pages()
-    mb = pages[0]["MediaBox"]
-    x0, y0 = float(mb[0]), float(mb[1])
-    w = float(mb[2]) - x0
-    h = float(mb[3]) - y0
-    rot = pages[0].get("Rotate", 0)
+    runs, dw, dh = _display_page_runs(doc, doc.pages()[0])
     bits = [0] * _PDF_NBITS
-    for x, y, _, _ in doc.page_runs(pages[0]):
-        dx, dy, dw, dh = _display_point(x - x0, y - y0, rot, w, h)
+    for dx, dy, _, _ in runs:
         col = min(_PDF_GRID - 1, max(0, int(dx / (dw / _PDF_GRID))))
         row = min(_PDF_GRID - 1, max(0, int((dh - dy) / (dh / _PDF_GRID))))
         bits[row * _PDF_GRID + col] = 1
@@ -832,7 +857,13 @@ def content_layout_for_display(
     (and content MediaBox) for a page STORED with ``rotate`` whose
     DISPLAYED layout equals ``elements`` on ``display_box`` — how a
     scanner that writes rotated pages produces them. Used by tests and
-    fixture builders to prove the fingerprint's rotation invariance."""
+    fixture builders to prove the fingerprint's rotation invariance.
+    ``rotate`` is normalized like the parser normalizes /Rotate
+    (round-11 self-review: -90 used to swap the box but skip the
+    coordinate transform, silently producing a corrupt fixture)."""
+    rotate = int(rotate) % 360
+    if rotate % 90:
+        raise ValueError(f"rotate must be a multiple of 90, got {rotate}")
     dw, dh = display_box
     w, h = (dh, dw) if rotate % 180 else (dw, dh)
     out = []
@@ -1265,13 +1296,8 @@ def pdf_canonical_text(payload: bytes) -> str:
     doc = PdfDocument(payload)
     keyed = []
     for i, page in enumerate(doc.pages(), start=1):
-        mb = page["MediaBox"]
-        x0, y0 = float(mb[0]), float(mb[1])
-        w, h = float(mb[2]) - x0, float(mb[3]) - y0
-        rot = page.get("Rotate", 0)
-        for x, y, _, text in doc.page_runs(page):
-            dx, dy, _, _ = _display_point(x - x0, y - y0, rot, w, h)
-            keyed.append((i, -dy, dx, text))
+        runs, _, _ = _display_page_runs(doc, page)
+        keyed.extend((i, -dy, dx, text) for dx, dy, _, text in runs)
     keyed.sort()
     return "\n".join(t for *_, t in keyed)
 
@@ -1439,19 +1465,11 @@ def pdf_layout_stream_dedup(
     is already streaming-safe (one narrow mapInPandas per document
     row), so the whole path is parse -> grid fold -> band explode ->
     stateful verify."""
-    from culvert_spark.streaming import hamming_pair_stream
+    from culvert_spark.streaming import single_id_pair_stream
 
-    items = pdf_layout_fingerprints(media).select(
-        F.col("media_id").alias("id_a"),
-        F.lit(0).cast("long").alias("id_b"),
-        F.col("fingerprint").alias("phash"),
-    )
-    return hamming_pair_stream(
-        items, max_hamming, bands, _PDF_NBITS, bucket_cap
-    ).select(
-        F.col("a_id1").alias("a_media"),
-        F.col("b_id1").alias("b_media"),
-        "band",
+    return single_id_pair_stream(
+        pdf_layout_fingerprints(media), max_hamming, bands, _PDF_NBITS,
+        bucket_cap,
     )
 
 
@@ -1491,23 +1509,12 @@ def pdf_pair_oracle(max_hamming: int = 2) -> str:
     for s, fp in enumerate(_ND_SINGLETONS):
         for k in range(_PL_COPIES):
             docs.append((9000 + 100 * s + k, fp))
+    from culvert_spark.imagesim import pairs_values_oracle
+
     pairs = sorted(
         (min(a, b), max(a, b))
         for i, (a, fa) in enumerate(docs)
         for b, fb in docs[i + 1 :]
         if hamming_py(fa, fb) <= max_hamming
     )
-    if not pairs:  # typed empty relation, never `FROM (VALUES )`
-        return """
-    SELECT CAST(NULL AS BIGINT) AS a_media, CAST(NULL AS BIGINT) AS b_media
-    WHERE FALSE
-    """
-    vals = ",\n      ".join(f"({a}, {b})" for a, b in pairs)
-    return f"""
-    SELECT CAST(a_media AS BIGINT) AS a_media,
-           CAST(b_media AS BIGINT) AS b_media
-    FROM (VALUES
-      {vals})
-      AS t(a_media, b_media)
-    ORDER BY a_media, b_media
-    """
+    return pairs_values_oracle(pairs, ["a_media", "b_media"])

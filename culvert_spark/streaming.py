@@ -715,6 +715,35 @@ def hamming_pair_stream(
     )
 
 
+def single_id_pair_stream(
+    prints: DataFrame,
+    max_hamming: int = 2,
+    bands: int = 4,
+    nbits: int = 16,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """:func:`hamming_pair_stream` for SINGLE-part identities: adapt a
+    ``(media_id, fingerprint)`` stream to the (id_a, id_b, phash)
+    contract (id_b = 0) and project verified pairs back to
+    ``(a_media, b_media, band)``. The shared adapter behind the audio
+    (``audiosim.audio_stream_dedup``) and document-layout
+    (``pdfops.pdf_layout_stream_dedup``) twins — the video twin keeps
+    its own adapter because shot identity is the PAIR
+    (media_id, shot_id). Round-11 self-review: this was copy #3."""
+    items = prints.select(
+        F.col("media_id").alias("id_a"),
+        F.lit(0).cast("long").alias("id_b"),
+        F.col("fingerprint").alias("phash"),
+    )
+    return hamming_pair_stream(
+        items, max_hamming, bands, nbits, bucket_cap
+    ).select(
+        F.col("a_id1").alias("a_media"),
+        F.col("b_id1").alias("b_media"),
+        "band",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch-replayable streaming parity queries (driver-checkable streaming)
 # ---------------------------------------------------------------------------

@@ -509,26 +509,14 @@ def shot_pair_oracle(max_hamming: int = 2) -> str:
                 )
                 pairs.append((a[0], a[1], b[0], b[1]))
     pairs.sort()
-    if not pairs:  # round-10 ADVICE: a tighter max_hamming can
-        # legitimately yield zero pairs — emit a typed empty relation
-        # instead of the syntax error `FROM (VALUES )`.
-        return """
-    SELECT CAST(NULL AS BIGINT) AS a_media, CAST(NULL AS BIGINT) AS a_shot,
-           CAST(NULL AS BIGINT) AS b_media, CAST(NULL AS BIGINT) AS b_shot
-    WHERE FALSE
-    """
-    vals = ",\n      ".join(f"({am}, {ash}, {bm}, {bs})"
-                            for am, ash, bm, bs in pairs)
-    return f"""
-    SELECT CAST(a_media AS BIGINT) AS a_media,
-           CAST(a_shot AS BIGINT) AS a_shot,
-           CAST(b_media AS BIGINT) AS b_media,
-           CAST(b_shot AS BIGINT) AS b_shot
-    FROM (VALUES
-      {vals})
-      AS t(a_media, a_shot, b_media, b_shot)
-    ORDER BY a_media, a_shot, b_media, b_shot
-    """
+    # Shared VALUES/typed-empty builder (round-11 self-review): emits
+    # the SAME SQL text this function used to inline — byte-identity
+    # with the registered round-11 oracle verified at refactor time.
+    from culvert_spark.imagesim import pairs_values_oracle
+
+    return pairs_values_oracle(
+        pairs, ["a_media", "a_shot", "b_media", "b_shot"]
+    )
 
 
 # ---------------------------------------------------------------------------

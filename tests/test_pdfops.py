@@ -524,3 +524,48 @@ def test_prop_writer_parser_roundtrip(data, style, compress, rotate):
     assert [(x, y, s, t) for x, y, s, t in runs] == [
         (x, y, s, t) for x, y, s, t in els
     ]
+
+
+def test_features_rotation_invariant():
+    """A stored-rotated twin must FEATURE identically to the upright
+    original — title rule and page-1 geometry read display space, like
+    the dedup operators (self-review: they used to read content space,
+    splitting rotated twins the module's own dedup rows unify)."""
+    els = [(72, 700, 24, "real-title"), (200, 300, 10, "footer words")]
+    upright = P._features_of(
+        P.encode_pdf([{"mediabox": None, "elements": els}])
+    )
+    assert upright["title"] == "real-title"
+    assert (upright["p1_width"], upright["p1_height"]) == (612, 792)
+    for rot in (90, 180, 270):
+        cels, cbox = P.content_layout_for_display(els, rot)
+        rotated = P._features_of(
+            P.encode_pdf(
+                [{"elements": cels, "rotate": rot}], mediabox=cbox
+            )
+        )
+        assert rotated == upright, rot
+
+
+def test_content_layout_normalizes_and_validates_rotate():
+    els = [(72, 700, 10, "x")]
+    assert P.content_layout_for_display(els, -90) == (
+        P.content_layout_for_display(els, 270)
+    )
+    assert P.content_layout_for_display(els, 450) == (
+        P.content_layout_for_display(els, 90)
+    )
+    with pytest.raises(ValueError, match="multiple of 90"):
+        P.content_layout_for_display(els, 45)
+
+
+def test_pages_snaps_malformed_rotate_to_right_angle():
+    """Spec requires /Rotate be a multiple of 90; malformed values
+    occur in the wild and must snap (not pass through, which would
+    silently drop the display-space semantics)."""
+    for raw, want in ((80, 90), (100, 90), (359, 0), (190, 180)):
+        data = P.encode_pdf(
+            [{"mediabox": None, "elements": [(72, 700, 10, "x")]}],
+            rotate=raw,
+        )
+        assert P.PdfDocument(data).pages()[0]["Rotate"] == want, raw
