@@ -88,9 +88,27 @@ class MainContentParser(HTMLParser):
         self._suppress = 0      # depth inside non-content tags
         self._chrome = 0        # depth inside chrome containers
         self._in_title = 0
+        self._title_done = False  # only the FIRST title counts
         self._title_parts: list[str] = []
         self._href: str | None = None
         self._anchor_parts: list[str] = []
+
+    def _flush_link(self) -> None:
+        """Emit the pending link, if any. Called on </a>, on a NEW
+        <a href> (browsers auto-close the open anchor — real crawl
+        HTML nests/unbalances anchors routinely, self-review), and at
+        document end (truncated pages leave the last anchor open)."""
+        if self._href is not None:
+            self.links.append(
+                (self._href, " ".join(" ".join(self._anchor_parts).split()))
+            )
+            self._href = None
+            self._anchor_parts = []
+
+    def _finish_title(self) -> None:
+        if not self._title_done and self._title_parts:
+            self.title = " ".join("".join(self._title_parts).split())
+            self._title_done = True
 
     # -- tag events ----------------------------------------------------
 
@@ -103,16 +121,20 @@ class MainContentParser(HTMLParser):
         if tag in _CHROME:
             self._chrome += 1
             return
-        if tag == "title":
-            self._in_title += 1
-            return
         if self._suppress or self._chrome:
+            return
+        if tag == "title":
+            # FIRST document title only: SVG <title> tooltips and any
+            # later titles must not pollute it (self-review).
+            if not self._title_done:
+                self._in_title += 1
             return
         if tag in _HEADINGS:
             self.n_headings += 1
         elif tag == "a":
             href = dict(attrs).get("href")
             if href:
+                self._flush_link()  # implicit close of an open anchor
                 self._href = href
                 self._anchor_parts = []
 
@@ -122,13 +144,11 @@ class MainContentParser(HTMLParser):
         elif tag in _CHROME:
             self._chrome = max(0, self._chrome - 1)
         elif tag == "title":
-            self._in_title = max(0, self._in_title - 1)
-        elif tag == "a" and self._href is not None:
-            self.links.append(
-                (self._href, " ".join(" ".join(self._anchor_parts).split()))
-            )
-            self._href = None
-            self._anchor_parts = []
+            if self._in_title:
+                self._in_title -= 1
+                self._finish_title()
+        elif tag == "a":
+            self._flush_link()
 
     # -- text ------------------------------------------------------------
 
@@ -142,10 +162,10 @@ class MainContentParser(HTMLParser):
         if self._href is not None:
             self._anchor_parts.append(data)
 
-    def close(self) -> None:  # finalize title on close
+    def close(self) -> None:  # finalize dangling state on close
         super().close()
-        if not self.title:
-            self.title = " ".join("".join(self._title_parts).split())
+        self._flush_link()
+        self._finish_title()
 
     # -- results -----------------------------------------------------
 
@@ -157,6 +177,16 @@ class MainContentParser(HTMLParser):
         never split a run: ``convert_charrefs`` decodes them into the
         surrounding data before delivery."""
         return " ".join(" ".join(self.chunks).split())
+
+
+def _as_html(v) -> str:
+    """NULL-safe coercion for the mapInPandas hot paths: a None/NaN
+    html cell is an EMPTY document, not the 4-char text 'None' (which
+    would give every null row the identical md5 digest and collapse
+    them into one bogus dedup group downstream — self-review)."""
+    if v is None or (isinstance(v, float) and v != v):
+        return ""
+    return str(v)
 
 
 def extract_html(html: str) -> dict:
@@ -193,7 +223,7 @@ def html_doc_stats(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for did, html in zip(pdf["doc_id"], pdf["html"]):
-                e = extract_html(str(html))
+                e = extract_html(_as_html(html))
                 rows.append({
                     "doc_id": int(did),
                     "title": e["title"],
@@ -223,7 +253,7 @@ def html_links(docs: DataFrame) -> DataFrame:
             rows = []
             for did, html in zip(pdf["doc_id"], pdf["html"]):
                 for i, (url, anchor) in enumerate(
-                    extract_html(str(html))["links"], start=1
+                    extract_html(_as_html(html))["links"], start=1
                 ):
                     rows.append({
                         "doc_id": int(did), "link_no": i,

@@ -607,9 +607,11 @@ class PdfDocument:
                 # one, but malformed values (45, 90.5) occur in the
                 # wild — truncating or passing them through would make
                 # the display-space consumers silently fall back to
-                # content space (round-11 self-review).
+                # content space. Half-up via floor division, NOT
+                # round() (banker's rounding snapped 45 down but 135
+                # up — self-review), so midpoints snap symmetrically.
                 raw = float(self.resolve(rot) or 0)
-                page["Rotate"] = int(90 * round(raw / 90)) % 360
+                page["Rotate"] = int((raw + 45) // 90) * 90 % 360
                 out.append(page)
                 return
             for kid in self.resolve(node["Kids"]):
@@ -737,10 +739,11 @@ def _features_of(payload: bytes) -> dict:
     stored-rotated file features identically to its upright twin."""
     doc = PdfDocument(payload)
     pages = doc.pages()
-    runs = doc.doc_runs()
-    n_chars = sum(len(t) for _, _, _, _, t in runs)
-    n_tokens = sum(len(t.split()) for _, _, _, _, t in runs)
-    p1, p1_w, p1_h = _display_page_runs(doc, pages[0])
+    per_page = [doc.page_runs(p) for p in pages]  # each parsed ONCE
+    runs = [r for rs in per_page for r in rs]
+    n_chars = sum(len(t) for _, _, _, t in runs)
+    n_tokens = sum(len(t.split()) for _, _, _, t in runs)
+    p1, p1_w, p1_h = _display_page_runs(doc, pages[0], per_page[0])
     title = ""
     if p1:
         title = sorted(p1, key=lambda r: (-r[2], -r[1], r[0]))[0][3]
@@ -749,7 +752,7 @@ def _features_of(payload: bytes) -> dict:
         "n_runs": len(runs),
         "n_chars": n_chars,
         "n_tokens": n_tokens,
-        "max_font": int(round(max((s for _, _, _, s, _ in runs),
+        "max_font": int(round(max((s for _, _, s, _ in runs),
                                   default=0.0))),
         "title": title,
         "p1_width": int(round(p1_w)),
@@ -805,22 +808,27 @@ def _display_point(
 
 
 def _display_page_runs(
-    doc: "PdfDocument", page: dict
+    doc: "PdfDocument", page: dict, raw_runs=None
 ) -> tuple[list[tuple[float, float, float, str]], float, float]:
     """The page's text runs in DISPLAY space — origins mapped through
     /Rotate — plus the displayed page dims: the ONE helper behind
     every display-semantics consumer (features title/geometry, layout
     fingerprint, canonical text), so they cannot drift apart
     (round-11 self-review: features used to read content space while
-    the dedup operators read display space, splitting rotated twins)."""
+    the dedup operators read display space, splitting rotated twins).
+    Pass ``raw_runs`` when the content stream was already parsed — the
+    features path computes all pages' runs once and must not inflate
+    and tokenize page 1 a second time (self-review)."""
     mb = page["MediaBox"]
     x0, y0 = float(mb[0]), float(mb[1])
     w, h = float(mb[2]) - x0, float(mb[3]) - y0
     rot = page.get("Rotate", 0)
     _, _, dw, dh = _display_point(0.0, 0.0, rot, w, h)
+    if raw_runs is None:
+        raw_runs = doc.page_runs(page)
     runs = [
         (*_display_point(x - x0, y - y0, rot, w, h)[:2], size, text)
-        for x, y, size, text in doc.page_runs(page)
+        for x, y, size, text in raw_runs
     ]
     return runs, dw, dh
 
@@ -1136,6 +1144,21 @@ _FEAT_DOCS: list[dict] = [
              "elements": [(30, 270, 13.5, 6), (150, 150, 10, 4)]},
         ],
     },
+    {
+        # STORED ROTATED (round-11 self-review): element coords in
+        # _FEAT_DOCS are DISPLAY-space design values — this doc stores
+        # them transformed with /Rotate 90, so the features row (and
+        # its oracle, which folds the design values directly) pins the
+        # operator's display-space title/geometry contract; without
+        # it, a content-space regression in _features_of would pass
+        # on the upright docs alone.
+        "media_id": 105, "style": "td", "compress": True,
+        "indirect_length": False, "nested": False, "stored_rotate": 90,
+        "pages": [
+            {"mediabox": None,
+             "elements": [(72, 720, 22, 4), (72, 680, 10, 7)]},
+        ],
+    },
 ]
 
 
@@ -1149,16 +1172,21 @@ def _feat_doc_text(doc: dict, page_idx: int, el_idx: int, n: int) -> str:
 
 
 def _feat_doc_pages(doc: dict) -> list[dict]:
-    return [
-        {
-            "mediabox": page["mediabox"],
-            "elements": [
-                (x, y, size, _feat_doc_text(doc, pi, ei, n))
-                for ei, (x, y, size, n) in enumerate(page["elements"])
-            ],
-        }
-        for pi, page in enumerate(doc["pages"])
-    ]
+    rot = doc.get("stored_rotate", 0)
+    out = []
+    for pi, page in enumerate(doc["pages"]):
+        els = [
+            (x, y, size, _feat_doc_text(doc, pi, ei, n))
+            for ei, (x, y, size, n) in enumerate(page["elements"])
+        ]
+        if rot:  # design coords are DISPLAY values; store them rotated
+            els, box = content_layout_for_display(
+                els, rot, display_box=page["mediabox"] or _PDF_MEDIABOX
+            )
+            out.append({"mediabox": box, "elements": els, "rotate": rot})
+        else:
+            out.append({"mediabox": page["mediabox"], "elements": els})
+    return out
 
 
 def feature_pdf_media(spark: SparkSession) -> DataFrame:
@@ -1204,7 +1232,12 @@ def pdf_features_oracle() -> str:
     run counts from the element lists (every content style shows each
     element as exactly ONE run), char/token counts from the generated
     text itself, the title from the (size desc, y desc, x asc) rule,
-    page-1 geometry from the mediabox (None = the inherited default)."""
+    page-1 geometry from the mediabox (None = the inherited default).
+    The design coordinates are DISPLAY-space values — exactly the
+    space the operator reads (round-11 self-review) — so this
+    derivation is correct for the stored-rotated doc 105 too: its
+    stored content is transformed, but what the operator extracts
+    (and this oracle states) is the untransformed design."""
     rows = []
     for doc in _FEAT_DOCS:
         runs = []  # (page, x, y, size, text)

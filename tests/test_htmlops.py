@@ -95,3 +95,40 @@ def test_extraction_plan_is_narrow(spark):
     df = H.html_doc_stats(H.html_corpus(spark))
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan and "Repartition" not in plan
+
+
+def test_unbalanced_anchor_autocloses_and_eof_flushes():
+    """Browsers auto-close an open <a> when a new one starts, and a
+    truncated document must not swallow its last link (self-review)."""
+    e = H.extract_html(
+        '<p><a href="u1">one <a href="u2">two</a></p>'
+        '<p><a href="u3">dangling till eof'
+    )
+    assert e["links"] == [("u1", "one"), ("u2", "two"), ("u3",
+                                                         "dangling till eof")]
+
+
+def test_first_title_wins_and_svg_title_ignored():
+    e = H.extract_html(
+        "<title>Doc</title><body><svg><title>icon tooltip</title></svg>"
+        "<p>x</p><title>late</title></body>"
+    )
+    assert e["title"] == "Doc"
+    assert "icon" not in e["title"] and "late" not in e["title"]
+    # a title inside chrome never becomes the document title
+    e2 = H.extract_html("<nav><title>menu</title></nav><title>real</title>")
+    assert e2["title"] == "real"
+
+
+def test_null_html_is_empty_document(spark):
+    """A null html cell is an EMPTY document — not the text 'None'
+    collapsing every null row into one bogus digest group."""
+    df = spark.createDataFrame(
+        [(1, "<p>hi there</p>"), (2, None)], "doc_id bigint, html string"
+    )
+    rows = {r.doc_id: r for r in H.html_doc_stats(df).collect()}
+    assert rows[2].n_tokens == 0 and rows[2].n_chars == 0
+    import hashlib
+
+    assert rows[2].text_digest == hashlib.md5(b"").hexdigest()
+    assert H.html_links(df).count() == 0

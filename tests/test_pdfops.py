@@ -569,3 +569,29 @@ def test_pages_snaps_malformed_rotate_to_right_angle():
             rotate=raw,
         )
         assert P.PdfDocument(data).pages()[0]["Rotate"] == want, raw
+
+
+def test_rotate_snap_midpoints_half_up():
+    """Midpoint /Rotate values snap half-UP symmetrically (banker's
+    rounding used to send 45 down but 135 up — self-review)."""
+    for raw, want in ((45, 90), (135, 180), (225, 270), (315, 0)):
+        data = P.encode_pdf(
+            [{"mediabox": None, "elements": [(72, 700, 10, "x")]}],
+            rotate=raw,
+        )
+        assert P.PdfDocument(data).pages()[0]["Rotate"] == want, raw
+
+
+def test_feature_fixture_rotated_doc_matches_display_design():
+    """Doc 105 is STORED rotated; extraction must return the design
+    (display-space) title and geometry — the oracle's contract."""
+    doc = next(d for d in P._FEAT_DOCS if d["media_id"] == 105)
+    feats = P._features_of(
+        P.encode_pdf(
+            P._feat_doc_pages(doc), style=doc["style"],
+            compress=doc["compress"],
+        )
+    )
+    assert feats["title"] == P._feat_doc_text(doc, 0, 0, 4)
+    assert (feats["p1_width"], feats["p1_height"]) == (612, 792)
+    assert feats["n_pages"] == 1 and feats["max_font"] == 22
