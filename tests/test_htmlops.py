@@ -132,3 +132,43 @@ def test_null_html_is_empty_document(spark):
 
     assert rows[2].text_digest == hashlib.md5(b"").hexdigest()
     assert H.html_links(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis)
+# ---------------------------------------------------------------------------
+
+import html as _stdhtml  # noqa: E402
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_HPROP = settings(max_examples=40, deadline=None)
+_htext = st.text(
+    alphabet=st.sampled_from("abc xyz018&<>\"'é"), min_size=0, max_size=60
+)
+
+
+@_HPROP
+@given(text=_htext)
+def test_prop_escaped_text_roundtrips(text):
+    """html.escape -> extract == whitespace-collapsed original, for
+    arbitrary markup-significant characters."""
+    e = H.extract_html(f"<p>{_stdhtml.escape(text)}</p>")
+    assert e["text"] == " ".join(text.split())
+
+
+@_HPROP
+@given(texts=st.lists(_htext.filter(lambda t: t.strip()), min_size=1,
+                      max_size=5))
+def test_prop_paragraph_concatenation(texts):
+    html_doc = "".join(f"<p>{_stdhtml.escape(t)}</p>" for t in texts)
+    e = H.extract_html(html_doc)
+    assert e["text"] == " ".join(" ".join(texts).split())
+
+
+@_HPROP
+@given(junk=st.text(alphabet=st.sampled_from("<>&\"'=/ab "), min_size=0,
+                    max_size=80))
+def test_prop_malformed_soup_never_raises(junk):
+    e = H.extract_html(junk)
+    assert e["n_tokens"] >= 0 and isinstance(e["links"], list)

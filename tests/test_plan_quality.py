@@ -754,3 +754,16 @@ def test_pdf_layout_dedup_broadcasts_labels_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_html_extraction_plans_are_narrow(spark):
+    """Staged htmlops rows: both operators are scan → mapInPandas →
+    (presentation) sort — no join, no mid-plan repartition."""
+    from culvert_spark import htmlops as H
+
+    for df in (
+        H.html_doc_stats(H.html_corpus(spark)),
+        H.html_links(H.html_corpus(spark)),
+    ):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in plan and "Repartition" not in plan
