@@ -1,0 +1,361 @@
+"""WARC (Web ARChive) reading: the container crawl corpora arrive in.
+
+The HTML family (``htmlops``) extracts main content from markup; real
+crawl data wraps that markup in WARC — the ISO 28500 / WARC 1.1
+public format every Common-Crawl-style pipeline ingests. This module
+reads it from scratch on the stdlib:
+
+1. **Writer** (fixture generation, ``encode_warc``): valid WARC/1.1 —
+   a ``warcinfo`` record, then per page a ``request`` record (which a
+   reader must SKIP) and a ``response`` record whose block is an
+   HTTP/1.1 response (status line + headers + HTML body), records
+   separated by the mandated CRLF CRLF, ``Content-Length`` exact. The
+   standard ``.warc.gz`` layout — each record its OWN gzip member, so
+   a reader can split work without decompressing the whole file — is
+   written by ``encode_warc_gz``.
+2. **Reader** (production path): ``iter_warc_records`` walks records
+   from raw bytes (multi-member gzip transparently: stdlib zlib with
+   the gzip wbits, resuming at ``unused_data``), parses the WARC
+   header block (version line + colon-separated named fields), reads
+   exactly ``Content-Length`` payload bytes, and never trusts
+   record order; ``warc_html_payloads`` filters to ``response``
+   records with an HTTP 200 + text/html payload, splits the HTTP
+   header from the body, and yields (target_uri, html).
+3. **Operator** (``warc_doc_stats``): one narrow ``mapInPandas`` over
+   (warc_id, payload binary) — container split -> HTTP split ->
+   ``htmlops.extract_html`` -> one stats row PER PAGE with its target
+   URI: the full crawl-ingest hop (container -> markup -> main text)
+   in a single pass, feeding the same digest/dedup columns as
+   ``html_doc_stats``.
+
+Scale posture (100 TB): WARC files are the natural input split (read
+with ``binaryFile`` or a custom DataSource at one file per task —
+crawl archives ship as ~1 GB members); record walking, gunzip and
+extraction are row-local, so nothing shuffles until whatever
+aggregate the caller adds. Malformed records raise per-FILE with the
+offending offset (a crawl pipeline quarantines bad members rather
+than silently skipping).
+
+Design-exact fixture + constant-folding oracle (``warc_corpus`` /
+``warc_stats_oracle``) follow the house pattern: pages are the
+``htmlops`` design documents, so the expected values are shared
+constants, and request/warcinfo/non-HTML records prove the reader's
+filtering. Staged in round 11 for a later registration slot.
+
+Reference scope: prasanthj/culvert has no crawl surface (SURVEY §0);
+this extends the training-data document family mandated by the build
+brief.
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
+
+from culvert_spark.htmlops import _HTML_DOCS, _expected_doc, html_for_doc
+
+_CRLF = b"\r\n"
+
+
+# ---------------------------------------------------------------------------
+# Writer (fixture generation)
+# ---------------------------------------------------------------------------
+
+
+def _warc_record(rec_type: str, fields: dict[str, str],
+                 block: bytes) -> bytes:
+    hdr = [b"WARC/1.1",
+           f"WARC-Type: {rec_type}".encode("latin-1")]
+    hdr += [f"{k}: {v}".encode("latin-1") for k, v in fields.items()]
+    hdr.append(b"Content-Length: %d" % len(block))
+    return (
+        _CRLF.join(hdr) + _CRLF + _CRLF + block + _CRLF + _CRLF
+    )
+
+
+def _http_response(html: str, status: int = 200,
+                   ctype: str = "text/html; charset=utf-8") -> bytes:
+    body = html.encode("utf-8")
+    return (
+        b"HTTP/1.1 %d %s\r\n" % (status, b"OK" if status == 200 else b"ERR")
+        + b"Content-Type: %s\r\n" % ctype.encode("latin-1")
+        + b"Content-Length: %d\r\n\r\n" % len(body)
+        + body
+    )
+
+
+def encode_warc(pages: list[tuple[str, str]],
+                include_noise: bool = True) -> bytes:
+    """A valid WARC/1.1 file: warcinfo, then (request, response) per
+    (uri, html) page. ``include_noise`` adds the record types and
+    payloads a reader must SKIP — a request record per page, plus one
+    non-HTML (image/png) and one HTTP-404 response at the end."""
+    out = bytearray()
+    out += _warc_record(
+        "warcinfo",
+        {"WARC-Record-ID": "<urn:uuid:00000000-0000-0000-0000-000000000000>",
+         "WARC-Date": "2026-01-01T00:00:00Z"},
+        b"software: culvert_spark warcops fixture\r\n",
+    )
+    for i, (uri, html) in enumerate(pages):
+        if include_noise:
+            out += _warc_record(
+                "request",
+                {"WARC-Target-URI": uri,
+                 "WARC-Record-ID": f"<urn:uuid:req-{i}>",
+                 "WARC-Date": "2026-01-01T00:00:00Z"},
+                b"GET / HTTP/1.1\r\nHost: x\r\n\r\n",
+            )
+        out += _warc_record(
+            "response",
+            {"WARC-Target-URI": uri,
+             "WARC-Record-ID": f"<urn:uuid:resp-{i}>",
+             "WARC-Date": "2026-01-01T00:00:00Z"},
+            _http_response(html),
+        )
+    if include_noise:
+        out += _warc_record(
+            "response",
+            {"WARC-Target-URI": "https://noise.example/logo",
+             "WARC-Record-ID": "<urn:uuid:resp-png>",
+             "WARC-Date": "2026-01-01T00:00:00Z"},
+            _http_response("\x89PNGnotreallyhtml", ctype="image/png"),
+        )
+        out += _warc_record(
+            "response",
+            {"WARC-Target-URI": "https://noise.example/gone",
+             "WARC-Record-ID": "<urn:uuid:resp-404>",
+             "WARC-Date": "2026-01-01T00:00:00Z"},
+            _http_response("<p>not found</p>", status=404),
+        )
+    return bytes(out)
+
+
+def encode_warc_gz(pages: list[tuple[str, str]],
+                   include_noise: bool = True) -> bytes:
+    """The standard ``.warc.gz`` member-per-record layout: every record
+    is its own gzip member, concatenated — the property that lets a
+    reader split/seek without inflating the whole archive."""
+    raw = encode_warc(pages, include_noise=include_noise)
+    out = bytearray()
+    for rec in _split_raw_records(raw):
+        out += gzip.compress(rec)
+    return bytes(out)
+
+
+def _split_raw_records(data: bytes) -> list[bytes]:
+    """Record byte-spans of an UNCOMPRESSED WARC (writer-side helper
+    for the member-per-record gz layout)."""
+    spans = []
+    pos = 0
+    for _, _, _, end in _walk_records(data):
+        spans.append(data[pos:end])
+        pos = end
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# Reader (production path)
+# ---------------------------------------------------------------------------
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Inflate a (possibly multi-member) gzip stream; passthrough for
+    uncompressed input."""
+    if not data.startswith(b"\x1f\x8b"):
+        return data
+    out = bytearray()
+    rest = data
+    while rest.startswith(b"\x1f\x8b"):
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out += d.decompress(rest)
+        out += d.flush()
+        rest = d.unused_data
+    if rest.strip(b"\x00"):
+        raise ValueError(
+            f"trailing non-gzip bytes after member at offset "
+            f"{len(data) - len(rest)}"
+        )
+    return bytes(out)
+
+
+def _walk_records(data: bytes):
+    """Yield (headers dict, block start, block length, record end) for
+    each WARC record; raises with the offset on malformed input."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + 5] != b"WARC/":
+            raise ValueError(f"expected WARC version line at byte {pos}")
+        hdr_end = data.index(_CRLF + _CRLF, pos)
+        lines = data[pos:hdr_end].split(_CRLF)
+        fields: dict[str, str] = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(b":")
+            fields[k.strip().decode("latin-1").lower()] = (
+                v.strip().decode("latin-1")
+            )
+        try:
+            length = int(fields["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(f"record at byte {pos} lacks Content-Length")
+        block_start = hdr_end + 4
+        rec_end = block_start + length + 4  # block + CRLF CRLF
+        if data[rec_end - 4 : rec_end] != _CRLF + _CRLF:
+            raise ValueError(
+                f"record at byte {pos} not terminated by CRLFCRLF"
+            )
+        yield fields, block_start, length, rec_end
+        pos = rec_end
+
+
+def iter_warc_records(data: bytes):
+    """(fields, block bytes) per record, gunzipping ``.warc.gz``
+    member streams transparently."""
+    raw = _gunzip_members(data)
+    for fields, start, length, _ in _walk_records(raw):
+        yield fields, raw[start : start + length]
+
+
+def warc_html_payloads(data: bytes) -> list[tuple[str, str]]:
+    """(target_uri, html) for every HTTP-200 text/html RESPONSE record
+    — request/warcinfo/metadata records, non-HTML content types and
+    non-200 statuses are skipped (the crawl-ingest contract)."""
+    out = []
+    for fields, block in iter_warc_records(data):
+        if fields.get("warc-type") != "response":
+            continue
+        split = block.find(b"\r\n\r\n")
+        if split < 0:
+            continue  # not an HTTP block
+        http_hdr = block[:split].decode("latin-1", "replace")
+        status_line, *hdr_lines = http_hdr.split("\r\n")
+        parts = status_line.split()
+        if len(parts) < 2 or parts[1] != "200":
+            continue
+        ctype = ""
+        for line in hdr_lines:
+            k, _, v = line.partition(":")
+            if k.strip().lower() == "content-type":
+                ctype = v.strip().lower()
+        if not ctype.startswith("text/html"):
+            continue
+        out.append(
+            (fields.get("warc-target-uri", ""),
+             block[split + 4 :].decode("utf-8", "replace"))
+        )
+    return out
+
+
+WARC_STATS_SCHEMA = (
+    "warc_id bigint, page_no int, target_uri string, title string, "
+    "n_headings int, n_links int, n_tokens int, n_chars int, "
+    "text_digest string"
+)
+
+
+def warc_doc_stats(archives: DataFrame) -> DataFrame:
+    """The crawl-ingest hop in ONE narrow pass: (warc_id, payload
+    binary) -> record walk (+ member gunzip) -> HTTP split -> HTML
+    main-content extraction -> one row per page with its target URI
+    and the html_doc_stats columns (incl. the md5 dedup digest).
+    page_no is the in-archive response order, making the row set
+    deterministic. No shuffle — WARC members are the input split."""
+    from culvert_spark.htmlops import extract_html
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for wid, payload in zip(pdf["warc_id"], pdf["payload"]):
+                for i, (uri, html) in enumerate(
+                    warc_html_payloads(bytes(payload)), start=1
+                ):
+                    e = extract_html(html)
+                    rows.append({
+                        "warc_id": int(wid), "page_no": i,
+                        "target_uri": uri,
+                        "title": e["title"],
+                        "n_headings": e["n_headings"],
+                        "n_links": len(e["links"]),
+                        "n_tokens": e["n_tokens"],
+                        "n_chars": e["n_chars"],
+                        "text_digest": e["text_digest"],
+                    })
+            yield pd.DataFrame(
+                rows,
+                columns=["warc_id", "page_no", "target_uri", "title",
+                         "n_headings", "n_links", "n_tokens", "n_chars",
+                         "text_digest"],
+            )
+
+    return archives.mapInPandas(extract, WARC_STATS_SCHEMA).orderBy(
+        "warc_id", "page_no"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Design-exact fixture (registration candidate)
+# ---------------------------------------------------------------------------
+
+#: Fixture DESIGN: archive 0 is UNCOMPRESSED WARC holding the first 3
+#: html design docs; archive 1 is member-per-record .warc.gz holding
+#: the other 3 — both with the full noise complement (request records,
+#: a non-HTML response, a 404), so the registered row proves record
+#: filtering AND both compression layouts through one oracle.
+_WARC_SPLIT = 3
+
+
+def _warc_pages(specs) -> list[tuple[str, str]]:
+    return [
+        (f"https://fixture.example/doc{s[0]}", html_for_doc(*s))
+        for s in specs
+    ]
+
+
+def warc_corpus(spark: SparkSession) -> DataFrame:
+    """(warc_id, payload) fixture frame (see the design note)."""
+    a0 = encode_warc(_warc_pages(_HTML_DOCS[:_WARC_SPLIT]))
+    a1 = encode_warc_gz(_warc_pages(_HTML_DOCS[_WARC_SPLIT:]))
+    return spark.createDataFrame(
+        [(0, bytearray(a0)), (1, bytearray(a1))],
+        "warc_id bigint, payload binary",
+    )
+
+
+def warc_stats_oracle() -> str:
+    """Constant-folding DuckDB oracle for ``warc_doc_stats`` over the
+    fixture corpus: per-page expectations re-derived from the SHARED
+    html design constants; the noise records contribute NO rows."""
+    rows = []
+    for wid, specs in ((0, _HTML_DOCS[:_WARC_SPLIT]),
+                       (1, _HTML_DOCS[_WARC_SPLIT:])):
+        for i, s in enumerate(specs, start=1):
+            e = _expected_doc(s)
+            rows.append(
+                (wid, i, f"https://fixture.example/doc{s[0]}", e["title"],
+                 e["n_headings"], e["n_links"], e["n_tokens"],
+                 e["n_chars"], e["text_digest"])
+            )
+    vals = ",\n      ".join(
+        "({}, {}, '{}', '{}', {}, {}, {}, {}, '{}')".format(*r)
+        for r in rows
+    )
+    return f"""
+    SELECT CAST(warc_id AS BIGINT) AS warc_id,
+           CAST(page_no AS INT) AS page_no, target_uri, title,
+           CAST(n_headings AS INT) AS n_headings,
+           CAST(n_links AS INT) AS n_links,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(n_chars AS INT) AS n_chars,
+           text_digest
+    FROM (VALUES
+      {vals})
+      AS t(warc_id, page_no, target_uri, title, n_headings, n_links,
+           n_tokens, n_chars, text_digest)
+    ORDER BY warc_id, page_no
+    """

@@ -1,0 +1,103 @@
+"""WARC container tests (culvert_spark.warcops) — staged round 11 for
+a later registration (w_warc_doc_stats)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from culvert_spark import warcops as W
+from culvert_spark.htmlops import _HTML_DOCS, _expected_doc
+
+
+def _pages(k=3):
+    return W._warc_pages(_HTML_DOCS[:k])
+
+
+def test_roundtrip_raw_and_member_gz():
+    pages = _pages()
+    for data in (W.encode_warc(pages), W.encode_warc_gz(pages)):
+        got = W.warc_html_payloads(data)
+        assert got == pages
+
+
+def test_noise_records_filtered():
+    """warcinfo, request records, a non-HTML response and a 404 must
+    contribute NO payload rows."""
+    data = W.encode_warc(_pages())
+    assert len(list(W.iter_warc_records(data))) == 9  # 1+3x2+2
+    assert len(W.warc_html_payloads(data)) == 3
+    bare = W.encode_warc(_pages(), include_noise=False)
+    assert len(list(W.iter_warc_records(bare))) == 4  # warcinfo + 3
+
+
+def test_member_per_record_gz_layout():
+    """Every record is its own gzip member (the seekable .warc.gz
+    contract) — member count equals record count."""
+    data = W.encode_warc_gz(_pages())
+    members = 0
+    rest = data
+    import zlib
+
+    while rest.startswith(b"\x1f\x8b"):
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        d.decompress(rest)
+        d.flush()
+        rest = d.unused_data
+        members += 1
+    assert members == len(list(W.iter_warc_records(data)))
+
+
+def test_whole_file_gzip_also_reads():
+    """A single-member gzip of the whole archive (the other layout in
+    the wild) reads identically."""
+    pages = _pages()
+    data = gzip.compress(W.encode_warc(pages))
+    assert W.warc_html_payloads(data) == pages
+
+
+def test_malformed_records_raise_with_offset():
+    data = W.encode_warc(_pages(1))
+    with pytest.raises(ValueError, match="byte 0"):
+        list(W.iter_warc_records(b"JUNK" + data))
+    # broken terminator
+    bad = data.replace(b"\r\n\r\nWARC/1.1\r\nWARC-Type: request",
+                       b"\r\nXX\r\nWARC/1.1\r\nWARC-Type: request", 1)
+    with pytest.raises(ValueError):
+        list(W.iter_warc_records(bad))
+    # trailing garbage after the last gzip member
+    with pytest.raises(ValueError, match="trailing"):
+        W._gunzip_members(W.encode_warc_gz(_pages(1)) + b"garbage")
+
+
+def test_staged_warc_oracle_matches(spark):
+    import duckdb
+
+    spdf = W.warc_doc_stats(W.warc_corpus(spark)).toPandas()
+    ddf = duckdb.connect().execute(W.warc_stats_oracle()).fetchdf()
+    assert list(spdf.columns) == list(ddf.columns)
+    a = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+    b = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    assert len(a) == len(_HTML_DOCS)  # every design page, nothing else
+
+
+def test_stats_match_html_design_constants(spark):
+    rows = {
+        (r.warc_id, r.page_no): r
+        for r in W.warc_doc_stats(W.warc_corpus(spark)).collect()
+    }
+    for wid, specs in ((0, _HTML_DOCS[:3]), (1, _HTML_DOCS[3:])):
+        for i, s in enumerate(specs, start=1):
+            e = _expected_doc(s)
+            r = rows[(wid, i)]
+            assert (r.title, r.n_links, r.n_tokens, r.text_digest) == (
+                e["title"], e["n_links"], e["n_tokens"], e["text_digest"]
+            )
+
+
+def test_extraction_plan_is_narrow(spark):
+    df = W.warc_doc_stats(W.warc_corpus(spark))
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan and "Repartition" not in plan
