@@ -55,7 +55,6 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
 
 from culvert_spark.htmlops import _HTML_DOCS, _expected_doc, html_for_doc
 
@@ -79,11 +78,32 @@ def _warc_record(rec_type: str, fields: dict[str, str],
 
 
 def _http_response(html: str, status: int = 200,
-                   ctype: str = "text/html; charset=utf-8") -> bytes:
+                   ctype: str = "text/html; charset=utf-8",
+                   body_encoding: str = "identity") -> bytes:
+    """An HTTP/1.1 response block. ``body_encoding`` exercises the
+    decoder paths real crawls hit: ``chunked`` (Transfer-Encoding
+    framing, body split into two chunks) and ``gzip``
+    (Content-Encoding) — both value-INVARIANT for extraction, like
+    compression in the PDF fixtures."""
     body = html.encode("utf-8")
+    extra = b""
+    if body_encoding == "chunked":
+        mid = max(1, len(body) // 2)
+        body = (
+            b"%x\r\n" % mid + body[:mid] + b"\r\n"
+            + b"%x\r\n" % (len(body) - mid) + body[mid:] + b"\r\n"
+            + b"0\r\n\r\n"
+        )
+        extra = b"Transfer-Encoding: chunked\r\n"
+    elif body_encoding == "gzip":
+        body = gzip.compress(body)
+        extra = b"Content-Encoding: gzip\r\n"
+    elif body_encoding != "identity":
+        raise ValueError(f"unknown body_encoding {body_encoding!r}")
     return (
         b"HTTP/1.1 %d %s\r\n" % (status, b"OK" if status == 200 else b"ERR")
         + b"Content-Type: %s\r\n" % ctype.encode("latin-1")
+        + extra
         + b"Content-Length: %d\r\n\r\n" % len(body)
         + body
     )
@@ -102,7 +122,9 @@ def encode_warc(pages: list[tuple[str, str]],
          "WARC-Date": "2026-01-01T00:00:00Z"},
         b"software: culvert_spark warcops fixture\r\n",
     )
-    for i, (uri, html) in enumerate(pages):
+    for i, page in enumerate(pages):
+        uri, html = page[0], page[1]
+        body_encoding = page[2] if len(page) > 2 else "identity"
         if include_noise:
             out += _warc_record(
                 "request",
@@ -116,7 +138,7 @@ def encode_warc(pages: list[tuple[str, str]],
             {"WARC-Target-URI": uri,
              "WARC-Record-ID": f"<urn:uuid:resp-{i}>",
              "WARC-Date": "2026-01-01T00:00:00Z"},
-            _http_response(html),
+            _http_response(html, body_encoding=body_encoding),
         )
     if include_noise:
         out += _warc_record(
@@ -164,35 +186,48 @@ def _split_raw_records(data: bytes) -> list[bytes]:
 # ---------------------------------------------------------------------------
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Inflate a (possibly multi-member) gzip stream; passthrough for
-    uncompressed input."""
+def _iter_gunzip_members(data: bytes) -> Iterator[bytes]:
+    """Inflate a multi-member gzip stream ONE MEMBER AT A TIME (the
+    point of the member-per-record layout: peak memory is one inflated
+    member, not the whole archive — self-review); passthrough for
+    uncompressed input. Corrupt members re-raise as ValueError with
+    the member's byte offset so a crawl pipeline can quarantine by the
+    module's single documented exception type."""
     if not data.startswith(b"\x1f\x8b"):
-        return data
-    out = bytearray()
+        yield data
+        return
     rest = data
     while rest.startswith(b"\x1f\x8b"):
+        at = len(data) - len(rest)
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out += d.decompress(rest)
-        out += d.flush()
+        try:
+            member = d.decompress(rest) + d.flush()
+        except zlib.error as exc:
+            raise ValueError(
+                f"corrupt gzip member at offset {at}: {exc}"
+            ) from exc
+        yield member
         rest = d.unused_data
     if rest.strip(b"\x00"):
         raise ValueError(
             f"trailing non-gzip bytes after member at offset "
             f"{len(data) - len(rest)}"
         )
-    return bytes(out)
 
 
 def _walk_records(data: bytes):
     """Yield (headers dict, block start, block length, record end) for
-    each WARC record; raises with the offset on malformed input."""
+    each WARC record; raises ValueError with the offset on malformed
+    input (incl. truncation mid-header — self-review: str.index used
+    to surface an offset-less 'subsection not found')."""
     pos = 0
     n = len(data)
     while pos < n:
         if data[pos : pos + 5] != b"WARC/":
             raise ValueError(f"expected WARC version line at byte {pos}")
-        hdr_end = data.index(_CRLF + _CRLF, pos)
+        hdr_end = data.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0:
+            raise ValueError(f"truncated WARC header at byte {pos}")
         lines = data[pos:hdr_end].split(_CRLF)
         fields: dict[str, str] = {}
         for line in lines[1:]:
@@ -206,9 +241,10 @@ def _walk_records(data: bytes):
             raise ValueError(f"record at byte {pos} lacks Content-Length")
         block_start = hdr_end + 4
         rec_end = block_start + length + 4  # block + CRLF CRLF
-        if data[rec_end - 4 : rec_end] != _CRLF + _CRLF:
+        if rec_end > n or data[rec_end - 4 : rec_end] != _CRLF + _CRLF:
             raise ValueError(
-                f"record at byte {pos} not terminated by CRLFCRLF"
+                f"record at byte {pos} truncated or not terminated "
+                "by CRLFCRLF"
             )
         yield fields, block_start, length, rec_end
         pos = rec_end
@@ -216,17 +252,82 @@ def _walk_records(data: bytes):
 
 def iter_warc_records(data: bytes):
     """(fields, block bytes) per record, gunzipping ``.warc.gz``
-    member streams transparently."""
-    raw = _gunzip_members(data)
-    for fields, start, length, _ in _walk_records(raw):
-        yield fields, raw[start : start + length]
+    member streams transparently — member at a time, so peak memory is
+    one inflated member plus the (already in-memory) compressed
+    payload; an UNCOMPRESSED archive is walked in place. A member may
+    legally hold several records (writers vary); each is walked."""
+    for member in _iter_gunzip_members(data):
+        for fields, start, length, _ in _walk_records(member):
+            yield fields, member[start : start + length]
 
 
-def warc_html_payloads(data: bytes) -> list[tuple[str, str]]:
+def _dechunk(body: bytes) -> bytes | None:
+    """Decode HTTP/1.1 chunked transfer framing; None if malformed."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            return None
+        try:
+            size = int(body[pos:eol].split(b";")[0], 16)  # ext ignored
+        except ValueError:
+            return None
+        if size == 0:
+            return bytes(out)
+        start = eol + 2
+        out += body[start : start + size]
+        pos = start + size + 2  # chunk + CRLF
+        if pos > len(body):
+            return None
+
+
+def _decode_http_body(hdr_lines: list[str], body: bytes) -> bytes | None:
+    """Undo the HTTP layerings real crawls store verbatim —
+    Transfer-Encoding: chunked, then Content-Encoding gzip/deflate
+    (self-review: passing them through produced chunk-framing noise
+    or mojibake with a bogus dedup digest, silently). Returns None —
+    record SKIPPED, like non-HTML content — for encodings this reader
+    does not implement (br, zstd, ...)."""
+    te = ce = ""
+    for line in hdr_lines:
+        k, _, v = line.partition(":")
+        k = k.strip().lower()
+        if k == "transfer-encoding":
+            te = v.strip().lower()
+        elif k == "content-encoding":
+            ce = v.strip().lower()
+    if te:
+        if te != "chunked":
+            return None
+        body = _dechunk(body)
+        if body is None:
+            return None
+    if ce in ("gzip", "x-gzip"):
+        try:
+            body = gzip.decompress(body)
+        except (OSError, zlib.error):
+            return None
+    elif ce == "deflate":
+        try:  # zlib-wrapped first, raw-deflate fallback (both occur)
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, wbits=-zlib.MAX_WBITS)
+            except zlib.error:
+                return None
+    elif ce not in ("", "identity"):
+        return None
+    return body
+
+
+def warc_html_payloads(data: bytes) -> Iterator[tuple[str, str]]:
     """(target_uri, html) for every HTTP-200 text/html RESPONSE record
-    — request/warcinfo/metadata records, non-HTML content types and
-    non-200 statuses are skipped (the crawl-ingest contract)."""
-    out = []
+    — request/warcinfo/metadata records, non-HTML content types,
+    non-200 statuses and undecodable body encodings are skipped (the
+    crawl-ingest contract). A GENERATOR: pages stream out as records
+    are walked (self-review: the list form held every page of an
+    archive at once)."""
     for fields, block in iter_warc_records(data):
         if fields.get("warc-type") != "response":
             continue
@@ -245,11 +346,11 @@ def warc_html_payloads(data: bytes) -> list[tuple[str, str]]:
                 ctype = v.strip().lower()
         if not ctype.startswith("text/html"):
             continue
-        out.append(
-            (fields.get("warc-target-uri", ""),
-             block[split + 4 :].decode("utf-8", "replace"))
-        )
-    return out
+        body = _decode_http_body(hdr_lines, block[split + 4 :])
+        if body is None:
+            continue
+        yield (fields.get("warc-target-uri", ""),
+               body.decode("utf-8", "replace"))
 
 
 WARC_STATS_SCHEMA = (
@@ -272,8 +373,12 @@ def warc_doc_stats(archives: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for wid, payload in zip(pdf["warc_id"], pdf["payload"]):
+                # null payload (failed fetch upstream) = empty archive,
+                # not a bytes(None) TypeError (self-review; the htmlops
+                # null rule applied to the container layer).
+                blob = bytes(payload) if payload is not None else b""
                 for i, (uri, html) in enumerate(
-                    warc_html_payloads(bytes(payload)), start=1
+                    warc_html_payloads(blob), start=1
                 ):
                     e = extract_html(html)
                     rows.append({
@@ -317,10 +422,23 @@ def _warc_pages(specs) -> list[tuple[str, str]]:
     ]
 
 
+#: Archive 1's pages cycle the HTTP body encodings real crawls store
+#: verbatim — chunked transfer framing, Content-Encoding gzip, plain —
+#: all value-INVARIANT for extraction, so the one oracle also proves
+#: the HTTP decode layer (self-review: it used to go untested through
+#: the registered surface).
+_WARC_BODY_ENCODINGS = ["chunked", "gzip", "identity"]
+
+
 def warc_corpus(spark: SparkSession) -> DataFrame:
     """(warc_id, payload) fixture frame (see the design note)."""
     a0 = encode_warc(_warc_pages(_HTML_DOCS[:_WARC_SPLIT]))
-    a1 = encode_warc_gz(_warc_pages(_HTML_DOCS[_WARC_SPLIT:]))
+    a1 = encode_warc_gz(
+        [
+            (u, h, _WARC_BODY_ENCODINGS[i % len(_WARC_BODY_ENCODINGS)])
+            for i, (u, h) in enumerate(_warc_pages(_HTML_DOCS[_WARC_SPLIT:]))
+        ]
+    )
     return spark.createDataFrame(
         [(0, bytearray(a0)), (1, bytearray(a1))],
         "warc_id bigint, payload binary",
@@ -341,8 +459,13 @@ def warc_stats_oracle() -> str:
                  e["n_headings"], e["n_links"], e["n_tokens"],
                  e["n_chars"], e["text_digest"])
             )
+    def q(s: str) -> str:  # SQL single-quote escaping (house rule)
+        return s.replace("'", "''")
+
     vals = ",\n      ".join(
-        "({}, {}, '{}', '{}', {}, {}, {}, {}, '{}')".format(*r)
+        "({}, {}, '{}', '{}', {}, {}, {}, {}, '{}')".format(
+            r[0], r[1], q(r[2]), q(r[3]), r[4], r[5], r[6], r[7], r[8]
+        )
         for r in rows
     )
     return f"""

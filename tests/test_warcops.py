@@ -18,7 +18,7 @@ def _pages(k=3):
 def test_roundtrip_raw_and_member_gz():
     pages = _pages()
     for data in (W.encode_warc(pages), W.encode_warc_gz(pages)):
-        got = W.warc_html_payloads(data)
+        got = list(W.warc_html_payloads(data))
         assert got == pages
 
 
@@ -27,7 +27,7 @@ def test_noise_records_filtered():
     contribute NO payload rows."""
     data = W.encode_warc(_pages())
     assert len(list(W.iter_warc_records(data))) == 9  # 1+3x2+2
-    assert len(W.warc_html_payloads(data)) == 3
+    assert len(list(W.warc_html_payloads(data))) == 3
     bare = W.encode_warc(_pages(), include_noise=False)
     assert len(list(W.iter_warc_records(bare))) == 4  # warcinfo + 3
 
@@ -54,7 +54,7 @@ def test_whole_file_gzip_also_reads():
     the wild) reads identically."""
     pages = _pages()
     data = gzip.compress(W.encode_warc(pages))
-    assert W.warc_html_payloads(data) == pages
+    assert list(W.warc_html_payloads(data)) == pages
 
 
 def test_malformed_records_raise_with_offset():
@@ -68,7 +68,7 @@ def test_malformed_records_raise_with_offset():
         list(W.iter_warc_records(bad))
     # trailing garbage after the last gzip member
     with pytest.raises(ValueError, match="trailing"):
-        W._gunzip_members(W.encode_warc_gz(_pages(1)) + b"garbage")
+        list(W._iter_gunzip_members(W.encode_warc_gz(_pages(1)) + b"junk"))
 
 
 def test_staged_warc_oracle_matches(spark):
@@ -101,3 +101,50 @@ def test_extraction_plan_is_narrow(spark):
     df = W.warc_doc_stats(W.warc_corpus(spark))
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan and "Repartition" not in plan
+
+
+def test_http_body_encodings_decode_identically():
+    """Chunked transfer framing and Content-Encoding gzip bodies must
+    extract the SAME html as identity (self-review: they used to pass
+    through as framing noise / mojibake with bogus digests); an
+    unsupported encoding skips the record rather than corrupting it."""
+    uri, html = _pages(1)[0]
+    plain = list(W.warc_html_payloads(
+        W.encode_warc([(uri, html, "identity")], include_noise=False)))
+    for enc in ("chunked", "gzip"):
+        got = list(W.warc_html_payloads(
+            W.encode_warc([(uri, html, enc)], include_noise=False)))
+        assert got == plain, enc
+    # unsupported Content-Encoding -> record skipped, not garbage
+    raw = W._http_response(html)
+    raw = raw.replace(b"Content-Type:", b"Content-Encoding: br\r\nContent-Type:")
+    rec = W._warc_record("response", {"WARC-Target-URI": uri}, raw)
+    assert list(W.warc_html_payloads(rec)) == []
+
+
+def test_truncated_header_and_corrupt_member_raise_with_offset():
+    data = W.encode_warc(_pages(1), include_noise=False)
+    with pytest.raises(ValueError, match="truncated WARC header at byte"):
+        list(W.iter_warc_records(data[:20]))
+    gz = W.encode_warc_gz(_pages(1), include_noise=False)
+    corrupt = gz[:60] + bytes([gz[60] ^ 0xFF]) + gz[61:]
+    with pytest.raises(ValueError, match="offset"):
+        list(W.iter_warc_records(corrupt))
+
+
+def test_gunzip_is_member_at_a_time():
+    """The member iterator yields one inflated member per gzip member
+    — the memory property the .warc.gz layout exists for."""
+    gz = W.encode_warc_gz(_pages(2), include_noise=False)
+    members = list(W._iter_gunzip_members(gz))
+    assert len(members) == len(list(W.iter_warc_records(gz)))
+    assert all(m.startswith(b"WARC/1.1") for m in members)
+
+
+def test_null_payload_is_empty_archive(spark):
+    df = spark.createDataFrame(
+        [(0, bytearray(W.encode_warc(_pages(1)))), (1, None)],
+        "warc_id bigint, payload binary",
+    )
+    got = W.warc_doc_stats(df).collect()
+    assert {r.warc_id for r in got} == {0}
