@@ -89,6 +89,7 @@ class MainContentParser(HTMLParser):
         self._chrome = 0        # depth inside chrome containers
         self._in_title = 0
         self._title_done = False  # only the FIRST title counts
+        self._late_title = 0    # depth inside NON-first <title> elements
         self._title_parts: list[str] = []
         self._href: str | None = None
         self._anchor_parts: list[str] = []
@@ -121,13 +122,20 @@ class MainContentParser(HTMLParser):
         if tag in _CHROME:
             self._chrome += 1
             return
-        if self._suppress or self._chrome:
+        if self._suppress or self._chrome or self._late_title:
             return
         if tag == "title":
-            # FIRST document title only: SVG <title> tooltips and any
-            # later titles must not pollute it (self-review).
+            # FIRST document title only. Later <title> elements (SVG
+            # tooltips, duplicate/late titles) are SUPPRESSED content —
+            # not body text — or two pages identical except for an SVG
+            # icon tooltip would digest differently (round-11 review).
+            # Dedicated counter: reusing _suppress would let an
+            # unbalanced </title> inside <template>/<noscript> leak the
+            # enclosing suppressed region.
             if not self._title_done:
                 self._in_title += 1
+            else:
+                self._late_title += 1
             return
         if tag in _HEADINGS:
             self.n_headings += 1
@@ -147,6 +155,8 @@ class MainContentParser(HTMLParser):
             if self._in_title:
                 self._in_title -= 1
                 self._finish_title()
+            elif self._late_title:
+                self._late_title -= 1
         elif tag == "a":
             self._flush_link()
 
@@ -156,7 +166,7 @@ class MainContentParser(HTMLParser):
         if self._in_title:
             self._title_parts.append(data)
             return
-        if self._suppress or self._chrome:
+        if self._suppress or self._chrome or self._late_title:
             return
         self.chunks.append(data)
         if self._href is not None:

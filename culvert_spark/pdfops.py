@@ -104,8 +104,15 @@ def _esc_pdf_string(s: str) -> str:
 def _num(v: float) -> str:
     """PDF number token: integer form when exact (the spec has one
     numeric type; this just keeps the files tidy and the tests
-    readable)."""
-    return str(int(v)) if float(v) == int(v) else repr(float(v))
+    readable). Non-integral values use FIXED-POINT formatting —
+    ``repr()`` would emit exponent notation for tiny/huge magnitudes
+    (``repr(1e-05) == '1e-05'``), which is not a valid PDF number
+    token (ISO 32000-1 §7.3.3 has no exponent form) — round-11
+    review."""
+    if float(v) == int(v):
+        return str(int(v))
+    out = f"{float(v):.6f}".rstrip("0").rstrip(".")
+    return out if out not in ("", "-") else "0"
 
 
 def _content_ops(

@@ -100,11 +100,18 @@ def _http_response(html: str, status: int = 200,
         extra = b"Content-Encoding: gzip\r\n"
     elif body_encoding != "identity":
         raise ValueError(f"unknown body_encoding {body_encoding!r}")
+    # RFC 7230 §3.3.2: a sender MUST NOT send Content-Length together
+    # with Transfer-Encoding — chunked framing is self-delimiting
+    # (round-11 review; the WARC reader frames by the WARC-level
+    # Content-Length either way, but the fixture claims validity).
+    clen = (b"" if body_encoding == "chunked"
+            else b"Content-Length: %d\r\n" % len(body))
     return (
         b"HTTP/1.1 %d %s\r\n" % (status, b"OK" if status == 200 else b"ERR")
         + b"Content-Type: %s\r\n" % ctype.encode("latin-1")
         + extra
-        + b"Content-Length: %d\r\n\r\n" % len(body)
+        + clen
+        + b"\r\n"
         + body
     )
 

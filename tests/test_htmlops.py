@@ -115,9 +115,20 @@ def test_first_title_wins_and_svg_title_ignored():
     )
     assert e["title"] == "Doc"
     assert "icon" not in e["title"] and "late" not in e["title"]
+    # late/SVG title CONTENT is suppressed, not body text: two pages
+    # identical except for an SVG icon tooltip must digest EQUAL
+    # (round-11 review)
+    assert "tooltip" not in e["text"] and "late" not in e["text"]
+    assert e["text"] == "x"
     # a title inside chrome never becomes the document title
     e2 = H.extract_html("<nav><title>menu</title></nav><title>real</title>")
     assert e2["title"] == "real"
+    # ...and chrome still owns its close: the </title> inside <nav> must
+    # not decrement the late-title counter (separate counters)
+    e3 = H.extract_html(
+        "<title>T</title><nav><title>menu</title></nav><p>body</p>"
+    )
+    assert e3["title"] == "T" and e3["text"] == "body"
 
 
 def test_null_html_is_empty_document(spark):

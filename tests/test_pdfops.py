@@ -142,6 +142,21 @@ def test_name_hash_escapes():
     assert n == "A B/C"
 
 
+def test_num_token_never_exponent_notation():
+    """ISO 32000-1 §7.3.3 numbers have no exponent form: the writer's
+    fixed-point formatter must not leak repr()'s '1e-05' for tiny or
+    huge magnitudes (round-11 review), and the round trip through the
+    parser must hold for representable values."""
+    assert P._num(1e-05) == "0.00001"
+    assert P._num(-1e-05) == "-0.00001"
+    assert P._num(1e-07) == "0"        # below 6-dp resolution: clamps
+    assert P._num(12345678.5) == "12345678.5"
+    assert P._num(10.5) == "10.5" and P._num(72) == "72"
+    for v in (1e-05, 123456.25, -0.125):
+        tok = P._num(v)
+        assert "e" not in tok.lower() and tok != "" and tok != "-"
+
+
 def test_xref_fallback_on_damaged_startxref():
     data = P.encode_pdf(
         [{"mediabox": None, "elements": [(72, 720, 10, "x y z")]}]

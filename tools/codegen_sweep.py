@@ -61,12 +61,20 @@ def _watchdog(argv: list[str]) -> int:
 
     done: dict[str, bool] = {}  # name -> passed
 
+    # Anchored to the sweep's OWN per-query line shape (2-space indent,
+    # one token, the two literal verdict forms). The child's stderr is
+    # merged into the pipe, so a free-text scan would credit any
+    # Spark/log4j line containing ": FAILED " into ``done`` under a
+    # bogus name and flip the merged verdict (round-11 review); the
+    # final verdict additionally drops names outside the known registry.
+    import re
+
+    line_re = re.compile(r"^  (\S+): (compiled\+ran|FAILED )")
+
     def note(line: str) -> None:
-        m = line.strip()
-        if m.endswith(": compiled+ran"):
-            done[m.split(":")[0].strip()] = True
-        elif ": FAILED " in m:
-            done[m.split(":")[0].strip()] = False
+        m = line_re.match(line)
+        if m:
+            done[m.group(1)] = m.group(2) == "compiled+ran"
 
     for attempt in range(max_restarts + 1):
         remaining = [n for n in names if n not in done] if names else []
@@ -123,6 +131,8 @@ def _watchdog(argv: list[str]) -> int:
             import __spark_entry__ as entry_mod
 
             names = list(entry_mod.queries())
+    if names:  # drop any line-noise residue the regex let through
+        done = {n: ok for n, ok in done.items() if n in set(names)}
     fails = sorted(n for n, ok in done.items() if not ok)
     missing = sorted(n for n in names if n not in done)
     verdict = "ALL COMPILED" if not (fails or missing) else "FAILURES"
