@@ -124,6 +124,20 @@ try:  # audio fingerprint dedup (staged round 9, registered round 10)
 except ImportError:  # pragma: no cover
     pass
 
+try:  # PDF parse/features/layout/text dedup (staged r11, registered r12)
+    from culvert_spark import pdfops as _pdf
+
+    _REGISTRIES.append(_pdf)
+except ImportError:  # pragma: no cover
+    pass
+
+try:  # HTML main-content extraction + links (staged r11, registered r12)
+    from culvert_spark import htmlops as _h
+
+    _REGISTRIES.append(_h)
+except ImportError:  # pragma: no cover
+    pass
+
 
 #: Driver CORRECTNESS verification covers the first N registered queries in
 #: registration order (50-query window per round).  Rounds 1–5 recorded a
@@ -131,6 +145,74 @@ except ImportError:  # pragma: no cover
 #: rows (204 hash-green, 8 rows-only by design, 0 failures) — CORRECTNESS_r05
 #: landed exactly on the documented ROUND-5 ROTATION (49 hash-green + 1
 #: rows-only v_gram_matrix).
+#:
+#: Round 12 executes the ROUND-12 ROTATION pre-computed at the end of
+#: round 11 (kept below for provenance). The 7 spare slots are exactly
+#: consumed by the round's change set — the seven staged rows the
+#: round-11 verdict queued for registration, in the recorded priority
+#: order:
+#:   st_audio_dedup_replay (NEW: the round-10-staged streaming audio
+#:     near-dup pairing registered, audiosim.py — design fixture
+#:     replayed through a real file-split stream via the shared
+#:     streaming.hamming_pair_stream core, batch-boundary-invariant
+#:     distinct-pair projection vs the constant-folding
+#:     audio_pair_oracle(); pytest pins identity at n_files 4 and 1),
+#:   m_pdf_doc_features + m_pdf_layout_dedup + m_pdf_text_dedup (NEW:
+#:     the round-11-staged PDF family registered, pdfops.py — the
+#:     feature fixture (4 content styles, Flate, indirect /Length,
+#:     inherited/overridden MediaBox, escape-torture title, /Rotate)
+#:     vs pdf_features_oracle(); rotation/compression-normalized
+#:     LAYOUT near-dup grouping vs pdf_layout_oracle(); and the
+#:     inverse TEXT-dedup claim — same reading-order text across
+#:     containers/layouts digests equal — vs pdf_text_oracle()),
+#:   t_source_cap_sample (NEW: the deterministic md5-ranked per-source
+#:     "domain cap" registered, trainprep.py — the one r12 row reading
+#:     the REAL documents corpus; QUALIFY twin proven at BOTH shipped
+#:     SFs and partitioning-invariant),
+#:   h_html_doc_stats + h_html_links (NEW: the round-11-staged HTML
+#:     main-content extraction family registered, htmlops.py — title/
+#:     headings/links/token/char/digest stats and the main-content-only
+#:     link table vs the two design-table oracles; the parser
+#:     additionally gained the round-11-ADVICE late-title suppression
+#:     — non-first <title> content (SVG tooltips) is now suppressed,
+#:     not body text — before the family's first driver rows, so the
+#:     fresh rows pin the corrected behavior).
+#: The remaining 43 slots execute the pre-computed round-7-vintage
+#: freshness list verbatim (the ROUND-12 ROTATION note below). After
+#: CORRECTNESS_r12: no query's newest row predates round 8, and the
+#: registered count is 245 (238 + the 7 above); rows-only remains
+#: exactly the 5 m_* binary-decoder rows (the by-nature floor — all
+#: seven new rows are FULL value-hash). Distribution over 245:
+#: 48×r8, 47×r9, 50×r10, 50×r11, 50×r12.
+#:
+#: ROUND-13 ROTATION (computed at end of round 12 from the cumulative
+#: record, assuming CORRECTNESS_r12 lands on the window above): the
+#: oldest block is the 48 round-8-vintage rows — q_basket_part_pairs,
+#: q_cohort_retention, q_data_quality_audit, q_dau_wau_mau,
+#: q_equidepth_approx, q_equidepth_histogram, q_event_transitions,
+#: q_ewma_user_daily, q_full_outer_join, q_funnel_steps,
+#: q_fuzzy_name_match, q_incremental_agg_refresh,
+#: q_interval_bucket_join, q_lateral_topk_per_nation, q_merge_upsert,
+#: q_nullsafe_join, q_ohlc_downsample, q_pattern_match_sequences,
+#: q_runtime_filter_prefilter_join, q_scd2_intervals,
+#: q_sessionize_auto, q_sessionize_events, q_skew_report,
+#: q_sliding_distinct_users, q_snapshot_diff, q_spatial_grid_nn,
+#: q_sql_text_interface, q_string_agg_names, q_timeseries_gapfill,
+#: q_variant_props, s_embedding_quantize_int8, st_state_metadata,
+#: st_statestore_totals, t_contamination_check, t_dedup_clusters,
+#: t_doc_chunks, t_exact_substring_spans, t_hash_sample_rate,
+#: t_pii_redaction, t_repetition_metrics, t_stratified_sample,
+#: t_text_normalize, t_token_budget_mixture, t_unigram_lm_score,
+#: t_weighted_sample, v_arrow_vector_norms, v_grouped_agg_median,
+#: y_generator_uuid_parity — 48 of 50, leaving 2 slots for round-13
+#: registrations/changes, which as always take precedence. Known
+#: round-13 candidates staged + pytest-proven, exactly filling the 2
+#: spare slots: st_pdf_layout_dedup_replay (pdfops.pdf_pair_replay vs
+#: pdf_pair_oracle() — third consumer of streaming.hamming_pair_stream,
+#: matching at both file splits) and w_warc_doc_stats
+#: (warcops.warc_doc_stats(warc_corpus(spark)) vs warc_stats_oracle()
+#: — the crawl-container → HTML → main-text hop, both .warc and
+#: member-gz layouts).
 #:
 #: Round 11 executes the ROUND-11 ROTATION pre-computed at the end of
 #: round 10 (kept below for provenance). The 3 spare slots are exactly
@@ -481,34 +563,36 @@ except ImportError:  # pragma: no cover
 #: from this list keep their module registration order after the priority
 #: block.
 _PRIORITY = [
-    # ===== ROUND-11 ROTATION (exactly the 50-slot window) =====
-    # (a) registered or changed in round 11 (3 rows — see the rotation
-    # note above for what changed in each):
-    "v_ivf_ann_topk", "v_pq_ann_topk", "st_shot_dedup_replay",
-    # (b) freshness: the 47 round-6-vintage rows, exactly the list
-    # pre-computed in round 10.
-    "pds_synth_docs", "pds_synth_stream", "q02_cheapest_part_per_type",
-    "q04_priority_exists", "q07_nation_volume", "q08_market_share",
-    "q09_profit_by_nation_year", "q10_returned_items",
-    "q11_supplier_concentration", "q12_priority_case_agg",
-    "q_anti_join_no_big_order", "q_cross_join_region_status",
-    "q_cube_lineitem", "q_date_math_shipping",
-    "q_distinct_users_per_type", "q_except_all", "q_from_json_struct",
-    "q_group_by_all", "q_grouping_sets_events",
-    "q_higher_order_array_funcs", "q_json_props",
-    "q_latest_event_per_user", "q_listagg_members", "q_map_functions",
-    "q_math_funcs", "q_order_status_dist", "q_outer_join_order_counts",
-    "q_percentiles", "q_range_frame_window", "q_range_pred_join",
-    "q_recursive_cte_chain", "q_rollup_orders",
-    "q_running_customer_total", "q_salted_count_parity",
-    "q_salted_left_join_parity", "q_semi_join_urgent", "q_set_except",
-    "q_set_intersect", "q_set_ops_all", "q_sliding_window_counts",
-    "q_sql_udf_revenue", "q_stats_corr", "s_embedding_near_dup",
-    "st_outer_join_expiry_replay", "st_session_finalize_tws_replay",
-    "st_stateful_totals_tws", "t_quality_percentile_filter_approx",
-    # ===== past the 50-row window: ROUND-12 ROTATION starts here =====
-    # (the 43 r7-vintage rows become the oldest block; they keep module
-    # registration order until round 12 promotes them)
+    # ===== ROUND-12 ROTATION (exactly the 50-slot window) =====
+    # (a) registered in round 12 (7 rows — see the rotation note above
+    # for what each registers), in the recorded priority order:
+    "st_audio_dedup_replay", "m_pdf_doc_features", "m_pdf_layout_dedup",
+    "m_pdf_text_dedup", "t_source_cap_sample", "h_html_doc_stats",
+    "h_html_links",
+    # (b) freshness: the 43 round-7-vintage rows, exactly the list
+    # pre-computed in round 11.
+    "m_audio_features", "m_frame_sample", "m_image_dedup_groups",
+    "m_image_features", "m_video_frame_features",
+    "q13_order_count_distribution", "q14_promo_share",
+    "q15_top_supplier", "q16_supplier_variety",
+    "q17_below_avg_quantity", "q18_large_orders",
+    "q19_disjunctive_brackets", "q20_supplier_part_share",
+    "q21_sole_late_supplier", "q22_idle_customers",
+    "q_agg_funcs_modern", "q_approx_percentile", "q_bitwise_agg",
+    "q_collect_set_segments", "q_first_last_value",
+    "q_histogram_acctbal", "q_like_predicates",
+    "q_null_handling_funcs", "q_params_identifier",
+    "q_posexplode_tokens", "q_rollup_grouping_id",
+    "q_sequence_active_months", "q_string_funcs_parts",
+    "q_top_customer_per_nation", "q_union_active_parties",
+    "q_unpivot_rates", "q_window_rank_suite", "t_bpe_token_estimate",
+    "t_doc_fingerprint", "t_lang_id", "t_quality_scores",
+    "t_text_stats", "t_tfidf_top3", "t_train_test_split",
+    "v_plain_udf_slug", "v_udtf_analyze_fanout",
+    "v_udtf_shingle_top10", "y_ysb_windowed_counts",
+    # ===== past the 50-row window: ROUND-13 ROTATION starts here =====
+    # (the 48 r8-vintage rows become the oldest block; they keep module
+    # registration order until round 13 promotes them)
 ]
 
 

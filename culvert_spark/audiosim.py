@@ -399,3 +399,17 @@ def m_audio_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     factor; the operator (``audio_near_dup_groups``) is
     corpus-generic."""
     return audio_near_dup_groups(near_dup_audio_media(spark))
+
+
+@register("st_audio_dedup_replay", audio_pair_oracle())
+def st_audio_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming audio near-dup pairing registered as a FULL hash row
+    (staged round 10, registered round 12): the design fixture replayed
+    through a REAL file-split stream — per-clip fingerprint, band-keyed
+    stateful pairing via the shared ``streaming.hamming_pair_stream``
+    core, then the batch-boundary-invariant distinct-pair projection —
+    against the constant-folding pair oracle. Pytest proves the pair
+    set is IDENTICAL at n_files 4 and 1 (tests/test_audiosim.py), i.e.
+    independent of micro-batch boundaries. ``sf_dir`` is unused
+    (shipped fixture ground truth, like the other media rows)."""
+    return audio_pair_replay(spark)

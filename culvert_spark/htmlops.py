@@ -431,3 +431,38 @@ def html_links_oracle() -> str:
       AS t(doc_id, link_no, url, anchor)
     ORDER BY doc_id, link_no
     """
+
+
+# ---------------------------------------------------------------------------
+# Driver registration (staged round 11, registered round 12)
+# ---------------------------------------------------------------------------
+
+from culvert_spark.queries import (  # noqa: E402
+    QUERIES,  # noqa: F401  (re-export: __spark_entry__ registry merge)
+    ORACLE,  # noqa: F401
+    register,
+)
+
+
+@register("h_html_doc_stats", html_stats_oracle())
+def h_html_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction as a FULL hash row: the generated
+    design corpus (title, chrome nav/footer with decoy links, script/
+    style suppression, entity references, headings, main-content
+    anchors) through the production streaming parser — per-document
+    title, heading/link counts, token/char counts of the MAIN text,
+    md5 digest — against the constant-folding oracle stated from the
+    same design table (tests/test_htmlops.py). ``sf_dir`` is unused:
+    the corpus is a shipped deterministic fixture; the operator
+    (``html_doc_stats``, one narrow mapInPandas) is corpus-generic."""
+    return html_doc_stats(html_corpus(spark))
+
+
+@register("h_html_links", html_links_oracle())
+def h_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAIN-content link extraction as a FULL hash row: (url, anchor
+    text) pairs in document order from main content ONLY — chrome
+    nav/footer decoy links must be absent — against the design-table
+    oracle. The crawl-frontier hop of the extraction family.
+    ``sf_dir`` unused (shipped fixture ground truth)."""
+    return html_links(html_corpus(spark))

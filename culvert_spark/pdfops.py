@@ -1558,3 +1558,53 @@ def pdf_pair_oracle(max_hamming: int = 2) -> str:
         if hamming_py(fa, fb) <= max_hamming
     )
     return pairs_values_oracle(pairs, ["a_media", "b_media"])
+
+
+# ---------------------------------------------------------------------------
+# Driver registration (staged round 11, registered round 12)
+# ---------------------------------------------------------------------------
+
+from culvert_spark.queries import (  # noqa: E402
+    QUERIES,  # noqa: F401  (re-export: __spark_entry__ registry merge)
+    ORACLE,  # noqa: F401
+    register,
+)
+
+
+@register("m_pdf_doc_features", pdf_features_oracle())
+def m_pdf_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF document feature extraction as a FULL hash row: the feature
+    fixture (styles Td/TD/Tm/T*, FlateDecode, indirect /Length, nested
+    pages tree with inherited + overridden MediaBox, escape-torture
+    title, /Rotate) through the production parse path — page counts,
+    run/char/token counts, max font, the title rule, page-1 geometry —
+    against the constant-folding oracle stated from the fixture design
+    (tests/test_pdfops.py::test_staged_features_oracle_matches).
+    ``sf_dir`` is unused: shipped deterministic fixture ground truth,
+    constant at every scale factor; the operator (``pdf_doc_features``,
+    one narrow mapInPandas) is corpus-generic."""
+    return pdf_doc_features(feature_pdf_media(spark))
+
+
+@register("m_pdf_layout_dedup", pdf_layout_oracle())
+def m_pdf_layout_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF LAYOUT near-dup grouping as a FULL hash row: rotation- and
+    compression-normalized geometry fingerprints (display-space via
+    /Rotate, text content hashed OUT) through Hamming-LSH clustering —
+    same-layout different-text copies must collapse, near layouts (1-2
+    bit variants) must group, distinct layouts (>= 3 bits) must not —
+    against the design-constant oracle. ``sf_dir`` unused (fixture
+    ground truth); the operator is corpus-generic and value-domain
+    bucketed like the image/audio twins."""
+    return pdf_layout_dedup_groups(near_dup_pdf_media(spark))
+
+
+@register("m_pdf_text_dedup", pdf_text_oracle())
+def m_pdf_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF TEXT dedup across containers/layouts as a FULL hash row —
+    the inverse claim of the layout row: same reading-order text at
+    different positions/styles/compression digests EQUAL (canonical
+    text sorts runs by (page, y desc, x asc) in display space), and
+    pytest separately proves the layouts within a text group actually
+    DIFFER. ``sf_dir`` unused (fixture ground truth)."""
+    return pdf_text_dedup_groups(text_dup_pdf_media(spark))

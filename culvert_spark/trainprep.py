@@ -829,3 +829,14 @@ def source_cap_oracle_sql(k: int = _CAP_K) -> str:
     WHERE rnk <= {k}
     ORDER BY source, cap_rank
     """
+
+
+@register("t_source_cap_sample", source_cap_oracle_sql())
+def t_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap registered as a FULL hash row (staged
+    round 11, registered round 12): the deterministic md5-ranked
+    "domain cap" over the REAL documents corpus — the one r12
+    registration that reads ``sf_dir`` rather than a shipped fixture.
+    Pytest-proven against the QUALIFY twin at BOTH shipped SFs and
+    partitioning-invariant (tests/test_trainprep_staged.py)."""
+    return source_cap_sample(t(spark, sf_dir, "documents"))
