@@ -212,7 +212,12 @@ except ImportError:  # pragma: no cover
 #: matching at both file splits) and w_warc_doc_stats
 #: (warcops.warc_doc_stats(warc_corpus(spark)) vs warc_stats_oracle()
 #: — the crawl-container → HTML → main-text hop, both .warc and
-#: member-gz layouts).
+#: member-gz layouts). Additionally staged in round 12 (r13/r14
+#: spillover, pytest-proven with matching oracles): the WARC custom
+#: Python DataSource rows pds_warc_pages
+#: (warcsource.warc_source_pages vs warc_pages_oracle()) and
+#: pds_warc_stream (warcsource.warc_stream_replay — live
+#: filename-watermark advancement — vs the same oracle).
 #:
 #: Round 11 executes the ROUND-11 ROTATION pre-computed at the end of
 #: round 10 (kept below for provenance). The 3 spare slots are exactly
