@@ -217,7 +217,12 @@ except ImportError:  # pragma: no cover
 #: Python DataSource rows pds_warc_pages
 #: (warcsource.warc_source_pages vs warc_pages_oracle()) and
 #: pds_warc_stream (warcsource.warc_stream_replay — live
-#: filename-watermark advancement — vs the same oracle).
+#: filename-watermark advancement — vs the same oracle), and the
+#: crawl-frontier rows u_url_canonicalize
+#: (urlops.u_url_canonicalize vs url_canonicalize_oracle() — 21
+#: hand-stated RFC 3986 cases) and u_frontier_dedup
+#: (urlops.u_frontier_dedup vs frontier_oracle() — host-partitioned
+#: keep-first dedup, partitioning-invariant).
 #:
 #: Round 11 executes the ROUND-11 ROTATION pre-computed at the end of
 #: round 10 (kept below for provenance). The 3 spare slots are exactly

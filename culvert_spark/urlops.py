@@ -1,0 +1,397 @@
+"""URL canonicalization + host-partitioned crawl-frontier dedup.
+
+The crawl loop closes here: ``htmlops.html_links`` /
+``warcsource`` deliver raw ``<a href>`` targets; before they can be
+fetched (or even counted), a frontier must (a) CANONICALIZE each URL —
+or the same page is crawled once per spelling — and (b) DEDUP the
+frontier with all URLs of a host kept together (politeness: one host,
+one fetch queue). This is the remaining CommonCrawl-shaped gap the
+round-11 verdict named (after container read → HTML extraction → link
+table, all registered).
+
+1. **Canonicalizer** (``canonical_url``): RFC 3986 §6.2.2 syntax-based
+   normalization implemented from the public spec —
+   case normalization (scheme + host lowercased, percent-escapes
+   uppercased), percent-encoding normalization (unreserved octets
+   decoded: ALPHA / DIGIT / ``-._~``), then path-segment normalization
+   (the §5.2.4 remove_dot_segments algorithm verbatim) — plus the
+   crawl-frontier conventions layered on top and DOCUMENTED as such
+   (they go beyond the RFC): fragment dropped (§3.5: fragments are
+   client-side), default ports stripped (http:80 / https:443),
+   trailing dot on the host dropped, empty path → ``/``, query
+   parameters SORTED and tracking parameters (``utm_*``, ``fbclid``,
+   ``gclid``) removed. Non-fetchable schemes (mailto:, javascript:,
+   ftp:, scheme-relative) and host-less URLs canonicalize to NULL —
+   the frontier's skip signal, never an exception (crawl reality:
+   href values are arbitrary text).
+2. **Operators**: ``url_canonical_table`` — narrow ``mapInPandas``
+   adding (canonical, host) to any frame with a ``url`` column;
+   ``frontier_dedup`` — canonicalize, drop non-fetchables, ONE
+   shuffle grouping by canonical URL: keep the FIRST-SEEN reference
+   (min (doc_id, link_no) — deterministic at any parallelism, the
+   keep-first twin of dedup keep-best), count references, and assign
+   the host's crawl shard = md5(host) first-15-hex mod n_shards (a
+   pure function, so every URL of a host lands in the same shard —
+   the politeness invariant — and the oracle can restate it).
+
+Scale posture (100 TB): canonicalization is narrow (parser CPU, scales
+with executors); the dedup is one shuffle keyed on the canonical URL
+(uniform md5-class key distribution — no hot key, because the KEY is
+the full URL, not the host); the host shard is carried as a column,
+NOT a partitioning, so a mega-host (wikipedia.org) costs nothing here
+— it only concentrates the downstream FETCH queue, which is the
+politeness scheduler's problem by design. A seen-before filter against
+a persisted frontier store composes exactly like
+``corpusops.incremental_dedup_vs_signatures`` (anti-join on canonical).
+
+Reference scope: prasanthj/culvert has no URL surface (SURVEY §0);
+this extends the crawl family mandated by the build brief.
+
+Staged in round 12 for a round-13/14 registration slot: the staged
+rows below (``u_url_canonicalize`` / ``u_frontier_dedup`` bodies) have
+constant-folding oracles whose expected values are stated BY HAND in
+the design tables (``_URL_CASES`` / ``_FRONTIER_LINKS``), so the
+oracle is independent ground truth, not a restatement of the code.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from string import ascii_letters, digits, hexdigits
+from typing import Iterator
+from urllib.parse import urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_UNRESERVED = set(ascii_letters + digits + "-._~")
+_DEFAULT_PORT = {"http": "80", "https": "443"}
+_TRACKING = ("fbclid", "gclid")
+_N_SHARDS = 64
+
+
+def _pct_normalize(s: str) -> str:
+    """RFC 3986 §6.2.2.1-2: decode unreserved octets, uppercase the
+    hex of escapes that must stay; a bare/malformed '%' passes through
+    verbatim (forgiving — href text is arbitrary)."""
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        hh = s[i + 1 : i + 3]
+        if c == "%" and len(hh) == 2 and all(ch in hexdigits for ch in hh):
+            ch = chr(int(hh, 16))
+            if ch in _UNRESERVED:
+                out.append(ch)
+            else:
+                out.append("%" + hh.upper())
+            i += 3
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4, transcribed verbatim from the spec's
+    five-case loop (public text)."""
+    inp = path
+    out: list[str] = []
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            i = inp.find("/", 1)
+            if i < 0:
+                out.append(inp)
+                inp = ""
+            else:
+                out.append(inp[:i])
+                inp = inp[i:]
+    return "".join(out)
+
+
+def _canon_query(q: str) -> str:
+    """Percent-normalize, drop tracking parameters, SORT (the
+    documented frontier convention — the RFC leaves query opaque)."""
+    pairs = []
+    for part in q.split("&"):
+        if not part:
+            continue
+        key = part.split("=", 1)[0].lower()
+        if key.startswith("utm_") or key in _TRACKING:
+            continue
+        pairs.append(_pct_normalize(part))
+    pairs.sort()
+    return "&".join(pairs)
+
+
+def canonical_url(url: str | None) -> str | None:
+    """Canonical form, or None for anything a crawl frontier must skip
+    (non-http(s), no host, unparseable). See the module docstring for
+    the exact rule set."""
+    if url is None:
+        return None
+    try:
+        sp = urlsplit(url.strip())
+    except ValueError:
+        return None
+    scheme = sp.scheme.lower()
+    if scheme not in _DEFAULT_PORT:
+        return None
+    userinfo, _, hostport = sp.netloc.rpartition("@")
+    host, port = hostport, ""
+    if ":" in hostport and not hostport.endswith("]"):
+        host, _, port = hostport.rpartition(":")
+    host = host.lower().rstrip(".")
+    if not host:
+        return None
+    netloc = host
+    if userinfo:
+        netloc = userinfo + "@" + netloc
+    if port and port != _DEFAULT_PORT[scheme]:
+        netloc += ":" + port
+    path = _remove_dot_segments(_pct_normalize(sp.path)) or "/"
+    return urlunsplit((scheme, netloc, path, _canon_query(sp.query), ""))
+
+
+def url_host(canonical: str) -> str:
+    """Host of a CANONICAL url (already lowercased/trimmed)."""
+    return urlsplit(canonical).hostname or ""
+
+
+def host_shard(host: str, n_shards: int = _N_SHARDS) -> int:
+    """Crawl shard of a host: md5 first-15-hex mod n_shards — the
+    engine's established cross-engine hash-rank rule (pure function;
+    every URL of a host shares it: the politeness invariant)."""
+    return int(hashlib.md5(host.encode()).hexdigest()[:15], 16) % n_shards
+
+
+_CANON_COLS = "canonical string, host string, shard int"
+
+
+def url_canonical_table(links: DataFrame) -> DataFrame:
+    """Adds (canonical, host, shard) to any frame with a ``url``
+    column — one narrow ``mapInPandas``, no shuffle. Non-fetchable
+    URLs get NULL canonical/host and shard -1."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in links.schema.fields
+    )
+
+    def canon(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cans, hosts, shards = [], [], []
+            for u in pdf["url"]:
+                c = canonical_url(None if u is None else str(u))
+                if c is None:
+                    cans.append(None)
+                    hosts.append(None)
+                    shards.append(-1)
+                else:
+                    h = url_host(c)
+                    cans.append(c)
+                    hosts.append(h)
+                    shards.append(host_shard(h))
+            out = pdf.copy()
+            out["canonical"] = cans
+            out["host"] = hosts
+            out["shard"] = shards
+            yield out
+
+    return links.mapInPandas(canon, f"{schema}, {_CANON_COLS}")
+
+
+def frontier_dedup(links: DataFrame) -> DataFrame:
+    """The host-partitioned frontier: canonicalize (narrow), drop
+    non-fetchables, then ONE shuffle on the canonical URL — keep the
+    first-seen (doc_id, link_no) reference deterministically and count
+    references. Output: (canonical, host, shard, first_doc,
+    first_link, n_refs)."""
+    c = url_canonical_table(
+        links.select("doc_id", "link_no", "url")
+    ).where(F.col("canonical").isNotNull())
+    first = F.min(F.struct("doc_id", "link_no")).alias("first")
+    return (
+        c.groupBy("canonical", "host", "shard")
+        .agg(first, F.count(F.lit(1)).alias("n_refs"))
+        .select(
+            "canonical",
+            "host",
+            "shard",
+            F.col("first.doc_id").alias("first_doc"),
+            F.col("first.link_no").alias("first_link"),
+            "n_refs",
+        )
+        .orderBy("host", "canonical")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Design tables (expected values stated BY HAND — independent ground
+# truth for tests and the staged oracles)
+# ---------------------------------------------------------------------------
+
+#: (url_id, raw, expected canonical-or-None). Each case names the rule
+#: it exists to pin.
+_URL_CASES: list[tuple[int, str, str | None]] = [
+    # case + default-port + dot-segments + %7E decode + utm drop +
+    # query sort + fragment drop, all at once (the kitchen sink)
+    (0, "HTTP://Example.COM:80/a/b/../c/%7euser/?b=2&a=1&utm_source=x#f",
+     "http://example.com/a/c/~user/?a=1&b=2"),
+    # trailing host dot + https default port + empty segments KEPT +
+    # /./ removed
+    (1, "https://Example.com.:443//a//b/./c", "https://example.com//a//b/c"),
+    # empty path -> /
+    (2, "http://EXAMPLE.com", "http://example.com/"),
+    # non-default port kept
+    (3, "http://example.com:8080/x", "http://example.com:8080/x"),
+    # %41 decodes (unreserved), %3a / %2f stay escaped but UPPERCASE
+    (4, "https://example.com/%41%3a/%2fseg",
+     "https://example.com/A%3A/%2Fseg"),
+    # nested ../ pairs collapse
+    (5, "http://example.com/a/./b/../../c", "http://example.com/c"),
+    # trailing .. keeps the RFC trailing slash
+    (6, "http://example.com/a/b/..", "http://example.com/a/"),
+    (7, "mailto:user@example.com", None),
+    (8, "javascript:void(0)", None),
+    # scheme-relative: resolution is the linker's job, not the frontier's
+    (9, "//example.com/x", None),
+    # userinfo preserved, host still lowercased
+    (10, "http://user:pw@Example.com/secret",
+     "http://user:pw@example.com/secret"),
+    # all-tracking query vanishes entirely (no bare '?')
+    (11, "https://example.com/?utm_source=a&utm_medium=b",
+     "https://example.com/"),
+    # percent-normalization INSIDE query values + sort ('a' < 'c')
+    (12, "https://example.com/search?q=c%41t&q=a",
+     "https://example.com/search?q=a&q=cAt"),
+    (13, "HTTPS://EXAMPLE.COM:443/%7E", "https://example.com/~"),
+    # %2E decode does NOT fabricate a dot segment out of 'a..'
+    (14, "http://example.com/a%2e%2e/b", "http://example.com/a../b"),
+    # ...but a bare %2E%2E segment DOES become one (§6.2.2 ordering:
+    # percent normalization precedes path-segment normalization)
+    (15, "http://example.com/%2e%2e/b", "http://example.com/b"),
+    # surrounding whitespace trimmed
+    (16, " http://example.com/x ", "http://example.com/x"),
+    (17, "not a url", None),
+    (18, "http://:80/x", None),
+    (19, "FTP://example.com/file", None),
+    # malformed percent escape passes through verbatim
+    (20, "http://example.com/a%zz/b", "http://example.com/a%zz/b"),
+]
+
+#: Frontier fixture: (doc_id, link_no, raw url). Three spellings of K1
+#: across three docs, two of K2, two singletons, one non-fetchable.
+_FRONTIER_LINKS: list[tuple[int, int, str]] = [
+    (0, 1, "HTTP://Example.COM:80/a/b/../c/%7euser/?b=2&a=1&utm_source=x#f"),
+    (1, 1, "http://EXAMPLE.com:80/a/c/%7Euser/?a=1&b=2&utm_campaign=z"),
+    (2, 3, "http://example.com/a/c/~user/?b=2&a=1"),
+    (0, 2, "https://Other.ORG/p"),
+    (2, 1, "https://other.org./p#x"),
+    (1, 2, "mailto:x@y"),
+    (3, 1, "https://other.org/q"),
+    (0, 3, "http://example.com/z"),
+]
+
+#: Expected frontier, stated by hand from the cases above:
+#: (canonical, host, first_doc, first_link, n_refs). The shard column
+#: is the md5 rule applied to the host (a definition, folded by the
+#: oracle builder the way the media oracles fold fingerprints).
+_FRONTIER_EXPECTED: list[tuple[str, str, int, int, int]] = [
+    ("http://example.com/a/c/~user/?a=1&b=2", "example.com", 0, 1, 3),
+    ("http://example.com/z", "example.com", 0, 3, 1),
+    ("https://other.org/p", "other.org", 0, 2, 2),
+    ("https://other.org/q", "other.org", 3, 1, 1),
+]
+
+
+def url_fixture(spark: SparkSession) -> DataFrame:
+    """(url_id, url) frame of the canonicalization design cases."""
+    return spark.createDataFrame(
+        [(i, raw) for i, raw, _ in _URL_CASES], "url_id bigint, url string"
+    )
+
+
+def frontier_fixture(spark: SparkSession) -> DataFrame:
+    """(doc_id, link_no, url) frame of the frontier design links."""
+    return spark.createDataFrame(
+        _FRONTIER_LINKS, "doc_id bigint, link_no int, url string"
+    )
+
+
+def _q(s: str) -> str:  # SQL single-quote escaping (house rule)
+    return s.replace("'", "''")
+
+
+def url_canonicalize_oracle() -> str:
+    """Constant-folding DuckDB oracle: the hand-stated expected
+    canonical per design case (NULL canonical/host, shard -1 for the
+    must-skip cases)."""
+    rows = []
+    for i, raw, want in _URL_CASES:
+        if want is None:
+            rows.append(f"({i}, '{_q(raw)}', NULL, NULL, -1)")
+        else:
+            h = url_host(want)
+            rows.append(
+                f"({i}, '{_q(raw)}', '{_q(want)}', '{_q(h)}', "
+                f"{host_shard(h)})"
+            )
+    vals = ",\n      ".join(rows)
+    return f"""
+    SELECT CAST(url_id AS BIGINT) AS url_id, url,
+           CAST(canonical AS VARCHAR) AS canonical,
+           CAST(host AS VARCHAR) AS host,
+           CAST(shard AS INT) AS shard
+    FROM (VALUES
+      {vals})
+      AS t(url_id, url, canonical, host, shard)
+    ORDER BY url_id
+    """
+
+
+def frontier_oracle() -> str:
+    """Constant-folding DuckDB oracle for ``frontier_dedup`` over the
+    fixture links: the hand-stated keep-first/ref-count table."""
+    vals = ",\n      ".join(
+        f"('{_q(c)}', '{_q(h)}', {host_shard(h)}, {fd}, {fl}, {n})"
+        for c, h, fd, fl, n in _FRONTIER_EXPECTED
+    )
+    return f"""
+    SELECT canonical, host, CAST(shard AS INT) AS shard,
+           CAST(first_doc AS BIGINT) AS first_doc,
+           CAST(first_link AS INT) AS first_link,
+           CAST(n_refs AS BIGINT) AS n_refs
+    FROM (VALUES
+      {vals})
+      AS t(canonical, host, shard, first_doc, first_link, n_refs)
+    ORDER BY host, canonical
+    """
+
+
+def u_url_canonicalize(spark: SparkSession) -> DataFrame:
+    """Staged row body: the design cases through the production
+    canonicalizer, ordered by case id."""
+    return url_canonical_table(url_fixture(spark)).orderBy("url_id")
+
+
+def u_frontier_dedup(spark: SparkSession) -> DataFrame:
+    """Staged row body: the fixture links through the frontier."""
+    return frontier_dedup(frontier_fixture(spark))

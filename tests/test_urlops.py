@@ -1,0 +1,148 @@
+"""URL canonicalization + crawl-frontier dedup (culvert_spark.urlops)
+— staged round 12 for round-13/14 registration: RFC 3986 normalization
+semantics against the hand-stated design table, frontier keep-first
+determinism, the staged DuckDB oracles, plan narrowness, and
+composition with the registered html_links surface."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from culvert_spark import urlops as U
+
+
+def test_every_design_case_by_hand():
+    """The design table's expected values are independent ground truth
+    (stated by hand, not generated): the canonicalizer must hit every
+    one — case folding, ports, dot segments (incl. the %2E ordering
+    consequences), percent normalization both ways, query
+    sort/tracking-drop, fragment, userinfo, all the must-skip
+    schemes."""
+    for i, raw, want in U._URL_CASES:
+        assert U.canonical_url(raw) == want, (i, raw)
+
+
+def test_canonical_is_idempotent():
+    """canonical(canonical(u)) == canonical(u) — the fixed-point
+    property a frontier relies on when URLs round-trip through
+    storage."""
+    for _, raw, want in U._URL_CASES:
+        if want is not None:
+            assert U.canonical_url(want) == want
+
+
+def test_none_and_garbage_never_raise():
+    assert U.canonical_url(None) is None
+    assert U.canonical_url("http://[::1") is None  # urlsplit ValueError
+
+
+def test_host_shard_is_stable_definition():
+    import hashlib
+
+    h = "example.com"
+    assert U.host_shard(h) == int(
+        hashlib.md5(h.encode()).hexdigest()[:15], 16
+    ) % U._N_SHARDS
+    assert 0 <= U.host_shard(h) < U._N_SHARDS
+
+
+def test_url_canonical_table_spark_matches_python(spark):
+    rows = {
+        r.url_id: (r.canonical, r.host, r.shard)
+        for r in U.url_canonical_table(U.url_fixture(spark)).collect()
+    }
+    for i, raw, want in U._URL_CASES:
+        if want is None:
+            assert rows[i] == (None, None, -1)
+        else:
+            h = U.url_host(want)
+            assert rows[i] == (want, h, U.host_shard(h))
+
+
+def test_staged_canonicalize_oracle_matches(spark):
+    import duckdb
+
+    spdf = U.u_url_canonicalize(spark).toPandas()
+    ddf = duckdb.connect().execute(U.url_canonicalize_oracle()).fetchdf()
+    assert list(spdf.columns) == list(ddf.columns)
+    a = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+    b = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_frontier_matches_design(spark):
+    got = [
+        (r.canonical, r.host, r.shard, r.first_doc, r.first_link, r.n_refs)
+        for r in U.u_frontier_dedup(spark).collect()
+    ]
+    want = [
+        (c, h, U.host_shard(h), fd, fl, n)
+        for c, h, fd, fl, n in U._FRONTIER_EXPECTED
+    ]
+    assert got == want
+
+
+def test_frontier_keep_first_partitioning_invariant(spark):
+    """first-seen is min (doc_id, link_no) — a pure function of the
+    data, not arrival order: a pathological repartition yields the
+    identical frontier."""
+    fx = U.frontier_fixture(spark)
+    a = [tuple(r) for r in U.frontier_dedup(fx).collect()]
+    b = [tuple(r) for r in U.frontier_dedup(fx.repartition(7, "url")).collect()]
+    assert a == b
+
+
+def test_staged_frontier_oracle_matches(spark):
+    import duckdb
+
+    spdf = U.u_frontier_dedup(spark).toPandas()
+    ddf = duckdb.connect().execute(U.frontier_oracle()).fetchdf()
+    assert list(spdf.columns) == list(ddf.columns)
+    a = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+    b = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_frontier_plan_one_aggregate_exchange(spark):
+    """Scale gate: canonicalization is narrow; the CORE frontier (no
+    presentation sort) pays exactly ONE exchange — the groupBy on the
+    canonical URL. A second exchange would mean an accidental extra
+    shuffle on the 100 TB link table."""
+    c = U.url_canonical_table(
+        U.frontier_fixture(spark).select("doc_id", "link_no", "url")
+    ).where(F.col("canonical").isNotNull())
+    core = c.groupBy("canonical", "host", "shard").agg(
+        F.min(F.struct("doc_id", "link_no")).alias("first"),
+        F.count(F.lit(1)).alias("n_refs"),
+    )
+    plan = core._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_composes_with_registered_html_links(spark):
+    """The crawl loop end-to-end on the REGISTERED extraction surface:
+    html_corpus -> html_links (the r12 driver row) -> frontier_dedup.
+    The fixture's links are all distinct and already canonical
+    (https, no ports/dots/tracking), so the frontier is exactly the
+    link table keyed first-seen with n_refs == 1 — restated from the
+    html design constants."""
+    from culvert_spark.htmlops import (
+        _HTML_DOCS,
+        _expected_doc,
+        html_corpus,
+        html_links,
+    )
+
+    links = html_links(html_corpus(spark))
+    got = {
+        r.canonical: (r.host, r.first_doc, r.first_link, r.n_refs)
+        for r in U.frontier_dedup(links).collect()
+    }
+    want = {}
+    for spec in _HTML_DOCS:
+        e = _expected_doc(spec)
+        for i, (url, _) in enumerate(e["links"], start=1):
+            want[url] = (U.url_host(url), e["doc_id"], i, 1)
+    assert got == want
