@@ -114,6 +114,17 @@ class MainContentParser(HTMLParser):
     # -- tag events ----------------------------------------------------
 
     def handle_starttag(self, tag: str, attrs) -> None:
+        if self._late_title:
+            # Inside a late <title>: nested titles deepen the counter
+            # (so their closes balance — round-12 review); ANY other
+            # tag event CLOSES it, because title's content model is
+            # text-only — the recovery that keeps one unclosed SVG
+            # tooltip (truncated/malformed crawl HTML) from blanking
+            # the rest of the document (round-12 review).
+            if tag == "title":
+                self._late_title += 1
+                return
+            self._late_title = 0  # recovered: process this tag normally
         if tag in _VOID:
             return
         if tag in _NON_CONTENT:
@@ -122,7 +133,7 @@ class MainContentParser(HTMLParser):
         if tag in _CHROME:
             self._chrome += 1
             return
-        if self._suppress or self._chrome or self._late_title:
+        if self._suppress or self._chrome:
             return
         if tag == "title":
             # FIRST document title only. Later <title> elements (SVG
@@ -147,6 +158,13 @@ class MainContentParser(HTMLParser):
                 self._anchor_parts = []
 
     def handle_endtag(self, tag: str) -> None:
+        if self._late_title:
+            if tag == "title":
+                self._late_title -= 1
+                return
+            # e.g. </svg> closing over an unclosed tooltip title: the
+            # text-only content model recovery (see handle_starttag).
+            self._late_title = 0
         if tag in _NON_CONTENT:
             self._suppress = max(0, self._suppress - 1)
         elif tag in _CHROME:
@@ -155,8 +173,6 @@ class MainContentParser(HTMLParser):
             if self._in_title:
                 self._in_title -= 1
                 self._finish_title()
-            elif self._late_title:
-                self._late_title -= 1
         elif tag == "a":
             self._flush_link()
 

@@ -135,10 +135,16 @@ def _canon_query(q: str) -> str:
     for part in q.split("&"):
         if not part:
             continue
+        # Percent-normalize BEFORE the key check: an encoded tracking
+        # key (%75tm_source) must be dropped on the FIRST pass or
+        # canonical() loses its fixed-point property and the raw link
+        # and its stored canonical dedup to two frontier entries
+        # (round-12 review).
+        part = _pct_normalize(part)
         key = part.split("=", 1)[0].lower()
         if key.startswith("utm_") or key in _TRACKING:
             continue
-        pairs.append(_pct_normalize(part))
+        pairs.append(part)
     pairs.sort()
     return "&".join(pairs)
 
@@ -160,14 +166,23 @@ def canonical_url(url: str | None) -> str | None:
     host, port = hostport, ""
     if ":" in hostport and not hostport.endswith("]"):
         host, _, port = hostport.rpartition(":")
-    host = host.lower().rstrip(".")
+    # §6.2.2.2 applies to EVERY component: percent-normalize the host
+    # (ex%61mple.com == example.com) and userinfo too, not just
+    # path/query (round-12 review).
+    host = _pct_normalize(host).lower().rstrip(".")
     if not host:
         return None
     netloc = host
     if userinfo:
-        netloc = userinfo + "@" + netloc
-    if port and port != _DEFAULT_PORT[scheme]:
-        netloc += ":" + port
+        netloc = _pct_normalize(userinfo) + "@" + netloc
+    if port:
+        # numeric ports compare by VALUE (':0080' == ':80') and emit
+        # without leading zeros; a non-numeric port passes through
+        # verbatim (forgiving — href text is arbitrary).
+        if port.isdigit():
+            port = str(int(port))
+        if port != _DEFAULT_PORT[scheme]:
+            netloc += ":" + port
     path = _remove_dot_segments(_pct_normalize(sp.path)) or "/"
     return urlunsplit((scheme, netloc, path, _canon_query(sp.query), ""))
 
@@ -295,6 +310,17 @@ _URL_CASES: list[tuple[int, str, str | None]] = [
     (19, "FTP://example.com/file", None),
     # malformed percent escape passes through verbatim
     (20, "http://example.com/a%zz/b", "http://example.com/a%zz/b"),
+    # ports compare numerically: leading zeros must not escape the
+    # default-port strip or mint distinct canonicals (round-12 review)
+    (21, "http://example.com:0080/x", "http://example.com/x"),
+    (22, "https://example.com:08080/x", "https://example.com:8080/x"),
+    # percent-normalization applies to the HOST too (§6.2.2.2)
+    (23, "http://ex%61mple.com/", "http://example.com/"),
+    # ...and to userinfo
+    (24, "http://u%73er@Example.com/s", "http://user@example.com/s"),
+    # an ENCODED tracking key is dropped on the first pass (fixed point)
+    (25, "http://example.com/x?%75tm_source=a&b=1",
+     "http://example.com/x?b=1"),
 ]
 
 #: Frontier fixture: (doc_id, link_no, raw url). Three spellings of K1

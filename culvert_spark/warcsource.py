@@ -129,12 +129,30 @@ class WarcReader(DataSourceReader):
 class WarcStreamReader(DataSourceStreamReader):
     """Filename-watermark micro-batch reader (see the module
     docstring). Offsets are plain dicts (JSON'd into the checkpoint),
-    carrying exactly one string."""
+    carrying exactly one string.
+
+    Regression guard (round-12 review): the reader cannot READ the
+    checkpoint, so after a restart a transiently empty/shrunken
+    directory listing could make ``latestOffset`` return a watermark
+    BELOW the committed one; Spark would then plan an inverted batch
+    and, once the listing recovers, a wholesale re-read. Every offset
+    the planner hands this instance (``partitions`` start/end,
+    ``commit`` end) therefore feeds a DELIVERED high-water mark, and
+    ``partitions`` clamps its range's low end to it — an inverted
+    batch is empty, and the follow-up batch excludes everything at or
+    below the recovered mark, so redelivery cannot happen within a
+    query run. Residual window (documented, not closable without
+    checkpoint access): a regressed offset COMMITTED during run N is
+    only repaired by run N's own mark; if the process dies after that
+    commit and before the next planned batch, run N+1 starts below it
+    — a production deployment would persist the watermark in its own
+    store (the same place the archive LISTING comes from)."""
 
     def __init__(self, options):
         self.path = options["path"]
         self.pattern = options.get("glob", _GLOB_DEFAULT)
-        self._mark = ""
+        self._mark = ""       # highest watermark this instance emitted
+        self._delivered = ""  # highest offset seen from the planner
 
     def initialOffset(self):
         return {"watermark": ""}
@@ -142,18 +160,23 @@ class WarcStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         names = _list_archives(self.path, self.pattern)
         # Monotonic high-water mark: a shrinking listing (archives
-        # compacted/aged out) must never move the offset backwards.
+        # compacted/aged out) must never move the offset backwards,
+        # and never below anything the planner already handed us.
         if names and names[-1] > self._mark:
             self._mark = names[-1]
+        if self._delivered > self._mark:
+            self._mark = self._delivered
         return {"watermark": self._mark}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["watermark"], end["watermark"]
+        lo = max(lo, self._delivered)  # never re-plan delivered files
         names = [
             n
             for n in _list_archives(self.path, self.pattern)
             if lo < n <= hi
         ]
+        self._delivered = max(self._delivered, lo, hi)
         if not names:
             return [_ArchiveFile(self.path, "")]
         return [_ArchiveFile(self.path, n) for n in names]
@@ -164,7 +187,9 @@ class WarcStreamReader(DataSourceStreamReader):
         yield from _read_archive(partition.path, partition.name)
 
     def commit(self, end: dict) -> None:
-        pass  # nothing to clean: archives are the upstream's to manage
+        # nothing to clean (archives are the upstream's to manage);
+        # fold the committed offset into the delivered mark.
+        self._delivered = max(self._delivered, end["watermark"])
 
 
 class WarcDataSource(DataSource):

@@ -131,6 +131,33 @@ def test_first_title_wins_and_svg_title_ignored():
     assert e3["title"] == "T" and e3["text"] == "body"
 
 
+def test_late_title_nesting_and_recovery():
+    """Round-12 review pair: (a) a title nested INSIDE a late title
+    deepens the counter, so its close cannot un-suppress the outer
+    tooltip's remainder; (b) an UNCLOSED late title (truncated SVG
+    tooltip) is closed by the next non-title tag event — title's
+    content model is text-only — so one malformed tooltip cannot blank
+    the rest of the document."""
+    e = H.extract_html(
+        "<title>Doc</title><p>x</p>"
+        "<svg><title>tip<title>inner</title>LEAK</title></svg>"
+    )
+    assert e["title"] == "Doc" and e["text"] == "x"
+    # unclosed tooltip: </svg> recovers; body text/links keep flowing
+    e2 = H.extract_html(
+        "<title>Doc</title><p>x</p><svg><title>tip</svg>"
+        "<h1>h</h1><p>body text here</p><a href='/y'>link</a>"
+    )
+    assert e2["text"] == "x h body text here link"
+    assert e2["n_headings"] == 1
+    assert e2["links"] == [("/y", "link")]
+    # recovery also fires on a START tag (tooltip left open, <p> next)
+    e3 = H.extract_html(
+        "<title>Doc</title><svg><title>tip<p>kept words</p></svg>"
+    )
+    assert e3["text"] == "kept words"
+
+
 def test_null_html_is_empty_document(spark):
     """A null html cell is an EMPTY document — not the text 'None'
     collapsing every null row into one bogus digest group."""

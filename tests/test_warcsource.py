@@ -240,6 +240,44 @@ def test_stream_ignores_non_monotonic_late_file(spark, tmp_path):
         q.awaitTermination()
 
 
+def test_stream_offset_never_regresses_after_restart(tmp_path):
+    """Round-12 review: restart + transiently empty listing must not
+    redeliver. Driven on the reader class directly (the sequence is a
+    driver-side offset dance, no Spark needed): run A commits through
+    archive 1; run B (fresh instance) sees an EMPTY listing first —
+    Spark plans the inverted batch (committed, "") — then the listing
+    recovers and the next batch ("", latest) must exclude everything
+    already committed."""
+    d = str(tmp_path / "crawl")
+    names = W.write_warc_fixture(d)
+    committed = {"watermark": names[-1]}
+
+    # run B, fresh instance, directory transiently unreadable
+    rb = W.WarcStreamReader({"path": str(tmp_path / "gone")})
+    assert rb.latestOffset() == {"watermark": ""}  # regressed offset
+    parts = rb.partitions(committed, {"watermark": ""})  # inverted batch
+    assert [p.name for p in parts] == [""]  # empty sentinel, no re-read
+    rb.commit({"watermark": ""})  # Spark commits the regressed offset
+
+    # listing recovers (point the same instance at the real directory)
+    rb.path = d
+    assert rb.latestOffset() == committed  # clamped back up
+    parts = rb.partitions({"watermark": ""}, committed)
+    assert [p.name for p in parts] == [""], (
+        "files at or below the recovered mark must not be re-planned"
+    )
+    # genuinely new archives after the mark still flow
+    late = os.path.join(d, "crawl-00002.warc")
+    from culvert_spark.warcops import _warc_pages, encode_warc
+
+    with open(late, "wb") as fh:
+        fh.write(encode_warc(_warc_pages(_HTML_DOCS[:1])))
+    nxt = rb.latestOffset()
+    assert nxt == {"watermark": "crawl-00002.warc"}
+    parts = rb.partitions(committed, nxt)
+    assert [p.name for p in parts] == ["crawl-00002.warc"]
+
+
 def test_compose_with_two_phase_jsonl_sink(spark, tmp_path):
     """End-to-end crawl pipeline through BOTH custom connectors: WARC
     source -> main-content projection -> two-phase-commit JSONL sink;
