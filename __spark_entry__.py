@@ -222,7 +222,10 @@ except ImportError:  # pragma: no cover
 #: (urlops.u_url_canonicalize vs url_canonicalize_oracle() — 21
 #: hand-stated RFC 3986 cases) and u_frontier_dedup
 #: (urlops.u_frontier_dedup vs frontier_oracle() — host-partitioned
-#: keep-first dedup, partitioning-invariant).
+#: keep-first dedup, partitioning-invariant), and m_pdf_cid_text
+#: (pdfops.m_pdf_cid_text_staged vs pdf_cid_oracle() — composite
+#: Type0/CID-font text dedup across font encodings through the
+#: registered pdf_text_dedup_groups operator).
 #:
 #: Round 11 executes the ROUND-11 ROTATION pre-computed at the end of
 #: round 10 (kept below for provenance). The 3 spare slots are exactly

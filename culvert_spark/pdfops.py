@@ -21,10 +21,18 @@ language — is fully described in the freely published spec text):
    indirect references), classic xref tables with /Prev chaining plus
    a scan-for-``N 0 obj`` fallback for damaged files, stream payloads
    via /Length (direct or indirect) + /FlateDecode, page-tree walk
-   with /MediaBox inheritance, and a content-stream interpreter for
-   the text operators (BT/ET, Tf, TL, Td, TD, Tm, T*, Tj, TJ, ', ")
-   tracking the text/line matrices — emitting one (x, y, size, text)
-   RUN per show op at its text-space origin.
+   with /MediaBox (+ /Rotate, /Resources) inheritance, and a
+   content-stream interpreter for the text operators (BT/ET, Tf, TL,
+   Td, TD, Tm, T*, Tj, TJ, ', ") tracking the text/line matrices —
+   emitting one (x, y, size, text) RUN per show op at its text-space
+   origin. Show strings decode through the Tf-selected FONT: simple
+   fonts byte-wise, COMPOSITE Type0 fonts (§9.7) through their
+   /ToUnicode CMap (§9.10.3 — codespacerange widths, bfchar, both
+   bfrange forms), so CID-encoded text extracts to the same canonical
+   form as simple-font text; a Type0 font WITHOUT /ToUnicode yields
+   U+FFFD per code (the labeled boundary: CID-to-text would need the
+   font program's own cmap table, which is binary font data, not
+   spec-reproducible document structure).
 3. **Features** (``pdf_doc_features``): per-document page count, run/
    char/token counts, max font size, the page-1 title run, page-1
    geometry — the document-corpus quality columns.
@@ -47,7 +55,9 @@ corpus size).
 
 Out of scope, labeled: PDF 1.5+ cross-reference STREAMS and object
 streams (/ObjStm), encryption, and non-Flate filters raise
-``NotImplementedError`` with the feature name — the classic-table
+``NotImplementedError`` with the feature name (Type0 WITHOUT a
+/ToUnicode CMap degrades to flagged U+FFFD text instead — see the
+parser note above) — the classic-table
 subset is what the fixtures (and the long tail of generator-produced
 corpora) use. Text-run origins do not advance by glyph widths (no
 font metrics shipped); every emitted run is positioned by its show
@@ -115,6 +125,61 @@ def _num(v: float) -> str:
     return out if out not in ("", "-") else "0"
 
 
+#: CID = codepoint + _CID_DELTA in the ``cid`` fixture style — a
+#: deliberately NON-identity glyph mapping, so a byte-shortcut decoder
+#: (treating Identity-H codes as Unicode) provably fails and only the
+#: /ToUnicode CMap path (ISO 32000-1 §9.10.3) yields the design text.
+_CID_DELTA = 0x0100
+
+
+def _tounicode_cmap(chars: set[str]) -> bytes:
+    """A valid /ToUnicode CMap (ISO 32000-1 §9.10.3 Example 2 shape)
+    mapping CID = cp + _CID_DELTA back to Unicode ``cp``, covering
+    ``chars``: contiguous codepoint runs become ``bfrange`` entries
+    (length > 1) and isolated codepoints ``bfchar`` — so one fixture
+    exercises BOTH section forms."""
+    cps = sorted(ord(c) for c in chars)
+    runs: list[tuple[int, int]] = []
+    for cp in cps:
+        if runs and cp == runs[-1][1] + 1:
+            runs[-1] = (runs[-1][0], cp)
+        else:
+            runs.append((cp, cp))
+    bfchar = [(lo + _CID_DELTA, lo) for lo, hi in runs if lo == hi]
+    bfrange = [
+        (lo + _CID_DELTA, hi + _CID_DELTA, lo) for lo, hi in runs if hi > lo
+    ]
+    parts = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS)"
+        " /Supplement 0 >> def",
+        "/CMapName /Fixture-UCS def",
+        "/CMapType 2 def",
+        "1 begincodespacerange",
+        "<0000> <FFFF>",
+        "endcodespacerange",
+    ]
+    if bfchar:
+        parts.append(f"{len(bfchar)} beginbfchar")
+        parts += [f"<{src:04X}> <{dst:04X}>" for src, dst in bfchar]
+        parts.append("endbfchar")
+    if bfrange:
+        parts.append(f"{len(bfrange)} beginbfrange")
+        parts += [
+            f"<{lo:04X}> <{hi:04X}> <{dst:04X}>" for lo, hi, dst in bfrange
+        ]
+        parts.append("endbfrange")
+    parts += [
+        "endcmap",
+        "CMapName currentdict /CMap defineresource pop",
+        "end",
+        "end",
+    ]
+    return "\n".join(parts).encode("latin-1")
+
+
 def _content_ops(
     elements: list[tuple[float, float, float, str]], style: str
 ) -> bytes:
@@ -130,6 +195,10 @@ def _content_ops(
     - ``quote``: Tf + TL/Td one line ABOVE + the ' (next-line-show)
                  operator
     - ``hex``:   Tf + Td + a HEX string operand to Tj
+    - ``cid``:   /F2 (a COMPOSITE Type0/Identity-H font) + Td + a hex
+                 string of 2-byte CIDs (CID = codepoint + _CID_DELTA,
+                 a deliberately NON-identity mapping so extraction
+                 must actually apply the /ToUnicode CMap)
     """
     leading = 14
     parts = []
@@ -156,9 +225,13 @@ def _content_ops(
         elif style == "hex":
             hexstr = text.encode("latin-1").hex().upper()
             body = f"{_num(x)} {_num(y)} Td\n<{hexstr}> Tj"
+        elif style == "cid":
+            cidhex = "".join(f"{ord(ch) + _CID_DELTA:04X}" for ch in text)
+            body = f"{_num(x)} {_num(y)} Td\n<{cidhex}> Tj"
         else:
             raise ValueError(f"unknown content style {style!r}")
-        parts.append(f"BT\n/F1 {_num(size)} Tf\n{body}\nET")
+        fname = "F2" if style == "cid" else "F1"
+        parts.append(f"BT\n/{fname} {_num(size)} Tf\n{body}\nET")
     return "\n".join(parts).encode("latin-1")
 
 
@@ -213,6 +286,39 @@ def encode_pdf(
     objs[3] = (
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
+    type0_id = 0
+    if style == "cid":
+        # Composite Type0/Identity-H font (ISO 32000-1 §9.7): the
+        # ToUnicode CMap stream, the CIDFontType2 descendant, and the
+        # Type0 dict — /F2 in every page's resources.
+        tounicode_id, desc_id, type0_id = next_id, next_id + 1, next_id + 2
+        next_id += 3
+        chars = {
+            ch
+            for page in pages
+            for *_xyz, text in page["elements"]
+            for ch in text
+        }
+        cmap = _tounicode_cmap(chars)
+        cfilt = b""
+        if compress:
+            cmap = zlib.compress(cmap)
+            cfilt = b" /Filter /FlateDecode"
+        objs[tounicode_id] = (
+            b"<< /Length %d%s >>\nstream\n" % (len(cmap), cfilt)
+            + cmap
+            + b"\nendstream"
+        )
+        objs[desc_id] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FixtureCID"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            b" /Supplement 0 >> /CIDToGIDMap /Identity >>"
+        )
+        objs[type0_id] = (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCID"
+            f" /Encoding /Identity-H /DescendantFonts [{desc_id} 0 R]"
+            f" /ToUnicode {tounicode_id} 0 R >>"
+        ).encode("latin-1")
     if nested:
         objs[inner_pages_id] = (
             "<< /Type /Pages /Parent 2 0 R /Kids ["
@@ -230,9 +336,10 @@ def encode_pdf(
         pr_entry = (
             f" /Rotate {int(page_rot)}" if page_rot is not None else ""
         )
+        f2 = f" /F2 {type0_id} 0 R" if type0_id else ""
         objs[page_ids[i]] = (
             f"<< /Type /Page /Parent {parent} 0 R"
-            f" /Resources << /Font << /F1 3 0 R >> >>"
+            f" /Resources << /Font << /F1 3 0 R{f2} >> >>"
             f" /Contents {content_ids[i]} 0 R{mb_entry}{pr_entry} >>"
         ).encode("latin-1")
         data = _content_ops(page["elements"], style)
@@ -448,6 +555,65 @@ def _parse_obj(data: bytes, p: int):
     raise ValueError(f"cannot parse PDF object at byte {p}")
 
 
+def _parse_cmap(data: bytes) -> tuple[set[int], dict[int, str]]:
+    """Parse a /ToUnicode CMap stream (ISO 32000-1 §9.10.3): returns
+    (source-code byte widths from codespacerange, code -> text map).
+    Destination strings are UTF-16BE; a ``bfrange`` with a hex-string
+    destination increments the LAST code unit per the spec (the
+    integer-increment form below — range destinations are single
+    units in practice and in the fixture). Tokens reuse the object
+    parser (hex strings, arrays, names, numbers); unrecognized
+    PostScript operators (def, begin, findresource, ...) just flush
+    pending operands, so wrapper boilerplate costs nothing."""
+    widths: set[int] = set()
+    mapping: dict[int, str] = {}
+    stack: list[object] = []
+    p = 0
+    n = len(data)
+    while p < n:
+        p = _skip_ws(data, p)
+        if p >= n:
+            break
+        val, p = _parse_obj(data, p)
+        if not (isinstance(val, tuple) and val and val[0] == "op"):
+            stack.append(val)
+            continue
+        op = val[1]
+        if op in ("begincodespacerange", "beginbfchar", "beginbfrange"):
+            stack.clear()
+            continue
+        if op == "endcodespacerange":
+            for lo in stack[0::2]:
+                if isinstance(lo, bytes):
+                    widths.add(len(lo))
+        elif op == "endbfchar":
+            for src, dst in zip(stack[0::2], stack[1::2]):
+                if isinstance(src, bytes) and isinstance(dst, bytes):
+                    mapping[int.from_bytes(src, "big")] = dst.decode(
+                        "utf-16-be", "replace"
+                    )
+        elif op == "endbfrange":
+            for lo, hi, dst in zip(stack[0::3], stack[1::3], stack[2::3]):
+                if not (isinstance(lo, bytes) and isinstance(hi, bytes)):
+                    continue
+                lo_i = int.from_bytes(lo, "big")
+                hi_i = int.from_bytes(hi, "big")
+                if isinstance(dst, list):  # [dst0 dst1 ...] form
+                    for k, d in enumerate(dst):
+                        if isinstance(d, bytes):
+                            mapping[lo_i + k] = d.decode(
+                                "utf-16-be", "replace"
+                            )
+                elif isinstance(dst, bytes):
+                    base = int.from_bytes(dst, "big")
+                    for k in range(hi_i - lo_i + 1):
+                        mapping[lo_i + k] = (base + k).to_bytes(
+                            len(dst), "big"
+                        ).decode("utf-16-be", "replace")
+        stack.clear()
+    return widths, mapping
+
+
 class PdfDocument:
     """Parsed classic-xref PDF: object access, page tree, text runs."""
 
@@ -598,17 +764,21 @@ class PdfDocument:
 
     def pages(self) -> list[dict]:
         """Leaf /Page dicts in tree order, each with the INHERITED
-        ``MediaBox`` and ``Rotate`` (viewer rotation, normalized to
-        0/90/180/270) resolved onto the returned dict."""
+        ``MediaBox``, ``Rotate`` (viewer rotation, normalized to
+        0/90/180/270) and ``Resources`` (ISO 32000-1 §7.7.3.4 lists all
+        three as inheritable) resolved onto the returned dict."""
         catalog = self.resolve(self.root_ref)
         out: list[dict] = []
 
-        def walk(node_ref, inherited_mb, inherited_rot):
+        def walk(node_ref, inherited_mb, inherited_rot, inherited_res):
             node = self.resolve(node_ref)
             mb = node.get("MediaBox", inherited_mb)
             rot = node.get("Rotate", inherited_rot)
+            res = node.get("Resources", inherited_res)
             if node.get("Type") == "Page":
                 page = dict(node)
+                if res is not None:
+                    page["Resources"] = res
                 page["MediaBox"] = [self.resolve(x) for x in mb]
                 # snap to the nearest multiple of 90: the spec requires
                 # one, but malformed values (45, 90.5) occur in the
@@ -622,9 +792,9 @@ class PdfDocument:
                 out.append(page)
                 return
             for kid in self.resolve(node["Kids"]):
-                walk(kid, mb, rot)
+                walk(kid, mb, rot, res)
 
-        walk(catalog["Pages"], None, 0)
+        walk(catalog["Pages"], None, 0, None)
         return out
 
     def _page_content(self, page: dict) -> bytes:
@@ -639,6 +809,42 @@ class PdfDocument:
         return b"\n".join(parts)
 
     # -- text extraction ----------------------------------------------
+
+    def _text_decoder(self, font):
+        """bytes -> str decoder for one font dict (ISO 32000-1 §9.10.2
+        extraction order: /ToUnicode CMap first). Simple fonts without
+        a CMap keep the byte decode; a composite Type0 font WITHOUT a
+        /ToUnicode CMap yields U+FFFD per 2-byte code — the labeled
+        boundary: mapping its CIDs to text needs the font program's
+        own cmap table, which this parser (by scope) does not read."""
+        if not isinstance(font, dict):
+            return lambda bs: bs.decode("latin-1")
+        is_type0 = font.get("Subtype") == "Type0"
+        tu = font.get("ToUnicode")
+        if tu is None:
+            if is_type0:
+                return lambda bs: "�" * (len(bs) // 2)
+            return lambda bs: bs.decode("latin-1")
+        obj = self.resolve(tu)
+        if not (isinstance(obj, tuple) and len(obj) == 2):
+            raise ValueError("/ToUnicode is not a stream")
+        widths, mapping = _parse_cmap(obj[1])
+        width = max(widths) if widths else (2 if is_type0 else 1)
+
+        def dec(bs: bytes) -> str:
+            out = []
+            i = 0
+            while i + width <= len(bs):
+                out.append(
+                    mapping.get(int.from_bytes(bs[i : i + width], "big"),
+                                "�")
+                )
+                i += width
+            if i < len(bs):  # trailing partial code: malformed, flagged
+                out.append("�")
+            return "".join(out)
+
+        return dec
 
     @staticmethod
     def _mat_mul(m1, m2):
@@ -655,8 +861,24 @@ class PdfDocument:
 
     def page_runs(self, page: dict) -> list[tuple[float, float, float, str]]:
         """(x, y, size, text) per show operator, at the op's text-space
-        origin (see the module note on glyph-width advance)."""
+        origin (see the module note on glyph-width advance). Show-string
+        bytes decode through the font the last Tf selected (resolved
+        from the page's — possibly inherited — /Resources /Font dict):
+        composite Type0 fonts via their /ToUnicode CMap, simple fonts
+        byte-wise, unknown font names forgivingly byte-wise."""
         content = self._page_content(page)
+        res = page.get("Resources")
+        fontmap = {}
+        if res is not None:
+            fonts = self.resolve(self.resolve(res).get("Font"))
+            if isinstance(fonts, dict):
+                fontmap = fonts
+        decoders: dict[str, object] = {}
+
+        def latin1(bs: bytes) -> str:
+            return bs.decode("latin-1")
+
+        decoder = latin1
         ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
         tm = tlm = ident
         size = 0.0
@@ -671,7 +893,7 @@ class PdfDocument:
                 text = b"".join(x for x in raw if isinstance(x, bytes))
             else:
                 text = raw
-            runs.append((tm[4], tm[5], size, text.decode("latin-1")))
+            runs.append((tm[4], tm[5], size, decoder(text)))
 
         while True:
             p = _skip_ws(content, p)
@@ -686,6 +908,15 @@ class PdfDocument:
                 tm = tlm = ident
             elif op == "Tf":
                 size = float(stack[-1])
+                fname = stack[-2] if len(stack) >= 2 else None
+                if isinstance(fname, str) and fname in fontmap:
+                    if fname not in decoders:
+                        decoders[fname] = self._text_decoder(
+                            self.resolve(fontmap[fname])
+                        )
+                    decoder = decoders[fname]
+                else:
+                    decoder = latin1
             elif op == "TL":
                 leading = float(stack[-1])
             elif op in ("Td", "TD"):
@@ -1483,6 +1714,91 @@ def pdf_text_oracle() -> str:
       AS t(text_digest, n_docs, keeper_id, n_dupes)
     ORDER BY keeper_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Composite-font (Type0/CID) text dedup fixture (staged round 12 for a
+# round-13/14 registration slot: m_pdf_cid_text)
+# ---------------------------------------------------------------------------
+
+#: Design: _CT_GROUPS texts, each present as a SIMPLE-font doc, a
+#: Type0/Identity-H doc (2-byte CIDs through a /ToUnicode CMap with a
+#: deliberately non-identity mapping), and a Flate-compressed Type0 doc
+#: (CMap stream compressed too) — all three must digest EQUAL, so the
+#: row proves text dedup across font ENCODINGS, the composite-font
+#: analog of the layout row's rotation axis. Plus one simple and one
+#: Type0 singleton. media_id: group g member j -> 100g + j; singleton
+#: s -> 900 + 100s.
+_CT_GROUPS = 2
+_CT_MEMBERS = [("td", False), ("cid", False), ("cid", True)]
+_CT_SINGLES = 2
+
+
+def _ct_pages(seed: str) -> list[dict]:
+    part1 = _words(f"cidtext|{seed}|a", 6)
+    part2 = _words(f"cidtext|{seed}|b", 4)
+    return [{
+        "mediabox": None,
+        "elements": [(72, 700, 12, part1), (72, 600, 10, part2)],
+    }]
+
+
+def cid_pdf_media(spark: SparkSession) -> DataFrame:
+    """(media_id, payload) fixture frame (see the _CT_* design note)."""
+    rows = []
+    for g in range(_CT_GROUPS):
+        pages = _ct_pages(f"g{g}")
+        for j, (style, comp) in enumerate(_CT_MEMBERS):
+            rows.append(
+                (100 * g + j, encode_pdf(pages, style=style, compress=comp))
+            )
+    for s in range(_CT_SINGLES):
+        rows.append(
+            (900 + 100 * s,
+             encode_pdf(_ct_pages(f"s{s}"), style="cid" if s % 2 else "td"))
+        )
+    return spark.createDataFrame(
+        [(mid, "pdf", bytearray(p)) for mid, p in rows],
+        "media_id bigint, kind string, payload binary",
+    )
+
+
+def pdf_cid_oracle() -> str:
+    """Constant-folding DuckDB oracle for the composite-font text-dedup
+    row: digests re-derived in pure python from the SAME text generator
+    the fixture embeds."""
+    rows = []
+    for g in range(_CT_GROUPS):
+        p1 = _words(f"cidtext|g{g}|a", 6)
+        p2 = _words(f"cidtext|g{g}|b", 4)
+        digest = hashlib.md5(f"{p1}\n{p2}".encode()).hexdigest()
+        rows.append((digest, len(_CT_MEMBERS), 100 * g,
+                     len(_CT_MEMBERS) - 1))
+    for s in range(_CT_SINGLES):
+        p1 = _words(f"cidtext|s{s}|a", 6)
+        p2 = _words(f"cidtext|s{s}|b", 4)
+        digest = hashlib.md5(f"{p1}\n{p2}".encode()).hexdigest()
+        rows.append((digest, 1, 900 + 100 * s, 0))
+    rows.sort(key=lambda r: r[2])
+    vals = ",\n      ".join(
+        f"('{d}', {n}, {k}, {nd})" for d, n, k, nd in rows
+    )
+    return f"""
+    SELECT text_digest,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(keeper_id AS BIGINT) AS keeper_id,
+           CAST(n_dupes AS BIGINT) AS n_dupes
+    FROM (VALUES
+      {vals})
+      AS t(text_digest, n_docs, keeper_id, n_dupes)
+    ORDER BY keeper_id
+    """
+
+
+def m_pdf_cid_text_staged(spark: SparkSession) -> DataFrame:
+    """Staged row body (``m_pdf_cid_text``): the composite-font fixture
+    through the SAME registered text-dedup operator."""
+    return pdf_text_dedup_groups(cid_pdf_media(spark))
 
 
 # ---------------------------------------------------------------------------

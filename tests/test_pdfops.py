@@ -610,3 +610,118 @@ def test_feature_fixture_rotated_doc_matches_display_design():
     assert feats["title"] == P._feat_doc_text(doc, 0, 0, 4)
     assert (feats["p1_width"], feats["p1_height"]) == (612, 792)
     assert feats["n_pages"] == 1 and feats["max_font"] == 22
+
+
+# ---------------------------------------------------------------------------
+# Composite fonts: Type0/Identity-H + /ToUnicode CMap (staged r12 ->
+# r13/14 candidate m_pdf_cid_text)
+# ---------------------------------------------------------------------------
+
+
+def test_cid_canonical_text_equals_simple_font():
+    """The same words through a Type0/Identity-H font (2-byte CIDs +
+    /ToUnicode CMap) and through the simple literal-string path must
+    canonicalize BYTE-identically, compressed or not — the
+    cross-encoding claim the staged row registers."""
+    pages = P._ct_pages("unit")
+    want = P.pdf_canonical_text(P.encode_pdf(pages, style="td"))
+    for comp in (False, True):
+        got = P.pdf_canonical_text(
+            P.encode_pdf(pages, style="cid", compress=comp)
+        )
+        assert got == want
+
+
+def test_cid_mapping_is_not_identity():
+    """The fixture's CID assignment is codepoint + 0x100, so a decoder
+    that shortcuts Identity-H codes as Unicode (skipping the CMap)
+    provably fails — the show bytes, read as UTF-16BE, are NOT the
+    design text."""
+    pages = [{"mediabox": None, "elements": [(72, 700, 10, "abc")]}]
+    data = P.encode_pdf(pages, style="cid")
+    runs = [t for *_, t in P.PdfDocument(data).doc_runs()]
+    assert runs == ["abc"]
+    shortcut = "".join(chr(ord(c) + P._CID_DELTA) for c in "abc")
+    assert shortcut != "abc"  # the CMap did real work
+
+
+def test_tounicode_cmap_exercises_both_section_forms():
+    """The generated CMap uses bfrange for contiguous codepoint runs
+    and bfchar for isolated ones, and _parse_cmap round-trips both
+    (widths from the codespacerange, full mapping back)."""
+    chars = set("0123456789abcdef ")  # runs 0-9, a-f; isolated space
+    cmap = P._tounicode_cmap(chars)
+    assert b"beginbfrange" in cmap and b"beginbfchar" in cmap
+    widths, mapping = P._parse_cmap(cmap)
+    assert widths == {2}
+    for c in chars:
+        assert mapping[ord(c) + P._CID_DELTA] == c
+    assert len(mapping) == len(chars)
+
+
+def test_parse_cmap_bfrange_array_destination_form():
+    """§9.10.3's second bfrange form: [dst0 dst1 ...] array of
+    destination strings."""
+    cmap = (b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"1 beginbfrange <0100> <0102> [<0058> <0059> <005A>] "
+            b"endbfrange")
+    widths, mapping = P._parse_cmap(cmap)
+    assert widths == {2}
+    assert (mapping[0x100], mapping[0x101], mapping[0x102]) == (
+        "X", "Y", "Z")
+
+
+def test_type0_without_tounicode_is_labeled_boundary():
+    """A Type0 font with NO /ToUnicode CMap cannot be mapped to text
+    without the font program's own cmap table (out of scope): each
+    2-byte code extracts as U+FFFD — flagged, never silently wrong."""
+    pages = [{"mediabox": None, "elements": [(72, 700, 10, "xyz")]}]
+    data = P.encode_pdf(pages, style="cid").replace(
+        b" /ToUnicode ", b" /NotToUnicode "
+    )
+    runs = [t for *_, t in P.PdfDocument(data).doc_runs()]
+    assert runs == ["�" * 3]
+
+
+def test_resources_inherited_from_pages_node():
+    """/Resources is inheritable (ISO 32000-1 §7.7.3.4): hoist the
+    writer's per-page resources onto the /Pages node and the composite
+    font must still resolve through inheritance."""
+    pages = [{"mediabox": None, "elements": [(72, 700, 10, "words here")]}]
+    data = P.encode_pdf(pages, style="cid")
+    # find the per-page resources entry and move it to the /Pages node
+    import re
+
+    m = re.search(rb" /Resources << /Font << [^>]*>> >>", data)
+    assert m, "writer layout changed"
+    res = m.group(0)
+    surgically = data.replace(res, b"", 1).replace(
+        b"/Type /Pages /Kids", res.strip() + b" /Type /Pages /Kids", 1
+    )
+    # the surgery shifts every offset, so drop the now-stale xref
+    # entirely: the parser's documented scan-fallback reconstructs the
+    # table (same entry path as test_xref_fallback_on_damaged_startxref)
+    surgically = surgically[: surgically.rindex(b"xref")]
+    runs = [t for *_, t in P.PdfDocument(surgically).doc_runs()]
+    assert runs == ["words here"]
+
+
+def test_staged_cid_fixture_and_oracle_match(spark):
+    """End-to-end: the composite-font fixture collapses per design
+    (groups of 3 across td/cid/cid-compressed; singletons alone) and
+    equals the staged constant-folding oracle."""
+    import duckdb
+
+    got = {
+        r.keeper_id: (r.n_docs, r.n_dupes)
+        for r in P.m_pdf_cid_text_staged(spark).collect()
+    }
+    want = {100 * g: (len(P._CT_MEMBERS), len(P._CT_MEMBERS) - 1)
+            for g in range(P._CT_GROUPS)}
+    want.update({900 + 100 * s: (1, 0) for s in range(P._CT_SINGLES)})
+    assert got == want
+    spdf = P.m_pdf_cid_text_staged(spark).toPandas()
+    ddf = duckdb.connect().execute(P.pdf_cid_oracle()).fetchdf()
+    a = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+    b = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
+    assert sorted(map(str, a)) == sorted(map(str, b))
