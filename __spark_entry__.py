@@ -219,7 +219,7 @@ except ImportError:  # pragma: no cover
 #: pds_warc_stream (warcsource.warc_stream_replay — live
 #: filename-watermark advancement — vs the same oracle), and the
 #: crawl-frontier rows u_url_canonicalize
-#: (urlops.u_url_canonicalize vs url_canonicalize_oracle() — 21
+#: (urlops.u_url_canonicalize vs url_canonicalize_oracle() — 26
 #: hand-stated RFC 3986 cases) and u_frontier_dedup
 #: (urlops.u_frontier_dedup vs frontier_oracle() — host-partitioned
 #: keep-first dedup, partitioning-invariant), and m_pdf_cid_text
