@@ -225,7 +225,10 @@ except ImportError:  # pragma: no cover
 #: keep-first dedup, partitioning-invariant), and m_pdf_cid_text
 #: (pdfops.m_pdf_cid_text_staged vs pdf_cid_oracle() — composite
 #: Type0/CID-font text dedup across font encodings through the
-#: registered pdf_text_dedup_groups operator).
+#: registered pdf_text_dedup_groups operator), and u_robots_filter
+#: (robotsops.u_robots_filter vs robots_oracle() — RFC 9309
+#: allow/disallow + crawl-delay over the frontier, broadcast
+#: plan-gated).
 #:
 #: Round 11 executes the ROUND-11 ROTATION pre-computed at the end of
 #: round 10 (kept below for provenance). The 3 spare slots are exactly
