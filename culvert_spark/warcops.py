@@ -50,6 +50,7 @@ brief.
 from __future__ import annotations
 
 import gzip
+import hashlib
 import zlib
 from typing import Iterator
 
@@ -489,3 +490,160 @@ def warc_stats_oracle() -> str:
            n_tokens, n_chars, text_digest)
     ORDER BY warc_id, page_no
     """
+
+
+# ---------------------------------------------------------------------------
+# Derived text archives (WET-convention conversion records) — the WRITE
+# side of the crawl hop, staged round 12 for a r13/14 registration slot
+# (w_wet_roundtrip)
+# ---------------------------------------------------------------------------
+
+_WET_DATE = "2026-01-01T00:00:00Z"
+
+
+def encode_wet(pages: list[tuple[str, str]], source_name: str) -> bytes:
+    """A derived-text archive in the WET convention (CommonCrawl's
+    published derived format over ISO 28500 record types): one
+    ``warcinfo`` record naming the source archive, then one
+    ``conversion`` record per (target_uri, main_text) page —
+    text/plain UTF-8 payload, deterministic record ids, the same CRLF
+    discipline as ``_warc_record`` (so the production record walk
+    reads it back byte-faithfully)."""
+    out = bytearray()
+    out += _warc_record(
+        "warcinfo",
+        {"WARC-Record-ID": f"<urn:uuid:wetinfo-{source_name}>",
+         "WARC-Date": _WET_DATE,
+         "WARC-Filename": f"{source_name}.wet"},
+        (f"software: culvert_spark warcops WET writer\r\n"
+         f"extractedFrom: {source_name}\r\n").encode("utf-8"),
+    )
+    for i, (uri, text) in enumerate(pages, start=1):
+        out += _warc_record(
+            "conversion",
+            {"WARC-Target-URI": uri,
+             "WARC-Record-ID": f"<urn:uuid:wet-{source_name}-{i}>",
+             "WARC-Date": _WET_DATE,
+             "Content-Type": "text/plain"},
+            text.encode("utf-8"),
+        )
+    return bytes(out)
+
+
+def warc_text_payloads(data: bytes):
+    """(target_uri, text) per ``conversion`` record — the read side of
+    the WET convention (warcinfo and any other record types skipped);
+    transparent member-gzip via the shared record walk."""
+    for fields, block in iter_warc_records(data):
+        if fields.get("warc-type") != "conversion":
+            continue
+        yield (fields.get("warc-target-uri", ""),
+               block.decode("utf-8", "replace"))
+
+
+def warc_to_wet(archives: DataFrame) -> DataFrame:
+    """(warc_id, wet) — each crawl archive row becomes ONE derived
+    WET archive row: record walk -> HTML main-content extraction ->
+    conversion records, all inside one narrow ``mapInPandas`` (the
+    archive row is the unit of work on BOTH sides; no shuffle)."""
+    from culvert_spark.htmlops import extract_html
+
+    def derive(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for wid, payload in zip(pdf["warc_id"], pdf["payload"]):
+                blob = bytes(payload) if payload is not None else b""
+                pages = [
+                    (uri, extract_html(html)["text"])
+                    for uri, html in warc_html_payloads(blob)
+                ]
+                rows.append({
+                    "warc_id": int(wid),
+                    "wet": encode_wet(pages, f"warc-{int(wid)}"),
+                })
+            yield pd.DataFrame(rows, columns=["warc_id", "wet"])
+
+    return archives.mapInPandas(derive, "warc_id bigint, wet binary")
+
+
+WET_STATS_SCHEMA = (
+    "warc_id bigint, page_no int, target_uri string, n_tokens int, "
+    "n_chars int, text_digest string"
+)
+
+
+def wet_doc_stats(wets: DataFrame) -> DataFrame:
+    """Per-page stats re-read from DERIVED WET archives — one narrow
+    pass over (warc_id, wet). Composing this after ``warc_to_wet``
+    proves the writer round-trips: the digests must equal the ones the
+    html/warc stats rows compute from the SOURCE documents."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for wid, payload in zip(pdf["warc_id"], pdf["wet"]):
+                blob = bytes(payload) if payload is not None else b""
+                for i, (uri, text) in enumerate(
+                    warc_text_payloads(blob), start=1
+                ):
+                    rows.append({
+                        "warc_id": int(wid), "page_no": i,
+                        "target_uri": uri,
+                        "n_tokens": len(text.split()),
+                        "n_chars": len(text),
+                        "text_digest": hashlib.md5(
+                            text.encode("utf-8")
+                        ).hexdigest(),
+                    })
+            yield pd.DataFrame(
+                rows,
+                columns=["warc_id", "page_no", "target_uri", "n_tokens",
+                         "n_chars", "text_digest"],
+            )
+
+    return wets.mapInPandas(stats, WET_STATS_SCHEMA).orderBy(
+        "warc_id", "page_no"
+    )
+
+
+def wet_roundtrip_oracle() -> str:
+    """Constant-folding DuckDB oracle for the WET round trip over the
+    fixture corpus: per-page text expectations from the SHARED html
+    design constants (the same digests warc_stats_oracle states)."""
+    rows = []
+    for wid, specs in ((0, _HTML_DOCS[:_WARC_SPLIT]),
+                       (1, _HTML_DOCS[_WARC_SPLIT:])):
+        for i, s in enumerate(specs, start=1):
+            e = _expected_doc(s)
+            rows.append(
+                (wid, i, f"https://fixture.example/doc{s[0]}",
+                 e["n_tokens"], e["n_chars"], e["text_digest"])
+            )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ",\n      ".join(
+        "({}, {}, '{}', {}, {}, '{}')".format(
+            r[0], r[1], q(r[2]), r[3], r[4], r[5]
+        )
+        for r in rows
+    )
+    return f"""
+    SELECT CAST(warc_id AS BIGINT) AS warc_id,
+           CAST(page_no AS INT) AS page_no, target_uri,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(n_chars AS INT) AS n_chars,
+           text_digest
+    FROM (VALUES
+      {vals})
+      AS t(warc_id, page_no, target_uri, n_tokens, n_chars, text_digest)
+    ORDER BY warc_id, page_no
+    """
+
+
+def w_wet_roundtrip(spark: SparkSession) -> DataFrame:
+    """Staged row body: fixture crawl corpus -> derived WET archives
+    -> stats re-read from the DERIVED bytes — the full write+read
+    round trip as one value-hash surface."""
+    return wet_doc_stats(warc_to_wet(warc_corpus(spark)))
