@@ -228,9 +228,12 @@ except ImportError:  # pragma: no cover
 #: registered pdf_text_dedup_groups operator), and u_robots_filter
 #: (robotsops.u_robots_filter vs robots_oracle() — RFC 9309
 #: allow/disallow + crawl-delay over the frontier, broadcast
-#: plan-gated), and w_wet_roundtrip (warcops.w_wet_roundtrip vs
+#: plan-gated), w_wet_roundtrip (warcops.w_wet_roundtrip vs
 #: wet_roundtrip_oracle() — the WET derived-archive WRITE side
-#: round-tripped through the production record walk).
+#: round-tripped through the production record walk), and
+#: u_sitemap_urls (sitemapops.u_sitemap_urls vs sitemap_oracle() —
+#: sitemaps.org ingestion through native from_xml, zero Python
+#: workers in the plan).
 #:
 #: Round 11 executes the ROUND-11 ROTATION pre-computed at the end of
 #: round 10 (kept below for provenance). The 3 spare slots are exactly
