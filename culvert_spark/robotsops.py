@@ -53,10 +53,13 @@ from __future__ import annotations
 
 import re
 from typing import Iterator
+from urllib.parse import urlsplit
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from culvert_spark.urlops import _pct_normalize
 
 #: Product token the staged row evaluates for (any token works — the
 #: operator takes it as a parameter).
@@ -82,7 +85,9 @@ def parse_robots(text: str | None):
                 current = (set(), [], None)
                 groups.append(current)
                 collecting_agents = True
-            current[0].add(value.lower())
+            if value:  # an EMPTY token is malformed — ignored, never a
+                # match-everything specific group (round-12 review)
+                current[0].add(value.lower())
             continue
         collecting_agents = False
         if key == "sitemap":
@@ -90,7 +95,13 @@ def parse_robots(text: str | None):
         elif current is None:
             continue  # rules before any group are ignored (§2.2.1)
         elif key in ("allow", "disallow"):
-            current[1].append((key, value))
+            # §2.2.2 requires percent-encoding-CONSISTENT comparison:
+            # normalize the pattern exactly like urlops normalizes the
+            # canonical path (unreserved decode, uppercase escapes) so
+            # 'Disallow: /%7Ejoe/' matches the canonical '/~joe/'
+            # (round-12 review). '*' and '$' are not escapes — the
+            # normalizer never touches them.
+            current[1].append((key, _pct_normalize(value)))
         elif key == "crawl-delay":
             try:
                 groups[-1] = current = (
@@ -106,14 +117,14 @@ def rules_for_agent(groups, agent: str = _AGENT):
     user-agent-line prefix match; '*' only if nothing specific
     matched; groups sharing the winning token merge."""
     agent = agent.lower()
-    best_len = -1
+    best_len = 0  # empty tokens never qualify (malformed — review)
     for agents, _, _ in groups:
         for ua in agents:
             if ua != "*" and agent.startswith(ua) and len(ua) > best_len:
                 best_len = len(ua)
     rules: list = []
     delay: float | None = None
-    if best_len >= 0:
+    if best_len > 0:
         want = lambda agents: any(  # noqa: E731
             ua != "*" and agent.startswith(ua) and len(ua) == best_len
             for ua in agents
@@ -139,24 +150,37 @@ def _pattern_regex(pattern: str) -> re.Pattern:
                       + ("$" if anchor_end else ""))
 
 
-def is_allowed(rules, path: str) -> bool:
+def compile_rules(rules):
+    """[(precedence_len, is_allow, compiled_regex)] — compile ONCE per
+    host, not per URL: the frontier hot path evaluates billions of
+    paths against a bounded rule set, and Python's re module purges
+    its internal cache past 512 patterns (round-12 review)."""
+    return [
+        (len(pattern), rule == "allow", _pattern_regex(pattern))
+        for rule, pattern in rules
+        if pattern  # empty pattern matches nothing
+    ]
+
+
+def is_allowed_compiled(compiled, path: str) -> bool:
     """Longest-match precedence over pattern octet length, Allow wins
     ties (§2.2.2); no matching rule (or no rules at all) = allowed."""
     best: tuple[int, bool] | None = None
-    for rule, pattern in rules:
-        if not pattern:
-            continue  # empty pattern matches nothing
-        if _pattern_regex(pattern).match(path):
-            key = (len(pattern), rule == "allow")
+    for length, allow, rx in compiled:
+        if rx.match(path):
+            key = (length, allow)
             if best is None or key > best:
                 best = key
     return best is None or best[1]
 
 
+def is_allowed(rules, path: str) -> bool:
+    """Convenience single-shot form of :func:`is_allowed_compiled`."""
+    return is_allowed_compiled(compile_rules(rules), path)
+
+
 def _path_of(canonical: str) -> str:
     """Path + query of a CANONICAL url (the part robots rules see)."""
-    from urllib.parse import urlsplit
-
     sp = urlsplit(canonical)
     return sp.path + (f"?{sp.query}" if sp.query else "")
 
@@ -165,14 +189,18 @@ ROBOTS_COLS = "allowed boolean, crawl_delay double"
 
 
 def robots_filter(
-    frontier: DataFrame, robots: DataFrame, agent: str = _AGENT
+    frontier: DataFrame, robots: DataFrame, agent: str
 ) -> DataFrame:
     """Adds (allowed, crawl_delay) to a frontier frame with
     (canonical, host) columns, from a ``robots`` frame of
-    (host, robots_txt). Broadcast left join on host (robots is one
-    small row per host), then one narrow evaluation pass with a
-    per-batch parsed cache; hosts with no robots.txt row are allowed
-    with NULL delay (§2.3.1.2)."""
+    (host, robots_txt), evaluated for the REQUIRED crawler product
+    token ``agent`` (no default: a silently-wrong crawler identity
+    yields wrong politeness verdicts with no error — round-12
+    review; the fixture token lives only in the staged row body).
+    Broadcast left join on host (robots is one small row per host),
+    then one narrow evaluation pass with a per-batch parsed+compiled
+    cache; hosts with no robots.txt row are allowed with NULL delay
+    (§2.3.1.2)."""
     joined = frontier.join(
         F.broadcast(robots.select("host", "robots_txt")), "host", "left"
     )
@@ -193,11 +221,14 @@ def robots_filter(
                     continue
                 key = str(txt)
                 if key not in cache:
-                    cache[key] = rules_for_agent(
+                    rules, delay = rules_for_agent(
                         parse_robots(key)[0], agent
                     )
-                rules, delay = cache[key]
-                allowed.append(is_allowed(rules, _path_of(str(canon))))
+                    cache[key] = (compile_rules(rules), delay)
+                compiled, delay = cache[key]
+                allowed.append(
+                    is_allowed_compiled(compiled, _path_of(str(canon)))
+                )
                 delays.append(delay)
             out = pdf.drop(columns=["robots_txt"])
             out["allowed"] = allowed
@@ -239,6 +270,16 @@ _ROBOTS_FILES: dict[str, str] = {
         "Allow: /tmp/ok\n"
         "Disallow: /*.json$\n"
     ),
+    # percent-encoded rule vs canonicalized frontier paths (§2.2.2
+    # consistency — round-12 review), plus a malformed empty
+    # User-agent line that must NOT become a match-everything group
+    "pct.example": (
+        "User-agent:\n"
+        "Disallow: /never-applies/\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /%7Eprivate/\n"
+    ),
 }
 
 #: (url_id, canonical, expected allowed, expected crawl_delay) for
@@ -265,6 +306,13 @@ _ROBOTS_CASES: list[tuple[int, str, bool, float | None]] = [
     (8, "https://unlisted.net/anything", True, None),
     # query strings are part of the matched path
     (9, "https://other.org/page?fmt=x.json", False, None),
+    # an encoded Disallow pattern matches the CANONICAL (decoded) path
+    (10, "http://pct.example/~private/x", False, None),
+    # ...including when the raw link itself was encoded (canonicalizes
+    # to the same path)
+    (11, "http://pct.example/%7eprivate/y", False, None),
+    # the malformed empty-UA group matches nobody: its rule is inert
+    (12, "http://pct.example/never-applies/z", True, None),
 ]
 
 
@@ -276,12 +324,18 @@ def robots_fixture(spark: SparkSession) -> DataFrame:
 
 
 def robots_frontier_fixture(spark: SparkSession) -> DataFrame:
-    """(url_id, canonical, host) frame of the design cases."""
-    from culvert_spark.urlops import url_host
+    """(url_id, canonical, host) frame of the design cases, run
+    through ``canonical_url`` first — the operator's contract input IS
+    a frontier of canonicals (case 11 exists exactly to prove an
+    encoded raw link meets an encoded rule on the canonical axis)."""
+    from culvert_spark.urlops import canonical_url, url_host
 
+    rows = []
+    for i, c, _, _ in _ROBOTS_CASES:
+        canon = canonical_url(c)
+        rows.append((i, canon, url_host(canon)))
     return spark.createDataFrame(
-        [(i, c, url_host(c)) for i, c, _, _ in _ROBOTS_CASES],
-        "url_id bigint, canonical string, host string",
+        rows, "url_id bigint, canonical string, host string"
     )
 
 
@@ -290,12 +344,12 @@ def robots_oracle() -> str:
     def q(s: str) -> str:
         return s.replace("'", "''")
 
-    from culvert_spark.urlops import url_host
+    from culvert_spark.urlops import canonical_url, url_host
 
     vals = ",\n      ".join(
         "({}, '{}', '{}', {}, {})".format(
-            i, q(c), q(url_host(c)), str(bool(a)).upper(),
-            "NULL" if d is None else d,
+            i, q(canonical_url(c)), q(url_host(canonical_url(c))),
+            str(bool(a)).upper(), "NULL" if d is None else d,
         )
         for i, c, a, d in _ROBOTS_CASES
     )
@@ -314,7 +368,7 @@ def u_robots_filter(spark: SparkSession) -> DataFrame:
     """Staged row body: the design frontier through ``robots_filter``,
     ordered by case id."""
     return robots_filter(
-        robots_frontier_fixture(spark), robots_fixture(spark)
+        robots_frontier_fixture(spark), robots_fixture(spark), _AGENT
     ).orderBy("url_id").select(
         "url_id", "canonical", "host", "allowed", "crawl_delay"
     )

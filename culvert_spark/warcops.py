@@ -453,20 +453,27 @@ def warc_corpus(spark: SparkSession) -> DataFrame:
     )
 
 
+def _fixture_page_rows():
+    """(warc_id, page_no, target_uri, expected-doc dict) for every
+    fixture page — the ONE statement of the archive split / page
+    numbering / URI convention that both oracle builders share
+    (round-12 review: it used to be restated per builder)."""
+    for wid, specs in ((0, _HTML_DOCS[:_WARC_SPLIT]),
+                       (1, _HTML_DOCS[_WARC_SPLIT:])):
+        for i, s in enumerate(specs, start=1):
+            yield (wid, i, f"https://fixture.example/doc{s[0]}",
+                   _expected_doc(s))
+
+
 def warc_stats_oracle() -> str:
     """Constant-folding DuckDB oracle for ``warc_doc_stats`` over the
     fixture corpus: per-page expectations re-derived from the SHARED
     html design constants; the noise records contribute NO rows."""
-    rows = []
-    for wid, specs in ((0, _HTML_DOCS[:_WARC_SPLIT]),
-                       (1, _HTML_DOCS[_WARC_SPLIT:])):
-        for i, s in enumerate(specs, start=1):
-            e = _expected_doc(s)
-            rows.append(
-                (wid, i, f"https://fixture.example/doc{s[0]}", e["title"],
-                 e["n_headings"], e["n_links"], e["n_tokens"],
-                 e["n_chars"], e["text_digest"])
-            )
+    rows = [
+        (wid, i, uri, e["title"], e["n_headings"], e["n_links"],
+         e["n_tokens"], e["n_chars"], e["text_digest"])
+        for wid, i, uri, e in _fixture_page_rows()
+    ]
     def q(s: str) -> str:  # SQL single-quote escaping (house rule)
         return s.replace("'", "''")
 
@@ -546,7 +553,17 @@ def warc_to_wet(archives: DataFrame) -> DataFrame:
     WET archive row: record walk -> HTML main-content extraction ->
     conversion records, all inside one narrow ``mapInPandas`` (the
     archive row is the unit of work on BOTH sides; no shuffle)."""
-    from culvert_spark.htmlops import extract_html
+    from culvert_spark.htmlops import MainContentParser
+
+    def main_text(html: str) -> str:
+        # text-only extraction: extract_html also computes the md5
+        # digest and token/char counts, which the WET writer discards
+        # (wet_doc_stats re-derives them from the re-read bytes) —
+        # wasted CPU in the parser-bound path (round-12 review).
+        p = MainContentParser()
+        p.feed(html)
+        p.close()
+        return p.main_text()
 
     def derive(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -554,7 +571,7 @@ def warc_to_wet(archives: DataFrame) -> DataFrame:
             for wid, payload in zip(pdf["warc_id"], pdf["payload"]):
                 blob = bytes(payload) if payload is not None else b""
                 pages = [
-                    (uri, extract_html(html)["text"])
+                    (uri, main_text(html))
                     for uri, html in warc_html_payloads(blob)
                 ]
                 rows.append({
@@ -610,15 +627,10 @@ def wet_roundtrip_oracle() -> str:
     """Constant-folding DuckDB oracle for the WET round trip over the
     fixture corpus: per-page text expectations from the SHARED html
     design constants (the same digests warc_stats_oracle states)."""
-    rows = []
-    for wid, specs in ((0, _HTML_DOCS[:_WARC_SPLIT]),
-                       (1, _HTML_DOCS[_WARC_SPLIT:])):
-        for i, s in enumerate(specs, start=1):
-            e = _expected_doc(s)
-            rows.append(
-                (wid, i, f"https://fixture.example/doc{s[0]}",
-                 e["n_tokens"], e["n_chars"], e["text_digest"])
-            )
+    rows = [
+        (wid, i, uri, e["n_tokens"], e["n_chars"], e["text_digest"])
+        for wid, i, uri, e in _fixture_page_rows()
+    ]
 
     def q(s: str) -> str:
         return s.replace("'", "''")

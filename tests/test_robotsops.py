@@ -13,11 +13,13 @@ from culvert_spark import robotsops as R
 
 def test_every_design_case_by_hand():
     """Each hand-stated verdict (group exclusivity, longest-match,
-    $ anchor, wildcard, missing file, query-in-path) must hold in
-    pure python before Spark ever sees it."""
-    for i, canon, want_allowed, want_delay in R._ROBOTS_CASES:
-        from culvert_spark.urlops import url_host
+    $ anchor, wildcard, missing file, query-in-path, percent
+    consistency, empty-UA inertness) must hold in pure python on the
+    CANONICAL axis before Spark ever sees it."""
+    from culvert_spark.urlops import canonical_url, url_host
 
+    for i, raw, want_allowed, want_delay in R._ROBOTS_CASES:
+        canon = canonical_url(raw)
         host = url_host(canon)
         txt = R._ROBOTS_FILES.get(host)
         if txt is None:
@@ -82,6 +84,39 @@ def test_none_text_never_raises():
     assert R.is_allowed([], "/x")
 
 
+def test_percent_encoded_rule_matches_canonical_path():
+    """§2.2.2 percent consistency (round-12 review): an encoded
+    Disallow pattern ('/%7Ejoe/') must match the canonicalized path
+    ('/~joe/...') — patterns are normalized with the SAME rule the
+    canonicalizer applies."""
+    groups, _ = R.parse_robots("User-agent: *\nDisallow: /%7Ejoe/\n")
+    rules, _ = R.rules_for_agent(groups, "anybot")
+    assert not R.is_allowed(rules, "/~joe/secret")
+    # ...and uppercase-hex consistency for escapes that must stay
+    groups2, _ = R.parse_robots("User-agent: *\nDisallow: /a%2fb\n")
+    rules2, _ = R.rules_for_agent(groups2, "anybot")
+    assert not R.is_allowed(rules2, "/a%2Fb")
+
+
+def test_empty_user_agent_token_is_inert():
+    """A malformed 'User-agent:' line (empty token) must not become a
+    match-everything SPECIFIC group that shadows '*' (round-12
+    review)."""
+    txt = "User-agent:\nDisallow: /\n\nUser-agent: *\nAllow: /\n"
+    groups, _ = R.parse_robots(txt)
+    rules, _ = R.rules_for_agent(groups, "anybot")
+    assert R.is_allowed(rules, "/anything")
+
+
+def test_compiled_rules_equal_single_shot():
+    rules = [("disallow", "/tmp/*"), ("allow", "/tmp/ok")]
+    compiled = R.compile_rules(rules)
+    for path in ("/tmp/x", "/tmp/ok", "/other"):
+        assert R.is_allowed_compiled(compiled, path) == R.is_allowed(
+            rules, path
+        )
+
+
 def test_spark_filter_matches_python(spark):
     rows = {
         r.url_id: (r.allowed, r.crawl_delay)
@@ -107,7 +142,8 @@ def test_plan_broadcasts_robots_side(spark):
     small row per host against a billion-row frontier), never a
     shuffled join."""
     df = R.robots_filter(
-        R.robots_frontier_fixture(spark), R.robots_fixture(spark)
+        R.robots_frontier_fixture(spark), R.robots_fixture(spark),
+        R._AGENT,
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
@@ -125,7 +161,9 @@ def test_composes_with_frontier_dedup(spark):
     frontier = U.frontier_dedup(U.frontier_fixture(spark))
     out = {
         r.canonical: (r.allowed, r.crawl_delay)
-        for r in R.robots_filter(frontier, R.robots_fixture(spark)).collect()
+        for r in R.robots_filter(
+            frontier, R.robots_fixture(spark), R._AGENT
+        ).collect()
     }
     assert len(out) == len(U._FRONTIER_EXPECTED)
     for canon, host, *_ in U._FRONTIER_EXPECTED:

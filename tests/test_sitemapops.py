@@ -70,6 +70,17 @@ def test_staged_oracle_matches(spark):
     assert sorted(map(str, a)) == sorted(map(str, b))
 
 
+def test_output_schema_is_the_stated_contract(spark):
+    """SITEMAP_COLS is the operator's declared contract — pin it so a
+    column change must update the constant in lockstep (round-12
+    review: an unused DDL constant silently drifts)."""
+    got = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in S.sitemap_urls(S.sitemap_fixture(spark)).schema.fields
+    )
+    assert got == S.SITEMAP_COLS
+
+
 def test_plan_has_no_python_workers(spark):
     """The deliberate contrast case in the extraction family: XML has
     a first-class Spark parser, so the WHOLE operator must stay
