@@ -56,8 +56,13 @@ _INDEX_SCHEMA = "sitemap ARRAY<STRUCT<loc: STRING, lastmod: STRING>>"
 
 SITEMAP_COLS = (
     "host string, kind string, loc string, lastmod string, "
-    "lastmod_date date, changefreq string, priority double"
+    "lastmod_date string, changefreq string, priority double"
 )
+#: lastmod_date is the PARSED date emitted as an ISO string, not a
+#: DATE column: no registered query outputs raw DATE (verified by a
+#: schema scan) because engines disagree on date canonicalization in
+#: dataframe transfer (duckdb fetchdf returns Timestamps) — the
+#: string form is the cross-engine-stable house style.
 
 
 def sitemap_urls(docs: DataFrame) -> DataFrame:
@@ -77,7 +82,8 @@ def sitemap_urls(docs: DataFrame) -> DataFrame:
             F.lit("url").alias("kind"),
             F.col("e.loc").alias("loc"),
             F.col("e.lastmod").alias("lastmod"),
-            F.try_to_date("e.lastmod").alias("lastmod_date"),
+            F.try_to_date("e.lastmod").cast("string")
+            .alias("lastmod_date"),
             F.col("e.changefreq").alias("changefreq"),
             F.expr("try_cast(e.priority AS DOUBLE)").alias("priority"),
         )
@@ -92,7 +98,8 @@ def sitemap_urls(docs: DataFrame) -> DataFrame:
             F.lit("sitemap").alias("kind"),
             F.col("e.loc").alias("loc"),
             F.col("e.lastmod").alias("lastmod"),
-            F.try_to_date("e.lastmod").alias("lastmod_date"),
+            F.try_to_date("e.lastmod").cast("string")
+            .alias("lastmod_date"),
             F.lit(None).cast("string").alias("changefreq"),
             F.lit(None).cast("double").alias("priority"),
         )
@@ -185,21 +192,21 @@ def sitemap_oracle() -> str:
                     prv = None
                 rows.append(
                     f"('{q(host)}', 'url', '{q(loc)}', {lit(lm, 's')}, "
-                    f"TRY_CAST({lit(lm, 's')} AS DATE), {lit(cf, 's')}, "
+                    f"CAST(TRY_CAST({lit(lm, 's')} AS DATE) AS VARCHAR), {lit(cf, 's')}, "
                     f"{lit(prv, 'n')})"
                 )
         elif kind == "index":
             for loc, lm in entries:
                 rows.append(
                     f"('{q(host)}', 'sitemap', '{q(loc)}', {lit(lm, 's')}, "
-                    f"TRY_CAST({lit(lm, 's')} AS DATE), NULL, NULL)"
+                    f"CAST(TRY_CAST({lit(lm, 's')} AS DATE) AS VARCHAR), NULL, NULL)"
                 )
     vals = ",\n      ".join(rows)
     return f"""
     SELECT CAST(host AS VARCHAR) AS host, CAST(kind AS VARCHAR) AS kind,
            CAST(loc AS VARCHAR) AS loc,
            CAST(lastmod AS VARCHAR) AS lastmod,
-           CAST(lastmod_date AS DATE) AS lastmod_date,
+           CAST(lastmod_date AS VARCHAR) AS lastmod_date,
            CAST(changefreq AS VARCHAR) AS changefreq,
            CAST(priority AS DOUBLE) AS priority
     FROM (VALUES

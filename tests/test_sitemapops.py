@@ -4,8 +4,6 @@ no-Python-in-plan gate, the staged oracle, and frontier composition."""
 
 from __future__ import annotations
 
-import datetime
-
 import pytest
 
 from pyspark.sql import functions as F
@@ -28,7 +26,7 @@ def test_both_shapes_and_forgiveness_rules(spark):
     assert "https://example.com/a?x=1&y=2" in by_loc
     a = by_loc["https://example.com/a?x=1&y=2"]
     assert a[1] == "url" and a[3] == "2026-01-02"
-    assert a[4] == datetime.date(2026, 1, 2)
+    assert a[4] == "2026-01-02"  # parsed date emitted as ISO string
     assert (a[5], a[6]) == ("daily", 0.8)
     # missing optionals -> NULL
     b = by_loc["https://example.com/b"]
@@ -38,7 +36,7 @@ def test_both_shapes_and_forgiveness_rules(spark):
     assert (c[3], c[4], c[6]) == ("not-a-date", None, None)
     # sitemapindex children
     sa = by_loc["https://example.com/sitemap-a.xml"]
-    assert sa[1] == "sitemap" and sa[4] == datetime.date(2026, 1, 3)
+    assert sa[1] == "sitemap" and sa[4] == "2026-01-03"
     # the garbage document contributes zero rows
     assert not any(r[0] == "bad.example" for r in rows)
     # full cardinality: 3 urls + 2 index refs + 1 other.org url
@@ -46,24 +44,13 @@ def test_both_shapes_and_forgiveness_rules(spark):
 
 
 def test_staged_oracle_matches(spark):
-    """DATE cells canonicalize via isoformat on both sides — the same
-    normalization the driver's compare applies (duckdb's fetchdf
-    returns DATE as a pandas Timestamp, Spark as datetime.date)."""
+    """Plain compare: lastmod_date is an ISO STRING by contract — no
+    registered query outputs raw DATE (engines disagree on date
+    transfer canonicalization; round-12 review of the staged row)."""
     import duckdb
-    import pandas as pd
 
-    def canon_dates(df):
-        df = df.copy()
-        df["lastmod_date"] = df["lastmod_date"].map(
-            lambda v: None if pd.isna(v)
-            else pd.Timestamp(v).date().isoformat()
-        )
-        return df
-
-    spdf = canon_dates(S.u_sitemap_urls(spark).toPandas())
-    ddf = canon_dates(
-        duckdb.connect().execute(S.sitemap_oracle()).fetchdf()
-    )
+    spdf = S.u_sitemap_urls(spark).toPandas()
+    ddf = duckdb.connect().execute(S.sitemap_oracle()).fetchdf()
     assert list(spdf.columns) == list(ddf.columns)
     a = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
     b = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
