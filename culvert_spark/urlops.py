@@ -57,6 +57,7 @@ oracle is independent ground truth, not a restatement of the code.
 from __future__ import annotations
 
 import hashlib
+import re
 from string import ascii_letters, digits, hexdigits
 from typing import Iterator
 from urllib.parse import urlsplit, urlunsplit
@@ -201,20 +202,65 @@ def host_shard(host: str, n_shards: int = _N_SHARDS) -> int:
 
 _CANON_COLS = "canonical string, host string, shard int"
 
+#: Fast-path predicate: a URL matching this (and containing none of
+#: ``?#%@``) is PROVABLY a fixed point of ``canonical_url`` — lowercase
+#: http(s) scheme, lowercase dotted host with no trailing dot, no
+#: default/zero-padded port, a rooted printable-ASCII path with no dot
+#: segments, no query/fragment/escape/userinfo. Group 1 captures the
+#: host. The implication (match ⇒ canonical_url(u) == u) is pinned by
+#: a combinatorial sweep AND a hypothesis fuzz test; anything outside
+#: it routes to the full Python canonicalizer — over-routing is always
+#: safe, under-routing is the only correctness risk.
+_FAST_CANONICAL = re.compile(
+    r"^(?!https?://[^/]*:(?:80|443)/)"
+    r"(?!.*/\.{1,2}(?:/|$))"
+    r"https?://"
+    r"([a-z0-9-]+(?:\.[a-z0-9-]+)*)"
+    r"(?::[1-9][0-9]*)?"
+    r"/[\x21-\x7e]*$"
+)
+
 
 def url_canonical_table(links: DataFrame) -> DataFrame:
     """Adds (canonical, host, shard) to any frame with a ``url``
     column — one narrow ``mapInPandas``, no shuffle. Non-fetchable
-    URLs get NULL canonical/host and shard -1."""
+    URLs get NULL canonical/host and shard -1.
+
+    Hot-path shape (round-12): inside each Arrow batch the
+    already-canonical MAJORITY (real crawl links are mostly clean) is
+    detected with ONE vectorized regex pass (C speed) and passes
+    through unchanged with its host captured by the same regex; only
+    the messy minority pays the per-row Python canonicalizer. Host
+    shards are memoized per distinct host (hosts repeat heavily in
+    link tables)."""
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in links.schema.fields
     )
 
     def canon(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shard_memo: dict[str, int] = {}
+
+        def shard_of(h: str) -> int:
+            s = shard_memo.get(h)
+            if s is None:
+                s = shard_memo[h] = host_shard(h)
+            return s
+
         for pdf in batches:
+            urls = pdf["url"].astype("string")
+            # vectorized fast path: fixed-point URLs + captured host
+            fast_host = urls.str.extract(_FAST_CANONICAL, expand=False)
+            fast = fast_host.notna() & ~urls.str.contains(
+                r"[?#%@]", regex=True, na=True
+            )
             cans, hosts, shards = [], [], []
-            for u in pdf["url"]:
-                c = canonical_url(None if u is None else str(u))
+            for u, is_fast, fh in zip(urls, fast, fast_host):
+                if is_fast:
+                    cans.append(u)
+                    hosts.append(fh)
+                    shards.append(shard_of(fh))
+                    continue
+                c = canonical_url(None if pd.isna(u) else str(u))
                 if c is None:
                     cans.append(None)
                     hosts.append(None)
@@ -223,7 +269,7 @@ def url_canonical_table(links: DataFrame) -> DataFrame:
                     h = url_host(c)
                     cans.append(c)
                     hosts.append(h)
-                    shards.append(host_shard(h))
+                    shards.append(shard_of(h))
             out = pdf.copy()
             out["canonical"] = cans
             out["host"] = hosts

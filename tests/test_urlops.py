@@ -146,3 +146,92 @@ def test_composes_with_registered_html_links(spark):
         for i, (url, _) in enumerate(e["links"], start=1):
             want[url] = (U.url_host(url), e["doc_id"], i, 1)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Fast-path fixed-point proof (round-12 hot-path addition)
+# ---------------------------------------------------------------------------
+
+
+def _fast_match(u: str):
+    m = U._FAST_CANONICAL.match(u)
+    if not m or any(c in u for c in "?#%@"):
+        return None
+    return m.group(1)
+
+
+def test_fast_predicate_implies_fixed_point_sweep():
+    """Combinatorial sweep: whenever the vectorized fast predicate
+    accepts a URL, the full canonicalizer must be the identity on it
+    AND the regex-captured host must equal url_host — the ONLY
+    correctness obligation of the fast path (over-routing to Python
+    is merely slower)."""
+    import itertools
+
+    schemes = ["http", "HTTP", "https", "ftp"]
+    hosts = ["example.com", "Example.COM", "example.com.", "a-b.c0",
+             "ex%61mple.com", "[::1]", "user@h.com"]
+    ports = ["", ":80", ":443", ":0080", ":8080"]
+    paths = ["", "/", "/a/b", "/a/../b", "/a/./b", "/a%7E", "/A/B",
+             "//x//y", "/a.", "/a/..", "/.", "/~u", "/a b", "/a\tb",
+             "/a/.../b", "/..a/b"]
+    tails = ["", "?b=2&a=1", "#f", "?utm_source=x"]
+    n_fast = 0
+    for s, h, po, pa, t in itertools.product(
+        schemes, hosts, ports, paths, tails
+    ):
+        u = f"{s}://{h}{po}{pa}{t}"
+        host = _fast_match(u)
+        if host is not None:
+            n_fast += 1
+            assert U.canonical_url(u) == u, u
+            assert U.url_host(u) == host, u
+    assert n_fast > 0  # the sweep actually exercises the fast branch
+
+
+def test_fast_predicate_fixed_point_fuzz():
+    """hypothesis fuzz over adversarial URL-ish strings: the same
+    implication as the sweep, on arbitrary input."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frag = st.text(
+        alphabet="abcXYZ019-._~/%?#@:&=$ \t\\", min_size=0, max_size=24
+    )
+
+    @settings(max_examples=400, deadline=None)
+    @given(
+        st.sampled_from(["http://", "https://", "HTTP://", ""]),
+        frag,
+        frag,
+    )
+    def prop(scheme, a, b):
+        u = scheme + a + "/" + b
+        host = _fast_match(u)
+        if host is not None:
+            assert U.canonical_url(u) == u
+            assert U.url_host(u) == host
+
+    prop()
+
+
+def test_fast_and_slow_paths_agree_in_spark(spark):
+    """A mixed corpus (already-canonical majority + every messy design
+    case) through url_canonical_table must equal the per-row Python
+    canonicalizer exactly — the fast path is an optimization, never a
+    semantic."""
+    rows = [(1000 + i, f"https://clean{i % 7}.example.org/p/{i}")
+            for i in range(40)]
+    rows += [(i, raw) for i, raw, _ in U._URL_CASES]
+    df = spark.createDataFrame(rows, "url_id bigint, url string")
+    got = {
+        r.url_id: (r.canonical, r.host, r.shard)
+        for r in U.url_canonical_table(df).collect()
+    }
+    for uid, raw in rows:
+        c = U.canonical_url(raw)
+        if c is None:
+            assert got[uid] == (None, None, -1), uid
+        else:
+            h = U.url_host(c)
+            assert got[uid] == (c, h, U.host_shard(h)), uid
