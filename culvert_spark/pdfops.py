@@ -555,18 +555,26 @@ def _parse_obj(data: bytes, p: int):
     raise ValueError(f"cannot parse PDF object at byte {p}")
 
 
-def _parse_cmap(data: bytes) -> tuple[set[int], dict[int, str]]:
+def _parse_cmap(
+    data: bytes,
+) -> tuple[set[int], dict[bytes, str], list[tuple[bytes, bytes]]]:
     """Parse a /ToUnicode CMap stream (ISO 32000-1 §9.10.3): returns
-    (source-code byte widths from codespacerange, code -> text map).
-    Destination strings are UTF-16BE; a ``bfrange`` with a hex-string
-    destination increments the LAST code unit per the spec (the
-    integer-increment form below — range destinations are single
-    units in practice and in the fixture). Tokens reuse the object
-    parser (hex strings, arrays, names, numbers); unrecognized
-    PostScript operators (def, begin, findresource, ...) just flush
-    pending operands, so wrapper boilerplate costs nothing."""
+    (source-code byte widths from codespacerange, raw-code-bytes ->
+    text map, the codespace ranges themselves as (lo, hi) byte pairs —
+    needed to disambiguate MIXED-width CMaps, where the same integer
+    names different codes at different widths, so the map is keyed by
+    the raw bytes). Destination strings are UTF-16BE; a ``bfrange``
+    with a hex-string destination increments the LAST code unit per
+    the spec (the integer-increment form below). A malformed range
+    whose destinations would overflow the destination byte width is
+    truncated at the overflow point instead of raising (round-12
+    ADVICE — forgiving parse path). Tokens reuse the object parser
+    (hex strings, arrays, names, numbers); unrecognized PostScript
+    operators (def, begin, findresource, ...) just flush pending
+    operands, so wrapper boilerplate costs nothing."""
     widths: set[int] = set()
-    mapping: dict[int, str] = {}
+    mapping: dict[bytes, str] = {}
+    ranges: list[tuple[bytes, bytes]] = []
     stack: list[object] = []
     p = 0
     n = len(data)
@@ -583,35 +591,46 @@ def _parse_cmap(data: bytes) -> tuple[set[int], dict[int, str]]:
             stack.clear()
             continue
         if op == "endcodespacerange":
-            for lo in stack[0::2]:
+            for lo, hi in zip(stack[0::2], stack[1::2]):
                 if isinstance(lo, bytes):
                     widths.add(len(lo))
+                    if isinstance(hi, bytes) and len(hi) == len(lo):
+                        ranges.append((lo, hi))
         elif op == "endbfchar":
             for src, dst in zip(stack[0::2], stack[1::2]):
                 if isinstance(src, bytes) and isinstance(dst, bytes):
-                    mapping[int.from_bytes(src, "big")] = dst.decode(
-                        "utf-16-be", "replace"
-                    )
+                    mapping[src] = dst.decode("utf-16-be", "replace")
         elif op == "endbfrange":
             for lo, hi, dst in zip(stack[0::3], stack[1::3], stack[2::3]):
-                if not (isinstance(lo, bytes) and isinstance(hi, bytes)):
+                if not (
+                    isinstance(lo, bytes)
+                    and isinstance(hi, bytes)
+                    and len(lo) == len(hi)
+                ):
                     continue
                 lo_i = int.from_bytes(lo, "big")
                 hi_i = int.from_bytes(hi, "big")
+                if hi_i - lo_i >= 0x10000:  # malformed/adversarial
+                    continue  # span: no real ToUnicode exceeds 2^16
+                w = len(lo)
                 if isinstance(dst, list):  # [dst0 dst1 ...] form
                     for k, d in enumerate(dst):
-                        if isinstance(d, bytes):
-                            mapping[lo_i + k] = d.decode(
-                                "utf-16-be", "replace"
+                        if isinstance(d, bytes) and lo_i + k <= hi_i:
+                            mapping[(lo_i + k).to_bytes(w, "big")] = (
+                                d.decode("utf-16-be", "replace")
                             )
-                elif isinstance(dst, bytes):
+                elif isinstance(dst, bytes) and dst:
                     base = int.from_bytes(dst, "big")
+                    limit = 1 << (8 * len(dst))
                     for k in range(hi_i - lo_i + 1):
-                        mapping[lo_i + k] = (base + k).to_bytes(
-                            len(dst), "big"
-                        ).decode("utf-16-be", "replace")
+                        if base + k >= limit:  # malformed range: the
+                            break  # destination crossed its byte width
+                        mapping[(lo_i + k).to_bytes(w, "big")] = (
+                            (base + k).to_bytes(len(dst), "big")
+                            .decode("utf-16-be", "replace")
+                        )
         stack.clear()
-    return widths, mapping
+    return widths, mapping, ranges
 
 
 class PdfDocument:
@@ -828,23 +847,51 @@ class PdfDocument:
         obj = self.resolve(tu)
         if not (isinstance(obj, tuple) and len(obj) == 2):
             raise ValueError("/ToUnicode is not a stream")
-        widths, mapping = _parse_cmap(obj[1])
-        width = max(widths) if widths else (2 if is_type0 else 1)
+        widths, mapping, ranges = _parse_cmap(obj[1])
+        if len(widths) <= 1:
+            width = next(iter(widths)) if widths else (2 if is_type0 else 1)
 
-        def dec(bs: bytes) -> str:
+            def dec(bs: bytes) -> str:
+                out = []
+                i = 0
+                while i + width <= len(bs):
+                    out.append(mapping.get(bs[i : i + width], "�"))
+                    i += width
+                if i < len(bs):  # trailing partial code: flagged
+                    out.append("�")
+                return "".join(out)
+
+            return dec
+
+        # MIXED-width codespace (round-12 ADVICE: was max(widths), which
+        # misdecodes every narrower code): match each position against
+        # the codespace ranges shortest-width-first (ISO 32000-1
+        # §9.7.6.3's matching order); a position in no range consumes
+        # the narrowest width and flags U+FFFD.
+        order = sorted(widths)
+        by_width = [
+            (w, [(lo, hi) for lo, hi in ranges if len(lo) == w])
+            for w in order
+        ]
+
+        def dec_multi(bs: bytes) -> str:
             out = []
-            i = 0
-            while i + width <= len(bs):
-                out.append(
-                    mapping.get(int.from_bytes(bs[i : i + width], "big"),
-                                "�")
-                )
-                i += width
-            if i < len(bs):  # trailing partial code: malformed, flagged
-                out.append("�")
+            i, n = 0, len(bs)
+            while i < n:
+                for w, rs in by_width:
+                    code = bs[i : i + w]
+                    if len(code) == w and any(
+                        lo <= code <= hi for lo, hi in rs
+                    ):
+                        out.append(mapping.get(code, "�"))
+                        i += w
+                        break
+                else:  # no codespace matches: flag one narrow code
+                    out.append("�")
+                    i += order[0]
             return "".join(out)
 
-        return dec
+        return dec_multi
 
     @staticmethod
     def _mat_mul(m1, m2):

@@ -217,7 +217,11 @@ _FAST_CANONICAL = re.compile(
     r"https?://"
     r"([a-z0-9-]+(?:\.[a-z0-9-]+)*)"
     r"(?::[1-9][0-9]*)?"
-    r"/[\x21-\x7e]*$"
+    # \Z, not $: `$` also matches BEFORE a trailing newline, so
+    # 'http://h/x\n' would take the fast path verbatim while
+    # canonical_url() strips it — two frontier entries for one URL
+    # (round-12 ADVICE).  \Z anchors at the true end of the string.
+    r"/[\x21-\x7e]*\Z"
 )
 
 

@@ -652,10 +652,11 @@ def test_tounicode_cmap_exercises_both_section_forms():
     chars = set("0123456789abcdef ")  # runs 0-9, a-f; isolated space
     cmap = P._tounicode_cmap(chars)
     assert b"beginbfrange" in cmap and b"beginbfchar" in cmap
-    widths, mapping = P._parse_cmap(cmap)
+    widths, mapping, ranges = P._parse_cmap(cmap)
     assert widths == {2}
+    assert ranges == [(b"\x00\x00", b"\xff\xff")]
     for c in chars:
-        assert mapping[ord(c) + P._CID_DELTA] == c
+        assert mapping[(ord(c) + P._CID_DELTA).to_bytes(2, "big")] == c
     assert len(mapping) == len(chars)
 
 
@@ -665,10 +666,58 @@ def test_parse_cmap_bfrange_array_destination_form():
     cmap = (b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
             b"1 beginbfrange <0100> <0102> [<0058> <0059> <005A>] "
             b"endbfrange")
-    widths, mapping = P._parse_cmap(cmap)
+    widths, mapping, _ = P._parse_cmap(cmap)
     assert widths == {2}
-    assert (mapping[0x100], mapping[0x101], mapping[0x102]) == (
-        "X", "Y", "Z")
+    assert (mapping[b"\x01\x00"], mapping[b"\x01\x01"],
+            mapping[b"\x01\x02"]) == ("X", "Y", "Z")
+
+
+def test_parse_cmap_bfrange_overflow_is_truncated_not_raised():
+    """Round-12 ADVICE: a malformed bfrange whose integer-increment
+    destinations cross the destination byte width used to raise
+    OverflowError from to_bytes mid-parse.  It must now truncate at
+    the overflow point and keep the in-range prefix."""
+    cmap = (b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"1 beginbfrange <0100> <0104> <FFFE> endbfrange")
+    widths, mapping, _ = P._parse_cmap(cmap)
+    # FFFE and FFFF fit in 2 bytes; 0x10000.. overflow and are dropped
+    assert mapping[b"\x01\x00"] == "￾"
+    assert mapping[b"\x01\x01"] == "￿"
+    assert b"\x01\x02" not in mapping and b"\x01\x04" not in mapping
+
+
+def test_parse_cmap_huge_span_is_skipped():
+    """A bfrange spanning >= 2^16 codes (no real ToUnicode does) is
+    skipped wholesale instead of looping billions of iterations."""
+    cmap = (b"1 begincodespacerange <00000000> <FFFFFFFF> "
+            b"endcodespacerange\n"
+            b"1 beginbfrange <00000000> <7FFFFFFF> <0041> endbfrange")
+    _, mapping, _ = P._parse_cmap(cmap)
+    assert mapping == {}
+
+
+def test_mixed_width_cmap_decodes_by_codespace_not_max_width():
+    """Round-12 ADVICE: mixed 1/2-byte codespaceranges used to collapse
+    to max(widths)=2, misdecoding every 1-byte code.  The decoder must
+    now match each position against the codespace ranges
+    shortest-width-first: 1-byte codes in <00>-<7F> and 2-byte codes in
+    <8000>-<FFFF> interleave correctly in one string."""
+    cmap = (b"2 begincodespacerange <00> <7F> <8000> <FFFF> "
+            b"endcodespacerange\n"
+            b"2 beginbfchar <41> <0061> <8001> <0062> endbfchar")
+    widths, mapping, ranges = P._parse_cmap(cmap)
+    assert widths == {1, 2}
+    # build the decoder through the same _text_decoder code path with a
+    # stub resolve() returning the CMap stream
+    class _Doc(P.PdfDocument):
+        def __init__(self):  # bypass parsing; only resolve() is used
+            self._cache = {}
+        def resolve(self, o):
+            return ({}, cmap)
+    dec = _Doc()._text_decoder({"Subtype": "Type0", "ToUnicode": 1})
+    # 1-byte 'A', 2-byte <8001>, 1-byte 'A', unmapped 1-byte <42>,
+    # out-of-codespace byte <FF> at end (incomplete 2-byte code)
+    assert dec(b"\x41\x80\x01\x41\x42\xff") == "aba��"
 
 
 def test_type0_without_tounicode_is_labeled_boundary():

@@ -174,8 +174,10 @@ def test_fast_predicate_implies_fixed_point_sweep():
     ports = ["", ":80", ":443", ":0080", ":8080"]
     paths = ["", "/", "/a/b", "/a/../b", "/a/./b", "/a%7E", "/A/B",
              "//x//y", "/a.", "/a/..", "/.", "/~u", "/a b", "/a\tb",
-             "/a/.../b", "/..a/b"]
-    tails = ["", "?b=2&a=1", "#f", "?utm_source=x"]
+             "/a/.../b", "/..a/b", "/a\n", "/a\r\n", "/a\x00", "/a\x7f",
+             " /a", "/a "]
+    tails = ["", "?b=2&a=1", "#f", "?utm_source=x", "\n", "\r", " ",
+             "\t\n"]
     n_fast = 0
     for s, h, po, pa, t in itertools.product(
         schemes, hosts, ports, paths, tails
@@ -195,8 +197,12 @@ def test_fast_predicate_fixed_point_fuzz():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
+    # \n\r\x00\x7f are the class that defeats a `$` anchor (matches
+    # before a trailing newline) — round-12 ADVICE: keep them in the
+    # alphabet so the fixed-point claim covers that failure mode.
     frag = st.text(
-        alphabet="abcXYZ019-._~/%?#@:&=$ \t\\", min_size=0, max_size=24
+        alphabet="abcXYZ019-._~/%?#@:&=$ \t\\\n\r\x00\x7f",
+        min_size=0, max_size=24,
     )
 
     @settings(max_examples=400, deadline=None)
@@ -213,6 +219,25 @@ def test_fast_predicate_fixed_point_fuzz():
             assert U.url_host(u) == host
 
     prop()
+
+
+def test_fast_predicate_rejects_trailing_newline():
+    """Regression (round-12 ADVICE): `$` matched before a trailing
+    newline, so 'http://example.com/x\\n' took the fast path verbatim
+    while canonical_url() strips it — the same logical URL minted two
+    frontier entries.  With \\Z the fast predicate must refuse every
+    trailing-control/whitespace variant and route it to Python."""
+    for u in ["http://example.com/x\n", "http://example.com/x\r\n",
+              "https://example.com/\n", "http://example.com/x\r",
+              "http://example.com/x "]:
+        assert _fast_match(u) is None, repr(u)
+        c = U.canonical_url(u)
+        assert c in ("http://example.com/x", "https://example.com/"), repr(u)
+    # a NUL is not whitespace: the slow path keeps it (fixed-point on
+    # its own output), but the fast predicate must still refuse it
+    assert _fast_match("http://example.com/x\x00") is None
+    # and the stripped form itself stays on the fast path
+    assert _fast_match("http://example.com/x") == "example.com"
 
 
 def test_fast_and_slow_paths_agree_in_spark(spark):
