@@ -138,6 +138,13 @@ try:  # HTML main-content extraction + links (staged r11, registered r12)
 except ImportError:  # pragma: no cover
     pass
 
+try:  # WARC crawl-archive ingestion (staged r12, registered r13)
+    from culvert_spark import warcops as _w
+
+    _REGISTRIES.append(_w)
+except ImportError:  # pragma: no cover
+    pass
+
 
 #: Driver CORRECTNESS verification covers the first N registered queries in
 #: registration order (50-query window per round).  Rounds 1–5 recorded a
@@ -145,6 +152,75 @@ except ImportError:  # pragma: no cover
 #: rows (204 hash-green, 8 rows-only by design, 0 failures) — CORRECTNESS_r05
 #: landed exactly on the documented ROUND-5 ROTATION (49 hash-green + 1
 #: rows-only v_gram_matrix).
+#:
+#: Round 13 executes the ROUND-13 ROTATION pre-computed at the end of
+#: round 12 (kept below for provenance). The 2 spare slots are exactly
+#: consumed by the two pre-committed (round-12-verdict-endorsed)
+#: registrations:
+#:   st_pdf_layout_dedup_replay (NEW: the streaming PDF layout
+#:     near-dup pair set replayed through a real file-split stream,
+#:     pdfops.pdf_pair_replay — third consumer of the shared
+#:     streaming.hamming_pair_stream core after video shots and audio
+#:     clips, batch-boundary-invariant distinct-pair projection vs the
+#:     constant-folding pdf_pair_oracle(); pytest pins identity at
+#:     n_files 4 and 1),
+#:   w_warc_doc_stats (NEW: WARC crawl-archive ingestion registered,
+#:     warcops.warc_doc_stats over the fixture corpus — record walk,
+#:     chunked/Content-Length HTTP decode, HTML main-content
+#:     extraction, both .warc and member-gzip layouts — vs
+#:     warc_stats_oracle(); the crawl-container -> HTML -> main-text
+#:     hop enters the driver record, first row of the round-12 crawl
+#:     family).
+#: The remaining 48 slots execute the pre-computed round-8-vintage
+#: freshness list verbatim (the ROUND-13 ROTATION note below). The
+#: round's ADVICE fixes are slot-free by the unexecuted-branch
+#: disposition (round-8 y_ysb precedent): the urlops \Z fast-path fix
+#: touches only STAGED rows (u_url_canonicalize / u_frontier_dedup,
+#: both re-proven by tools/drive_staged.py at HEAD), and the pdfops
+#: ToUnicode-CMap hardening (mixed-width codespace decode, bfrange
+#: overflow guard) changes code reachable only from style="cid"
+#: fixtures, which NO registered row uses — the three r12 m_pdf_* rows
+#: early-return at the no-/ToUnicode branch before the changed lines;
+#: the staged m_pdf_cid_text row is the purpose-built guard driving
+#: the changed decode path (MATCH under drive_staged at HEAD), and
+#: st_pdf_layout_dedup_replay freshly pins the shared PdfDocument
+#: parse surface this round. After CORRECTNESS_r13: no query's newest
+#: row predates round 9, and the registered count is 247 (245 + the 2
+#: above); rows-only remains exactly the 5 m_* binary-decoder rows.
+#: Distribution over 247: 47×r9, 50×r10, 50×r11, 50×r12, 50×r13.
+#:
+#: ROUND-14 ROTATION (computed at end of round 13 from the cumulative
+#: record, assuming CORRECTNESS_r13 lands on the window above): the
+#: oldest block is the 47 round-9-vintage rows —
+#: m_phash_near_dup_groups, q_bfs_reachable_parts,
+#: q_chi2_priority_status, q_churned_users, q_cms_heavy_hitters,
+#: q_collation_group_ci, q_conversion_latency,
+#: q_cumulative_distinct_users, q_embedding_dim_stats,
+#: q_from_xml_events, q_gini_concentration, q_histogram_2d,
+#: q_hll_sketch_users, q_json_key_profile, q_mom_revenue_growth,
+#: q_new_vs_returning, q_null_profile, q_ols_daily_revenue_trend,
+#: q_pareto_coverage, q_rfm_segments, q_robust_outlier_stats,
+#: q_sql_pipe_interface, q_table_fingerprint, q_trending_event_types,
+#: q_try_functions, q_weekday_seasonality, q_yoy_revenue_growth,
+#: t_bigram_lm_top, t_boilerplate_ngrams, t_bpe_learn_merges,
+#: t_bpe_tokenize_stats, t_char_class_profile,
+#: t_context_truncation_stats, t_deterministic_shuffle, t_doc_entropy,
+#: t_exact_substring_spans_winnow, t_hashed_ngram_features,
+#: t_lang_id_confusion, t_length_band_filter,
+#: t_mix_temperature_weights, t_multimodal_manifest,
+#: t_quality_percentile_filter, t_token_coverage_topk, t_vocab_growth,
+#: v_cosine_topk_pandas, v_gram_matrix, v_user_value_zscores —
+#: 47 of 50, leaving 3 slots for round-14 registrations/changes, which
+#: as always take precedence. Known round-14 candidates staged +
+#: pytest-proven with matching oracles (verdict-prioritized — the
+#: highest user-traffic crawl hops first): pds_warc_pages
+#: (warcsource.warc_source_pages vs warc_pages_oracle() — the WARC
+#: custom Python DataSource, batch), u_frontier_dedup
+#: (urlops.u_frontier_dedup vs frontier_oracle()), u_robots_filter
+#: (robotsops.u_robots_filter vs robots_oracle()); further spillover
+#: in priority order: m_pdf_cid_text, u_url_canonicalize,
+#: pds_warc_stream, w_wet_roundtrip, u_sitemap_urls (NOTE: emits ISO
+#: date STRINGS, never raw DATE — the driver-compare class).
 #:
 #: Round 12 executes the ROUND-12 ROTATION pre-computed at the end of
 #: round 11 (kept below for provenance). The 7 spare slots are exactly
@@ -584,36 +660,33 @@ except ImportError:  # pragma: no cover
 #: from this list keep their module registration order after the priority
 #: block.
 _PRIORITY = [
-    # ===== ROUND-12 ROTATION (exactly the 50-slot window) =====
-    # (a) registered in round 12 (7 rows — see the rotation note above
-    # for what each registers), in the recorded priority order:
-    "st_audio_dedup_replay", "m_pdf_doc_features", "m_pdf_layout_dedup",
-    "m_pdf_text_dedup", "t_source_cap_sample", "h_html_doc_stats",
-    "h_html_links",
-    # (b) freshness: the 43 round-7-vintage rows, exactly the list
-    # pre-computed in round 11.
-    "m_audio_features", "m_frame_sample", "m_image_dedup_groups",
-    "m_image_features", "m_video_frame_features",
-    "q13_order_count_distribution", "q14_promo_share",
-    "q15_top_supplier", "q16_supplier_variety",
-    "q17_below_avg_quantity", "q18_large_orders",
-    "q19_disjunctive_brackets", "q20_supplier_part_share",
-    "q21_sole_late_supplier", "q22_idle_customers",
-    "q_agg_funcs_modern", "q_approx_percentile", "q_bitwise_agg",
-    "q_collect_set_segments", "q_first_last_value",
-    "q_histogram_acctbal", "q_like_predicates",
-    "q_null_handling_funcs", "q_params_identifier",
-    "q_posexplode_tokens", "q_rollup_grouping_id",
-    "q_sequence_active_months", "q_string_funcs_parts",
-    "q_top_customer_per_nation", "q_union_active_parties",
-    "q_unpivot_rates", "q_window_rank_suite", "t_bpe_token_estimate",
-    "t_doc_fingerprint", "t_lang_id", "t_quality_scores",
-    "t_text_stats", "t_tfidf_top3", "t_train_test_split",
-    "v_plain_udf_slug", "v_udtf_analyze_fanout",
-    "v_udtf_shingle_top10", "y_ysb_windowed_counts",
-    # ===== past the 50-row window: ROUND-13 ROTATION starts here =====
-    # (the 48 r8-vintage rows become the oldest block; they keep module
-    # registration order until round 13 promotes them)
+    # ===== ROUND-13 ROTATION (exactly the 50-slot window) =====
+    # (a) registered in round 13 (2 rows, the pre-committed spare-slot
+    # candidates — see the ROUND-13 ROTATION note above):
+    "st_pdf_layout_dedup_replay", "w_warc_doc_stats",
+    # (b) freshness: the 48 round-8-vintage rows, exactly the list
+    # pre-computed in round 12.
+    "q_basket_part_pairs", "q_cohort_retention", "q_data_quality_audit",
+    "q_dau_wau_mau", "q_equidepth_approx", "q_equidepth_histogram",
+    "q_event_transitions", "q_ewma_user_daily", "q_full_outer_join",
+    "q_funnel_steps", "q_fuzzy_name_match", "q_incremental_agg_refresh",
+    "q_interval_bucket_join", "q_lateral_topk_per_nation",
+    "q_merge_upsert", "q_nullsafe_join", "q_ohlc_downsample",
+    "q_pattern_match_sequences", "q_runtime_filter_prefilter_join",
+    "q_scd2_intervals", "q_sessionize_auto", "q_sessionize_events",
+    "q_skew_report", "q_sliding_distinct_users", "q_snapshot_diff",
+    "q_spatial_grid_nn", "q_sql_text_interface", "q_string_agg_names",
+    "q_timeseries_gapfill", "q_variant_props",
+    "s_embedding_quantize_int8", "st_state_metadata",
+    "st_statestore_totals", "t_contamination_check", "t_dedup_clusters",
+    "t_doc_chunks", "t_exact_substring_spans", "t_hash_sample_rate",
+    "t_pii_redaction", "t_repetition_metrics", "t_stratified_sample",
+    "t_text_normalize", "t_token_budget_mixture", "t_unigram_lm_score",
+    "t_weighted_sample", "v_arrow_vector_norms", "v_grouped_agg_median",
+    "y_generator_uuid_parity",
+    # ===== past the 50-row window: ROUND-14 ROTATION starts here =====
+    # (the 47 r9-vintage rows become the oldest block; they keep module
+    # registration order until round 14 promotes them)
 ]
 
 

@@ -1971,3 +1971,18 @@ def m_pdf_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest separately proves the layouts within a text group actually
     DIFFER. ``sf_dir`` unused (fixture ground truth)."""
     return pdf_text_dedup_groups(text_dup_pdf_media(spark))
+
+
+@register("st_pdf_layout_dedup_replay", pdf_pair_oracle())
+def st_pdf_layout_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PDF layout near-dup pairing as a FULL hash row
+    (staged round 12, registered round 13): the layout fixture
+    replayed through a REAL file-split stream — per-document parse +
+    geometry fingerprint, band-keyed stateful pairing via the shared
+    ``streaming.hamming_pair_stream`` core (third consumer after video
+    shots and audio clips), then the batch-boundary-INVARIANT
+    distinct-pair projection — against the constant-folding
+    ``pdf_pair_oracle()``. pytest pins identity at n_files 4 and 1
+    (batch-boundary invariance). ``sf_dir`` unused (fixture ground
+    truth); the operator is corpus-generic."""
+    return pdf_pair_replay(spark)

@@ -659,3 +659,30 @@ def w_wet_roundtrip(spark: SparkSession) -> DataFrame:
     -> stats re-read from the DERIVED bytes — the full write+read
     round trip as one value-hash surface."""
     return wet_doc_stats(warc_to_wet(warc_corpus(spark)))
+
+
+# ---------------------------------------------------------------------------
+# Driver registration (staged round 12, registered round 13)
+# ---------------------------------------------------------------------------
+
+from culvert_spark.queries import (  # noqa: E402
+    QUERIES,  # noqa: F401  (re-export: __spark_entry__ registry merge)
+    ORACLE,  # noqa: F401
+    register,
+)
+
+
+@register("w_warc_doc_stats", warc_stats_oracle())
+def w_warc_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-archive ingestion as a FULL hash row (staged round
+    12, registered round 13): the fixture corpus — one plain ``.warc``
+    AND one member-gzip ``.warc.gz``, response/request/metadata record
+    mix, chunked + Content-Length bodies, a non-HTML response and a
+    404 — through ``warc_doc_stats``: record walk -> HTTP body decode
+    -> HTML main-content extraction (htmlops) -> per-page token/char
+    counts + text digest, against the constant-folding
+    ``warc_stats_oracle()`` stated from the design pages. One narrow
+    ``mapInPandas`` per archive (a 100 TB crawl shards by archive
+    file; per-core rates multiply at 1,000 executors). ``sf_dir``
+    unused (fixture ground truth); the operator is corpus-generic."""
+    return warc_doc_stats(warc_corpus(spark))
