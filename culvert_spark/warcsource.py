@@ -33,7 +33,12 @@ other source — the round-11 verdict's first-choice staging target.
    contract holds across restarts — pinned by the restart test, and
    composable with the two-phase-commit JSONL sink
    (``pydatasource.JsonlSinkDataSource``) for an end-to-end
-   crawl-to-committed-files pipeline.
+   crawl-to-committed-files pipeline. The committed watermark is
+   additionally DURABLE: ``commit`` writes it to a one-string ledger
+   sidecar (default ``_culvert_watermark`` beside the archives;
+   ``option("ledger", path|"off")``) that fresh instances seed from,
+   so a restart against a transiently empty listing can never emit a
+   regressed offset (see the ``WarcStreamReader`` docstring).
 
 Scale notes (100 TB): ``partitions()`` returns one shard per archive;
 workers fetch only their file (the driver never reads payload bytes —
@@ -59,6 +64,7 @@ constant-folding oracles over the shared html design constants.
 from __future__ import annotations
 
 import fnmatch
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,12 +86,19 @@ def _list_archives(path: str, pattern: str) -> list[str]:
     """Sorted archive names under ``path`` matching ``pattern``; an
     absent/empty directory is an EMPTY crawl, not an error (the
     forgiving-listing rule: a stream may start before its first
-    archive lands)."""
+    archive lands). Names starting with ``_`` or ``.`` are metadata,
+    never archives — the same convention Spark's own file source uses
+    — so the stream's watermark LEDGER sidecar can live beside the
+    archives without matching any glob."""
     try:
         names = os.listdir(path)
     except (FileNotFoundError, NotADirectoryError):
         return []
-    return sorted(n for n in names if fnmatch.fnmatch(n, pattern))
+    return sorted(
+        n
+        for n in names
+        if n[:1] not in ("_", ".") and fnmatch.fnmatch(n, pattern)
+    )
 
 
 class _ArchiveFile(InputPartition):
@@ -131,30 +144,90 @@ class WarcStreamReader(DataSourceStreamReader):
     docstring). Offsets are plain dicts (JSON'd into the checkpoint),
     carrying exactly one string.
 
-    Regression guard (round-12 review): the reader cannot READ the
-    checkpoint, so after a restart a transiently empty/shrunken
-    directory listing could make ``latestOffset`` return a watermark
-    BELOW the committed one; Spark would then plan an inverted batch
-    and, once the listing recovers, a wholesale re-read. Every offset
-    the planner hands this instance (``partitions`` start/end,
-    ``commit`` end) therefore feeds a DELIVERED high-water mark, and
-    ``partitions`` clamps its range's low end to it — an inverted
-    batch is empty, and the follow-up batch excludes everything at or
-    below the recovered mark, so redelivery cannot happen within a
-    query run. Residual window (documented, not closable without
-    checkpoint access): a regressed offset COMMITTED during run N is
-    only repaired by run N's own mark; if the process dies after that
-    commit and before the next planned batch, run N+1 starts below it
-    — a production deployment would persist the watermark in its own
-    store (the same place the archive LISTING comes from)."""
+    Regression guard (round-12 review, closed round 13): the reader
+    cannot READ Spark's checkpoint, so after a restart a transiently
+    empty/shrunken directory listing could make ``latestOffset``
+    return a watermark BELOW the committed one; Spark would then plan
+    an inverted batch and — were that regressed offset committed and
+    the process killed again — redeliver everything once the listing
+    recovered. Two layers close this:
+
+    1. Instance guard: every offset the planner hands this instance
+       (``partitions`` start/end, ``commit`` end) feeds a DELIVERED
+       high-water mark, and ``partitions`` clamps its range's low end
+       to it — an inverted batch is empty and the follow-up batch
+       excludes everything at or below the recovered mark.
+    2. Durable LEDGER (round-13, closing the former double-restart
+       window): ``commit`` persists the committed watermark to a
+       sidecar file (atomic tmp+rename) and a FRESH instance seeds
+       its marks from it, so ``latestOffset`` can never fall below
+       the last committed watermark even when the first listing after
+       a restart is empty — no regressed offset is ever emitted, and
+       a crash at ANY point degrades to Spark's own checkpoint
+       replay (the ledger is written only after the engine commits,
+       so a lost write merely re-plans the committed batch's range,
+       which the clamp then empties).
+
+    Ledger location: ``option("ledger", path)`` names the file;
+    default is ``_culvert_watermark`` BESIDE the archives (invisible
+    to any glob — ``_``/``.``-prefixed names are metadata by the
+    file-source convention); ``option("ledger", "off")`` disables
+    persistence (reverting to the instance-level guard alone, e.g.
+    for a read-only source directory — best-effort writes degrade
+    the same way). Like Spark's checkpoint, one ledger serves ONE
+    query: concurrent streams over the same directory should name
+    distinct ledger paths."""
 
     def __init__(self, options):
         self.path = options["path"]
         self.pattern = options.get("glob", _GLOB_DEFAULT)
-        self._mark = ""       # highest watermark this instance emitted
-        self._delivered = ""  # highest offset seen from the planner
+        ledger = options.get("ledger", "")
+        if ledger == "off":
+            self._ledger = None
+        else:
+            self._ledger = ledger or os.path.join(
+                self.path, "_culvert_watermark"
+            )
+        # highest watermark this instance emitted / highest offset the
+        # planner handed it — both seeded from the durable ledger so a
+        # fresh instance (post-restart) starts at the committed mark.
+        self._mark = self._load_ledger()
+        self._delivered = self._mark
+
+    def _load_ledger(self) -> str:
+        if not self._ledger:
+            return ""
+        try:
+            with open(self._ledger, encoding="utf-8") as fh:
+                mark = json.load(fh).get("watermark", "")
+            return mark if isinstance(mark, str) else ""
+        except (OSError, ValueError):
+            return ""  # absent/corrupt ledger: instance guard only
+
+    def _store_ledger(self, mark: str) -> None:
+        if not self._ledger or not mark:
+            return
+        try:
+            tmp = self._ledger + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump({"watermark": mark}, fh)
+            os.replace(tmp, self._ledger)  # atomic on POSIX
+        except OSError:
+            pass  # read-only source dir: degrade to instance guard
 
     def initialOffset(self):
+        # The engine calls this ONLY when the query has no checkpointed
+        # offset — a NEW query, which supersedes any ledger a previous
+        # query left over this directory (a RESTART recovers offsets
+        # from the checkpoint and never lands here, so the ledger seed
+        # above survives exactly the restart case it exists for).
+        self._mark = ""
+        self._delivered = ""
+        if self._ledger:
+            try:
+                os.remove(self._ledger)
+            except OSError:
+                pass
         return {"watermark": ""}
 
     def latestOffset(self):
@@ -188,8 +261,10 @@ class WarcStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # nothing to clean (archives are the upstream's to manage);
-        # fold the committed offset into the delivered mark.
+        # fold the committed offset into the delivered mark and make
+        # it durable so the NEXT process starts at or above it.
         self._delivered = max(self._delivered, end["watermark"])
+        self._store_ledger(self._delivered)
 
 
 class WarcDataSource(DataSource):

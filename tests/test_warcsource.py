@@ -278,6 +278,89 @@ def test_stream_offset_never_regresses_after_restart(tmp_path):
     assert [p.name for p in parts] == ["crawl-00002.warc"]
 
 
+def test_stream_double_restart_with_empty_listing_never_redelivers(tmp_path):
+    """Round-12 verdict: the residual DOUBLE-restart window — run A
+    commits through archive 1; run B (fresh instance) starts against a
+    transiently EMPTY listing and is killed; run C starts after the
+    listing recovers.  Without a durable mark, run B would emit and
+    commit a regressed offset and run C would re-read everything.
+    With the ledger, every fresh instance seeds from the last COMMITTED
+    watermark, so no offset ever regresses and nothing is redelivered.
+    Driven on the reader class directly (a driver-side offset dance)."""
+    d = str(tmp_path / "crawl")
+    names = W.write_warc_fixture(d)
+
+    # run A: from scratch through both archives, committed
+    ra = W.WarcStreamReader({"path": d})
+    assert ra.initialOffset() == {"watermark": ""}
+    end_a = ra.latestOffset()
+    assert end_a == {"watermark": names[-1]}
+    assert [p.name for p in ra.partitions({"watermark": ""}, end_a)] == names
+    ra.commit(end_a)  # persists the ledger beside the archives
+    assert os.path.exists(os.path.join(d, "_culvert_watermark"))
+    # the ledger sidecar is metadata: invisible to every listing glob
+    assert W._list_archives(d, "*") == names
+
+    # run B: fresh process, archives transiently missing from the
+    # listing (moved aside — e.g. a mount that came up empty)
+    hidden = str(tmp_path / "hidden")
+    os.makedirs(hidden)
+    for n in names:
+        os.rename(os.path.join(d, n), os.path.join(hidden, n))
+    rb = W.WarcStreamReader({"path": d})
+    # the durable mark wins over the empty listing: NO regressed offset
+    assert rb.latestOffset() == end_a
+    assert [p.name for p in rb.partitions(end_a, rb.latestOffset())] == [""]
+    rb.commit(end_a)
+    # run B dies here (instance discarded) — the poison commit of a
+    # sub-committed offset can no longer happen
+
+    # run C: fresh process, listing recovered + one genuinely new file
+    for n in names:
+        os.rename(os.path.join(hidden, n), os.path.join(d, n))
+    late = os.path.join(d, "crawl-00002.warc")
+    from culvert_spark.warcops import _warc_pages, encode_warc
+
+    with open(late, "wb") as fh:
+        fh.write(encode_warc(_warc_pages(_HTML_DOCS[:1])))
+    rc = W.WarcStreamReader({"path": d})
+    end_c = rc.latestOffset()
+    assert end_c == {"watermark": "crawl-00002.warc"}
+    assert [p.name for p in rc.partitions(end_a, end_c)] == [
+        "crawl-00002.warc"
+    ], "only the new archive flows; nothing committed is redelivered"
+
+
+def test_stream_ledger_off_and_explicit_path(tmp_path):
+    """option('ledger', 'off') reverts to the instance-only guard (no
+    sidecar written); an explicit ledger path is honored and keeps the
+    source directory untouched."""
+    d = str(tmp_path / "crawl")
+    names = W.write_warc_fixture(d)
+
+    r_off = W.WarcStreamReader({"path": d, "ledger": "off"})
+    end = r_off.latestOffset()
+    r_off.commit(end)
+    assert not os.path.exists(os.path.join(d, "_culvert_watermark"))
+    # fresh instance with ledger off: no durable seed
+    assert W.WarcStreamReader({"path": d, "ledger": "off"})._mark == ""
+
+    led = str(tmp_path / "state" / "mark.json")
+    os.makedirs(os.path.dirname(led))
+    r_ex = W.WarcStreamReader({"path": d, "ledger": led})
+    r_ex.commit(r_ex.latestOffset())
+    assert os.path.exists(led)
+    assert not os.path.exists(os.path.join(d, "_culvert_watermark"))
+    # a fresh RESTART instance seeds from the explicit ledger...
+    assert W.WarcStreamReader({"path": d, "ledger": led})._mark == names[-1]
+    # ...but a NEW query (engine calls initialOffset: no checkpointed
+    # offset exists) supersedes and clears it — fresh queries read all
+    r_new = W.WarcStreamReader({"path": d, "ledger": led})
+    assert r_new.initialOffset() == {"watermark": ""}
+    assert not os.path.exists(led)
+    assert r_new._mark == ""
+
+
 def test_compose_with_two_phase_jsonl_sink(spark, tmp_path):
     """End-to-end crawl pipeline through BOTH custom connectors: WARC
     source -> main-content projection -> two-phase-commit JSONL sink;
