@@ -619,6 +619,216 @@ def _bench_html_scaling(spark) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _bench_crawl(spark) -> dict:
+    """Round-12 verdict item 5: the crawl-family throughput numbers
+    promoted from SURVEY prose (§18.15) into a STANDING bench section,
+    so BENCH_r{N} vs r{N-1} catches regressions in the newest family
+    the same way the headline queries are watched. Five rates: URL
+    canonicalization + frontier dedup (the vectorized-fast-path hot
+    loop, 80/20 clean/messy mix), robots.txt politeness gate
+    (broadcast join + compiled-rule cache), sitemap XML ingestion
+    (fully JVM-side from_xml), WARC archive -> per-page stats, and the
+    WET write+read round trip. Inputs are materialized to parquet
+    FIRST (synthesis excluded from timing); one untimed warm +
+    best-of-2 to a noop sink (the html_scaling house pattern)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from culvert_spark.robotsops import robots_filter
+    from culvert_spark.sitemapops import sitemap_urls
+    from culvert_spark.urlops import frontier_dedup
+    from culvert_spark.warcops import (
+        encode_warc,
+        warc_doc_stats,
+        warc_to_wet,
+        wet_doc_stats,
+    )
+
+    n_links, n_hosts = 320_000, 512
+    n_sm_hosts, n_per_sitemap = 400, 1000
+    n_arch, n_pages = 50, 100
+    out: dict = {}
+    tmp = tempfile.mkdtemp(prefix="culvert_bench_crawl_")
+
+    def noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def timed(thunk) -> float:
+        thunk()  # untimed warm absorbs codegen/Arrow setup
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            thunk()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    try:
+        # --- link corpus: 80% already-canonical (the fast-path
+        # majority real crawls have), 20% messy (case/port/dot-segment/
+        # tracking-query/escape variants that route to the Python
+        # canonicalizer) ---
+        i = F.col("id")
+        h = F.pmod(i, F.lit(n_hosts)).cast("string")
+        istr = i.cast("string")
+        clean = F.concat(
+            F.lit("https://host"), h, F.lit(".example.org/p/"), istr
+        )
+        messy = (
+            F.when(
+                F.pmod(i, 4) == 0,
+                F.concat(F.lit("HTTP://HOST"), h,
+                         F.lit(".EXAMPLE.ORG:80/a/../p/"), istr),
+            )
+            .when(
+                F.pmod(i, 4) == 1,
+                F.concat(F.lit("https://host"), h,
+                         F.lit(".example.org/p/%7e"), istr,
+                         F.lit("?utm_source=x&b=2&a=1")),
+            )
+            .when(
+                F.pmod(i, 4) == 2,
+                F.concat(F.lit("https://host"), h,
+                         F.lit(".example.org:00443/p/./"), istr,
+                         F.lit("#frag")),
+            )
+            .otherwise(
+                F.concat(F.lit("https://host"), h,
+                         F.lit(".example.org/p/%41"), istr),
+            )
+        )
+        links_path = os.path.join(tmp, "links.parquet")
+        (
+            spark.range(n_links)
+            .select(
+                i.alias("doc_id"),
+                F.lit(0).alias("link_no"),
+                F.when(F.pmod(i, 5) < 4, clean).otherwise(messy)
+                .alias("url"),
+            )
+            .write.parquet(links_path)
+        )
+        links = spark.read.parquet(links_path)
+        sec = timed(lambda: noop(frontier_dedup(links)))
+        out["url_links"] = n_links
+        out["url_sec"] = round(sec, 3)
+        out["url_urls_per_sec"] = int(n_links / sec)
+
+        # --- robots gate over a same-size canonical frontier; one
+        # DISTINCT robots.txt per host so the compiled-rule cache pays
+        # per host, as in production ---
+        frontier_path = os.path.join(tmp, "frontier.parquet")
+        (
+            spark.range(n_links)
+            .select(
+                clean.alias("canonical"),
+                F.concat(F.lit("host"), h, F.lit(".example.org"))
+                .alias("host"),
+            )
+            .write.parquet(frontier_path)
+        )
+        robots = spark.createDataFrame(
+            [
+                (
+                    f"host{k}.example.org",
+                    f"User-agent: *\nDisallow: /private{k}/\n"
+                    "Crawl-delay: 2\n\n"
+                    "User-agent: culvertbot\nAllow: /p/\n"
+                    f"Disallow: /p/{k}9*\nCrawl-delay: 1\n",
+                )
+                for k in range(n_hosts)
+            ],
+            "host string, robots_txt string",
+        )
+        frontier = spark.read.parquet(frontier_path)
+        sec = timed(
+            lambda: noop(robots_filter(frontier, robots, "culvertbot"))
+        )
+        out["robots_urls"] = n_links
+        out["robots_sec"] = round(sec, 3)
+        out["robots_urls_per_sec"] = int(n_links / sec)
+
+        # --- sitemap ingestion: 400 hosts x 1000 <url> entries ---
+        def sm_xml(k: int) -> str:
+            parts = "".join(
+                f"<url><loc>https://host{k}.example.org/p/{j}</loc>"
+                f"<lastmod>2026-01-{j % 28 + 1:02d}</lastmod>"
+                f"<changefreq>daily</changefreq>"
+                f"<priority>0.{j % 10}</priority></url>"
+                for j in range(n_per_sitemap)
+            )
+            return (
+                '<?xml version="1.0" encoding="UTF-8"?><urlset xmlns='
+                '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                + parts + "</urlset>"
+            )
+
+        sm_path = os.path.join(tmp, "sitemaps.parquet")
+        (
+            spark.createDataFrame(
+                [(f"host{k}.example.org", sm_xml(k))
+                 for k in range(n_sm_hosts)],
+                "host string, xml string",
+            )
+            .repartition(32)
+            .write.parquet(sm_path)
+        )
+        sm = spark.read.parquet(sm_path)
+        sec = timed(lambda: noop(sitemap_urls(sm)))
+        out["sitemap_entries"] = n_sm_hosts * n_per_sitemap
+        out["sitemap_sec"] = round(sec, 3)
+        out["sitemap_entries_per_sec"] = int(n_sm_hosts * n_per_sitemap / sec)
+
+        # --- WARC -> page stats and the WET round trip: 50 archives
+        # x 100 pages through the real container encoder ---
+        def page(a: int, p: int) -> tuple[str, str]:
+            words = " ".join(
+                f"word{(p * 31 + w) % 97}" for w in range(40)
+            )
+            return (
+                f"https://host{a}.example.org/page/{p}",
+                f"<html><head><title>page {a}-{p}</title></head><body>"
+                '<nav><a href="/home">chrome</a></nav>'
+                f"<h1>section {p}</h1><p>{words}</p>"
+                '<a href="/next">next &amp; prev</a>'
+                "<footer>footer</footer></body></html>",
+            )
+
+        warc_path = os.path.join(tmp, "warc.parquet")
+        (
+            spark.createDataFrame(
+                [
+                    (a, bytearray(encode_warc(
+                        [page(a, p) for p in range(n_pages)]
+                    )))
+                    for a in range(n_arch)
+                ],
+                "warc_id bigint, payload binary",
+            )
+            .repartition(32)
+            .write.parquet(warc_path)
+        )
+        arch = spark.read.parquet(warc_path)
+        sec = timed(lambda: noop(warc_doc_stats(arch)))
+        out["warc_pages"] = n_arch * n_pages
+        out["warc_sec"] = round(sec, 3)
+        out["warc_pages_per_sec"] = int(n_arch * n_pages / sec)
+
+        sec = timed(lambda: noop(wet_doc_stats(warc_to_wet(arch))))
+        out["wet_sec"] = round(sec, 3)
+        out["wet_pages_per_sec"] = int(n_arch * n_pages / sec)
+
+        out["note"] = (
+            "narrow (or broadcast-joined) paths, no data shuffle "
+            "except the frontier groupBy: per-core rates multiply "
+            "at 1,000 executors"
+        )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _bench_sessionize_ab(spark) -> dict:
     """Round-5 verdict item 8: stress the adaptive sessionize cutoff.
     SMALL_INPUT_ROWS=8M is justified by a ~200 MB single-task sort-budget
@@ -1138,6 +1348,13 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - defensive
         html_scaling = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
+    # Crawl-family standing rates (round-12 verdict item 5) — same
+    # defensive posture.
+    try:
+        crawl = _bench_crawl(spark)
+    except Exception as exc:  # pragma: no cover - defensive
+        crawl = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
     # Generator UUID-derivation A/B and the incremental-dedup
     # amortization numbers (round-6 verdict items 4 and 7) — same
     # defensive posture.
@@ -1252,6 +1469,7 @@ def main() -> None:
                 "sf_large": sf_large,
                 "ess_knob_regime": ess_knob,
                 "html_scaling": html_scaling,
+                "crawl": crawl,
                 "sessionize_threshold_ab": sessionize_ab,
                 "uuid_derivation_ab": uuid_ab,
                 "incdedup_amortization": incdedup,
@@ -1359,6 +1577,15 @@ def main() -> None:
                     "ess_prune_ab": sf_large.get("ess_prune_ab", {}),
                 },
                 "html_scaling": html_scaling,
+                "crawl": {
+                    k: crawl.get(k)
+                    for k in (
+                        "url_urls_per_sec", "robots_urls_per_sec",
+                        "sitemap_entries_per_sec", "warc_pages_per_sec",
+                        "wet_pages_per_sec", "error",
+                    )
+                    if k in crawl
+                },
                 "sessionize_ab": sess_compact,
                 "uuid_ab": uuid_compact,
                 "stream_sink_ab": sink_ab_compact,
