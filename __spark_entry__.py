@@ -184,10 +184,24 @@ except ImportError:  # pragma: no cover
 #: the staged m_pdf_cid_text row is the purpose-built guard driving
 #: the changed decode path (MATCH under drive_staged at HEAD), and
 #: st_pdf_layout_dedup_replay freshly pins the shared PdfDocument
-#: parse surface this round. After CORRECTNESS_r13: no query's newest
-#: row predates round 9, and the registered count is 247 (245 + the 2
-#: above); rows-only remains exactly the 5 m_* binary-decoder rows.
-#: Distribution over 247: 47×r9, 50×r10, 50×r11, 50×r12, 50×r13.
+#: parse surface this round. The round's OTHER pdfops change — PDF
+#: 1.5 cross-reference/object-stream support (the round-12 verdict's
+#: item 4, closing the former labeled boundary) — follows the same
+#: disposition the verdict itself prescribed: the classic-xref path
+#: is a result-identical refactor (_parse_object_at hoist + two
+#: never-true conditionals for fixtures), the three r12 m_pdf_* rows
+#: plus st_pdf_layout_dedup_replay were RE-DRIVEN MATCH at HEAD under
+#: the exact contract compare, the in-window replay row freshly pins
+#: the shared parse surface, and the NEW staged row m_pdf_xref_stream
+#: (same text digesting equal through classic table / xref stream /
+#: +objstm / +compress containers via the registered
+#: pdf_text_dedup_groups — pdfops.m_pdf_xref_stream_staged vs
+#: pdf_xref_oracle()) is the purpose-built guard for the new branch,
+#: queued for the round-14 spares. After CORRECTNESS_r13: no query's
+#: newest row predates round 9, and the registered count is 247 (245
+#: + the 2 above); rows-only remains exactly the 5 m_* binary-decoder
+#: rows. Distribution over 247: 47×r9, 50×r10, 50×r11, 50×r12,
+#: 50×r13.
 #:
 #: ROUND-14 ROTATION (computed at end of round 13 from the cumulative
 #: record, assuming CORRECTNESS_r13 lands on the window above): the

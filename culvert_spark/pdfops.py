@@ -5,22 +5,31 @@ The training-data document family has text analysis over the
 this module closes that gap for PDF — the dominant container for
 scanned/laid-out corpora — with a from-scratch reader of the PUBLIC
 spec (PDF is ISO 32000-1; the subset implemented here — classic
-cross-reference tables, object/dictionary/stream syntax, FlateDecode
+cross-reference tables AND 1.5 cross-reference/object streams
+(§7.5.7/§7.5.8, incl. hybrid /XRefStm files and the PNG row
+predictors of §7.4.4.4), object/dictionary/stream syntax, FlateDecode
 via zlib (RFC 1950/1951, Python stdlib), the page tree with attribute
 inheritance, and the text-showing operators of the content-stream
 language — is fully described in the freely published spec text):
 
 1. **Writer** (fixture generation, ``encode_pdf``): minimal-but-valid
-   PDF 1.4 — catalog/pages/page objects, Helvetica Type1 font, literal
-   or Flate-compressed content streams, classic xref + trailer. Like
+   PDF — catalog/pages/page objects, Helvetica Type1 font, literal
+   or Flate-compressed content streams, classic 1.4 xref + trailer OR
+   (``xref="stream"``) a 1.5 cross-reference stream with optional
+   ``objstm`` object-stream packing (the post-2005 "compressed PDF"
+   shape, Up-predictor-filtered like real writers emit). Like
    mediagen's image writers it is deliberately small but emits REAL
    files any conforming reader accepts.
 2. **Parser** (production path, ``PdfDocument``): tokenizer for the
    object syntax (dicts, arrays, names with #xx escapes, literal
    strings with octal/escape/nesting, hex strings, numbers, booleans,
-   indirect references), classic xref tables with /Prev chaining plus
-   a scan-for-``N 0 obj`` fallback for damaged files, stream payloads
-   via /Length (direct or indirect) + /FlateDecode, page-tree walk
+   indirect references), classic xref tables with /Prev chaining,
+   1.5 cross-reference STREAMS (/W widths, /Index subsections, type-2
+   compressed-object entries, /Prev chains, hybrid /XRefStm) with
+   object-stream (/ObjStm) member access and PNG predictor reversal,
+   plus a scan-for-``N 0 obj`` fallback for damaged files, stream
+   payloads via /Length (direct or indirect) + /FlateDecode, page-tree
+   walk
    with /MediaBox (+ /Rotate, /Resources) inheritance, and a
    content-stream interpreter for the text operators (BT/ET, Tf, TL,
    Td, TD, Tm, T*, Tj, TJ, ', ") tracking the text/line matrices —
@@ -53,13 +62,13 @@ until the final grouped aggregate); the layout pairing never touches
 document rows (the 16-bit value domain is <= 65 536 values at ANY
 corpus size).
 
-Out of scope, labeled: PDF 1.5+ cross-reference STREAMS and object
-streams (/ObjStm), encryption, and non-Flate filters raise
+Out of scope, labeled: encryption and non-Flate filters raise
 ``NotImplementedError`` with the feature name (Type0 WITHOUT a
 /ToUnicode CMap degrades to flagged U+FFFD text instead — see the
-parser note above) — the classic-table
-subset is what the fixtures (and the long tail of generator-produced
-corpora) use. Text-run origins do not advance by glyph widths (no
+parser note above). Cross-reference/object streams joined the
+implemented subset in round 13 (they were the former labeled
+boundary — most post-2005 PDFs use them).
+Text-run origins do not advance by glyph widths (no
 font metrics shipped); every emitted run is positioned by its show
 op's text matrix, which is exact for the fixture writers here and the
 common one-show-per-line layout.
@@ -243,9 +252,11 @@ def encode_pdf(
     nested: bool = False,
     mediabox: tuple[int, int] = _PDF_MEDIABOX,
     rotate: int = 0,
+    xref: str = "table",
+    objstm: bool = False,
 ) -> bytes:
-    """A real PDF 1.4 file (header, numbered objects, classic xref
-    table, trailer). Each page dict: ``{"elements": [(x, y, size,
+    """A real PDF file (header, numbered objects, cross-reference,
+    trailer). Each page dict: ``{"elements": [(x, y, size,
     text), ...], "mediabox": (w, h) | None, "rotate": 0|90|180|270 |
     absent}`` — a None mediabox INHERITS the /MediaBox written on the
     /Pages node (the inheritance path), a concrete one overrides it on
@@ -257,7 +268,19 @@ def encode_pdf(
     /Length as an indirect reference to a separate integer object
     (both forms are legal and both appear in the wild); ``nested``
     parents pages[1:] under an intermediate /Pages node (inheritance
-    must survive tree depth)."""
+    must survive tree depth).
+
+    ``xref`` picks the cross-reference form: ``"table"`` writes the
+    classic PDF 1.4 xref table + trailer; ``"stream"`` writes a PDF
+    1.5 cross-reference STREAM (ISO 32000-1 §7.5.8 — /W [1 4 2] rows,
+    Flate + the PNG Up row predictor the wild overwhelmingly uses,
+    the stream dict doubling as the trailer). ``objstm`` (requires
+    ``xref="stream"``) additionally packs every non-stream object
+    except /Length integers into ONE compressed object stream
+    (§7.5.7) referenced by type-2 xref entries — the post-2005
+    "compressed PDF" shape."""
+    if objstm and xref != "stream":
+        raise ValueError("objstm=True requires xref='stream'")
     n = len(pages)
     if nested and n < 2:
         raise ValueError("nested layout needs >= 2 pages")
@@ -287,6 +310,8 @@ def encode_pdf(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
     type0_id = 0
+    stream_obj_ids: set[int] = set()  # objects that ARE streams
+    lenint_ids: set[int] = set()      # indirect /Length integers
     if style == "cid":
         # Composite Type0/Identity-H font (ISO 32000-1 §9.7): the
         # ToUnicode CMap stream, the CIDFontType2 descendant, and the
@@ -309,6 +334,7 @@ def encode_pdf(
             + cmap
             + b"\nendstream"
         )
+        stream_obj_ids.add(tounicode_id)
         objs[desc_id] = (
             b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FixtureCID"
             b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
@@ -351,6 +377,7 @@ def encode_pdf(
             len_id = next_id
             next_id += 1
             objs[len_id] = str(len(data)).encode("latin-1")
+            lenint_ids.add(len_id)
             len_entry = f"{len_id} 0 R".encode("latin-1")
         else:
             len_entry = str(len(data)).encode("latin-1")
@@ -359,8 +386,43 @@ def encode_pdf(
             + data
             + b"\nendstream"
         )
+        stream_obj_ids.add(content_ids[i])
 
-    out = bytearray(b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n")  # binary marker line
+    compressed_at: dict[int, int] = {}  # obj num -> index in ObjStm
+    objstm_id = 0
+    if objstm:
+        packable = [
+            num
+            for num in sorted(objs)
+            if num not in stream_obj_ids and num not in lenint_ids
+        ]
+        objstm_id = next_id
+        next_id += 1
+        hdr_parts: list[str] = []
+        off = 0
+        for num in packable:
+            hdr_parts.append(f"{num} {off}")
+            off += len(objs[num]) + 1  # single-space separator below
+        hdr = (" ".join(hdr_parts) + "\n").encode("latin-1")
+        stm_body = hdr + b" ".join(objs[num] for num in packable)
+        stm_data = zlib.compress(stm_body)
+        for num in packable:
+            compressed_at[num] = packable.index(num)
+            del objs[num]
+        objs[objstm_id] = (
+            b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode"
+            b" /Length %d >>\nstream\n" % (len(packable), len(hdr),
+                                           len(stm_data))
+            + stm_data
+            + b"\nendstream"
+        )
+
+    header = (
+        b"%PDF-1.5\n%\xc2\xb5\xc2\xb6\n"
+        if xref == "stream"
+        else b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n"
+    )  # binary marker line
+    out = bytearray(header)
     offsets: dict[int, int] = {}
     for num in sorted(objs):
         offsets[num] = len(out)
@@ -368,6 +430,40 @@ def encode_pdf(
         out += objs[num]
         out += b"\nendobj\n"
     xref_at = len(out)
+    if xref == "stream":
+        # cross-reference STREAM (§7.5.8): /W [1 4 2] rows under the
+        # PNG Up predictor — the shape real 1.5 writers emit.
+        xref_id = next_id
+        size = xref_id + 1
+        rows: list[bytes] = []
+        for num in range(size):
+            if num in compressed_at:
+                t, a, b = 2, objstm_id, compressed_at[num]
+            elif num == xref_id:
+                t, a, b = 1, xref_at, 0
+            elif num in offsets:
+                t, a, b = 1, offsets[num], 0
+            else:  # object 0 + any gap: free
+                t, a, b = 0, 0, 65535 if num == 0 else 0
+            rows.append(
+                bytes([t]) + a.to_bytes(4, "big") + b.to_bytes(2, "big")
+            )
+        raw = bytearray()
+        prev = bytes(7)
+        for r in rows:  # PNG Up filter per 7-byte row
+            raw.append(2)
+            raw += bytes((r[i] - prev[i]) & 0xFF for i in range(7))
+            prev = r
+        xdata = zlib.compress(bytes(raw))
+        out += f"{xref_id} 0 obj\n".encode("latin-1")
+        out += (
+            f"<< /Type /XRef /Size {size} /W [1 4 2] /Root 1 0 R"
+            f" /Filter /FlateDecode /DecodeParms << /Predictor 12"
+            f" /Columns 7 >> /Length {len(xdata)} >>"
+        ).encode("latin-1")
+        out += b"\nstream\n" + xdata + b"\nendstream\nendobj\n"
+        out += f"startxref\n{xref_at}\n%%EOF\n".encode("latin-1")
+        return bytes(out)
     max_id = max(objs)
     out += f"xref\n0 {max_id + 1}\n".encode("latin-1")
     out += b"0000000000 65535 f \n"
@@ -633,19 +729,73 @@ def _parse_cmap(
     return widths, mapping, ranges
 
 
+def _png_unpredict(body: bytes, columns: int, colors: int = 1,
+                   bpc: int = 8) -> bytes:
+    """Reverse PNG row predictors (RFC 2083 §6; applied per ISO
+    32000-1 §7.4.4.4 when /DecodeParms /Predictor >= 10): each row is
+    a filter-type byte (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth)
+    followed by ``columns * colors * bpc/8`` filtered bytes. Xref
+    streams in the wild are almost always Up-filtered; all five types
+    are implemented from the public spec."""
+    bpp = max(1, (colors * bpc) // 8)  # bytes per sample pixel
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytes(rowlen)
+    p, n = 0, len(body)
+    while p < n:
+        ft = body[p]
+        row = bytearray(body[p + 1 : p + 1 + rowlen])
+        if len(row) < rowlen:
+            raise ValueError("predictor row truncated")
+        p += 1 + rowlen
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG predictor filter {ft}")
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
 class PdfDocument:
-    """Parsed classic-xref PDF: object access, page tree, text runs."""
+    """Parsed PDF: object access, page tree, text runs. Reads BOTH
+    cross-reference forms — classic tables (PDF 1.0+) and
+    cross-reference STREAMS with compressed object streams (PDF 1.5,
+    ISO 32000-1 §7.5.7/§7.5.8, the post-2005 default) — plus the
+    hybrid-reference /XRefStm shape (§7.5.8.4)."""
 
     def __init__(self, data: bytes):
         self.data = data
         self._cache: dict[int, object] = {}
+        self._objstms: dict[int, dict[int, object]] = {}
         try:
             self.offsets, self.root_ref = self._load_xref()
-        except NotImplementedError:
-            raise  # xref STREAMS: the documented boundary, not damage
         except Exception:
             # damaged/absent xref: scan for "N 0 obj" markers — the
-            # standard robust-reader fallback.
+            # standard robust-reader fallback (objects living INSIDE
+            # object streams are not scannable; a damaged 1.5 file
+            # degrades to its directly-stored objects).
             self.offsets, self.root_ref = self._scan_objects()
 
     # -- cross-reference machinery -----------------------------------
@@ -664,15 +814,18 @@ class PdfDocument:
             p = _skip_ws(data, start)
             if data[p : p + 4] != b"xref":
                 # an OBJECT at the startxref target is the PDF 1.5
-                # xref-stream shape — the documented boundary; anything
-                # else is damage, which the caller's scan fallback
-                # handles (self-review: don't mislabel a shifted
-                # classic table as an xref stream).
+                # cross-reference STREAM shape (§7.5.8) — read it;
+                # anything else is damage, which the caller's scan
+                # fallback handles (don't mislabel a shifted classic
+                # table as an xref stream).
                 if re.match(rb"\d+\s+\d+\s+obj\b", data[p : p + 32]):
-                    raise NotImplementedError(
-                        "PDF 1.5 cross-reference streams are not "
-                        "supported (classic xref tables only)"
-                    )
+                    xd = self._read_xref_stream(p, offsets)
+                    if root is None and "Root" in xd:
+                        root = xd["Root"]
+                    if "Prev" in xd:
+                        start = int(xd["Prev"])  # type: ignore[arg-type]
+                        continue
+                    break
                 raise ValueError(
                     "startxref does not point at a classic xref table"
                 )
@@ -698,6 +851,14 @@ class PdfDocument:
                     p += 20
                 p = _skip_ws(data, p)
             trailer, _ = _parse_obj(data, p + 7)
+            if "XRefStm" in trailer:
+                # hybrid-reference file (§7.5.8.4): the update's xref
+                # STREAM supplements its classic table — compressed
+                # objects the table marks free are defined there, so
+                # its entries may fill this section's free marks.
+                self._read_xref_stream(
+                    int(trailer["XRefStm"]), offsets, hybrid=True
+                )
             if root is None and "Root" in trailer:
                 root = trailer["Root"]
             if "Prev" in trailer:
@@ -707,6 +868,92 @@ class PdfDocument:
         if not isinstance(root, _Ref):
             raise ValueError("trailer has no /Root reference")
         return offsets, root
+
+    def _read_xref_stream(
+        self, pos: int, offsets: dict, hybrid: bool = False
+    ) -> dict:
+        """Read one cross-reference STREAM object at byte ``pos``
+        (ISO 32000-1 §7.5.8): /W field widths, /Index subsections
+        (default [0 /Size]), row types 0 (free), 1 (byte offset) and
+        2 (compressed: (object-stream number, index) tuple entries in
+        ``offsets``); unknown types read as null per the spec's
+        forward-compatibility rule. Returns the stream dict, which
+        doubles as the trailer (/Root /Prev live in it). ``hybrid``
+        lets entries fill slots the SAME update's classic table marked
+        free (§7.5.8.4 — the table hides compressed objects from
+        pre-1.5 readers; precedence between a hybrid stream and a
+        LATER update's true deletion is resolved in the later update's
+        favor only when that deletion names a different generation,
+        which fixture-free real files do not exercise)."""
+        got = self._parse_object_at(pos)
+        if not (isinstance(got, tuple) and len(got) == 2):
+            raise ValueError("xref stream object has no stream body")
+        xd, body = got
+        if xd.get("Type") != "XRef":
+            raise ValueError("startxref object is not /Type /XRef")
+        w = [int(x) for x in xd["W"]]
+        if len(w) != 3 or any(x < 0 for x in w):
+            raise ValueError(f"bad /W {w!r}")
+        rw = sum(w)
+        size = int(xd["Size"])
+        index = [int(x) for x in xd.get("Index", [0, size])]
+        p = 0
+        for start_num, count in zip(index[0::2], index[1::2]):
+            for k in range(count):
+                row = body[p : p + rw]
+                p += rw
+                if len(row) < rw:
+                    raise ValueError("xref stream data truncated")
+                # width-0 type field defaults to 1 (§7.5.8.3 note)
+                t = int.from_bytes(row[: w[0]], "big") if w[0] else 1
+                f2 = int.from_bytes(row[w[0] : w[0] + w[1]], "big")
+                f3 = int.from_bytes(row[w[0] + w[1] :], "big")
+                num = start_num + k
+                if t == 1:
+                    entry: object = f2
+                elif t == 2:
+                    entry = (f2, f3)
+                else:  # 0 = free; >2 = unknown -> null (spec rule)
+                    entry = None
+                if hybrid and num in offsets and offsets[num] is None:
+                    offsets[num] = entry
+                else:
+                    offsets.setdefault(num, entry)
+        return xd
+
+    def _objstm_objects(self, num: int) -> dict[int, object]:
+        """All objects of object stream ``num`` (§7.5.7), parsed once
+        and cached: the first /First bytes are N (objnum, offset)
+        integer pairs; each object body is a direct object at
+        First+offset. The container itself must be directly stored
+        (type-1) — the spec forbids nesting."""
+        if num in self._objstms:
+            return self._objstms[num]
+        if isinstance(self.offsets.get(num), tuple):
+            raise ValueError(f"object stream {num} nested in a stream")
+        got = self.obj(num)
+        if not (isinstance(got, tuple) and len(got) == 2):
+            raise ValueError(f"object {num} is not an object stream")
+        d, body = got
+        if d.get("Type") != "ObjStm":
+            raise ValueError(f"object {num} is not /Type /ObjStm")
+        n = int(self.resolve(d["N"]))
+        first = int(self.resolve(d["First"]))
+        heads = []
+        p = 0
+        for _ in range(2 * n):
+            p = _skip_ws(body, p)
+            m = _NUM_RE.match(body, p)
+            if not m:
+                raise ValueError("object stream header truncated")
+            heads.append(int(m.group(0)))
+            p = m.end()
+        objs: dict[int, object] = {}
+        for objnum, off in zip(heads[0::2], heads[1::2]):
+            val, _ = _parse_obj(body, first + off)
+            objs[objnum] = val
+        self._objstms[num] = objs
+        return objs
 
     def _scan_objects(self) -> tuple[dict[int, int], _Ref]:
         offsets: dict[int, int] = {}
@@ -732,15 +979,22 @@ class PdfDocument:
     # -- object access ------------------------------------------------
 
     def _parse_indirect(self, num: int, offsets: dict[int, int]):
+        try:
+            return self._parse_object_at(offsets[num])
+        except ValueError as exc:
+            raise ValueError(f"object {num}: {exc}") from None
+
+    def _parse_object_at(self, at: int):
+        """Parse the directly-stored indirect object starting at byte
+        ``at``; stream objects return (dict, decoded-body)."""
         data = self.data
-        p = offsets[num]
-        p = _skip_ws(data, p)
+        p = _skip_ws(data, at)
         m = _NUM_RE.match(data, p)  # obj number
         p = _skip_ws(data, m.end())
         m = _NUM_RE.match(data, p)  # generation
         p = _skip_ws(data, m.end())
         if data[p : p + 3] != b"obj":
-            raise ValueError(f"object {num}: 'obj' keyword missing")
+            raise ValueError("'obj' keyword missing")
         val, p = _parse_obj(data, p + 3)
         p = _skip_ws(data, p)
         if isinstance(val, dict) and data.startswith(b"stream", p):
@@ -761,14 +1015,36 @@ class PdfDocument:
                     f"PDF stream filter {filt!r} not supported "
                     "(FlateDecode only)"
                 )
+            parms = self.resolve(val.get("DecodeParms"))
+            if isinstance(parms, list) and len(parms) == 1:
+                parms = parms[0]
+            if isinstance(parms, dict):
+                pred = int(self.resolve(parms.get("Predictor", 1)))
+                if pred >= 10:  # PNG row predictors (§7.4.4.4)
+                    body = _png_unpredict(
+                        body,
+                        int(self.resolve(parms.get("Columns", 1))),
+                        int(self.resolve(parms.get("Colors", 1))),
+                        int(self.resolve(parms.get(
+                            "BitsPerComponent", 8
+                        ))),
+                    )
+                elif pred not in (1,):
+                    raise NotImplementedError(
+                        f"/Predictor {pred} not supported "
+                        "(PNG predictors and none only)"
+                    )
             return (val, body)
         return val
 
     def obj(self, num: int):
         if num not in self._cache:
+            ent = self.offsets.get(num)
             # absent or freed (None sentinel) objects read as null
-            if self.offsets.get(num) is None:
+            if ent is None:
                 self._cache[num] = None
+            elif isinstance(ent, tuple):  # type-2: inside an ObjStm
+                self._cache[num] = self._objstm_objects(ent[0]).get(num)
             else:
                 self._cache[num] = self._parse_indirect(num, self.offsets)
         return self._cache[num]
@@ -1846,6 +2122,93 @@ def m_pdf_cid_text_staged(spark: SparkSession) -> DataFrame:
     """Staged row body (``m_pdf_cid_text``): the composite-font fixture
     through the SAME registered text-dedup operator."""
     return pdf_text_dedup_groups(cid_pdf_media(spark))
+
+
+# ---------------------------------------------------------------------------
+# Cross-reference-FORM text dedup (staged round 13 — registration
+# candidate for round 14+)
+# ---------------------------------------------------------------------------
+
+#: Design: _XS_GROUPS texts, each present once per CROSS-REFERENCE
+#: form — classic 1.4 table, 1.5 xref STREAM, xref stream + object
+#: stream, xref stream + object stream + Flate content (§7.5.7/
+#: §7.5.8, the Up-predictor shape real writers emit) — plus
+#: _XS_SINGLES one-container texts (alternating table/stream+objstm).
+#: Claim: the cross-reference form is CONTAINER PLUMBING — the same
+#: reading-order text must digest equal through every form, through
+#: the REGISTERED pdf_text_dedup_groups operator, proving the round-13
+#: xref/object-stream parser end-to-end on the production path.
+_XS_GROUPS = 2
+_XS_MEMBERS = [
+    {"xref": "table"},
+    {"xref": "stream"},
+    {"xref": "stream", "objstm": True},
+    {"xref": "stream", "objstm": True, "compress": True},
+]
+_XS_SINGLES = 2
+
+
+def _xs_pages(seed: str) -> list[dict]:
+    part1 = _words(f"xreftext|{seed}|a", 6)
+    part2 = _words(f"xreftext|{seed}|b", 4)
+    return [{
+        "mediabox": None,
+        "elements": [(72, 700, 12, part1), (72, 600, 10, part2)],
+    }]
+
+
+def xref_pdf_media(spark: SparkSession) -> DataFrame:
+    """(media_id, kind, payload) fixture frame (see the _XS_* note)."""
+    rows = []
+    for g in range(_XS_GROUPS):
+        pages = _xs_pages(f"g{g}")
+        for j, kw in enumerate(_XS_MEMBERS):
+            rows.append((100 * g + j, encode_pdf(pages, **kw)))
+    for s in range(_XS_SINGLES):
+        kw = _XS_MEMBERS[-1] if s % 2 else _XS_MEMBERS[0]
+        rows.append((900 + 100 * s, encode_pdf(_xs_pages(f"s{s}"), **kw)))
+    return spark.createDataFrame(
+        [(mid, "pdf", bytearray(p)) for mid, p in rows],
+        "media_id bigint, kind string, payload binary",
+    )
+
+
+def pdf_xref_oracle() -> str:
+    """Constant-folding DuckDB oracle for the cross-reference-form
+    text-dedup row: digests re-derived in pure python from the SAME
+    text generator the fixture embeds."""
+    rows = []
+    for g in range(_XS_GROUPS):
+        p1 = _words(f"xreftext|g{g}|a", 6)
+        p2 = _words(f"xreftext|g{g}|b", 4)
+        digest = hashlib.md5(f"{p1}\n{p2}".encode()).hexdigest()
+        rows.append((digest, len(_XS_MEMBERS), 100 * g,
+                     len(_XS_MEMBERS) - 1))
+    for s in range(_XS_SINGLES):
+        p1 = _words(f"xreftext|s{s}|a", 6)
+        p2 = _words(f"xreftext|s{s}|b", 4)
+        digest = hashlib.md5(f"{p1}\n{p2}".encode()).hexdigest()
+        rows.append((digest, 1, 900 + 100 * s, 0))
+    rows.sort(key=lambda r: r[2])
+    vals = ",\n      ".join(
+        f"('{d}', {n}, {k}, {nd})" for d, n, k, nd in rows
+    )
+    return f"""
+    SELECT text_digest,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(keeper_id AS BIGINT) AS keeper_id,
+           CAST(n_dupes AS BIGINT) AS n_dupes
+    FROM (VALUES
+      {vals})
+      AS t(text_digest, n_docs, keeper_id, n_dupes)
+    ORDER BY keeper_id
+    """
+
+
+def m_pdf_xref_stream_staged(spark: SparkSession) -> DataFrame:
+    """Staged row body (``m_pdf_xref_stream``): the cross-reference-
+    form fixture through the SAME registered text-dedup operator."""
+    return pdf_text_dedup_groups(xref_pdf_media(spark))
 
 
 # ---------------------------------------------------------------------------

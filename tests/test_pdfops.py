@@ -108,10 +108,11 @@ def test_freed_xref_entry_shadows_older_section():
     assert doc.resolve(P._Ref(1)) is not None  # untouched objs intact
 
 
-def test_xref_stream_raises_not_implemented():
-    """A startxref pointing at an OBJECT (the PDF 1.5 xref-stream
-    shape) must surface the documented NotImplementedError, not be
-    swallowed into the damaged-file scan fallback (self-review)."""
+def test_startxref_at_non_xref_object_falls_back_to_scan():
+    """A startxref pointing at an object that is NOT /Type /XRef is
+    damage (it used to be the labeled 1.5 boundary; the round-13
+    xref-stream parser reads real XRef objects, so a non-XRef target
+    now routes to the scan fallback and the intact file still reads)."""
     data = P.encode_pdf(
         [{"mediabox": None, "elements": [(72, 720, 10, "x")]}]
     )
@@ -120,8 +121,217 @@ def test_xref_stream_raises_not_implemented():
     broken = data[:tail_at] + (
         b"startxref\n%d\n%%%%EOF\n" % obj1_at
     )
-    with pytest.raises(NotImplementedError, match="cross-reference"):
-        P.PdfDocument(broken)
+    runs = [t for *_, t in P.PdfDocument(broken).doc_runs()]
+    assert runs == ["x"]
+
+
+# ---------------------------------------------------------------------------
+# PDF 1.5 cross-reference streams + object streams (round 13)
+# ---------------------------------------------------------------------------
+
+_XPAGES = [
+    {"mediabox": None,
+     "elements": [(72, 700, 12, "hello world"), (72, 650, 10, "line two")]},
+    {"mediabox": (200, 300), "elements": [(10, 250, 8, "page two")],
+     "rotate": 90},
+]
+
+
+def test_xref_stream_forms_parse_identically_to_classic():
+    """Every 1.5 writer shape — plain xref stream, + object stream,
+    + Flate content, + indirect /Length + nested page tree, + CID
+    composite fonts — must extract the SAME runs as the classic-table
+    twin: the cross-reference form is container plumbing, not content."""
+    ref = P.PdfDocument(P.encode_pdf(_XPAGES)).doc_runs()
+    assert ref  # the baseline itself extracts
+    for kw in (
+        dict(xref="stream"),
+        dict(xref="stream", objstm=True),
+        dict(xref="stream", objstm=True, compress=True),
+        dict(xref="stream", objstm=True, indirect_length=True,
+             nested=True),
+    ):
+        data = P.encode_pdf(_XPAGES, **kw)
+        assert data.startswith(b"%PDF-1.5"), kw
+        assert P.PdfDocument(data).doc_runs() == ref, kw
+    cid_ref = P.PdfDocument(P.encode_pdf(_XPAGES, style="cid")).doc_runs()
+    assert (
+        P.PdfDocument(
+            P.encode_pdf(_XPAGES, style="cid", xref="stream", objstm=True)
+        ).doc_runs()
+        == cid_ref == ref
+    )
+
+
+def test_xref_stream_objstm_actually_packs():
+    """The objstm fixture must really exercise type-2 entries: the
+    catalog/pages/page dicts live INSIDE the object stream (absent as
+    top-level ``N 0 obj`` markers), and the parser reads them through
+    the type-2 path, not the scan fallback."""
+    data = P.encode_pdf(_XPAGES, xref="stream", objstm=True)
+    assert b"/ObjStm" in data
+    assert b"\n1 0 obj" not in data  # catalog is compressed
+    doc = P.PdfDocument(data)
+    packed = [n for n, e in doc.offsets.items() if isinstance(e, tuple)]
+    assert len(packed) >= 4  # catalog + pages + 2 page dicts
+    assert doc.resolve(P._Ref(1)).get("Type") == "Catalog"
+
+
+def test_png_predictors_all_filter_types_roundtrip():
+    """_png_unpredict reverses all five PNG filters (RFC 2083): apply
+    each filter to known rows, then assert exact reconstruction."""
+    rows = [bytes([10, 20, 30, 40]), bytes([13, 24, 30, 255]),
+            bytes([0, 1, 2, 3]), bytes([200, 100, 50, 25]),
+            bytes([9, 9, 9, 9])]
+    bpp = 1
+    enc = bytearray()
+    prev = bytes(4)
+    for ft, row in zip((0, 1, 2, 3, 4), rows):
+        enc.append(ft)
+        for i, b in enumerate(row):
+            a = row[i - bpp] if i >= bpp else 0
+            u = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                f = b
+            elif ft == 1:
+                f = (b - a) & 0xFF
+            elif ft == 2:
+                f = (b - u) & 0xFF
+            elif ft == 3:
+                f = (b - (a + u) // 2) & 0xFF
+            else:
+                pp = a + u - c
+                pa, pb, pc = abs(pp - a), abs(pp - u), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    u if pb <= pc else c)
+                f = (b - pred) & 0xFF
+            enc.append(f)
+        prev = row
+    assert P._png_unpredict(bytes(enc), columns=4) == b"".join(rows)
+    with pytest.raises(ValueError, match="filter"):
+        P._png_unpredict(b"\x09\x00\x00\x00\x00", columns=4)
+
+
+def test_xref_stream_prev_chain_incremental_update():
+    """An incremental update appending a SECOND xref stream with /Prev
+    to the first: the newer section's entries win, older objects stay
+    reachable through the chain."""
+    base = P.encode_pdf(_XPAGES, xref="stream")
+    first_xref_at = int(
+        base[base.rindex(b"startxref") + 9: base.rindex(b"%%EOF")].strip()
+    )
+    # replace page-1's content stream (object 5) with new text via an
+    # appended update whose xref stream covers ONLY object 5
+    new_stream = b"BT\n/F1 12 Tf\n72 700 Td\n(updated) Tj\nET"
+    upd = bytearray(base)
+    obj5_at = len(upd)
+    upd += (
+        b"5 0 obj\n<< /Length %d >>\nstream\n" % len(new_stream)
+        + new_stream + b"\nendstream\nendobj\n"
+    )
+    xref_at = len(upd)
+    import zlib as _z
+    row = bytes([1]) + obj5_at.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    xdata = _z.compress(row)
+    upd += (
+        b"8 0 obj\n<< /Type /XRef /Size 8 /W [1 4 2] /Index [5 1] "
+        b"/Root 1 0 R /Prev %d /Filter /FlateDecode /Length %d >>"
+        b"\nstream\n" % (first_xref_at, len(xdata))
+        + xdata + b"\nendstream\nendobj\n"
+        + b"startxref\n%d\n%%%%EOF\n" % xref_at
+    )
+    runs = [t for *_, t in P.PdfDocument(bytes(upd)).doc_runs()]
+    assert runs == ["updated", "page two"]
+
+
+def test_xref_stream_unknown_row_type_reads_as_null():
+    """§7.5.8.3: an entry type > 2 shall be read as a reference to the
+    null object (forward compatibility), not an error."""
+    data = P.encode_pdf(_XPAGES, xref="stream")
+    doc = P.PdfDocument(data)
+    # hand-build a tiny xref stream with a type-7 row for object 3
+    import zlib as _z
+    row = bytes([7]) + (123).to_bytes(4, "big") + (0).to_bytes(2, "big")
+    offsets: dict = {}
+    blob = bytearray(b"%PDF-1.5\n")
+    at = len(blob)
+    xdata = _z.compress(row)
+    blob += (
+        b"1 0 obj\n<< /Type /XRef /Size 4 /W [1 4 2] /Index [3 1] "
+        b"/Root 2 0 R /Filter /FlateDecode /Length %d >>\nstream\n"
+        % len(xdata) + xdata + b"\nendstream\nendobj\n"
+    )
+    xd = P.PdfDocument.__new__(P.PdfDocument)
+    xd.data = bytes(blob)
+    xd._cache = {}
+    xd._objstms = {}
+    got = xd._read_xref_stream(at, offsets)
+    assert got["Size"] == 4
+    assert offsets == {3: None}
+    assert doc.resolve(P._Ref(1)).get("Type") == "Catalog"  # sanity
+
+
+def test_hybrid_xrefstm_supplements_free_classic_entries():
+    """§7.5.8.4 hybrid-reference file: the classic table marks a
+    compressed object FREE (hidden from pre-1.5 readers); /XRefStm
+    names the xref stream that defines it. The stream entry must fill
+    the free slot."""
+    base = P.encode_pdf(_XPAGES, xref="stream", objstm=True)
+    doc = P.PdfDocument(base)
+    packed = sorted(
+        n for n, e in doc.offsets.items() if isinstance(e, tuple)
+    )
+    direct = sorted(
+        (n, e) for n, e in doc.offsets.items() if isinstance(e, int)
+    )
+    first_xref_at = int(
+        base[base.rindex(b"startxref") + 9: base.rindex(b"%%EOF")].strip()
+    )
+    max_id = max(doc.offsets)
+    # append a CLASSIC table marking every object free except the
+    # directly-stored ones, with /XRefStm pointing at the 1.5 stream
+    upd = bytearray(base)
+    table_at = len(upd)
+    upd += b"xref\n"
+    for num in range(max_id + 1):
+        ent = doc.offsets.get(num)
+        upd += b"%d 1\n" % num
+        if isinstance(ent, int):
+            upd += b"%010d 00000 n \n" % ent
+        else:
+            upd += b"0000000000 65535 f \n"
+    upd += (
+        b"trailer\n<< /Size %d /Root 1 0 R /XRefStm %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n"
+        % (max_id + 1, first_xref_at, table_at)
+    )
+    hdoc = P.PdfDocument(bytes(upd))
+    # the hybrid read reconstructs the same offsets: every packed
+    # object resolves through the XRefStm's type-2 entries
+    for num in packed:
+        assert isinstance(hdoc.offsets[num], tuple), num
+    assert [t for *_, t in hdoc.doc_runs()] == [
+        t for *_, t in doc.doc_runs()
+    ]
+
+
+def test_staged_xref_stream_oracle_matches(spark):
+    """The staged m_pdf_xref_stream row: Spark result == the
+    constant-folding oracle, via DuckDB."""
+    import duckdb
+
+    got = [
+        (r.text_digest, r.n_docs, r.keeper_id, r.n_dupes)
+        for r in P.m_pdf_xref_stream_staged(spark).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in duckdb.connect().execute(P.pdf_xref_oracle()).fetchall()
+    ]
+    assert got == want
+    assert len(got) == P._XS_GROUPS + P._XS_SINGLES
+    assert {n for _, n, _, _ in got} == {len(P._XS_MEMBERS), 1}
 
 
 def test_fractional_font_size_rounds_identically():

@@ -34,16 +34,15 @@ from culvert_spark import (  # noqa: E402
     warcsource,
 )
 
-#: name -> (body thunk, oracle SQL). Mirrors the ROUND-13 ROTATION
-#: note's registration one-liners exactly.
+#: name -> (body thunk, oracle SQL). Mirrors the ROUND-14 ROTATION
+#: note's registration one-liners exactly
+#: (st_pdf_layout_dedup_replay and w_warc_doc_stats left this table
+#: when round 13 registered them — drive_driver_contract.py is the
+#: authoritative emulator for registered rows).
 STAGED = {
-    "st_pdf_layout_dedup_replay": (
-        lambda: pdfops.pdf_pair_replay(spark),
-        pdfops.pdf_pair_oracle(),
-    ),
-    "w_warc_doc_stats": (
-        lambda: warcops.warc_doc_stats(warcops.warc_corpus(spark)),
-        warcops.warc_stats_oracle(),
+    "m_pdf_xref_stream": (
+        lambda: pdfops.m_pdf_xref_stream_staged(spark),
+        pdfops.pdf_xref_oracle(),
     ),
     "m_pdf_cid_text": (
         lambda: pdfops.m_pdf_cid_text_staged(spark),
