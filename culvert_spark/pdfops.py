@@ -37,11 +37,12 @@ language — is fully described in the freely published spec text):
    origin. Show strings decode through the Tf-selected FONT: simple
    fonts byte-wise, COMPOSITE Type0 fonts (§9.7) through their
    /ToUnicode CMap (§9.10.3 — codespacerange widths, bfchar, both
-   bfrange forms), so CID-encoded text extracts to the same canonical
-   form as simple-font text; a Type0 font WITHOUT /ToUnicode yields
-   U+FFFD per code (the labeled boundary: CID-to-text would need the
-   font program's own cmap table, which is binary font data, not
-   spec-reproducible document structure).
+   bfrange forms) OR — round 13, when /ToUnicode is absent — through
+   the embedded TrueType program's own ``cmap`` table (OpenType spec,
+   formats 0/4/6/12, inverted gid->unicode, /CIDToGIDMap Identity or
+   stream), so CID-encoded text extracts to the same canonical form
+   as simple-font text; a Type0 font with NEITHER channel yields
+   U+FFFD per code (the residual labeled boundary).
 3. **Features** (``pdf_doc_features``): per-document page count, run/
    char/token counts, max font size, the page-1 title run, page-1
    geometry — the document-corpus quality columns.
@@ -189,6 +190,69 @@ def _tounicode_cmap(chars: set[str]) -> bytes:
     return "\n".join(parts).encode("latin-1")
 
 
+def _sfnt_font(char_to_gid: dict[str, int]) -> bytes:
+    """A minimal TrueType (sfnt) font program whose ``cmap`` maps each
+    char to its glyph id — the table text extraction consults when a
+    Type0 font ships NO /ToUnicode CMap (the OpenType/TrueType spec is
+    public; Microsoft publishes the table layouts). head and maxp make
+    the container structurally complete with true checksums; glyph
+    outlines are irrelevant to extraction and omitted (the fixture
+    exercises the cmap path, not rendering)."""
+    import struct
+
+    cps = sorted(ord(c) for c in char_to_gid)
+    if not cps or cps[-1] >= 0xFFFF:
+        raise ValueError("fixture font wants BMP chars below U+FFFF")
+    # format-4 subtable: one segment per codepoint + the 0xFFFF closer
+    segs = [(cp, cp, (char_to_gid[chr(cp)] - cp) & 0xFFFF) for cp in cps]
+    segs.append((0xFFFF, 0xFFFF, 1))
+    seg_count = len(segs)
+    floor_log = seg_count.bit_length() - 1
+    search_range = (1 << floor_log) * 2
+    sub = struct.pack(
+        ">HHHHHHH", 4, 16 + 8 * seg_count, 0, seg_count * 2,
+        search_range, floor_log, seg_count * 2 - search_range,
+    )
+    sub += b"".join(struct.pack(">H", end) for _, end, _ in segs)
+    sub += b"\x00\x00"  # reservedPad
+    sub += b"".join(struct.pack(">H", start) for start, _, _ in segs)
+    sub += b"".join(struct.pack(">H", delta) for _, _, delta in segs)
+    sub += b"\x00\x00" * seg_count  # idRangeOffset: all delta-mapped
+    cmap = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 1, 12) + sub
+
+    head = struct.pack(
+        ">HHIII HH qq hhhh HHhhh",
+        1, 0,                # version 1.0
+        0x00010000,          # fontRevision
+        0,                   # checkSumAdjustment (not validated here)
+        0x5F0F3CF5,          # magicNumber
+        0, 1000,             # flags, unitsPerEm
+        0, 0,                # created, modified (LONGDATETIME)
+        0, 0, 1000, 1000,    # xMin yMin xMax yMax
+        0, 8, 2, 0, 0,       # macStyle, lowestRecPPEM, direction,
+    )                        # indexToLocFormat, glyphDataFormat
+    maxp = struct.pack(
+        ">IH", 0x00010000, max(char_to_gid.values()) + 1
+    ) + b"\x00\x00" * 13
+
+    def chk(b: bytes) -> int:
+        b = b + b"\x00" * (-len(b) % 4)
+        return sum(
+            int.from_bytes(b[i : i + 4], "big") for i in range(0, len(b), 4)
+        ) & 0xFFFFFFFF
+
+    tables = [(b"cmap", cmap), (b"head", head), (b"maxp", maxp)]
+    out = struct.pack(">IHHHH", 0x00010000, len(tables), 32, 1, 16)
+    off = 12 + 16 * len(tables)
+    body = b""
+    for tag, tbl in tables:
+        out += struct.pack(">4sIII", tag, chk(tbl), off, len(tbl))
+        pad = tbl + b"\x00" * (-len(tbl) % 4)
+        body += pad
+        off += len(pad)
+    return out + body
+
+
 def _content_ops(
     elements: list[tuple[float, float, float, str]], style: str
 ) -> bytes:
@@ -254,6 +318,7 @@ def encode_pdf(
     rotate: int = 0,
     xref: str = "table",
     objstm: bool = False,
+    cid_map: str = "tounicode",
 ) -> bytes:
     """A real PDF file (header, numbered objects, cross-reference,
     trailer). Each page dict: ``{"elements": [(x, y, size,
@@ -278,9 +343,19 @@ def encode_pdf(
     ``xref="stream"``) additionally packs every non-stream object
     except /Length integers into ONE compressed object stream
     (§7.5.7) referenced by type-2 xref entries — the post-2005
-    "compressed PDF" shape."""
+    "compressed PDF" shape.
+
+    ``cid_map`` (``style="cid"`` only) picks how the composite font
+    maps back to text: ``"tounicode"`` ships a /ToUnicode CMap (the
+    default, as before); ``"fontfile"`` OMITS it and embeds a real
+    TrueType program (/FontDescriptor /FontFile2) whose ``cmap``
+    table carries the unicode->gid mapping — the common wild shape
+    extraction must invert; ``"none"`` ships neither (the flagged
+    U+FFFD boundary)."""
     if objstm and xref != "stream":
         raise ValueError("objstm=True requires xref='stream'")
+    if cid_map not in ("tounicode", "fontfile", "none"):
+        raise ValueError(f"unknown cid_map {cid_map!r}")
     n = len(pages)
     if nested and n < 2:
         raise ValueError("nested layout needs >= 2 pages")
@@ -314,36 +389,66 @@ def encode_pdf(
     lenint_ids: set[int] = set()      # indirect /Length integers
     if style == "cid":
         # Composite Type0/Identity-H font (ISO 32000-1 §9.7): the
-        # ToUnicode CMap stream, the CIDFontType2 descendant, and the
-        # Type0 dict — /F2 in every page's resources.
-        tounicode_id, desc_id, type0_id = next_id, next_id + 1, next_id + 2
-        next_id += 3
+        # text-mapping channel cid_map selects, the CIDFontType2
+        # descendant, and the Type0 dict — /F2 in every page's
+        # resources.
         chars = {
             ch
             for page in pages
             for *_xyz, text in page["elements"]
             for ch in text
         }
-        cmap = _tounicode_cmap(chars)
-        cfilt = b""
-        if compress:
-            cmap = zlib.compress(cmap)
-            cfilt = b" /Filter /FlateDecode"
-        objs[tounicode_id] = (
-            b"<< /Length %d%s >>\nstream\n" % (len(cmap), cfilt)
-            + cmap
-            + b"\nendstream"
-        )
-        stream_obj_ids.add(tounicode_id)
+        tounicode_entry = ""
+        fdesc_entry = ""
+        if cid_map == "tounicode":
+            tounicode_id = next_id
+            next_id += 1
+            cmap = _tounicode_cmap(chars)
+            cfilt = b""
+            if compress:
+                cmap = zlib.compress(cmap)
+                cfilt = b" /Filter /FlateDecode"
+            objs[tounicode_id] = (
+                b"<< /Length %d%s >>\nstream\n" % (len(cmap), cfilt)
+                + cmap
+                + b"\nendstream"
+            )
+            stream_obj_ids.add(tounicode_id)
+            tounicode_entry = f" /ToUnicode {tounicode_id} 0 R"
+        elif cid_map == "fontfile":
+            ff_id, fdesc_id = next_id, next_id + 1
+            next_id += 2
+            prog = _sfnt_font({ch: ord(ch) + _CID_DELTA for ch in chars})
+            ffilt = b""
+            raw_len = len(prog)
+            if compress:
+                prog = zlib.compress(prog)
+                ffilt = b" /Filter /FlateDecode"
+            objs[ff_id] = (
+                b"<< /Length %d /Length1 %d%s >>\nstream\n"
+                % (len(prog), raw_len, ffilt)
+                + prog
+                + b"\nendstream"
+            )
+            stream_obj_ids.add(ff_id)
+            objs[fdesc_id] = (
+                f"<< /Type /FontDescriptor /FontName /FixtureCID"
+                f" /Flags 4 /FontBBox [0 0 1000 1000] /ItalicAngle 0"
+                f" /Ascent 800 /Descent -200 /CapHeight 700 /StemV 80"
+                f" /FontFile2 {ff_id} 0 R >>"
+            ).encode("latin-1")
+            fdesc_entry = f" /FontDescriptor {fdesc_id} 0 R"
+        desc_id, type0_id = next_id, next_id + 1
+        next_id += 2
         objs[desc_id] = (
-            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FixtureCID"
-            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
-            b" /Supplement 0 >> /CIDToGIDMap /Identity >>"
-        )
+            f"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FixtureCID"
+            f" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            f" /Supplement 0 >> /CIDToGIDMap /Identity{fdesc_entry} >>"
+        ).encode("latin-1")
         objs[type0_id] = (
             f"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCID"
             f" /Encoding /Identity-H /DescendantFonts [{desc_id} 0 R]"
-            f" /ToUnicode {tounicode_id} 0 R >>"
+            f"{tounicode_entry} >>"
         ).encode("latin-1")
     if nested:
         objs[inner_pages_id] = (
@@ -649,6 +754,104 @@ def _parse_obj(data: bytes, p: int):
         # content-stream OPERATOR (Tj, TJ, ', ", BT, ...)
         return ("op", kw.decode("latin-1")), m.end()
     raise ValueError(f"cannot parse PDF object at byte {p}")
+
+
+def _ttf_gid_to_unicode(font: bytes) -> dict[int, str]:
+    """glyph-id -> unicode char, inverted from a TrueType/OpenType
+    ``cmap`` table (public spec; subtable formats 0, 4, 6 and 12) —
+    what extraction needs under Identity CID-to-GID when a Type0 font
+    has no /ToUnicode. Preference order mirrors real extractors:
+    (3,10)/(0,4+) full-Unicode format 12, then (3,1)/(0,*) BMP.
+    When several codepoints share a glyph the SMALLEST wins (stable).
+    Any structural problem returns {} — the caller falls back to the
+    flagged-U+FFFD boundary, never an error."""
+    import struct
+
+    try:
+        (num_tables,) = struct.unpack_from(">H", font, 4)
+        cmap_off = None
+        for i in range(num_tables):
+            tag, _, off, _ = struct.unpack_from(
+                ">4sIII", font, 12 + 16 * i
+            )
+            if tag == b"cmap":
+                cmap_off = off
+                break
+        if cmap_off is None:
+            return {}
+        (n_sub,) = struct.unpack_from(">H", font, cmap_off + 2)
+        best: tuple[int, int] | None = None  # (priority, abs offset)
+        for i in range(n_sub):
+            plat, enc, off = struct.unpack_from(
+                ">HHI", font, cmap_off + 4 + 8 * i
+            )
+            if (plat, enc) == (3, 10) or (plat == 0 and enc >= 4):
+                pri = 0
+            elif (plat, enc) == (3, 1) or plat == 0:
+                pri = 1
+            else:
+                pri = 2
+            if best is None or pri < best[0]:
+                best = (pri, cmap_off + off)
+        if best is None:
+            return {}
+        at = best[1]
+        (fmt,) = struct.unpack_from(">H", font, at)
+        cp_to_gid: dict[int, int] = {}
+        if fmt == 0:
+            for c in range(256):
+                gid = font[at + 6 + c]
+                if gid:
+                    cp_to_gid.setdefault(c, gid)
+        elif fmt == 4:
+            (seg_x2,) = struct.unpack_from(">H", font, at + 6)
+            segn = seg_x2 // 2
+            ends = struct.unpack_from(f">{segn}H", font, at + 14)
+            starts = struct.unpack_from(
+                f">{segn}H", font, at + 16 + seg_x2
+            )
+            deltas = struct.unpack_from(
+                f">{segn}h", font, at + 16 + 2 * seg_x2
+            )
+            ro_base = at + 16 + 3 * seg_x2
+            ros = struct.unpack_from(f">{segn}H", font, ro_base)
+            for i in range(segn):
+                for c in range(starts[i], min(ends[i], 0xFFFE) + 1):
+                    if ros[i] == 0:
+                        gid = (c + deltas[i]) & 0xFFFF
+                    else:
+                        addr = (
+                            ro_base + 2 * i + ros[i]
+                            + 2 * (c - starts[i])
+                        )
+                        (raw,) = struct.unpack_from(">H", font, addr)
+                        gid = (raw + deltas[i]) & 0xFFFF if raw else 0
+                    if gid:
+                        cp_to_gid.setdefault(c, gid)
+        elif fmt == 6:
+            first, count = struct.unpack_from(">HH", font, at + 6)
+            gids = struct.unpack_from(f">{count}H", font, at + 10)
+            for k, gid in enumerate(gids):
+                if gid:
+                    cp_to_gid.setdefault(first + k, gid)
+        elif fmt == 12:
+            (n_groups,) = struct.unpack_from(">I", font, at + 12)
+            for g in range(n_groups):
+                s, e, gid0 = struct.unpack_from(
+                    ">III", font, at + 16 + 12 * g
+                )
+                if e - s > 0x10FFFF:  # malformed: bound the loop
+                    continue
+                for k in range(e - s + 1):
+                    cp_to_gid.setdefault(s + k, gid0 + k)
+        else:
+            return {}
+        out: dict[int, str] = {}
+        for c in sorted(cp_to_gid):  # smallest codepoint per gid wins
+            out.setdefault(cp_to_gid[c], chr(c))
+        return out
+    except (struct.error, IndexError, ValueError):
+        return {}
 
 
 def _parse_cmap(
@@ -1105,19 +1308,79 @@ class PdfDocument:
 
     # -- text extraction ----------------------------------------------
 
+    def _type0_program_decoder(self, font):
+        """Decoder for a Type0 font WITHOUT /ToUnicode via the
+        embedded TrueType program's own ``cmap`` table (round 13 —
+        formerly a labeled boundary): CID -> GID through /CIDToGIDMap
+        (Identity or the 2-bytes-per-CID stream map, §9.7.4.3), GID ->
+        unicode through the inverted font cmap. None when there is no
+        usable /FontFile2 — the caller keeps the flagged-U+FFFD
+        fallback, never an error."""
+        try:
+            dfs = self.resolve(font.get("DescendantFonts"))
+            if not (isinstance(dfs, list) and dfs):
+                return None
+            df = self.resolve(dfs[0])
+            if not isinstance(df, dict):
+                return None
+            fd = self.resolve(df.get("FontDescriptor"))
+            ff = (
+                self.resolve(fd.get("FontFile2"))
+                if isinstance(fd, dict)
+                else None
+            )
+            if not (isinstance(ff, tuple) and len(ff) == 2):
+                return None
+            g2u = _ttf_gid_to_unicode(ff[1])
+            if not g2u:
+                return None
+            c2g = self.resolve(df.get("CIDToGIDMap", "Identity"))
+            gid_map = None
+            if isinstance(c2g, tuple) and len(c2g) == 2:
+                gid_map = c2g[1]
+            elif c2g not in (None, "Identity"):
+                return None
+        except Exception:
+            return None  # damaged font machinery: keep the fallback
+
+        def dec(bs: bytes) -> str:
+            out = []
+            i, n = 0, len(bs)
+            while i + 2 <= n:
+                cid = int.from_bytes(bs[i : i + 2], "big")
+                if gid_map is None:
+                    gid = cid
+                elif 2 * cid + 1 < len(gid_map):
+                    gid = int.from_bytes(
+                        gid_map[2 * cid : 2 * cid + 2], "big"
+                    )
+                else:
+                    gid = 0
+                out.append(g2u.get(gid, "�"))
+                i += 2
+            if i < n:  # trailing partial code: flagged
+                out.append("�")
+            return "".join(out)
+
+        return dec
+
     def _text_decoder(self, font):
         """bytes -> str decoder for one font dict (ISO 32000-1 §9.10.2
-        extraction order: /ToUnicode CMap first). Simple fonts without
-        a CMap keep the byte decode; a composite Type0 font WITHOUT a
-        /ToUnicode CMap yields U+FFFD per 2-byte code — the labeled
-        boundary: mapping its CIDs to text needs the font program's
-        own cmap table, which this parser (by scope) does not read."""
+        extraction order: /ToUnicode CMap first, then the embedded
+        font program's cmap). Simple fonts without a CMap keep the
+        byte decode; a composite Type0 font with NEITHER /ToUnicode
+        NOR a readable /FontFile2 cmap yields U+FFFD per 2-byte code —
+        the residual labeled boundary (a CFF /FontFile3 charset, or no
+        embedded program at all, is not spec-reproducible text)."""
         if not isinstance(font, dict):
             return lambda bs: bs.decode("latin-1")
         is_type0 = font.get("Subtype") == "Type0"
         tu = font.get("ToUnicode")
         if tu is None:
             if is_type0:
+                dec = self._type0_program_decoder(font)
+                if dec is not None:
+                    return dec
                 return lambda bs: "�" * (len(bs) // 2)
             return lambda bs: bs.decode("latin-1")
         obj = self.resolve(tu)
@@ -2053,7 +2316,16 @@ def pdf_text_oracle() -> str:
 #: Type0 singleton. media_id: group g member j -> 100g + j; singleton
 #: s -> 900 + 100s.
 _CT_GROUPS = 2
-_CT_MEMBERS = [("td", False), ("cid", False), ("cid", True)]
+#: (style, compress, cid_map): simple-font, plain CID/ToUnicode,
+#: compressed CID/ToUnicode, and (round 13) CID mapped ONLY by the
+#: embedded TrueType program's cmap table — all four must digest
+#: equal.
+_CT_MEMBERS = [
+    ("td", False, "tounicode"),
+    ("cid", False, "tounicode"),
+    ("cid", True, "tounicode"),
+    ("cid", False, "fontfile"),
+]
 _CT_SINGLES = 2
 
 
@@ -2071,9 +2343,11 @@ def cid_pdf_media(spark: SparkSession) -> DataFrame:
     rows = []
     for g in range(_CT_GROUPS):
         pages = _ct_pages(f"g{g}")
-        for j, (style, comp) in enumerate(_CT_MEMBERS):
+        for j, (style, comp, cmode) in enumerate(_CT_MEMBERS):
             rows.append(
-                (100 * g + j, encode_pdf(pages, style=style, compress=comp))
+                (100 * g + j,
+                 encode_pdf(pages, style=style, compress=comp,
+                            cid_map=cmode))
             )
     for s in range(_CT_SINGLES):
         rows.append(

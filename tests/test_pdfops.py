@@ -316,6 +316,108 @@ def test_hybrid_xrefstm_supplements_free_classic_entries():
     ]
 
 
+# ---------------------------------------------------------------------------
+# Embedded-font cmap text decode (round 13 — the former /ToUnicode-less
+# Type0 boundary)
+# ---------------------------------------------------------------------------
+
+
+def test_cid_fontfile_decodes_without_tounicode():
+    """A Type0 font with NO /ToUnicode but a real embedded TrueType
+    program must decode through the font's own cmap table (inverted
+    gid -> unicode) — identical runs to the simple-font twin, across
+    raw/compressed programs and the objstm container."""
+    pages = [{"mediabox": None,
+              "elements": [(72, 700, 12, "hello world"),
+                           (72, 650, 10, "za09 mix")]}]
+    ref = [t for *_, t in P.PdfDocument(
+        P.encode_pdf(pages, style="td")).doc_runs()]
+    for kw in (dict(), dict(compress=True),
+               dict(xref="stream", objstm=True)):
+        data = P.encode_pdf(pages, style="cid", cid_map="fontfile", **kw)
+        assert b"ToUnicode" not in data, kw
+        assert [t for *_, t in P.PdfDocument(data).doc_runs()] == ref, kw
+
+
+def test_cid_map_none_stays_flagged_boundary():
+    """cid_map='none' (neither /ToUnicode nor a font program): every
+    2-byte code still extracts as the flagged U+FFFD — the residual
+    labeled boundary, never silently wrong."""
+    pages = [{"mediabox": None, "elements": [(72, 700, 10, "xyz")]}]
+    runs = [t for *_, t in P.PdfDocument(
+        P.encode_pdf(pages, style="cid", cid_map="none")).doc_runs()]
+    assert runs == ["���"]
+
+
+def test_sfnt_gid_inverse_smallest_codepoint_wins():
+    """_ttf_gid_to_unicode inverts the cmap; when several codepoints
+    share a glyph the smallest codepoint is the stable winner, and
+    garbage input degrades to {} (fallback), not an error."""
+    font = P._sfnt_font({"a": 300, "b": 301, "A": 300})
+    g2u = P._ttf_gid_to_unicode(font)
+    assert g2u[300] == "A" and g2u[301] == "b"
+    assert P._ttf_gid_to_unicode(b"garbage") == {}
+    assert P._ttf_gid_to_unicode(b"") == {}
+
+
+def test_ttf_cmap_subtable_formats_0_6_12():
+    """The cmap parser reads formats 0, 6 and 12 (hand-built
+    subtables wrapped in a minimal sfnt), preferring full-Unicode
+    format 12 over BMP tables."""
+    import struct
+
+    def sfnt_with(cmap_table: bytes) -> bytes:
+        out = struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 0)
+        out += struct.pack(">4sIII", b"cmap", 0, 28, len(cmap_table))
+        return out + cmap_table
+
+    # format 0: byte code 0x41 -> gid 7
+    arr = bytearray(256)
+    arr[0x41] = 7
+    f0 = struct.pack(">HHH", 0, 262, 0) + bytes(arr)
+    cmap0 = (struct.pack(">HH", 0, 1)
+             + struct.pack(">HHI", 1, 0, 12) + f0)
+    assert P._ttf_gid_to_unicode(sfnt_with(cmap0))[7] == "A"
+
+    # format 6: first=0x61, two gids
+    f6 = struct.pack(">HHHHHH", 6, 16, 0, 0x61, 2, 9) + struct.pack(
+        ">H", 10)
+    cmap6 = (struct.pack(">HH", 0, 1)
+             + struct.pack(">HHI", 3, 1, 12) + f6)
+    g = P._ttf_gid_to_unicode(sfnt_with(cmap6))
+    assert g[9] == "a" and g[10] == "b"
+
+    # format 12: one group mapping U+1F600.. to gid 100.., plus a BMP
+    # format-4-bearing record that must LOSE the preference
+    f12 = struct.pack(">HHIII", 12, 0, 28, 0, 1) + struct.pack(
+        ">III", 0x1F600, 0x1F601, 100)
+    cmap12 = (struct.pack(">HH", 0, 1)
+              + struct.pack(">HHI", 3, 10, 12) + f12)
+    g = P._ttf_gid_to_unicode(sfnt_with(cmap12))
+    assert g[100] == "\U0001F600" and g[101] == "\U0001F601"
+
+
+def test_cid_to_gid_stream_map_applies():
+    """§9.7.4.3: a /CIDToGIDMap STREAM (2 bytes per CID) remaps before
+    the font cmap inverse; out-of-range CIDs read gid 0 -> U+FFFD."""
+    font_prog = P._sfnt_font({"x": 5, "y": 6})
+    gidmap = bytes(4) + (5).to_bytes(2, "big") + (6).to_bytes(2, "big")
+    doc = P.PdfDocument.__new__(P.PdfDocument)
+    doc._cache = {}
+    doc._objstms = {}
+    font = {
+        "Subtype": "Type0",
+        "DescendantFonts": [{
+            "FontDescriptor": {"FontFile2": ({}, font_prog)},
+            "CIDToGIDMap": ({}, gidmap),
+        }],
+    }
+    dec = doc._type0_program_decoder(font)
+    assert dec(b"\x00\x02\x00\x03") == "xy"
+    assert dec(b"\x00\x09") == "�"  # beyond the map: gid 0
+    assert dec(b"\x00\x02\x07") == "x�"  # trailing partial code
+
+
 def test_staged_xref_stream_oracle_matches(spark):
     """The staged m_pdf_xref_stream row: Spark result == the
     constant-folding oracle, via DuckDB."""
