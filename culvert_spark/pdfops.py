@@ -352,6 +352,8 @@ def encode_pdf(
     table carries the unicode->gid mapping — the common wild shape
     extraction must invert; ``"none"`` ships neither (the flagged
     U+FFFD boundary)."""
+    if xref not in ("table", "stream"):
+        raise ValueError(f"unknown xref form {xref!r}")
     if objstm and xref != "stream":
         raise ValueError("objstm=True requires xref='stream'")
     if cid_map not in ("tounicode", "fontfile", "none"):
@@ -511,8 +513,8 @@ def encode_pdf(
         hdr = (" ".join(hdr_parts) + "\n").encode("latin-1")
         stm_body = hdr + b" ".join(objs[num] for num in packable)
         stm_data = zlib.compress(stm_body)
-        for num in packable:
-            compressed_at[num] = packable.index(num)
+        for idx, num in enumerate(packable):
+            compressed_at[num] = idx
             del objs[num]
         objs[objstm_id] = (
             b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode"
@@ -848,6 +850,11 @@ def _ttf_gid_to_unicode(font: bytes) -> dict[int, str]:
             return {}
         out: dict[int, str] = {}
         for c in sorted(cp_to_gid):  # smallest codepoint per gid wins
+            # surrogates (D800-DFFF) are not encodable characters —
+            # chr() would later crash .encode('utf-8') in the digest
+            # path (review); skip so the glyph degrades to U+FFFD.
+            if 0xD800 <= c <= 0xDFFF or c > 0x10FFFF:
+                continue
             out.setdefault(cp_to_gid[c], chr(c))
         return out
     except (struct.error, IndexError, ValueError):
@@ -891,7 +898,10 @@ def _parse_cmap(
             continue
         if op == "endcodespacerange":
             for lo, hi in zip(stack[0::2], stack[1::2]):
-                if isinstance(lo, bytes):
+                # zero-width entries (<> <>) are malformed and would
+                # make the decoder consume 0 bytes per code (review:
+                # infinite loop) — drop them at the parse layer.
+                if isinstance(lo, bytes) and lo:
                     widths.add(len(lo))
                     if isinstance(hi, bytes) and len(hi) == len(lo):
                         ranges.append((lo, hi))
@@ -992,8 +1002,12 @@ class PdfDocument:
         self.data = data
         self._cache: dict[int, object] = {}
         self._objstms: dict[int, dict[int, object]] = {}
+        self._fontprogs: dict[int, dict[int, str]] = {}
         try:
             self.offsets, self.root_ref = self._load_xref()
+        except NotImplementedError:
+            raise  # unsupported FILTER on the xref stream: the labeled
+            # boundary surfaces by name, not the scan fallback (review)
         except Exception:
             # damaged/absent xref: scan for "N 0 obj" markers — the
             # standard robust-reader fallback (objects living INSIDE
@@ -1324,14 +1338,21 @@ class PdfDocument:
             if not isinstance(df, dict):
                 return None
             fd = self.resolve(df.get("FontDescriptor"))
-            ff = (
-                self.resolve(fd.get("FontFile2"))
-                if isinstance(fd, dict)
-                else None
-            )
+            if not isinstance(fd, dict):
+                return None
+            ff_ref = fd.get("FontFile2")
+            ff = self.resolve(ff_ref)
             if not (isinstance(ff, tuple) and len(ff) == 2):
                 return None
-            g2u = _ttf_gid_to_unicode(ff[1])
+            # memoize the inverted cmap per font PROGRAM: page_runs
+            # builds decoders per page, and re-walking a format-4/12
+            # table per page of a long document is pure waste (review)
+            if isinstance(ff_ref, _Ref) and ff_ref.num in self._fontprogs:
+                g2u = self._fontprogs[ff_ref.num]
+            else:
+                g2u = _ttf_gid_to_unicode(ff[1])
+                if isinstance(ff_ref, _Ref):
+                    self._fontprogs[ff_ref.num] = g2u
             if not g2u:
                 return None
             c2g = self.resolve(df.get("CIDToGIDMap", "Identity"))
@@ -1389,6 +1410,12 @@ class PdfDocument:
         widths, mapping, ranges = _parse_cmap(obj[1])
         if len(widths) <= 1:
             width = next(iter(widths)) if widths else (2 if is_type0 else 1)
+            # sloppy real-world CMaps write bfchar sources NARROWER
+            # than the codespace width (<41> under <0000> <FFFF>);
+            # the old integer keying matched them, so index the
+            # zero-padded form too (review: keying regression).
+            for k in [k for k in mapping if len(k) < width]:
+                mapping.setdefault(k.rjust(width, b"\x00"), mapping[k])
 
             def dec(bs: bytes) -> str:
                 out = []
@@ -1406,12 +1433,20 @@ class PdfDocument:
         # misdecodes every narrower code): match each position against
         # the codespace ranges shortest-width-first (ISO 32000-1
         # §9.7.6.3's matching order); a position in no range consumes
-        # the narrowest width and flags U+FFFD.
+        # the narrowest width and flags U+FFFD. Containment is PER
+        # BYTE (§9.7.6.2: each byte between the bounds' corresponding
+        # bytes), not lexicographic — <9020> is OUTSIDE <8140> <FC7E>
+        # even though it sorts between them (review).
         order = sorted(widths)
         by_width = [
             (w, [(lo, hi) for lo, hi in ranges if len(lo) == w])
             for w in order
         ]
+
+        def in_range(code: bytes, lo: bytes, hi: bytes) -> bool:
+            return all(
+                lo[i] <= code[i] <= hi[i] for i in range(len(code))
+            )
 
         def dec_multi(bs: bytes) -> str:
             out = []
@@ -1420,7 +1455,7 @@ class PdfDocument:
                 for w, rs in by_width:
                     code = bs[i : i + w]
                     if len(code) == w and any(
-                        lo <= code <= hi for lo, hi in rs
+                        in_range(code, lo, hi) for lo, hi in rs
                     ):
                         out.append(mapping.get(code, "�"))
                         i += w

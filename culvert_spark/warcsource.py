@@ -160,7 +160,9 @@ class WarcStreamReader(DataSourceStreamReader):
     2. Durable LEDGER (round-13, closing the former double-restart
        window): ``commit`` persists the committed watermark to a
        sidecar file (atomic tmp+rename) and a FRESH instance seeds
-       its marks from it, so ``latestOffset`` can never fall below
+       its EMITTED mark from it (never the partitions clamp — a
+       stale ledger must not out-rank the checkpoint's batch start),
+       so ``latestOffset`` can never fall below
        the last committed watermark even when the first listing after
        a restart is empty — no regressed offset is ever emitted, and
        a crash at ANY point degrades to Spark's own checkpoint
@@ -188,11 +190,17 @@ class WarcStreamReader(DataSourceStreamReader):
             self._ledger = ledger or os.path.join(
                 self.path, "_culvert_watermark"
             )
-        # highest watermark this instance emitted / highest offset the
-        # planner handed it — both seeded from the durable ledger so a
-        # fresh instance (post-restart) starts at the committed mark.
+        # _mark: highest watermark this instance EMITS — seeded from
+        # the durable ledger so a post-restart latestOffset can never
+        # fall below the committed mark (the double-restart closure).
+        # _delivered: highest offset the PLANNER handed this instance —
+        # deliberately NOT seeded from the ledger: the partitions()
+        # clamp must never exceed the checkpoint-recovered batch start,
+        # or a stale/foreign ledger (two queries sharing a directory
+        # against the documented contract) would silently SKIP files
+        # the checkpoint still owes this query (round-13 review).
         self._mark = self._load_ledger()
-        self._delivered = self._mark
+        self._delivered = ""
 
     def _load_ledger(self) -> str:
         if not self._ledger:

@@ -405,6 +405,7 @@ def test_cid_to_gid_stream_map_applies():
     doc = P.PdfDocument.__new__(P.PdfDocument)
     doc._cache = {}
     doc._objstms = {}
+    doc._fontprogs = {}
     font = {
         "Subtype": "Type0",
         "DescendantFonts": [{
@@ -416,6 +417,100 @@ def test_cid_to_gid_stream_map_applies():
     assert dec(b"\x00\x02\x00\x03") == "xy"
     assert dec(b"\x00\x09") == "�"  # beyond the map: gid 0
     assert dec(b"\x00\x02\x07") == "x�"  # trailing partial code
+
+
+def test_review_guards_zero_width_codespace_and_narrow_bfchar():
+    """Round-13 review regressions: (a) a zero-width codespacerange
+    entry (<> <>) must be dropped, not loop the decoder forever; (b) a
+    bfchar source written NARROWER than the codespace width (<41>
+    under <0000> <FFFF>) still matches via zero-padding, as the old
+    integer keying did."""
+    cmap = (b"2 begincodespacerange <> <> <0000> <FFFF> "
+            b"endcodespacerange\n"
+            b"1 beginbfchar <41> <0061> endbfchar")
+    widths, mapping, ranges = P._parse_cmap(cmap)
+    assert widths == {2}  # the zero-width entry is gone
+    doc = P.PdfDocument.__new__(P.PdfDocument)
+    doc._cache = {}
+    doc._objstms = {}
+    doc._fontprogs = {}
+    doc.resolve = lambda o: ({}, cmap) if o == 1 else o
+    dec = doc._text_decoder({"Subtype": "Type0", "ToUnicode": 1})
+    assert dec(b"\x00\x41\x00\x42") == "a�"  # padded bfchar matches
+
+
+def test_review_mixed_width_containment_is_per_byte():
+    """§9.7.6.2: codespace containment is PER BYTE — <90 20> lies
+    outside <8140> <FC7E> (0x20 < 0x40) even though it sorts between
+    the bounds, so the decoder must consume ONE byte there, keeping
+    the rest of the string aligned."""
+    cmap = (b"2 begincodespacerange <00> <7F> <8140> <FC7E> "
+            b"endcodespacerange\n"
+            b"2 beginbfchar <41> <0061> <8141> <0062> endbfchar")
+    doc = P.PdfDocument.__new__(P.PdfDocument)
+    doc._cache = {}
+    doc._objstms = {}
+    doc._fontprogs = {}
+    doc.resolve = lambda o: ({}, cmap) if o == 1 else o
+    dec = doc._text_decoder({"Subtype": "Type0", "ToUnicode": 1})
+    # <9020> is lexicographically inside <8140>-<FC7E> but byte-wise
+    # OUTSIDE (0x20 < 0x40): the decoder must NOT consume it as one
+    # 2-byte code — 0x90 flags alone, then 0x20 is a (unmapped)
+    # 1-byte code: TWO outputs, where lexicographic matching gave one.
+    assert dec(b"\x90\x20") == "��"
+    assert dec(b"\x81\x41\x41") == "ba"  # true 2-byte code + realigned A
+
+
+def test_review_surrogate_cmap_degrades_not_crashes():
+    """A font cmap mapping SURROGATE codepoints (format-12 group over
+    D800..) must skip them — extracted text stays encodable, the
+    glyphs degrade to U+FFFD instead of UnicodeEncodeError."""
+    import struct
+
+    f12 = struct.pack(">HHIII", 12, 0, 40, 0, 2) + struct.pack(
+        ">III", 0xD800, 0xD801, 60
+    ) + struct.pack(">III", 0x61, 0x61, 62)
+    cmap12 = (struct.pack(">HH", 0, 1)
+              + struct.pack(">HHI", 3, 10, 12) + f12)
+    font = (struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 0)
+            + struct.pack(">4sIII", b"cmap", 0, 28, len(cmap12))
+            + cmap12)
+    g2u = P._ttf_gid_to_unicode(font)
+    assert 60 not in g2u and 61 not in g2u  # surrogates skipped
+    assert g2u[62] == "a"
+    "".join(g2u.values()).encode("utf-8")  # always encodable
+
+
+def test_review_unsupported_xref_filter_surfaces_by_name():
+    """An xref STREAM with a non-Flate filter must raise the labeled
+    NotImplementedError, not be silently swallowed into the scan
+    fallback (the module contract for unsupported filters)."""
+    data = P.encode_pdf(_XPAGES, xref="stream")
+    broken = data.replace(b"/Filter /FlateDecode /DecodeParms",
+                          b"/Filter /LZWDecode /DecodeParms")
+    assert broken != data
+    with pytest.raises(NotImplementedError, match="LZWDecode"):
+        P.PdfDocument(broken)
+
+
+def test_review_fontprog_inversion_memoized_per_document():
+    """The gid->unicode inversion runs once per font program per
+    document, not once per page (review: 1000-page documents)."""
+    pages = [
+        {"mediabox": None, "elements": [(72, 700, 10, f"pg {i}")]}
+        for i in range(4)
+    ]
+    data = P.encode_pdf(pages, style="cid", cid_map="fontfile")
+    doc = P.PdfDocument(data)
+    calls = []
+    orig = P._ttf_gid_to_unicode
+    P._ttf_gid_to_unicode = lambda b: (calls.append(1), orig(b))[1]
+    try:
+        runs = [t for *_, t in doc.doc_runs()]
+    finally:
+        P._ttf_gid_to_unicode = orig
+    assert runs == [f"pg {i}" for i in range(4)]
+    assert len(calls) == 1
 
 
 def test_staged_xref_stream_oracle_matches(spark):
