@@ -40,6 +40,37 @@ HEADLINE = [
 ]
 
 
+#: The driver tail-captures the LAST 2000 characters of stdout; the final
+#: JSON line must fit inside that window WITH margin or it loses its head
+#: (including "metric"/"value"/"queries") and the driver records
+#: "parsed": null — which is exactly what happened in BENCH_r09..r12.
+FINAL_LINE_BUDGET = 1900
+
+
+def _final_line(
+    mandatory: dict,
+    optional_blocks: list,
+    budget: int = FINAL_LINE_BUDGET,
+) -> str:
+    """Assemble the bench's final stdout line: mandatory contract keys
+    always included, optional compact blocks appended in priority order
+    only while the serialized line stays under ``budget`` (each block is
+    tried independently, so one oversized block cannot evict smaller
+    later ones). Falls back to dropping "sf_large" if the mandatory keys
+    alone exceed the budget (defensive; never expected)."""
+    final = dict(mandatory)
+    for key, block in optional_blocks:
+        candidate = dict(final)
+        candidate[key] = block
+        if len(json.dumps(candidate)) <= budget:
+            final = candidate
+    line = json.dumps(final)
+    if len(line) > budget:
+        final.pop("sf_large", None)
+        line = json.dumps(final)
+    return line
+
+
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     if base.startswith("sf"):
@@ -1552,81 +1583,92 @@ def main() -> None:
         for k in ("file_median_rps", "foreachbatch_median_rps", "error")
         if k in sink_ab
     }
-    print(
-        json.dumps(
+    # --- FINAL line: size-budgeted (round-13 measurement-bug fix). ---
+    # Every block below still prints in FULL on the details line above;
+    # here the mandatory contract keys are emitted first and optional
+    # compact blocks are appended in priority order only while the line
+    # stays under FINAL_LINE_BUDGET, so the driver can always parse it
+    # (see _final_line).
+    mandatory: dict = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "late_rerun_total_sec": late_total,
+        "sf": _sf_from_dir(SF_DIR),
+        "ingest": {
+            "rows": ingest_rows,
+            "sec": round(ingest_sec, 3),
+            "rows_per_sec": int(ingest_rows / ingest_sec),
+            "early_rows_per_sec": early_ingest_rps,
+        },
+        "streaming_ingest": {
+            "rows_committed": stream_rows,
+            "window_ms": 45_000,
+            "rows_per_sec": stream_median_rps,
+            "best_window_rows_per_sec": (
+                window_rates[-1] if window_rates else stream_rps
+            ),
+            "whole_run_rows_per_sec": stream_rps,
+            "early_run_rows_per_sec": early_stream["median"],
+        },
+        "sf_large": {
+            "sf": sf_large.get("sf"),
+            "queries": sf_large_compact,
+        },
+    }
+    optional_blocks: list[tuple[str, object]] = [
+        (
+            "scaling_exponents",
             {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "late_rerun_total_sec": late_total,
-                "sf": _sf_from_dir(SF_DIR),
-                "sf_large": {
-                    "sf": sf_large.get("sf"),
-                    "queries": sf_large_compact,
-                    "triangles_scaling": tri_pair_compact,
-                    "near_dup_scaling": sf_large.get("near_dup", {}).get(
-                        "scaling_pair", {}
-                    ),
-                    "ess_scaling": {
-                        k: sf_large.get("ess_scaling_pair", {}).get(k)
-                        for k in ("sf_small_sec", "sf_large_sec", "ratio",
-                                  "exponent", "sf_large_prune_mode")
-                        if k in sf_large.get("ess_scaling_pair", {})
-                    },
-                    "ess_prune_ab": sf_large.get("ess_prune_ab", {}),
-                },
-                "html_scaling": html_scaling,
-                "crawl": {
-                    k: crawl.get(k)
-                    for k in (
-                        "url_urls_per_sec", "robots_urls_per_sec",
-                        "sitemap_entries_per_sec", "warc_pages_per_sec",
-                        "wet_pages_per_sec", "error",
-                    )
-                    if k in crawl
-                },
-                "sessionize_ab": sess_compact,
-                "uuid_ab": uuid_compact,
-                "stream_sink_ab": sink_ab_compact,
-                "incdedup_amortization": incdedup,
-                # Round-8 verdict item 5: the two cross-session dips get
-                # in-session anchors — s_cosine_topk at the canonical
-                # early slot vs the late re-run (same session, same
-                # code), and batch ingest at the quiet-window early slot
-                # vs the canonical late slot.
-                "cosine_ab": {
-                    "early_sec": timings.get("s_cosine_topk"),
-                    "late_sec": late_timings.get("s_cosine_topk"),
-                },
-                "ess_knob_regime": {
-                    k: ess_knob.get(k)
-                    for k in (
-                        "total_chars", "off_sec", "bucket_sec", "winnow_sec",
-                        "off_shuffle_mb", "bucket_shuffle_mb",
-                        "winnow_shuffle_mb", "error",
-                    )
-                    if k in ess_knob
-                },
-                "ingest": {
-                    "rows": ingest_rows,
-                    "sec": round(ingest_sec, 3),
-                    "rows_per_sec": int(ingest_rows / ingest_sec),
-                    "early_rows_per_sec": early_ingest_rps,
-                },
-                "streaming_ingest": {
-                    "rows_committed": stream_rows,
-                    "window_ms": 45_000,
-                    "rows_per_sec": stream_median_rps,
-                    "best_window_rows_per_sec": (
-                        window_rates[-1] if window_rates else stream_rps
-                    ),
-                    "whole_run_rows_per_sec": stream_rps,
-                    "early_run_rows_per_sec": early_stream["median"],
-                },
-            }
-        )
-    )
+                "triangles": tri_pair_compact.get("exponent"),
+                "near_dup": sf_large.get("near_dup", {})
+                .get("scaling_pair", {})
+                .get("exponent"),
+                "ess": sf_large.get("ess_scaling_pair", {}).get("exponent"),
+                "html": html_scaling.get("exponent"),
+            },
+        ),
+        (
+            "crawl",
+            {
+                k: crawl.get(k)
+                for k in (
+                    "url_urls_per_sec", "robots_urls_per_sec",
+                    "sitemap_entries_per_sec", "warc_pages_per_sec",
+                    "wet_pages_per_sec", "error",
+                )
+                if k in crawl
+            },
+        ),
+        ("sessionize_ab", sess_compact),
+        ("uuid_ab", uuid_compact),
+        ("stream_sink_ab", sink_ab_compact),
+        ("incdedup_amortization", incdedup),
+        # Round-8 verdict item 5: the two cross-session dips get
+        # in-session anchors — s_cosine_topk at the canonical early
+        # slot vs the late re-run, batch ingest early vs late (in
+        # "ingest" above).
+        (
+            "cosine_ab",
+            {
+                "early_sec": timings.get("s_cosine_topk"),
+                "late_sec": late_timings.get("s_cosine_topk"),
+            },
+        ),
+        (
+            "ess_knob_regime",
+            {
+                k: ess_knob.get(k)
+                for k in (
+                    "off_shuffle_mb", "bucket_shuffle_mb",
+                    "winnow_shuffle_mb", "error",
+                )
+                if k in ess_knob
+            },
+        ),
+    ]
+    print(_final_line(mandatory, optional_blocks))
     spark.stop()
 
 
