@@ -433,12 +433,22 @@ def s_semantic_dedup_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right, and 0.0 + x == x exactly so the differing fold seeds
     agree), and the cosine is the fixed left-to-right 64-term dot.
 
-    Scale shape: centroid aggregation shuffles (bucket, dim) pairs — at
-    most 256 x 64 groups regardless of corpus size (at 100 TB the
-    signature widens so occupancy stays bounded, cf. SURVEY §9 "Embedding
-    ANN"); the centroid table (<=256 rows) broadcasts back for scoring;
-    the sorted member fold would become a decimal-sum partial aggregate
-    at scale (documented trade: the fold keeps the oracle bit-exact)."""
+    Scale shape (round-13 optimization, guide §2.3/§2.4): ONE bucket-grain
+    aggregation collects each bucket's members (sorted by vec_id) and
+    derives all 64 centroid dimensions plus the member count from that
+    array — replacing the previous (bucket, pos) shape, which exploded
+    every vector 64x before its aggregation (64x the shuffled rows, each
+    value paying its own struct/row overhead) and then needed a second
+    re-assembly aggregation plus a THIRD aggregation + broadcast join
+    just for n_members. The per-dimension fold order over the sorted
+    member array is unchanged (same adds, same doubles, bit-identical
+    output — hash-pinned by the unchanged DuckDB oracle). Group state is
+    bounded by bucket occupancy exactly as before (the 64 per-dim lists
+    jointly held the same values); at 100 TB the signature widens so
+    occupancy stays bounded (SURVEY §9 "Embedding ANN"), and the sorted
+    member fold would become a decimal-sum partial aggregate at scale
+    (documented trade: the fold keeps the oracle bit-exact). The
+    centroid table (<=256 rows) broadcasts back for scoring."""
     e = (
         with_hyperplane_projections(
             spread(
@@ -451,30 +461,30 @@ def s_semantic_dedup_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket", bucket_from_projections("_q"))
         .drop(*[f"_q{j}" for j in range(len(_SIGNS))])
     )
-    mem = e.select("bucket", "vec_id", F.posexplode("embedding"))
     cent = (
-        mem.groupBy("bucket", "pos")
-        .agg(
-            (
-                F.expr(
-                    "aggregate(array_sort(collect_list(struct(vec_id, col))),"
-                    " cast(0.0 as double), (acc, x) -> acc + cast(x.col as double))"
-                )
-                / F.count(F.lit(1))
-            ).alias("cd")
-        )
-        .groupBy("bucket")
+        e.groupBy("bucket")
         .agg(
             F.expr(
-                "transform(array_sort(collect_list(struct(pos, cd))),"
-                " s -> s.cd)"
-            ).alias("centroid")
+                "transform(array_sort(collect_list(struct(vec_id, embedding))),"
+                " s -> s.embedding)"
+            ).alias("ms")
+        )
+        .select(
+            "bucket",
+            F.expr(
+                f"transform(sequence(0, {DIM - 1}), i ->"
+                " aggregate(ms, cast(0.0 as double),"
+                " (acc, x) -> acc + cast(x[i] as double)) / size(ms))"
+            ).alias("centroid"),
+            # cast: size() is INT but this column has always been the
+            # BIGINT count — the driver hash-checks the schema too.
+            F.size("ms").cast("bigint").alias("n_members"),
         )
     )
-    n_mem = e.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_members"))
     scored = e.join(broadcast(cent), "bucket").select(
         "bucket",
         "vec_id",
+        "n_members",
         F.expr(
             f"{_dot_spark_cols('embedding', 'centroid')}"
             f" / (sqrt({_dot_spark_cols('embedding', 'embedding')})"
@@ -484,10 +494,13 @@ def s_semantic_dedup_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("bucket").orderBy(F.desc("cos"), "vec_id")
     return (
         scored.select(
-            "bucket", "vec_id", "cos", F.row_number().over(w).alias("rn")
+            "bucket",
+            "vec_id",
+            "n_members",
+            "cos",
+            F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") == 1)
-        .join(broadcast(n_mem), "bucket")
         .select(
             "bucket",
             F.col("vec_id").alias("rep_vec_id"),
