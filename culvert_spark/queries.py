@@ -97,16 +97,47 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+#: spread()'s scan-partition probe memo: (session id, sorted input files,
+#: maxPartitionBytes) -> partition count. The probe (df.rdd.getNumPartitions)
+#: costs ~100 ms of DRIVER-side planning per call and the same tables are
+#: probed by many queries per session (round-13 optimization, guide §5 "the
+#: driver should do almost no data work"); scan split counts depend only on
+#: the file set and the split size conf, never on projections/filters, so
+#: the memo is exact for the scan-grain frames spread() is documented for.
+_SPREAD_MEMO: dict[tuple, int] = {}
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Raise parallelism for compute-dense stages (decimal aggregation,
     per-row hashing, dot products) when the upstream scan yields fewer
     partitions than cores — single-row-group parquet files are unsplittable,
     so a tiny file can pin a heavy pipeline to one task. No-op whenever the
     scan already splits (always true at real scale). Apply AFTER filters so
-    predicate pushdown into the scan is preserved."""
+    predicate pushdown into the scan is preserved. Contract: call on
+    SCAN-GRAIN frames (a scan plus projections/filters) — the memoized
+    probe keys on the scan's file set; a mis-keyed hit could only add or
+    skip a repartition (layout, never values — every consumer is
+    partition-invariant by the oracle contract)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    files: tuple = ()
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:  # non-file-backed frame: fall through, no memo
+        pass
+    key = None
+    if files:
+        key = (
+            id(df.sparkSession),
+            files,
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes"),
+        )
+    n = _SPREAD_MEMO.get(key) if key is not None else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            _SPREAD_MEMO[key] = n
+    if n < target:
         return df.repartition(target)
     return df
 

@@ -410,3 +410,26 @@ def test_ingest_residue_split_is_exact(lo, n, p):
         for v in range(lo, lo + n):
             brute[v % p] += 1
         assert counts == brute
+
+
+def test_spread_memo_exact_and_still_spreads(spark):
+    """spread()'s memoized scan-partition probe (round-13): a memo hit
+    must decide exactly like the direct probe — same repartition
+    decision for a small unsplittable scan — and the memo must key on
+    the file set (different tables don't alias)."""
+    from culvert_spark.queries import _SPREAD_MEMO, spread, t
+    from tests.conftest import SF_SMALL
+
+    target = spark.sparkContext.defaultParallelism
+    d = t(spark, SF_SMALL, "documents").select("doc_id", "text")
+    _SPREAD_MEMO.clear()
+    first = spread(d)  # direct probe, fills the memo
+    assert len(_SPREAD_MEMO) == 1
+    direct_n = first.rdd.getNumPartitions()
+    second = spread(t(spark, SF_SMALL, "documents").select("doc_id"))
+    assert second.rdd.getNumPartitions() == direct_n == max(
+        target, d.rdd.getNumPartitions()
+    )
+    # a different file set gets its own entry, not the cached decision
+    spread(t(spark, SF_SMALL, "embeddings").select("vec_id"))
+    assert len(_SPREAD_MEMO) == 2
