@@ -1704,8 +1704,16 @@ def s_near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall."""
     e = spread(t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     e16 = with_hyperplane_projections(e, "embedding", _SIGNS16, "_p")
+    # All 8 band buckets packed into ONE 16-bit int (bucket_j occupies
+    # bits 2j..2j+1), carried alongside each exploded band row: the
+    # first-shared-band condition below reads it with shift/mask
+    # primitives (codegen-friendly, no per-candidate array allocation).
+    pack = _band_bucket16_from_projections(0)
+    for j in range(1, _NEAR_DUP_BANDS):
+        pack = pack + _band_bucket16_from_projections(j) * F.lit(1 << (2 * j))
     bands = e16.select(
         "vec_id",
+        pack.alias("pack"),
         F.explode(
             F.array(
                 *[
@@ -1717,19 +1725,42 @@ def s_near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    # No distinct before the verify: a pair colliding in k bands is
-    # verified k times (k <= 8, ~1.1 on average for random collisions),
-    # which is far cheaper than shuffling the full candidate table through
-    # a pre-verify DISTINCT — the dedup runs on the tiny survivor set
-    # instead (same rounded cos per pair, so the late distinct is exact).
+    ).select(
+        "vec_id",
+        "pack",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    # Round-13 optimization (guide §1.1 empirical + §3): stage profiling
+    # at the bench's 2x corpus put ~97% of the query's core-seconds in
+    # the fused candidate+verify stage, and at this contract's low
+    # threshold (2-bit buckets -> 4 buckets/band) a RANDOM pair shares
+    # ~2 of the 8 bands, so the 64-term exact verify used to run ~2x per
+    # pair. Each pair is now verified exactly ONCE — on its FIRST shared
+    # band — selected by a pure shift/mask CASE over the packed bucket
+    # signatures (a.pack ^ b.pack has a zero 2-bit group exactly at the
+    # shared bands). This is a join-condition filter, so the dedup costs
+    # a few ALU ops per candidate occurrence instead of either the
+    # duplicate 64-term dots (before) or a pre-verify DISTINCT shuffle
+    # of the full candidate table (measured worse in round 12); the
+    # surviving pair set — and therefore the output after the late
+    # distinct — is byte-identical (same rounded cos per pair).
+    first_shared = (
+        "CASE "
+        + " ".join(
+            f"WHEN (((a.pack ^ b.pack) >> {2 * j}) & 3) = 0 THEN {j}"
+            for j in range(_NEAR_DUP_BANDS)
+        )
+        + " ELSE -1 END"
+    )
     cand = (
         bands.alias("a")
         .join(
             bands.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.expr(first_shared) == F.col("a.band")),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
@@ -2017,6 +2048,7 @@ def exact_substring_spans(
     anchor: str = "stride1",
     winnow_w: int = _ESS_WINNOW_W,
     winnow_hash: str = "xxhash64",
+    dup_filter: str = "auto",
 ) -> DataFrame:
     """ExactSubstr maximal-span dedup over a (doc_id, text) frame — the
     operator body of t_exact_substring_spans (see its docstring for
@@ -2054,6 +2086,29 @@ def exact_substring_spans(
     Result-identical across all three prune modes at any parallelism
     (pinned by tests/test_corpusops.py::test_exact_substring_prune_equality
     against the brute-force reference and mode "off").
+
+    ``dup_filter`` picks how duplicated-digest positions are selected
+    (round-13 optimization; result-identical by construction, pinned by
+    test_exact_substring_dup_filter_equality):
+
+    - ``"semi"`` — the original two-consumption shape: per-digest counts
+      aggregated (one exchange of (h, count) partials), digests with
+      count >= 2 broadcast, and the gram lineage RECOMPUTED for a
+      broadcast LEFT SEMI join. Two gram fan-out passes.
+    - ``"window"`` — one gram fan-out pass: the position stream is
+      exchanged by digest once and ``count(*) over (partition by h)``
+      filters in place. Stage profiling at the bench's 4x corpus put
+      ~78% of the query's executor CPU in the two fan-out passes
+      (27.5 s + 25.6 s of ~68 s), and on a mostly-singleton corpus the
+      count exchange's partial aggregation cannot combine (unique keys),
+      so it already carried ~stream-sized bytes — the window form drops
+      a full md5 fan-out pass for byte-parity shuffle.
+    - ``"auto"`` (default) — ``"window"`` when the resolved prune mode
+      is ``"off"`` (the exact/CPU-bound regime where the fan-out pass is
+      the cost), ``"semi"`` under ``"bucket"`` (the 100 TB posture: the
+      hot-bucket survivor stream is dup-heavy by construction, so the
+      count exchange combines well and the broadcast semi keeps the
+      surviving position stream out of the exchange entirely).
 
     ``anchor`` picks the anchoring scheme:
 
@@ -2211,13 +2266,26 @@ def exact_substring_spans(
         grams = grams.join(
             F.broadcast(hot), bucket == F.col("b"), "left_semi"
         )
-    dup = (
-        grams.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 2)
-        .select("h")
-    )
-    hits = grams.join(dup, "h", "left_semi").select("doc_id", "pos")
+    if dup_filter == "auto":
+        dup_filter = "window" if prune == "off" else "semi"
+    if dup_filter == "window":
+        hits = (
+            grams.withColumn(
+                "c", F.count(F.lit(1)).over(Window.partitionBy("h"))
+            )
+            .where(F.col("c") >= 2)
+            .select("doc_id", "pos")
+        )
+    elif dup_filter == "semi":
+        dup = (
+            grams.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= 2)
+            .select("h")
+        )
+        hits = grams.join(dup, "h", "left_semi").select("doc_id", "pos")
+    else:
+        raise ValueError(f"unknown dup_filter mode {dup_filter!r}")
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = hits.withColumn(
         "brk",

@@ -391,10 +391,17 @@ def test_exact_substring_spans_adjacent_merge(spark, tmp_path):
 
 
 def test_exact_substring_spans_plan_shape(spark):
-    """Scale gates: duplicated-anchor filtering stays a semi-join, the
-    whole pipeline is JVM-only, and no cartesian product appears."""
+    """Scale gates: in the exact regime the gram fan-out runs exactly
+    ONCE (round-13: the window-count dup filter replaced the count
+    aggregate + recomputed-lineage semi-join, which materialized the
+    explode twice), the whole pipeline is JVM-only, and no cartesian
+    product appears."""
+    # AQE's toString repeats the tree under "== Initial Plan ==" — count
+    # nodes in the final section only.
     plan = executed_plan(spark, "t_exact_substring_spans")
-    assert "LeftSemi" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Generate") == 1, "gram fan-out must run once"
+    assert "Window" in final
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                    "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert marker not in plan, f"unexpected {marker} in plan"
@@ -497,6 +504,49 @@ def test_exact_substring_prune_equality(spark, tmp_path, seed):
     want = _ess_brute_force(texts, _ESS_L)
     assert [tuple(r) for r in plain.collect()] == want
     assert [tuple(r) for r in pruned.collect()] == want
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_exact_substring_dup_filter_equality(spark, tmp_path, seed):
+    """The round-13 window-count dup filter is RESULT-IDENTICAL to the
+    original count-aggregate + semi-join shape: on a random planted
+    corpus both forced modes match each other AND the independent brute
+    force, and the window plan materializes the gram fan-out exactly
+    once (one Generate) where the semi plan runs it twice."""
+    import random
+
+    from culvert_spark.textops import _ESS_L, exact_substring_spans
+
+    rng = random.Random(seed)
+    texts = {
+        i: "".join(rng.choice("abcd") for _ in range(rng.randint(30, 300)))
+        for i in range(1, 20)
+    }
+    block = "".join(rng.choice("abcd") for _ in range(90))
+    texts[4] = block + texts[4]
+    texts[13] = texts[13][:20] + block + texts[13][20:]
+    texts[13] += texts[13][:48]  # within-doc repeat
+    d = _write_docs(
+        spark, tmp_path, [(i, s, "en", "s") for i, s in sorted(texts.items())]
+    )
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    windowed = exact_substring_spans(docs, dup_filter="window")
+    semi = exact_substring_spans(docs, dup_filter="semi")
+    want = _ess_brute_force(texts, _ESS_L)
+    assert [tuple(r) for r in windowed.collect()] == want
+    assert [tuple(r) for r in semi.collect()] == want
+    # AQE's toString repeats the tree under "== Initial Plan ==" — count
+    # nodes in the final section only.
+    win_plan = (
+        windowed._jdf.queryExecution().executedPlan().toString()
+    ).split("== Initial Plan ==")[0]
+    semi_plan = (
+        semi._jdf.queryExecution().executedPlan().toString()
+    ).split("== Initial Plan ==")[0]
+    assert win_plan.count("Generate") == 1
+    assert semi_plan.count("Generate") == 2 and "LeftSemi" in semi_plan
+    with pytest.raises(ValueError, match="dup_filter"):
+        exact_substring_spans(docs, dup_filter="bogus").collect()
 
 
 def test_exact_substring_prune_modes(spark, tmp_path):
