@@ -1895,24 +1895,32 @@ def t_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: boundary detection, chunk splitting, and chunk digests
     are ALL narrow per-doc array expressions (filter/zip_with over a
     token array — no explode until chunks exist, and chunk rows are ~8×
-    fewer than token rows). Then one groupBy(digest) for global
-    recurrence, one digest equi-join back, one doc-grain aggregate —
-    three chunk-grain shuffles, none token-grain. At 100 TB the digest
-    join stays uniform (md5 keys); a viral boilerplate chunk is an
-    aggregation hot key, never a sorted partition."""
+    fewer than token rows). Cross-document recurrence is then decided IN
+    PLACE on one digest-partitioned exchange: a chunk digest occurs in
+    ≥2 distinct documents iff ``min(doc_id) != max(doc_id)`` over its
+    digest partition — two running scalars, no distinct-set allocation,
+    exact by definition. (Round 13, guide §2.2: the previous
+    groupBy(digest) + digest equi-join-back consumed the chunk lineage
+    twice — Spark recomputed the whole tokenize/boundary/digest
+    derivation for each consumer, the two heaviest stages of the query
+    at the bench's 4× corpus — and shuffled the chunk stream twice.
+    Now: ONE derivation pass, ONE chunk-grain exchange, then the
+    doc-grain aggregate — results byte-identical since dup_chunks /
+    dup_tokens depend only on the nd>=2 predicate.) At 100 TB the
+    digest exchange stays uniform (md5 keys); a viral boilerplate chunk
+    is one fat-but-bounded window partition (the per-row state is two
+    bigints), never a sorted-range straggler."""
     d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
     chunks = cdc_chunk_rows(d)
-    stats = chunks.groupBy("h").agg(
-        F.count_distinct("doc_id").alias("nd")
-    )
-    dup = F.col("nd") >= 2
+    wh = Window.partitionBy("h")
+    dup = F.min("doc_id").over(wh) != F.max("doc_id").over(wh)
     return (
-        chunks.join(stats, "h")
+        chunks.withColumn("dup", dup)
         .groupBy("doc_id", "n")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
-            F.count(F.when(dup, 1)).alias("dup_chunks"),
-            F.coalesce(F.sum(F.when(dup, F.col("sz"))), F.lit(0))
+            F.count(F.when(F.col("dup"), 1)).alias("dup_chunks"),
+            F.coalesce(F.sum(F.when(F.col("dup"), F.col("sz"))), F.lit(0))
             .cast("bigint")
             .alias("dup_tokens"),
         )

@@ -510,22 +510,22 @@ def test_pretrain_pipeline_fuses_into_three_shuffles(spark):
 
 def test_cdc_chunking_stays_narrow_until_chunk_grain(spark):
     """t_cdc_chunk_dedup's boundary detection and chunk digesting must be
-    per-doc array expressions: exactly ONE Generate (the chunk explode —
-    never a token-grain explode), no Window, no cartesian join. The only
-    shuffles allowed are chunk-grain (digest stats, digest join, doc
-    aggregate, final sort)."""
+    per-doc array expressions that run EXACTLY ONCE: one Generate (the
+    chunk explode — never a token-grain explode, and round-13: never the
+    old stats-build + join-probe double materialization), cross-doc
+    recurrence decided by the digest-partitioned window (no join at
+    all), no cartesian. The only shuffles allowed are chunk-grain
+    (digest window, doc aggregate, final sort)."""
     import re
 
     plan = executed_plan(spark, "t_cdc_chunk_dedup")
     # AQE plan strings repeat stages under "== Initial Plan =="; gate the
-    # final section only. The chunk explode subtree legitimately appears
-    # once per digest-table reference (stats build + join probe); what
-    # must NOT appear is any OTHER Generate — that would mean a
-    # token-grain explode slipped in.
+    # final section only.
     final = plan.split("== Initial Plan ==")[0]
     gens = re.findall(r"Generate [^\n]*", final)
-    assert gens and all("zip_with" in g for g in gens), gens
-    assert "Window" not in final
+    assert len(gens) == 1 and "zip_with" in gens[0], gens
+    assert "Window" in final
+    assert "Join" not in final
     assert "CartesianProduct" not in final
 
 
