@@ -56,6 +56,29 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+#: t()'s parquet-schema memo: absolute path -> inferred StructType.
+#: Schema inference is the driver-side hot spot of every scan build
+#: (measured ~120-165 ms per spark.read.parquet vs ~27 ms with a
+#: declared schema — footer fetch + merge per call; round-13, guide §5
+#: "the driver should do almost no data work"). The memo caches ONLY the
+#: schema (a plain Python value, session-independent): every call still
+#: builds a fresh DataFrame with a fresh file listing, so no data,
+#: file-index, or plan state is ever reused across runs. Safe because a
+#: given path's schema is write-once in every caller (immutable testdata
+#: dirs; bench/test corpora go to fresh mkdtemp/tmp_path dirs).
+_SCHEMA_MEMO: dict[str, T.StructType] = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with the per-path schema memo."""
+    s = _SCHEMA_MEMO.get(path)
+    if s is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[path] = df.schema
+        return df
+    return spark.read.schema(s).parquet(path)
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table (lazy; Catalyst prunes/pushes into parquet).
 
@@ -87,14 +110,14 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = _read_parquet(spark, path)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(ts_type, T.TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(path)
+    return _read_parquet(spark, path)
 
 
 #: spread()'s scan-partition probe memo: (session id, sorted input files,
@@ -1895,11 +1918,12 @@ def q_sessionize_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("below_threshold", SMALL_INPUT_ROWS),
     ):
         decided = auto_mode(ev, cutoff)
-        # mode="auto" (not mode=decided) is deliberate even though it
-        # re-runs the count probe: the row's claim is that the
-        # INTEGRATED auto path executes the plan it reports, so the
-        # sessionizer must make its own decision. Two extra
-        # metadata-cheap count() jobs at sf0.01 is the price.
+        # mode="auto" (not mode=decided) is deliberate: the row's claim
+        # is that the INTEGRATED auto path executes the plan it
+        # reports, so the sessionizer must make its own decision. Since
+        # round 13 the repeat probes are memo hits (twolevel._COUNT_MEMO
+        # keys on the scan file set), so the price is one count() job
+        # per session, not four.
         stats = (
             sessionize_session_rows(ev, mode="auto", small_rows=cutoff)
             .agg(

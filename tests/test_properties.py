@@ -433,3 +433,23 @@ def test_spread_memo_exact_and_still_spreads(spark):
     # a different file set gets its own entry, not the cached decision
     spread(t(spark, SF_SMALL, "embeddings").select("vec_id"))
     assert len(_SPREAD_MEMO) == 2
+
+
+def test_twolevel_count_probe_memo_exact(spark):
+    """The sessionize auto-guard's memoized row-count probe (round-13)
+    must decide exactly like the direct count and key on the file set."""
+    from culvert_spark.queries import t
+    from culvert_spark.twolevel import _COUNT_MEMO, auto_mode
+    from tests.conftest import SF_SMALL
+
+    ev = t(spark, SF_SMALL, "events")
+    _COUNT_MEMO.clear()
+    first = auto_mode(ev)
+    assert len(_COUNT_MEMO) == 1
+    assert next(iter(_COUNT_MEMO.values())) == ev.count()
+    # memo hit returns the same decision; forcing a tiny cutoff through
+    # the SAME cached count still flips the branch (the memo caches the
+    # count, never the decision)
+    assert auto_mode(t(spark, SF_SMALL, "events")) == first
+    assert auto_mode(ev, small_rows=0) == "two_level"
+    assert len(_COUNT_MEMO) == 1
