@@ -1703,19 +1703,32 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression shape on both engines. Measured ~1.6× faster than the
     DECIMAL×DECIMAL formulation at sf0.1.
 
-    Plan shape: the d(d+1)/2 = {_COV_D * (_COV_D + 1) // 2} pair terms
-    per vector come from ONE narrow flatten/transform explode (no join,
-    no second pass over the corpus), then a single {_COV_D * (_COV_D + 1) // 2}-group
-    aggregation — the shuffle carries pairs×partitions partial rows
-    regardless of corpus size. A dim-grain self-join formulation measures
-    2× faster at sf0.1 (vectorized join beats 4M per-row struct allocs)
-    but shuffles the full exploded corpus on vec_id — rejected: this
-    query's narrow shape must survive 100×, and its small-scale seconds
-    don't matter (the bench-scale alternative is simply the Gram twin).
-    At 100 TB the same statistic comes from the mapInArrow Gram twin
-    (v_gram_matrix: one float64 matmul per Arrow batch, 64×64 partials)
-    when exactness can yield to speed."""
+    Plan shape (round 13, guide §2.2/§4-adjacent allocation honesty):
+    each vector emits ONE primitive long array of
+    {_COV_D * (_COV_D + 1) // 2} + {_COV_D} entries — the upper-triangle
+    products followed by the raw micros — through a single posexplode
+    into a ({_COV_D * (_COV_D + 1) // 2 + _COV_D})-group aggregation of
+    (count, decimal sum). No per-pair STRUCT allocation (the previous
+    shape allocated d(d+1)/2 4-field structs per row — measured ~18%
+    slower end-to-end at sf0.1, interleaved A/B 3.09-3.46 s vs
+    2.55-2.70 s), no join, ONE pass over the corpus; the per-dim sums
+    ride the same exchange as positions ≥ {_COV_D * (_COV_D + 1) // 2},
+    and position→(dim_a, dim_b) resolution plus the si/sj attachment are
+    broadcast joins of {_COV_D * (_COV_D + 1) // 2}- and {_COV_D}-row
+    aggregates (driver-free, corpus-size-independent). Values are
+    identical by construction: the same exact long products sum in the
+    same DECIMAL(38,0) domain, and sum(micros) as DECIMAL cast to double
+    equals the previous sum-as-long cast (both are the exact integer).
+    A dim-grain self-join formulation measures 2× faster at sf0.1
+    (vectorized join beats the explode) but shuffles the full exploded
+    corpus on vec_id — rejected: this query's narrow shape must survive
+    100×, and its small-scale seconds don't matter (the bench-scale
+    alternative is simply the Gram twin). At 100 TB the same statistic
+    comes from the mapInArrow Gram twin (v_gram_matrix: one float64
+    matmul per Arrow batch, 64×64 partials) when exactness can yield to
+    speed."""
     e = t(spark, sf_dir, "embeddings")
+    n_pair = _COV_D * (_COV_D + 1) // 2
     # The micros conversion is hoisted into ONE 64-element array per row
     # (Catalyst does not CSE across lambda instances, so inlining it in
     # the pair transform would run 4160 round/cast chains per row where
@@ -1724,28 +1737,54 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(embedding, x -> "
         "cast(round(cast(x as double) * 1000000, 0) as bigint))"
     )
-    pair_expr = (
+    arr_expr = (
+        f"concat(flatten(transform(sequence(0, {_COV_D - 1}), i -> "
+        f"transform(sequence(i, {_COV_D - 1}), j -> "
+        f"element_at(m, i + 1) * element_at(m, j + 1)))), m)"
+    )
+    agg = (
+        e.select(F.expr(m_expr).alias("m"))
+        .select(F.posexplode(F.expr(arr_expr)).alias("pos", "p"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p").cast("decimal(38,0)"))
+            .cast("double")
+            .alias("sp"),
+        )
+    )
+    map_expr = (
         f"flatten(transform(sequence(0, {_COV_D - 1}), i -> "
         f"transform(sequence(i, {_COV_D - 1}), j -> "
-        f"struct(i AS di, j AS dj, element_at(m, i + 1) AS vi, "
-        f"element_at(m, j + 1) AS vj))))"
+        f"struct(i AS di, j AS dj))))"
+    )
+    mapping = (
+        spark.range(1)
+        .select(F.posexplode(F.expr(map_expr)).alias("pos", "ij"))
+        .select("pos", "ij.di", "ij.dj")
+    )
+    dims = agg.where(F.col("pos") >= n_pair).select(
+        (F.col("pos") - n_pair).alias("dim"), F.col("sp").alias("s")
     )
     pairs = (
-        e.select(F.expr(m_expr).alias("m"))
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.di", "p.dj", "p.vi", "p.vj")
-    )
-    agg = pairs.groupBy("di", "dj").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("vi") * F.col("vj")).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("sp"),
-        F.sum("vi").cast("double").alias("si"),
-        F.sum("vj").cast("double").alias("sj"),
+        agg.where(F.col("pos") < n_pair)
+        .join(F.broadcast(mapping), "pos")
+        .join(
+            F.broadcast(
+                dims.select(F.col("dim").alias("di"), F.col("s").alias("si"))
+            ),
+            "di",
+        )
+        .join(
+            F.broadcast(
+                dims.select(F.col("dim").alias("dj"), F.col("s").alias("sj"))
+            ),
+            "dj",
+        )
     )
     n = F.col("n")
     return (
-        agg.select(
+        pairs.select(
             F.col("di").cast("int").alias("dim_a"),
             F.col("dj").cast("int").alias("dim_b"),
             "n",
