@@ -639,72 +639,59 @@ def q_spatial_grid_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data's query radius so occupancy stays bounded. The 9-offset
     explode multiplies the probe side only, both join sides hash-partition
     on (cx, cy), and per-point top-1 is a window over the candidate set."""
+    # Construction uses SQL-string expressions (one py4j round trip each
+    # instead of one per Column operator; guide §5 — construction is
+    # timed). Double literals carry the D suffix so types match the old
+    # DSL exactly (a bare 10.0 would parse as DECIMAL and change the
+    # division); plans verified operator-identical (normalized diff +
+    # oracle hash).
     c = t(spark, sf_dir, "customer")
-    m = c.agg(
-        (F.lit(25) * F.floor(F.sqrt(F.count(F.lit(1)))))
-        .cast("long")
-        .alias("m")
+    m = c.agg(F.expr("cast(25 * floor(sqrt(count(1))) as long) AS m"))
+    pts = c.crossJoin(F.broadcast(m)).selectExpr(
+        "c_custkey AS pid",
+        "c_custkey * 37 % m / 10.0D AS x",
+        "c_custkey * 91 % m / 10.0D AS y",
     )
-    pts = c.crossJoin(F.broadcast(m)).select(
-        F.col("c_custkey").alias("pid"),
-        ((F.col("c_custkey") * 37 % F.col("m")) / 10.0).alias("x"),
-        ((F.col("c_custkey") * 91 % F.col("m")) / 10.0).alias("y"),
-    )
-    cells = pts.select(
+    cells = pts.selectExpr(
         "pid",
         "x",
         "y",
-        F.floor(F.col("x") / _CELL).alias("cx"),
-        F.floor(F.col("y") / _CELL).alias("cy"),
+        f"floor(x / {_CELL}D) AS cx",
+        f"floor(y / {_CELL}D) AS cy",
     )
-    offs = [F.lit(d) for d in (-1, 0, 1)]
     probe = (
-        cells.select(
-            "pid",
-            "x",
-            "y",
-            "cx",
-            "cy",
-            F.explode(F.array(*offs)).alias("dx"),
+        cells.selectExpr(
+            "pid", "x", "y", "cx", "cy", "explode(array(-1, 0, 1)) AS dx"
         )
-        .select(
-            "pid",
-            "x",
-            "y",
-            (F.col("cx") + F.col("dx")).alias("ncx"),
-            "cy",
-            F.explode(F.array(*offs)).alias("dy"),
+        .selectExpr(
+            "pid", "x", "y", "cx + dx AS ncx", "cy",
+            "explode(array(-1, 0, 1)) AS dy",
         )
-        .select(
-            "pid", "x", "y", "ncx", (F.col("cy") + F.col("dy")).alias("ncy")
-        )
+        .selectExpr("pid", "x", "y", "ncx", "cy + dy AS ncy")
     )
-    build = cells.select(
-        F.col("pid").alias("nn_pid"),
-        F.col("x").alias("nx"),
-        F.col("y").alias("ny"),
-        F.col("cx").alias("ncx"),
-        F.col("cy").alias("ncy"),
+    build = cells.selectExpr(
+        "pid AS nn_pid", "x AS nx", "y AS ny", "cx AS ncx", "cy AS ncy"
     )
-    dist2 = (F.col("x") - F.col("nx")) * (F.col("x") - F.col("nx")) + (
-        F.col("y") - F.col("ny")
-    ) * (F.col("y") - F.col("ny"))
     cand = (
         probe.join(build, ["ncx", "ncy"])
-        .where(F.col("pid") != F.col("nn_pid"))
-        .select("pid", "nn_pid", dist2.alias("dist2"))
+        .where("pid != nn_pid")
+        .selectExpr(
+            "pid",
+            "nn_pid",
+            "(x - nx) * (x - nx) + (y - ny) * (y - ny) AS dist2",
+        )
     )
-    w = Window.partitionBy("pid").orderBy("dist2", "nn_pid")
     nn = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        cand.withColumn(
+            "rn",
+            F.expr(
+                "row_number() OVER (PARTITION BY pid ORDER BY dist2, nn_pid)"
+            ),
+        )
+        .where("rn = 1")
         .select("pid", "nn_pid", "dist2")
     )
-    return (
-        pts.select("pid")
-        .join(nn, "pid", "left")
-        .orderBy("pid")
-    )
+    return pts.select("pid").join(nn, "pid", "left").orderBy("pid")
 
 
 # ---------------------------------------------------------------------------
@@ -1744,13 +1731,11 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = (
         e.select(F.expr(m_expr).alias("m"))
-        .select(F.posexplode(F.expr(arr_expr)).alias("pos", "p"))
+        .selectExpr(f"posexplode({arr_expr}) AS (pos, p)")
         .groupBy("pos")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("p").cast("decimal(38,0)"))
-            .cast("double")
-            .alias("sp"),
+            F.expr("count(1) AS n"),
+            F.expr("cast(sum(cast(p as decimal(38,0))) as double) AS sp"),
         )
     )
     map_expr = (
@@ -1760,45 +1745,27 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mapping = (
         spark.range(1)
-        .select(F.posexplode(F.expr(map_expr)).alias("pos", "ij"))
+        .selectExpr(f"posexplode({map_expr}) AS (pos, ij)")
         .select("pos", "ij.di", "ij.dj")
     )
-    dims = agg.where(F.col("pos") >= n_pair).select(
-        (F.col("pos") - n_pair).alias("dim"), F.col("sp").alias("s")
+    dims = agg.where(f"pos >= {n_pair}").selectExpr(
+        f"pos - {n_pair} AS dim", "sp AS s"
     )
     pairs = (
-        agg.where(F.col("pos") < n_pair)
+        agg.where(f"pos < {n_pair}")
         .join(F.broadcast(mapping), "pos")
-        .join(
-            F.broadcast(
-                dims.select(F.col("dim").alias("di"), F.col("s").alias("si"))
-            ),
-            "di",
-        )
-        .join(
-            F.broadcast(
-                dims.select(F.col("dim").alias("dj"), F.col("s").alias("sj"))
-            ),
-            "dj",
-        )
+        .join(F.broadcast(dims.selectExpr("dim AS di", "s AS si")), "di")
+        .join(F.broadcast(dims.selectExpr("dim AS dj", "s AS sj")), "dj")
     )
-    n = F.col("n")
     return (
-        pairs.select(
-            F.col("di").cast("int").alias("dim_a"),
-            F.col("dj").cast("int").alias("dim_b"),
+        pairs.selectExpr(
+            "cast(di as int) AS dim_a",
+            "cast(dj as int) AS dim_b",
             "n",
-            # + 0.0 normalizes IEEE negative zero (ROUND can emit -0.0,
+            # + 0.0D normalizes IEEE negative zero (ROUND can emit -0.0,
             # whose repr differs from 0.0 in the driver's value hash).
-            (
-                F.round(
-                    (F.col("sp") / F.lit(1e12)) / n
-                    - ((F.col("si") / F.lit(1e6)) / n)
-                    * ((F.col("sj") / F.lit(1e6)) / n),
-                    6,
-                )
-                + F.lit(0.0)
-            ).alias("cov"),
+            "round(((sp / 1e12) / n) - (((si / 1e6) / n) * ((sj / 1e6) / n)),"
+            " 6) + 0.0D AS cov",
         )
         .orderBy("dim_a", "dim_b")
     )
@@ -2254,17 +2221,22 @@ def _basket_pair_support(li: DataFrame, min_support: int = 2) -> DataFrame:
     distinct shuffle and one side of the join shuffle; a domain with
     unbounded basket sizes would cap/salt the basket assembly instead
     (same trade as the LSH band-bucket cap)."""
+    # Expressions as SQL strings: one py4j round trip per expression
+    # instead of one per Column operator — construction runs inside the
+    # bench's timed region and this helper feeds three registered graph
+    # queries (guide §5). Parser output is operator-identical to the
+    # Column DSL (verified by normalized optimized-plan diff + oracle).
     li2 = li.select("l_orderkey", "l_partkey")
     freq = (
         li2.groupBy("l_partkey")
-        .agg(F.count_distinct("l_orderkey").alias("n_baskets"))
-        .where(F.col("n_baskets") >= min_support)
+        .agg(F.expr("count(distinct l_orderkey) AS n_baskets"))
+        .where(f"n_baskets >= {min_support}")
         .select("l_partkey")
     )
     baskets = (
         li2.join(F.broadcast(freq), "l_partkey", "semi")
         .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .agg(F.expr("sort_array(collect_set(l_partkey)) AS ps"))
     )
     pairs = baskets.select(
         F.explode(
@@ -2277,8 +2249,8 @@ def _basket_pair_support(li: DataFrame, min_support: int = 2) -> DataFrame:
     ).select("pr.a", "pr.b")
     return (
         pairs.groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= min_support)
+        .agg(F.expr("count(1) AS support"))
+        .where(f"support >= {min_support}")
     )
 
 
@@ -2388,41 +2360,43 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     here (cache-materialization barrier vs pipelined reuse). Each
     triangle's three corners are counted from ONE evaluation of the
     triangle join via explode of (x, y, z)."""
+    # Construction uses SQL-string expressions (one py4j round trip each
+    # instead of one per Column operator; guide §5 — construction is
+    # timed). CASE WHEN parses to the same CaseWhen the F.when DSL built;
+    # plans verified operator-identical (normalized diff + oracle hash).
     li = t(spark, sf_dir, "lineitem")
     und = _basket_pair_support(li, min_support=2).select("a", "b")
     deg = (
-        und.select(F.col("a").alias("n"))
-        .unionAll(und.select(F.col("b").alias("n")))
+        und.selectExpr("a AS n")
+        .unionAll(und.selectExpr("b AS n"))
         .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.expr("count(1) AS d"))
     )
     # Orient a—b toward the higher (degree, id); carry each endpoint's
     # degree so the wedge canonicalization below needs no extra join.
     withdeg = (
-        und.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
-        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+        und.join(deg.selectExpr("n AS a", "d AS da"), "a")
+        .join(deg.selectExpr("n AS b", "d AS db"), "b")
     )
-    fwd = F.struct("da", "a") < F.struct("db", "b")
-    o = withdeg.select(
-        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    fwd = "struct(da, a) < struct(db, b)"
+    o = withdeg.selectExpr(
+        f"CASE WHEN {fwd} THEN a ELSE b END AS src",
+        f"CASE WHEN {fwd} THEN b ELSE a END AS dst",
+        f"CASE WHEN {fwd} THEN db ELSE da END AS ddst",
     )
-    w1 = o.select(F.col("src").alias("x"), F.col("dst").alias("y"), F.col("ddst").alias("dy"))
-    w2 = o.select(F.col("src").alias("x"), F.col("dst").alias("z"), F.col("ddst").alias("dz"))
+    w1 = o.selectExpr("src AS x", "dst AS y", "ddst AS dy")
+    w2 = o.selectExpr("src AS x", "dst AS z", "ddst AS dz")
     wedges = (
         w1.join(w2, "x")
-        .where(F.struct("dy", "y") < F.struct("dz", "z"))
+        .where("struct(dy, y) < struct(dz, z)")
         .select("x", "y", "z")
     )
-    closing = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    closing = o.selectExpr("src AS y", "dst AS z")
     tri = wedges.join(closing, ["y", "z"])
-    nodes = tri.select(
-        F.explode(F.array("x", "y", "z")).alias("node")
-    )
+    nodes = tri.select(F.expr("explode(array(x, y, z)) AS node"))
     return (
         nodes.groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .agg(F.expr("count(1) AS n_triangles"))
         .orderBy(F.desc("n_triangles"), "node")
         .limit(15)
     )
@@ -3393,43 +3367,44 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist); a production loop at 100 TB would checkpoint the rank
     table every few rounds to truncate lineage (t_dedup_clusters shows
     that pattern).""".replace("{it}", str(_PR_ITERS))
+    # Construction uses SQL-string expressions (one py4j round trip each
+    # instead of one per Column operator; guide §5 — construction is
+    # timed, and the unrolled 3-iteration loop made this the single
+    # heaviest construction in the extended set, ~455 ms / ~940 round
+    # trips). Plans verified operator-identical (normalized diff +
+    # oracle hash).
     li = t(spark, sf_dir, "lineitem")
     und = _basket_pair_support(li, min_support=2).select("a", "b")
-    edges = und.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col("src").alias("node"), "deg")
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", "deg", "n", F.expr(f"{_PR_SCALE} div n").alias("rank")
+    edges = und.selectExpr("a AS src", "b AS dst").unionByName(
+        und.selectExpr("b AS src", "a AS dst")
+    )
+    deg = edges.groupBy("src").agg(F.expr("count(1) AS deg"))
+    nodes = deg.selectExpr("src AS node", "deg")
+    nn = nodes.agg(F.expr("count(1) AS n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).selectExpr(
+        "node", "deg", "n", f"{_PR_SCALE} div n AS rank"
     )
     for _ in range(_PR_ITERS):
         contribs = (
-            ranks.select(
-                F.col("node").alias("src"),
-                F.expr("rank div deg").alias("c"),
-            )
+            ranks.selectExpr("node AS src", "rank div deg AS c")
             .join(edges, "src")
             .groupBy("dst")
-            .agg(F.sum("c").alias("inc"))
+            .agg(F.expr("sum(c) AS inc"))
             .withColumnRenamed("dst", "node")
         )
         ranks = (
             nodes.crossJoin(F.broadcast(nn))
             .join(contribs, "node", "left")
-            .select(
+            .selectExpr(
                 "node",
                 "deg",
                 "n",
-                F.expr(
-                    f"(15 * {_PR_SCALE}) div (100 * n)"
-                    " + (85 * coalesce(inc, 0)) div 100"
-                ).alias("rank"),
+                f"(15 * {_PR_SCALE}) div (100 * n)"
+                " + (85 * coalesce(inc, 0)) div 100 AS rank",
             )
         )
     return (
-        ranks.select(F.col("node").alias("part"), F.col("rank").alias("rank_e12"))
+        ranks.selectExpr("node AS part", "rank AS rank_e12")
         .orderBy(F.desc("rank_e12"), "part")
         .limit(25)
     )

@@ -779,17 +779,16 @@ def t_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       quadratic. The shipped SFs never trigger the cap, so the (uncapped)
       DuckDB oracle remains an exact twin."""
     _, cand = _minhash_sigs_and_cands(spark, sf_dir)
-    n_eq = F.size(
-        F.filter(
-            F.zip_with(F.col("mhs_a"), F.col("mhs_b"), lambda x, y: x == y),
-            lambda v: v,
-        )
+    # SQL-string expression: one py4j round trip instead of ~30 (driver-
+    # side construction runs inside the bench's timed region — guide §5).
+    n_eq = (
+        "size(filter(zip_with(mhs_a, mhs_b, (x, y) -> x = y), v -> v))"
     )
-    return cand.select(
+    return cand.selectExpr(
         "doc_a",
         "doc_b",
         "shared_bands",
-        F.round(n_eq.cast("double") / _N_HASHES, 6).alias("est_jaccard"),
+        f"round(cast({n_eq} as double) / {_N_HASHES}, 6) AS est_jaccard",
     ).orderBy("doc_a", "doc_b")
 
 
@@ -857,50 +856,46 @@ def _minhash_from_docs(d: DataFrame, bucket_cap: int = _BUCKET_CAP):
     the array before any pair is enumerated), and explode each bucket's
     a<b pairs. One shuffle on the bucket key, pair volume bounded by
     cap² per bucket by construction."""
+    # Expressions are built as SQL strings (string formatting is free;
+    # each F.expr is ONE py4j round trip) instead of nested Column calls
+    # (one round trip PER operator): query construction runs inside the
+    # bench's timed region, and this function was its single heaviest
+    # site — ~1600 py4j round trips, ~300 ms per build (guide §5, the
+    # driver should do almost no work). Expression-identical: the SQL
+    # parser yields the same Catalyst operators the Column DSL did
+    # (verified by normalized optimized-plan diff + oracle hash).
     sh = _with_shingles(d)
     mh_cols = [
-        F.min(
-            F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")).cast("binary"))
-        ).alias(f"mh_{i}")
+        F.expr(f"min(md5(cast(concat('{i}|', sh) as binary))) AS mh_{i}")
         for i in range(_N_HASHES)
     ]
+    mhs_all = ", ".join(f"mh_{i}" for i in range(_N_HASHES))
     sig = (
         sh.groupBy("doc_id")
         .agg(*mh_cols)
-        .withColumn(
-            "mhs", F.array(*[F.col(f"mh_{i}") for i in range(_N_HASHES)])
-        )
+        .withColumn("mhs", F.expr(f"array({mhs_all})"))
     )
     n_bands = _N_HASHES // _BAND_SIZE
-    band_sigs = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh_{j}")
-                        for j in range(i * _BAND_SIZE, (i + 1) * _BAND_SIZE)
-                    ],
-                ).cast("binary")
-            )
-            for i in range(n_bands)
-        ]
+    band_sigs = "array(%s)" % ", ".join(
+        "md5(cast(concat_ws(',', %s) as binary))"
+        % ", ".join(
+            f"mh_{j}" for j in range(i * _BAND_SIZE, (i + 1) * _BAND_SIZE)
+        )
+        for i in range(n_bands)
     )
     # Bucket members carry their full signature array through the ONE
     # LSH shuffle, so candidate pairs emerge with (mhs_a, mhs_b) attached
     # and est_jaccard needs NO signature joins afterwards — the same
     # carry-the-signature layout Spark ML's MinHashLSH uses. first() is
     # exact: every row of a pair group carries the same signatures.
-    bands = sig.select(
-        F.struct("doc_id", "mhs").alias("dm"),
-        F.posexplode(band_sigs).alias("band", "bsig"),
+    bands = sig.selectExpr(
+        "struct(doc_id, mhs) AS dm",
+        f"posexplode({band_sigs}) AS (band, bsig)",
     )
     buckets = (
         bands.groupBy("band", "bsig")
-        .agg(F.sort_array(F.collect_list("dm")).alias("ds"))
-        .where(
-            (F.size("ds") >= 2) & (F.size("ds") <= F.lit(bucket_cap))
-        )
+        .agg(F.expr("sort_array(collect_list(dm)) AS ds"))
+        .where(f"size(ds) >= 2 AND size(ds) <= {bucket_cap}")
     )
     pairs = buckets.select(
         F.explode(
@@ -911,16 +906,12 @@ def _minhash_from_docs(d: DataFrame, bucket_cap: int = _BUCKET_CAP):
             )
         ).alias("pr")
     )
-    cand = (
-        pairs.groupBy(
-            F.col("pr.a.doc_id").alias("doc_a"),
-            F.col("pr.b.doc_id").alias("doc_b"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("shared_bands"),
-            F.first("pr.a.mhs").alias("mhs_a"),
-            F.first("pr.b.mhs").alias("mhs_b"),
-        )
+    cand = pairs.groupBy(
+        F.expr("pr.a.doc_id AS doc_a"), F.expr("pr.b.doc_id AS doc_b")
+    ).agg(
+        F.expr("count(1) AS shared_bands"),
+        F.expr("first(pr.a.mhs) AS mhs_a"),
+        F.expr("first(pr.b.mhs) AS mhs_b"),
     )
     return sig, cand
 
