@@ -195,6 +195,23 @@ class JsonlSinkWriter(DataSourceStreamWriter):
         import json
         import os
 
+        # Idempotent re-commit: after a restart, Structured Streaming
+        # re-runs any batch whose offsets-log entry exists but whose
+        # commits-log entry does not — including a batch whose SINK commit
+        # already landed before the stop. Re-appending that batch would
+        # deliver its rows twice (observed as an intermittent duplicate in
+        # test_stream_restart_exactly_once), so a batchId already present
+        # in the commit log makes the replay a no-op: drop the replayed
+        # temp files and keep the original commit as the only delivery.
+        log = os.path.join(self.path, "_commits.jsonl")
+        if os.path.exists(log):
+            with open(log) as fh:
+                if any(
+                    json.loads(line)["batch"] == batchId for line in fh
+                ):
+                    self.abort(messages, batchId)
+                    return
+
         final = []
         for m in messages:
             dst = os.path.join(

@@ -156,3 +156,40 @@ def test_stream_writer_two_phase_commit(spark, tmp_path):
                 ids.extend(json.loads(line)["doc_id"] for line in fh)
     assert sorted(ids) == list(range(150))
     assert os.listdir(os.path.join(out, "_tmp")) == []
+
+
+def test_stream_writer_replayed_batch_commits_once(tmp_path):
+    """A batch REPLAYED after restart (offsets-log entry without a
+    commits-log entry, but the sink's own commit already landed) must be
+    a no-op: one _commits.jsonl line per batchId, no duplicate delivery,
+    and the replay's temp files cleaned up. Driver-side logic only — no
+    Spark session needed."""
+    import json
+    import os
+
+    out = str(tmp_path / "sink")
+    os.makedirs(os.path.join(out, "_tmp"))
+    writer = pydatasource.JsonlSinkWriter({"path": out})
+
+    def staged(name, rows):
+        p = os.path.join(out, "_tmp", name)
+        with open(p, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps({"doc_id": r}) + "\n")
+        return pydatasource._FileCommit(path=p, rows=len(rows))
+
+    writer.commit([staged("part-0-aa.jsonl", [0, 1])], batchId=0)
+    # Restart replays batch 0: new temp files, same batchId.
+    writer.commit([staged("part-0-bb.jsonl", [0, 1])], batchId=0)
+    writer.commit([staged("part-0-cc.jsonl", [2])], batchId=1)
+
+    with open(os.path.join(out, "_commits.jsonl")) as fh:
+        commits = [json.loads(line) for line in fh]
+    assert [c["batch"] for c in commits] == [0, 1]
+    ids = []
+    for c in commits:
+        for f in c["files"]:
+            with open(os.path.join(out, f["file"])) as fh:
+                ids.extend(json.loads(line)["doc_id"] for line in fh)
+    assert sorted(ids) == [0, 1, 2]
+    assert os.listdir(os.path.join(out, "_tmp")) == []
