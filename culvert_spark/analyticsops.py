@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from culvert_spark.queries import QUERIES, ORACLE, register, t  # noqa: F401
+from culvert_spark.queries import QUERIES, ORACLE, cexpr, register, t  # noqa: F401
 from culvert_spark.textops import TOK_DUCK, TOK_SPARK
 
 # ---------------------------------------------------------------------------

@@ -32,6 +32,7 @@ reader; no query collects to the driver.
 from __future__ import annotations
 
 import os
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -79,6 +80,43 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(s).parquet(path)
 
 
+#: cexpr()'s parsed-expression memo: expression STRING -> unresolved
+#: Column. The engine's hot constructors build large CONSTANT expression
+#: strings (64-term signed sums / dot products, unrolled CASE chains);
+#: F.expr pays the Catalyst SQL parser per call (~25 ms for a 64-term
+#: string) and query construction runs inside the bench's timed region
+#: (guide §5 — the driver should do almost no work). The memo caches the
+#: UNRESOLVED expression tree, which is immutable and session-independent:
+#: analysis binds it freshly into every plan that uses it, so no plan
+#: instance, schema, or data is ever reused across runs — exactly one
+#: parse per distinct string per JVM gateway. Keyed on the py4j gateway so
+#: a restarted JVM (new gateway) can never see stale Java objects.
+_EXPR_MEMO: dict[str, Column] = {}
+_EXPR_MEMO_GATEWAY: list = [None]
+
+
+def cexpr(s: str) -> Column:
+    """Memoized :func:`pyspark.sql.functions.expr` for constant strings."""
+    from pyspark import SparkContext
+
+    gw = getattr(SparkContext, "_gateway", None)
+    if gw is not _EXPR_MEMO_GATEWAY[0]:
+        _EXPR_MEMO.clear()
+        _EXPR_MEMO_GATEWAY[0] = gw
+    col = _EXPR_MEMO.get(s)
+    if col is None:
+        col = F.expr(s)
+        _EXPR_MEMO[s] = col
+    return col
+
+
+#: Sessions whose one-time conf contract (UTC / hugeMethodLimit /
+#: nanosAsLong, see t() docstring) has been applied. Weak references: a
+#: stopped-and-collected session drops out, and a NEW session object —
+#: even at a recycled id() — is configured afresh.
+_SESSION_CONF_DONE = weakref.WeakSet()
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table (lazy; Catalyst prunes/pushes into parquet).
 
@@ -89,27 +127,39 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     every downstream query sees one type; with the session timezone pinned
     to UTC the NTZ→LTZ cast is value-preserving and matches DuckDB's naive
     timestamps regardless of host timezone (the driver calls these
-    functions with its own SparkSession)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # Align Spark's whole-stage-codegen bailout with HotSpot's JIT limit
-    # (-XX:-DontCompileHugeMethods kicks in at 8000 bytecodes): Spark's
-    # default of 65535 lets 8K-64K-bytecode fused stages compile but never
-    # JIT, leaving the hot loop in the JVM BYTECODE interpreter — measured
-    # 19 s vs 5 s on s_near_dup_lsh_verified at sf0.1, whose
-    # Generate→3-join→64-term-dot-residual probe stage fuses past 8K.
-    # At 8000 such stages fall back to per-operator compiled projections
-    # (each split into JIT-able submethods) — faster than BOTH the fused
-    # giant (not JIT'd) and full expression interpretation. DELIBERATE
-    # session mutation: the driver hands these functions its own vanilla
-    # SparkSession, and this read helper is the engine's only guaranteed
-    # entry point, so the execution contract is applied here — but only
-    # once (guarded), so a co-resident workload that explicitly chose a
-    # different limit after the first culvert read keeps its choice.
-    if spark.conf.get("spark.sql.codegen.hugeMethodLimit", "65535") == "65535":
-        spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
+    functions with its own SparkSession).
+
+    The three session confs below (UTC timezone, hugeMethodLimit,
+    nanosAsLong) are applied ONCE per SparkSession object and remembered
+    in a WeakSet: each ``spark.conf`` access is a py4j round trip and t()
+    runs inside the bench's timed region, several times per query
+    (guide §5). The once-only semantics match the documented intent — a
+    co-resident workload that changes a conf after the first culvert
+    read keeps its choice."""
+    if spark not in _SESSION_CONF_DONE:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # Align Spark's whole-stage-codegen bailout with HotSpot's JIT
+        # limit (-XX:-DontCompileHugeMethods kicks in at 8000 bytecodes):
+        # Spark's default of 65535 lets 8K-64K-bytecode fused stages
+        # compile but never JIT, leaving the hot loop in the JVM BYTECODE
+        # interpreter — measured 19 s vs 5 s on s_near_dup_lsh_verified at
+        # sf0.1, whose Generate→3-join→64-term-dot-residual probe stage
+        # fuses past 8K. At 8000 such stages fall back to per-operator
+        # compiled projections (each split into JIT-able submethods) —
+        # faster than BOTH the fused giant (not JIT'd) and full expression
+        # interpretation. DELIBERATE session mutation: the driver hands
+        # these functions its own vanilla SparkSession, and this read
+        # helper is the engine's only guaranteed entry point, so the
+        # execution contract is applied here.
+        if (
+            spark.conf.get("spark.sql.codegen.hugeMethodLimit", "65535")
+            == "65535"
+        ):
+            spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _SESSION_CONF_DONE.add(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = _read_parquet(spark, path)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):

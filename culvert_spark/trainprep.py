@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from culvert_spark.queries import QUERIES, ORACLE, register, spread, t  # noqa: F401
+from culvert_spark.queries import QUERIES, ORACLE, cexpr, register, spread, t  # noqa: F401
 from culvert_spark.textops import (  # noqa: F401
     DIM,
     TOK_DUCK,
@@ -464,14 +464,14 @@ def s_semantic_dedup_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = (
         e.groupBy("bucket")
         .agg(
-            F.expr(
+            cexpr(
                 "transform(array_sort(collect_list(struct(vec_id, embedding))),"
                 " s -> s.embedding)"
             ).alias("ms")
         )
         .select(
             "bucket",
-            F.expr(
+            cexpr(
                 f"transform(sequence(0, {DIM - 1}), i ->"
                 " aggregate(ms, cast(0.0 as double),"
                 " (acc, x) -> acc + cast(x[i] as double)) / size(ms))"
@@ -485,7 +485,7 @@ def s_semantic_dedup_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "vec_id",
         "n_members",
-        F.expr(
+        cexpr(
             f"{_dot_spark_cols('embedding', 'centroid')}"
             f" / (sqrt({_dot_spark_cols('embedding', 'embedding')})"
             f" * sqrt({_dot_spark_cols('centroid', 'centroid')}))"

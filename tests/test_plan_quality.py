@@ -611,11 +611,14 @@ def test_query_path_sets_jit_aligned_codegen_limit(spark):
     slower on the LSH probe stage. The driver uses a VANILLA session, so
     the limit must be self-configured by the query path (queries.t), not
     only by session.get_spark; this gate fails if that self-configuration
-    is ever dropped."""
-    from culvert_spark.queries import t as _t
+    is ever dropped. The conf contract is applied once per session
+    (queries._SESSION_CONF_DONE), so simulating the driver's fresh vanilla
+    session means clearing both the conf and the memo entry."""
+    from culvert_spark import queries as _q
 
     spark.conf.unset("spark.sql.codegen.hugeMethodLimit")
-    _t(spark, SF_SMALL, "region")
+    _q._SESSION_CONF_DONE.discard(spark)
+    _q.t(spark, SF_SMALL, "region")
     assert spark.conf.get("spark.sql.codegen.hugeMethodLimit") == "8000"
 
 
