@@ -69,6 +69,14 @@ def get_spark(
             "spark.sql.warehouse.dir",
             os.path.join(tempfile.gettempdir(), "culvert_warehouse"),
         )
+        # PySpark's DataFrame-debugging origin capture (default on) adds
+        # ~3 py4j round trips (conf.get + PySparkCurrentOrigin set/clear)
+        # plus a Python stack walk to EVERY wrapped DataFrame API call —
+        # pure driver-side construction overhead (guide §5; construction
+        # runs inside the bench's timed region). It only enriches error
+        # messages with user call sites; results and plans are untouched.
+        # The driver's vanilla contract session keeps the default (on).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Quieter local runs.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
