@@ -622,6 +622,20 @@ def test_query_path_sets_jit_aligned_codegen_limit(spark):
     assert spark.conf.get("spark.sql.codegen.hugeMethodLimit") == "8000"
 
 
+def test_tuned_session_disables_origin_capture(spark):
+    """get_spark() must opt out of PySpark's per-call DataFrame origin
+    capture (spark.python.sql.dataFrameDebugging.enabled): when on, every
+    wrapped DataFrame API call pays ~3 py4j round trips + a Python stack
+    walk purely to enrich error messages with call sites — driver-side
+    construction overhead inside the bench's timed region (round-13
+    optimization; guide §5). The driver's VANILLA session keeps the
+    default, so this gates only the tuned session builder."""
+    assert (
+        spark.conf.get("spark.python.sql.dataFrameDebugging.enabled")
+        == "false"
+    )
+
+
 def test_salted_parity_rows_exercise_shuffled_join(spark):
     """The salted parity driver rows must run the SHUFFLED (key, salt)
     join — the plan salting exists for. Without the shuffle_hash hint
