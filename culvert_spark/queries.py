@@ -170,14 +170,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _read_parquet(spark, path)
 
 
-#: spread()'s scan-partition probe memo: (session id, sorted input files,
-#: maxPartitionBytes) -> partition count. The probe (df.rdd.getNumPartitions)
-#: costs ~100 ms of DRIVER-side planning per call and the same tables are
-#: probed by many queries per session (round-13 optimization, guide §5 "the
-#: driver should do almost no data work"); scan split counts depend only on
-#: the file set and the split size conf, never on projections/filters, so
+#: spread()'s scan-partition probe memo, weak-keyed on the SparkSession
+#: (round-14 memo-key hygiene): session -> {(sorted input files,
+#: maxPartitionBytes): partition count}. A collected session's entries
+#: vanish with it and a new session object — even at a recycled id() —
+#: starts empty. The probe (df.rdd.getNumPartitions) costs ~100 ms of
+#: DRIVER-side planning per call and the same tables are probed by many
+#: queries per session (round-13 optimization, guide §5 "the driver
+#: should do almost no data work"); scan split counts depend only on the
+#: file set and the split size conf, never on projections/filters, so
 #: the memo is exact for the scan-grain frames spread() is documented for.
-_SPREAD_MEMO: dict[tuple, int] = {}
+_SPREAD_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -198,18 +201,23 @@ def spread(df: DataFrame) -> DataFrame:
         files = tuple(sorted(df.inputFiles()))
     except Exception:  # non-file-backed frame: fall through, no memo
         pass
+    n = None
+    per_session = None
     key = None
     if files:
         key = (
-            id(df.sparkSession),
             files,
             df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes"),
         )
-    n = _SPREAD_MEMO.get(key) if key is not None else None
+        per_session = _SPREAD_MEMO.get(df.sparkSession)
+        if per_session is None:
+            per_session = {}
+            _SPREAD_MEMO[df.sparkSession] = per_session
+        n = per_session.get(key)
     if n is None:
         n = df.rdd.getNumPartitions()
-        if key is not None:
-            _SPREAD_MEMO[key] = n
+        if per_session is not None:
+            per_session[key] = n
     if n < target:
         return df.repartition(target)
     return df
@@ -1875,7 +1883,9 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Giant-key guard (adaptive): sessions are built via
     :func:`culvert_spark.twolevel.sessionize_session_rows`, which probes
     the total row count (metadata-cheap — total rows exactly upper-bound
-    any one user's rows) and only engages the two-level plan — lag → gap
+    any one user's rows) and, above that bound, the exact max rows per
+    user (round 14 — the precise largest partition a single window task
+    could be handed) and only engages the two-level plan — lag → gap
     flag → running sum inside (user_id, day) sub-partitions, then a
     day-boundary merge over per-user session runs (structurally ≤ 48
     runs/day at a 30-min gap) — when a single window task could actually
@@ -1973,9 +1983,12 @@ def q_sessionize_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         # mode="auto" (not mode=decided) is deliberate: the row's claim
         # is that the INTEGRATED auto path executes the plan it
         # reports, so the sessionizer must make its own decision. Since
-        # round 13 the repeat probes are memo hits (twolevel._COUNT_MEMO
-        # keys on the scan file set), so the price is one count() job
-        # per session, not four.
+        # round 13 the repeat probes are memo hits (twolevel's probe
+        # memos key on the scan file set), so the price is one count()
+        # job plus — for the cutoff=0 case only, whose total always
+        # exceeds the cutoff — one max-rows-per-user probe (round-14
+        # skew-aware guard; any non-empty input has max ≥ 1 > 0, so the
+        # decided modes are unchanged) per session, not four.
         stats = (
             sessionize_session_rows(ev, mode="auto", small_rows=cutoff)
             .agg(

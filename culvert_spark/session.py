@@ -75,7 +75,15 @@ def get_spark(
         # pure driver-side construction overhead (guide §5; construction
         # runs inside the bench's timed region). It only enriches error
         # messages with user call sites; results and plans are untouched.
-        # The driver's vanilla contract session keeps the default (on).
+        # PER-PROCESS caveat (round-14 ADVICE): PySpark caches the
+        # effective verdict process-wide on the FIRST wrapped DataFrame
+        # call (pyspark/errors/utils.py, _enable_debugging_cache), so
+        # this opt-out governs a process only when a get_spark() session
+        # is the first one active in it — bench.py calls get_spark()
+        # before anything else, which is what the optimization needs —
+        # and a vanilla session keeps the default (on) only in its OWN
+        # process (the driver's contract run), not in a process where a
+        # tuned session was already exercised.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Quieter local runs.
         .config("spark.ui.enabled", "false")

@@ -29,10 +29,18 @@ The sessionize guard is ADAPTIVE: a metadata-cheap total-row-count probe
 (:func:`_prefers_single_window`) routes small inputs to the classic
 single-window plan — the guard's stitch exchange is only worth paying
 when a single key *could* pin a task, and total rows bound every key's
-rows exactly, so the probe can never miss a hot key.
+rows exactly, so the probe can never miss a hot key. Above the total-row
+bound a second, still-exact probe measures the actual quantity the
+safety bound is about — the MAX rows of any one key, which IS the
+largest partition the single-window plan can hand one task — so
+hot-key-free corpora keep the cheaper single-exchange plan at any size
+(round-14; the round-13 driver bench measured the guard's standing
+premium at 33%/60% on a 24M-row hot-key-free input).
 """
 
 from __future__ import annotations
+
+import weakref
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -62,52 +70,107 @@ SMALL_INPUT_ROWS = 8_000_000
 
 def auto_mode(df: DataFrame, small_rows: int = SMALL_INPUT_ROWS) -> str:
     """The adaptive guard's decision as a value: ``"single"`` when the
-    total-row-count probe says one window task could never be pinned
-    (rows ≤ ``small_rows``), else ``"two_level"``. This is the exact
-    branch :func:`sessionize_session_rows` takes for ``mode="auto"`` —
+    probes say one window task could never be pinned (total rows ≤
+    ``small_rows``, or — round-14 — max rows per user ≤ ``small_rows``),
+    else ``"two_level"``. This is the exact branch
+    :func:`sessionize_session_rows` takes for ``mode="auto"`` —
     exposed so the registered q_sessionize_auto row can pin the decision
     itself (both sides of the threshold) in the driver record, not just
     the two forced plans."""
     return "single" if _prefers_single_window(df, small_rows) else "two_level"
 
 
-#: Row-count probe memo: (session id, sorted input files) -> total rows.
-#: Same pattern and contract as queries._SPREAD_MEMO (round-13, guide §5):
-#: the probe launches a real count job per call (~300-450 ms of the
-#: sessionize queries' construction time measured at sf0.1) and the same
-#: events scan is probed repeatedly within a bench/driver session, while
-#: total scan rows depend only on the write-once file set. Callers pass
-#: SCAN-GRAIN frames; and because both guarded plans are row-identical
-#: (test-pinned), even a mis-keyed hit could only flip between two
-#: equivalent plans — layout, never values.
-_COUNT_MEMO: dict[tuple, int] = {}
+#: Probe memos, weak-keyed on the SparkSession (round-14 memo-key
+#: hygiene): session -> {probe key -> value}. A stopped-and-collected
+#: session's entries vanish with it, and a NEW session object — even at
+#: a recycled ``id()`` — always starts empty, which the old
+#: ``id(session)``-keyed tuples could not guarantee. Same probe contract
+#: as queries._SPREAD_MEMO (round-13, guide §5): each probe launches a
+#: real job per call (~300-450 ms of the sessionize queries'
+#: construction time measured at sf0.1 for the count), the same events
+#: scan is probed repeatedly within a bench/driver session, and the
+#: probed quantities depend only on the write-once file set. Callers
+#: pass SCAN-GRAIN frames; and because both guarded plans are
+#: row-identical (test-pinned), even a mis-keyed hit could only flip
+#: between two equivalent plans — layout, never values.
+_COUNT_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_MAXKEY_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def _prefers_single_window(df: DataFrame, threshold: int = SMALL_INPUT_ROWS) -> bool:
-    """True when the input is small enough that the two-level guard is
-    pure overhead. The probe is one ``count()`` job over the (column-
-    pruned-to-zero) scan — parquet row-group metadata plus the count
-    aggregate, no data columns read — memoized per (session, file set)
-    so repeated probes of the same scan cost one dict hit. At 100 TB the
-    guard engages without the probe being on the critical path (its cost
-    is footer reads, while the guarded window shuffles the full stream).
-    The asymmetry is deliberate: the guard's extra run-grain exchange
-    only *matters* at small scale — exactly where this check disables it
-    — because run rows are bounded by active (user, day) pairs, a
-    vanishing fraction of events at scale.
-    """
-    files: tuple = ()
+def _probe_memoized(df: DataFrame, memo, probe_key, compute):
+    """Run ``compute(df)`` once per (live session, probe_key): the memo
+    is weak-keyed on the SparkSession and inner-keyed on ``probe_key``
+    (the sorted scan file set plus probe-specific fields). Frames that
+    expose no input files are never memoized."""
     try:
         files = tuple(sorted(df.inputFiles()))
     except Exception:  # non-file-backed frame: no memo
-        pass
-    key = (id(df.sparkSession), files) if files else None
-    n = _COUNT_MEMO.get(key) if key is not None else None
-    if n is None:
-        n = df.count()
-        if key is not None:
-            _COUNT_MEMO[key] = n
-    return n <= threshold
+        files = ()
+    if not files:
+        return compute(df)
+    per_session = memo.get(df.sparkSession)
+    if per_session is None:
+        per_session = {}
+        memo[df.sparkSession] = per_session
+    key = (files,) + probe_key
+    val = per_session.get(key)
+    if val is None:
+        val = compute(df)
+        per_session[key] = val
+    return val
+
+
+def _max_rows_per_key(df: DataFrame, key_col: str = "user_id") -> int:
+    """EXACT max rows owned by any single ``key_col`` value — the precise
+    size of the largest partition the single-window plan can hand one
+    task. One job: scan of the key column only, a combinable per-key
+    count (partial aggregation collapses each map task's output to its
+    distinct keys), one exchange of (key, count) partials, and a scalar
+    max. Memoized per (session, file set, key column) like the count
+    probe; empty input counts as 0."""
+
+    def compute(d: DataFrame) -> int:
+        row = (
+            d.select(key_col)
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.coalesce(F.max("c"), F.lit(0)).alias("m"))
+            .first()
+        )
+        return int(row[0])
+
+    return _probe_memoized(df, _MAXKEY_MEMO, (key_col,), compute)
+
+
+def _prefers_single_window(df: DataFrame, threshold: int = SMALL_INPUT_ROWS) -> bool:
+    """True when no single user_id can exceed the single-task sort budget,
+    established by two exact probes in escalating cost order:
+
+    1. Total row count (parquet row-group metadata only, zero data
+       columns): total rows upper-bound EVERY key's rows, so inputs at
+       or under ``threshold`` are safe with no second job — the only
+       probe small inputs ever pay.
+    2. Max rows per user_id (one key-column scan + combinable count,
+       memoized): this is not an estimate of the safety quantity, it IS
+       the safety quantity — the largest window partition the
+       single-window plan can produce. A hot-key-free 100 TB corpus
+       therefore keeps the single-exchange plan (the round-13 driver
+       bench measured the guard's standing premium at 33% on 32 cores /
+       60% on 8 on a 24M-row hot-key-free input), while any corpus with
+       a genuinely pinned key still engages the guard on the same
+       ≤ threshold-rows-per-task budget as before.
+
+    Probe cost honesty at 100 TB: probe 2 reads one long/string column
+    and shuffles one (key, count) row per distinct key — strictly less
+    I/O than either sessionize plan's full-stream exchange, and paid
+    once per (session, file set). The asymmetry of round 13 still holds:
+    the guard's extra run-grain exchange only *matters* where probe 1 or
+    2 disables it, because stitch rows are bounded by active (user, day)
+    pairs."""
+    n = _probe_memoized(df, _COUNT_MEMO, (), lambda d: d.count())
+    if n <= threshold:
+        return True
+    return _max_rows_per_key(df) <= threshold
 
 
 def with_bucket(df: DataFrame, ts_col: str = "ts", grain: str = "day") -> DataFrame:
@@ -165,10 +228,12 @@ def sessionize_session_rows(
     """Session-level rows (user_id, session_id, n_events, min_us, max_us)
     under a ``gap_us`` inactivity rule, giant-key-guarded adaptively.
 
-    ``mode="auto"`` (default) picks the plan from a metadata-cheap row
-    count (:func:`auto_mode`, cutoff ``small_rows``): small inputs take the plain
-    single-window sessionizer (one exchange, no guard overhead); large
-    inputs take the two-level guard. ``mode="two_level"`` /
+    ``mode="auto"`` (default) picks the plan from the two-stage exact
+    probe (:func:`auto_mode`, cutoff ``small_rows``): inputs where no
+    user can own more than ``small_rows`` rows — small totals, or larger
+    corpora whose measured hottest user stays under the bound — take the
+    plain single-window sessionizer (one exchange, no guard overhead);
+    genuinely hot-keyed inputs take the two-level guard. ``mode="two_level"`` /
     ``mode="single"`` force a plan (tests pin both paths row-identical
     on a synthetic hot key, and the plan gate forces ``two_level`` so
     the guard shape stays proven at any test scale).
@@ -239,9 +304,9 @@ def sessionize_session_rows(
 def _sessionize_single_window(events: DataFrame, gap_us: int) -> DataFrame:
     """The classic one-exchange sessionizer (lag → gap flag → running sum
     → per-session aggregate over a user_id window). Same output contract
-    as the two-level path; only safe when the input is small enough that
-    no single user can exceed a task's sort budget — which ``mode="auto"``
-    has already established via the total row count."""
+    as the two-level path; only safe when no single user can exceed a
+    task's sort budget — which ``mode="auto"`` has already established
+    exactly, via the total row count or the max-rows-per-user probe."""
     b = events.select(
         "user_id",
         F.unix_micros(F.col("ts")).alias("us"),

@@ -628,12 +628,23 @@ def test_tuned_session_disables_origin_capture(spark):
     wrapped DataFrame API call pays ~3 py4j round trips + a Python stack
     walk purely to enrich error messages with call sites — driver-side
     construction overhead inside the bench's timed region (round-13
-    optimization; guide §5). The driver's VANILLA session keeps the
-    default, so this gates only the tuned session builder."""
+    optimization; guide §5). A vanilla session keeps the default in its
+    OWN process (the driver's contract run); within any one process the
+    verdict is cached on first wrapped call (round-14 ADVICE), so the
+    second assert pins the EFFECTIVE cached state: this suite's tuned
+    session is the process's first, exactly like bench.py's."""
     assert (
         spark.conf.get("spark.python.sql.dataFrameDebugging.enabled")
         == "false"
     )
+    # Touch a wrapped DataFrame API so PySpark resolves and caches its
+    # process-wide debugging verdict, then pin the cached effective
+    # state — a conf string alone would still pass in a process where
+    # the opt-out had silently lost the first-session race.
+    spark.range(1).select("id").columns
+    from pyspark.errors.utils import is_debugging_enabled
+
+    assert is_debugging_enabled() is False
 
 
 def test_salted_parity_rows_exercise_shuffled_join(spark):

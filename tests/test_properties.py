@@ -237,16 +237,31 @@ def test_two_level_lead_pairs_match_single_window(spark):
 
 
 def test_sessionize_auto_mode_decision(spark):
-    """auto_mode is the exact branch mode="auto" takes: below the cutoff
-    it returns "single", at/above it "two_level", and
-    sessionize_session_rows(small_rows=...) produces identical session
-    rows either way (the decision changes the PLAN, never the result)."""
+    """auto_mode is the exact branch mode="auto" takes: "single" when no
+    user can exceed the cutoff — total rows under it, or (round-14
+    skew-aware guard) the measured max rows per user under it — else
+    "two_level"; and sessionize_session_rows(small_rows=...) produces
+    identical session rows either way (the decision changes the PLAN,
+    never the result). The fixture's hot user owns max_key of the n
+    rows, so the cutoffs below exercise every branch: total-bound pass,
+    max-key-probe pass (total above cutoff, hottest user below), max-key
+    probe fail (hottest user above cutoff), and the degenerate 0."""
+    import pyspark.sql.functions as F
+
     from culvert_spark.twolevel import auto_mode, sessionize_session_rows
 
     ev = _hot_key_events(spark)
     n = ev.count()
+    max_key = ev.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    assert max_key < n  # fixture sanity: a second user exists
     assert auto_mode(ev, small_rows=n) == "single"
-    assert auto_mode(ev, small_rows=n - 1) == "two_level"
+    # total above the cutoff but the hottest user under it: the round-14
+    # skew probe keeps the cheaper single-window plan (the safety bound
+    # holds EXACTLY — the largest possible window partition is max_key)
+    assert auto_mode(ev, small_rows=n - 1) == "single"
+    assert auto_mode(ev, small_rows=max_key) == "single"
+    # a user genuinely over the budget engages the guard
+    assert auto_mode(ev, small_rows=max_key - 1) == "two_level"
     assert auto_mode(ev, small_rows=0) == "two_level"
     via_single = {
         (r.user_id, r.n_events, r.min_us, r.max_us)
@@ -416,7 +431,8 @@ def test_spread_memo_exact_and_still_spreads(spark):
     """spread()'s memoized scan-partition probe (round-13): a memo hit
     must decide exactly like the direct probe — same repartition
     decision for a small unsplittable scan — and the memo must key on
-    the file set (different tables don't alias)."""
+    the file set (different tables don't alias). Round-14: the memo is
+    weak-keyed on the session (session -> {probe key: count})."""
     from culvert_spark.queries import _SPREAD_MEMO, spread, t
     from tests.conftest import SF_SMALL
 
@@ -424,7 +440,7 @@ def test_spread_memo_exact_and_still_spreads(spark):
     d = t(spark, SF_SMALL, "documents").select("doc_id", "text")
     _SPREAD_MEMO.clear()
     first = spread(d)  # direct probe, fills the memo
-    assert len(_SPREAD_MEMO) == 1
+    assert len(_SPREAD_MEMO[spark]) == 1
     direct_n = first.rdd.getNumPartitions()
     second = spread(t(spark, SF_SMALL, "documents").select("doc_id"))
     assert second.rdd.getNumPartitions() == direct_n == max(
@@ -432,24 +448,71 @@ def test_spread_memo_exact_and_still_spreads(spark):
     )
     # a different file set gets its own entry, not the cached decision
     spread(t(spark, SF_SMALL, "embeddings").select("vec_id"))
-    assert len(_SPREAD_MEMO) == 2
+    assert len(_SPREAD_MEMO[spark]) == 2
 
 
 def test_twolevel_count_probe_memo_exact(spark):
     """The sessionize auto-guard's memoized row-count probe (round-13)
-    must decide exactly like the direct count and key on the file set."""
+    must decide exactly like the direct count and key on the file set.
+    Round-14: the memo is weak-keyed on the session."""
     from culvert_spark.queries import t
-    from culvert_spark.twolevel import _COUNT_MEMO, auto_mode
+    from culvert_spark.twolevel import _COUNT_MEMO, _MAXKEY_MEMO, auto_mode
     from tests.conftest import SF_SMALL
 
     ev = t(spark, SF_SMALL, "events")
     _COUNT_MEMO.clear()
+    _MAXKEY_MEMO.clear()
     first = auto_mode(ev)
-    assert len(_COUNT_MEMO) == 1
-    assert next(iter(_COUNT_MEMO.values())) == ev.count()
+    assert len(_COUNT_MEMO[spark]) == 1
+    assert next(iter(_COUNT_MEMO[spark].values())) == ev.count()
     # memo hit returns the same decision; forcing a tiny cutoff through
     # the SAME cached count still flips the branch (the memo caches the
     # count, never the decision)
     assert auto_mode(t(spark, SF_SMALL, "events")) == first
     assert auto_mode(ev, small_rows=0) == "two_level"
-    assert len(_COUNT_MEMO) == 1
+    assert len(_COUNT_MEMO[spark]) == 1
+    # the cutoff-0 call above escalated to the max-rows-per-key probe
+    # (total > 0); its memoized value is the exact per-user max
+    from pyspark.sql import functions as F
+
+    true_max = (
+        ev.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    )
+    assert next(iter(_MAXKEY_MEMO[spark].values())) == true_max
+
+
+def test_probe_memos_weakref_no_stale_hits(spark):
+    """Round-14 memo-key hygiene (r13 verdict item 6): the probe memos
+    are weak-keyed on the SparkSession object, so a dead session's
+    entries cannot leak into a new session that happens to reuse the
+    old object's id() — the failure mode of the old id(session) tuple
+    keys. Simulated with plain objects (the memos only rely on
+    weakref + dict semantics of their keys)."""
+    import gc
+    import weakref
+
+    from culvert_spark import twolevel
+
+    class FakeSession:
+        pass
+
+    memo = weakref.WeakKeyDictionary()
+    s1 = FakeSession()
+    memo[s1] = {("files",): 123}
+    assert memo[s1][("files",)] == 123
+    del s1
+    gc.collect()
+    assert len(memo) == 0  # dead session's entries are GONE
+    s2 = FakeSession()  # may reuse the collected object's id()
+    assert memo.get(s2) is None  # a new session can never see them
+    # and the production memos are this type
+    from culvert_spark.queries import _SPREAD_MEMO
+    from culvert_spark.textops import _CHARS_PROBE_MEMO
+
+    for m in (
+        twolevel._COUNT_MEMO,
+        twolevel._MAXKEY_MEMO,
+        _SPREAD_MEMO,
+        _CHARS_PROBE_MEMO,
+    ):
+        assert isinstance(m, weakref.WeakKeyDictionary)
