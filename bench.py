@@ -198,19 +198,41 @@ def _bench_sf_large(spark, registry) -> dict:
         # the JVM on these operator families, but single runs of the most
         # expensive section swing ~30% under neighbor load — one repeat
         # halves the noise for ~40 s of extra wall time.
+        # Round 14 (verdict item 2): each row also records the executor
+        # CPU total of its SECOND run (stage REST snapshots taken BETWEEN
+        # the runs and after the last — the settle polls sit outside the
+        # timed regions, so the wall methodology is unchanged). CPU is
+        # the contention-robust cross-round signal: identical code runs
+        # the same CPU while wall swings with neighbor load.
         timings: dict[str, float] = {}
+        cpu_secs: dict[str, float] = {}
+
+        def timed_best2_with_cpu(thunk) -> tuple[float, float]:
+            start = time.perf_counter()
+            thunk()
+            first = time.perf_counter() - start
+            before = _stage_shuffle_stats_settled(spark)
+            start = time.perf_counter()
+            thunk()
+            second = time.perf_counter() - start
+            after = _stage_shuffle_stats_settled(spark)
+            cpu_ns = sum(
+                v[2] for k, v in after.items() if k not in before
+            )
+            return min(first, second), round(cpu_ns / 1e9, 3)
+
         for name in SF_LARGE_QUERIES:
             if name not in registry:
                 continue
             fn = registry[name]
-            best = float("inf")
-            for _ in range(2):
-                start = time.perf_counter()
-                fn(spark, large_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                best = min(best, time.perf_counter() - start)
+            best, cpu = timed_best2_with_cpu(
+                lambda: fn(spark, large_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
             timings[name] = round(best, 3)
+            cpu_secs[name] = cpu
 
         # Same-session scaling pair for triangle counting: the sf0.1 point
         # measured HERE (not in the extended section) so the sf0.4/sf0.1
@@ -237,13 +259,13 @@ def _bench_sf_large(spark, registry) -> dict:
                 math.log(ratio) / math.log(SF_LARGE_REP), 2
             )
             tri_pair["bound"] = 1.5
-        nd_best = float("inf")
-        for _ in range(2):
-            start = time.perf_counter()
-            registry["s_near_dup_lsh_verified"](spark, nd_dir).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            nd_best = min(nd_best, time.perf_counter() - start)
+        nd_best, nd_cpu = timed_best2_with_cpu(
+            lambda: registry["s_near_dup_lsh_verified"](spark, nd_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        cpu_secs["s_near_dup_lsh_verified"] = nd_cpu
         nd_sec = round(nd_best, 3)
         # Same-session scaling pair for the near-dup LSH (round-5 verdict
         # item 7: measure the documented ~n^1.67 directly, like the
@@ -358,6 +380,7 @@ def _bench_sf_large(spark, registry) -> dict:
             "sf": round(_sf_from_dir(SF_DIR) * SF_LARGE_REP, 3),
             "replicas": SF_LARGE_REP,
             "queries": timings,
+            "cpu_sec": cpu_secs,
             "triangles_scaling_pair": tri_pair,
             "ess_scaling_pair": ess_pair,
             "ess_prune_ab": ess_ab,
@@ -373,10 +396,13 @@ def _bench_sf_large(spark, registry) -> dict:
         shutil.rmtree(large_dir, ignore_errors=True)
 
 
-def _stage_shuffle_stats(spark) -> dict[int, tuple[int, int]]:
-    """stageId -> (shuffleWriteBytes, shuffleWriteRecords) of completed
-    stages, via the UI REST API (bench enables spark.ui for exactly
-    this). Max across attempts per stage."""
+def _stage_shuffle_stats(spark) -> dict[int, tuple[int, int, int]]:
+    """stageId -> (shuffleWriteBytes, shuffleWriteRecords,
+    executorCpuTime ns) of completed stages, via the UI REST API (bench
+    enables spark.ui for exactly this). Max across attempts per stage.
+    executorCpuTime added in round 14 (verdict item 2): per-query
+    executor-CPU totals are contention-robust where wall clock is not,
+    so the sf_large section records both."""
     import json as _json
     import urllib.request
 
@@ -387,18 +413,19 @@ def _stage_shuffle_stats(spark) -> dict[int, tuple[int, int]]:
         timeout=10,
     ) as r:
         stages = _json.load(r)
-    out: dict[int, tuple[int, int]] = {}
+    out: dict[int, tuple[int, int, int]] = {}
     for s in stages:
         sid = s["stageId"]
-        cur = out.get(sid, (0, 0))
+        cur = out.get(sid, (0, 0, 0))
         out[sid] = (
             max(cur[0], s.get("shuffleWriteBytes", 0)),
             max(cur[1], s.get("shuffleWriteRecords", 0)),
+            max(cur[2], s.get("executorCpuTime", 0)),
         )
     return out
 
 
-def _stage_shuffle_stats_settled(spark) -> dict[int, tuple[int, int]]:
+def _stage_shuffle_stats_settled(spark) -> dict[int, tuple[int, int, int]]:
     """The status store is fed ASYNCHRONOUSLY from the listener bus, so a
     read taken right after an action can miss just-completed stages or
     carry unflushed metrics (round-9 review finding). Poll until two
@@ -868,7 +895,11 @@ def _bench_sessionize_ab(spark) -> dict:
     structure, more users), in one session, best of two runs each. If the
     forced single-window plan still won here, the constant would be too
     low; the recorded pair lets the judge (and future rounds) check the
-    crossover instead of trusting the argument."""
+    crossover instead of trusting the argument. Round 14: auto_picks is
+    the guard's actual decision — the skew-aware max-rows-per-user probe
+    routes this hot-key-free input to the measured-faster single plan
+    (the r13 driver pair showed two_level costing +33%/+60% here), and
+    max_key_rows records the probed safety quantity."""
     import math
     import shutil
     import tempfile
@@ -899,11 +930,16 @@ def _bench_sessionize_ab(spark) -> dict:
         )
         big = spark.read.parquet(big_path)
         rows = big.count()
+        # auto_picks is the guard's REAL decision (round 14): the
+        # replicated input is hot-key-free (per-replica user ids), so
+        # the skew-aware probe should route it to the faster
+        # single-window plan; a hot-keyed corpus would still pick
+        # two_level. The probe jobs run here, OUTSIDE the timed loops.
         out = {
             "rows": rows,
             "threshold": twolevel.SMALL_INPUT_ROWS,
-            "auto_picks": "two_level" if rows > twolevel.SMALL_INPUT_ROWS
-            else "single",
+            "max_key_rows": twolevel._max_rows_per_key(big),
+            "auto_picks": twolevel.auto_mode(big),
         }
         for mode in ("single", "two_level"):
             best = float("inf")
@@ -1639,6 +1675,27 @@ def main() -> None:
                     "wet_pages_per_sec", "error",
                 )
                 if k in crawl
+            },
+        ),
+        # Round 14 (verdict item 2): per-row executor-CPU totals for the
+        # sf_large section — the contention-robust cross-round signal
+        # (this round's predecessor was judged through a visibly
+        # contended 32-core run). Short family aliases keep the block
+        # inside the final-line budget; the full mapping is in the
+        # details line's sf_large.cpu_sec.
+        (
+            "sf_large_cpu",
+            {
+                alias: sf_large.get("cpu_sec", {}).get(name)
+                for alias, name in (
+                    ("minhash", "t_minhash_lsh_pairs"),
+                    ("pack", "t_pack_sequences"),
+                    ("triangles", "q_graph_triangles"),
+                    ("semdedup", "s_semantic_dedup_rep"),
+                    ("cdc", "t_cdc_chunk_dedup"),
+                    ("ess", "t_exact_substring_spans"),
+                    ("near_dup", "s_near_dup_lsh_verified"),
+                )
             },
         ),
         ("sessionize_ab", sess_compact),

@@ -25,6 +25,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import hashlib
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -781,15 +782,19 @@ def t_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, cand = _minhash_sigs_and_cands(spark, sf_dir)
     # SQL-string expression: one py4j round trip instead of ~30 (driver-
     # side construction runs inside the bench's timed region — guide §5).
+    # Round 14: cexpr'd (selectExpr re-parsed per build) and the plain
+    # column names passed as memoized Columns.
     n_eq = (
         "size(filter(zip_with(mhs_a, mhs_b, (x, y) -> x = y), v -> v))"
     )
-    return cand.selectExpr(
-        "doc_a",
-        "doc_b",
-        "shared_bands",
-        f"round(cast({n_eq} as double) / {_N_HASHES}, 6) AS est_jaccard",
-    ).orderBy("doc_a", "doc_b")
+    return cand.select(
+        cexpr("doc_a"),
+        cexpr("doc_b"),
+        cexpr("shared_bands"),
+        cexpr(
+            f"round(cast({n_eq} as double) / {_N_HASHES}, 6) AS est_jaccard"
+        ),
+    ).orderBy(cexpr("doc_a"), cexpr("doc_b"))
 
 
 def _reliable_ckpt(spark: SparkSession):
@@ -866,14 +871,14 @@ def _minhash_from_docs(d: DataFrame, bucket_cap: int = _BUCKET_CAP):
     # (verified by normalized optimized-plan diff + oracle hash).
     sh = _with_shingles(d)
     mh_cols = [
-        F.expr(f"min(md5(cast(concat('{i}|', sh) as binary))) AS mh_{i}")
+        cexpr(f"min(md5(cast(concat('{i}|', sh) as binary))) AS mh_{i}")
         for i in range(_N_HASHES)
     ]
     mhs_all = ", ".join(f"mh_{i}" for i in range(_N_HASHES))
     sig = (
-        sh.groupBy("doc_id")
+        sh.groupBy(cexpr("doc_id"))
         .agg(*mh_cols)
-        .withColumn("mhs", F.expr(f"array({mhs_all})"))
+        .withColumn("mhs", cexpr(f"array({mhs_all})"))
     )
     n_bands = _N_HASHES // _BAND_SIZE
     band_sigs = "array(%s)" % ", ".join(
@@ -888,30 +893,28 @@ def _minhash_from_docs(d: DataFrame, bucket_cap: int = _BUCKET_CAP):
     # and est_jaccard needs NO signature joins afterwards — the same
     # carry-the-signature layout Spark ML's MinHashLSH uses. first() is
     # exact: every row of a pair group carries the same signatures.
-    bands = sig.selectExpr(
-        "struct(doc_id, mhs) AS dm",
-        f"posexplode({band_sigs}) AS (band, bsig)",
+    bands = sig.select(
+        cexpr("struct(doc_id, mhs) AS dm"),
+        cexpr(f"posexplode({band_sigs}) AS (band, bsig)"),
     )
     buckets = (
-        bands.groupBy("band", "bsig")
-        .agg(F.expr("sort_array(collect_list(dm)) AS ds"))
-        .where(f"size(ds) >= 2 AND size(ds) <= {bucket_cap}")
+        bands.groupBy(cexpr("band"), cexpr("bsig"))
+        .agg(cexpr("sort_array(collect_list(dm)) AS ds"))
+        .where(cexpr(f"size(ds) >= 2 AND size(ds) <= {bucket_cap}"))
     )
     pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, (p, i) ->"
-                " transform(slice(ds, i + 2, size(ds)),"
-                " q -> named_struct('a', p, 'b', q))))"
-            )
-        ).alias("pr")
+        cexpr(
+            "explode(flatten(transform(ds, (p, i) ->"
+            " transform(slice(ds, i + 2, size(ds)),"
+            " q -> named_struct('a', p, 'b', q))))) AS pr"
+        )
     )
     cand = pairs.groupBy(
-        F.expr("pr.a.doc_id AS doc_a"), F.expr("pr.b.doc_id AS doc_b")
+        cexpr("pr.a.doc_id AS doc_a"), cexpr("pr.b.doc_id AS doc_b")
     ).agg(
-        F.expr("count(1) AS shared_bands"),
-        F.expr("first(pr.a.mhs) AS mhs_a"),
-        F.expr("first(pr.b.mhs) AS mhs_b"),
+        cexpr("count(1) AS shared_bands"),
+        cexpr("first(pr.a.mhs) AS mhs_a"),
+        cexpr("first(pr.b.mhs) AS mhs_b"),
     )
     return sig, cand
 
@@ -1280,9 +1283,12 @@ def with_hyperplane_projections(
     ± chain per plane."""
     # cexpr: the 64-term signed-sum strings are constants per (alias,
     # signs) site — one Catalyst parse per string per process instead of
-    # per construction (~25 ms each × 16 planes; guide §5).
+    # per construction (~25 ms each × 16 planes; guide §5). Round 14:
+    # the alias is folded INTO the memoized string ("... AS _p0"), so a
+    # warm construction pays zero py4j trips per plane instead of one
+    # .alias() trip each.
     cols = [
-        cexpr(_signed_sum_expr(vec_alias, row)).alias(f"{prefix}{j}")
+        cexpr(f"{_signed_sum_expr(vec_alias, row)} AS {prefix}{j}")
         for j, row in enumerate(signs)
     ]
     return df.select("*", *cols)
@@ -1687,7 +1693,17 @@ def s_near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle replicates the same bands + verify, so the driver
     hash-checks the distributed implementation, not the (data-dependent)
     recall."""
-    e = spread(t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    # Bare string column args are passed as memoized cexpr Columns
+    # throughout this constructor (round 14): PySpark converts each
+    # string arg through _create_column_from_name — 2-3 py4j round trips
+    # per string per build — while a prebuilt Column costs zero
+    # (measured 12.2 -> 6.5 ms per select on this host). Identical plan:
+    # both forms yield the same UnresolvedAttribute.
+    e = spread(
+        t(spark, sf_dir, "embeddings").select(
+            cexpr("vec_id"), cexpr("embedding")
+        )
+    )
     e16 = with_hyperplane_projections(e, "embedding", _SIGNS16, "_p")
     # All 8 band buckets packed into ONE 16-bit int (bucket_j occupies
     # bits 2j..2j+1), carried alongside each exploded band row: the
@@ -1713,14 +1729,14 @@ def s_near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_NEAR_DUP_BANDS)
     )
     bands = e16.select(
-        "vec_id",
-        cexpr(pack_sql).alias("pack"),
-        cexpr(bb_sql).alias("bb"),
+        cexpr("vec_id"),
+        cexpr(f"{pack_sql} AS pack"),
+        cexpr(f"{bb_sql} AS bb"),
     ).select(
-        "vec_id",
-        "pack",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
+        cexpr("vec_id"),
+        cexpr("pack"),
+        cexpr("bb.band AS band"),
+        cexpr("bb.bucket AS bucket"),
     )
     # Round-13 optimization (guide §1.1 empirical + §3): stage profiling
     # at the bench's 2x corpus put ~97% of the query's core-seconds in
@@ -1744,18 +1760,21 @@ def s_near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + " ELSE -1 END"
     )
+    # The whole join condition is ONE memoized constant string (round 14:
+    # the And-chain parses to the same left-associated And tree the
+    # Column `&` operators built — zero py4j trips per warm construction
+    # instead of ~12).
     cand = (
         bands.alias("a")
         .join(
             bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id"))
-            & (cexpr(first_shared) == F.col("a.band")),
+            cexpr(
+                "a.band = b.band AND a.bucket = b.bucket"
+                " AND a.vec_id < b.vec_id"
+                f" AND ({first_shared}) = a.band"
+            ),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
+        .select(cexpr("a.vec_id AS vec_a"), cexpr("b.vec_id AS vec_b"))
     )
     # Norms are computed ONCE per vector (narrow map, O(n) dots) and carried
     # through the pair joins, so the per-pair verify is a single dot product
@@ -1763,29 +1782,36 @@ def s_near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tree on the same input bits), 3x less verify CPU on candidate-heavy
     # corpora.
     ev = e.select(
-        "vec_id",
-        "embedding",
-        F.sqrt(cexpr(_dot_spark("embedding", "embedding"))).alias("nrm"),
+        cexpr("vec_id"),
+        cexpr("embedding"),
+        cexpr(f"sqrt({_dot_spark('embedding', 'embedding')}) AS nrm"),
     )
     ea = ev.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("va"),
-        F.col("nrm").alias("na"),
+        cexpr("vec_id AS vec_a"),
+        cexpr("embedding AS va"),
+        cexpr("nrm AS na"),
     )
     eb = ev.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("vb"),
-        F.col("nrm").alias("nb"),
+        cexpr("vec_id AS vec_b"),
+        cexpr("embedding AS vb"),
+        cexpr("nrm AS nb"),
     )
-    cos = cexpr(_dot_spark("va", "vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .select("vec_a", "vec_b", cos.alias("cos_raw"))
-        .filter(F.col("cos_raw") >= _NEAR_DUP_THRESHOLD)
-        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))
+        .select(
+            cexpr("vec_a"),
+            cexpr("vec_b"),
+            cexpr(f"{_dot_spark('va', 'vb')} / (na * nb) AS cos_raw"),
+        )
+        .filter(cexpr(f"cos_raw >= {_NEAR_DUP_THRESHOLD}D"))
+        .select(
+            cexpr("vec_a"),
+            cexpr("vec_b"),
+            cexpr("round(cos_raw, 4) AS cos"),
+        )
         .distinct()
-        .orderBy("vec_a", "vec_b")
+        .orderBy(cexpr("vec_a"), cexpr("vec_b"))
     )
 
 
@@ -2038,10 +2064,13 @@ def winnow_oracle_sql(
     """
 
 
-#: exact_substring_spans' corpus-size probe memo: (session id, sorted
-#: input files) -> total chars. Same pattern/contract as
-#: twolevel._COUNT_MEMO (see the prune=="auto" branch below).
-_CHARS_PROBE_MEMO: dict[tuple, int] = {}
+#: exact_substring_spans' corpus-size probe memo, weak-keyed on the
+#: SparkSession (round-14 memo-key hygiene): session -> {sorted input
+#: files: total chars}. Same pattern/contract as twolevel._COUNT_MEMO
+#: (see the prune=="auto" branch below); a collected session's entries
+#: vanish with it and a new session object — even at a recycled id() —
+#: starts empty.
+_CHARS_PROBE_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def exact_substring_spans(
@@ -2169,8 +2198,14 @@ def exact_substring_spans(
             files = tuple(sorted(docs.inputFiles()))
         except Exception:  # non-file-backed frame: no memo
             pass
-        key = (id(docs.sparkSession), files) if files else None
-        total = _CHARS_PROBE_MEMO.get(key) if key is not None else None
+        per_session = None
+        total = None
+        if files:
+            per_session = _CHARS_PROBE_MEMO.get(docs.sparkSession)
+            if per_session is None:
+                per_session = {}
+                _CHARS_PROBE_MEMO[docs.sparkSession] = per_session
+            total = per_session.get(files)
         if total is None:
             probe = (
                 docs.agg(F.coalesce(F.sum("n_chars"), F.lit(0)).alias("c"))
@@ -2180,8 +2215,8 @@ def exact_substring_spans(
                 )
             )
             total = probe.first()[0]
-            if key is not None:
-                _CHARS_PROBE_MEMO[key] = total
+            if per_session is not None:
+                per_session[files] = total
         prune = "bucket" if total >= prune_threshold_chars else "off"
     if prune not in ("off", "bucket"):
         raise ValueError(f"unknown prune mode {prune!r}")

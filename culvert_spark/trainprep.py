@@ -452,7 +452,9 @@ def s_semantic_dedup_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         with_hyperplane_projections(
             spread(
-                t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+                t(spark, sf_dir, "embeddings").select(
+                    cexpr("vec_id"), cexpr("embedding")
+                )
             ),
             "embedding",
             _SIGNS,
@@ -461,53 +463,61 @@ def s_semantic_dedup_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket", bucket_from_projections("_q"))
         .drop(*[f"_q{j}" for j in range(len(_SIGNS))])
     )
+    # Round 14: aliases, the cast, the row_number window, and the final
+    # projections are folded into the memoized cexpr strings (same
+    # Catalyst trees the Column DSL built — Alias/Cast/WindowExpression —
+    # zero py4j trips per warm construction for each; guide §5).
     cent = (
-        e.groupBy("bucket")
+        e.groupBy(cexpr("bucket"))
         .agg(
             cexpr(
                 "transform(array_sort(collect_list(struct(vec_id, embedding))),"
-                " s -> s.embedding)"
-            ).alias("ms")
+                " s -> s.embedding) AS ms"
+            )
         )
         .select(
-            "bucket",
+            cexpr("bucket"),
             cexpr(
                 f"transform(sequence(0, {DIM - 1}), i ->"
                 " aggregate(ms, cast(0.0 as double),"
                 " (acc, x) -> acc + cast(x[i] as double)) / size(ms))"
-            ).alias("centroid"),
+                " AS centroid"
+            ),
             # cast: size() is INT but this column has always been the
             # BIGINT count — the driver hash-checks the schema too.
-            F.size("ms").cast("bigint").alias("n_members"),
+            cexpr("cast(size(ms) as bigint) AS n_members"),
         )
     )
     scored = e.join(broadcast(cent), "bucket").select(
-        "bucket",
-        "vec_id",
-        "n_members",
+        cexpr("bucket"),
+        cexpr("vec_id"),
+        cexpr("n_members"),
         cexpr(
             f"{_dot_spark_cols('embedding', 'centroid')}"
             f" / (sqrt({_dot_spark_cols('embedding', 'embedding')})"
             f" * sqrt({_dot_spark_cols('centroid', 'centroid')}))"
-        ).alias("cos"),
+            " AS cos"
+        ),
     )
-    w = Window.partitionBy("bucket").orderBy(F.desc("cos"), "vec_id")
     return (
         scored.select(
-            "bucket",
-            "vec_id",
-            "n_members",
-            "cos",
-            F.row_number().over(w).alias("rn"),
+            cexpr("bucket"),
+            cexpr("vec_id"),
+            cexpr("n_members"),
+            cexpr("cos"),
+            cexpr(
+                "row_number() OVER (PARTITION BY bucket"
+                " ORDER BY cos DESC, vec_id) AS rn"
+            ),
         )
-        .filter(F.col("rn") == 1)
+        .filter(cexpr("rn = 1"))
         .select(
-            "bucket",
-            F.col("vec_id").alias("rep_vec_id"),
-            "n_members",
-            F.round("cos", 4).alias("rep_cos"),
+            cexpr("bucket"),
+            cexpr("vec_id AS rep_vec_id"),
+            cexpr("n_members"),
+            cexpr("round(cos, 4) AS rep_cos"),
         )
-        .orderBy("bucket")
+        .orderBy(cexpr("bucket"))
     )
 
 
